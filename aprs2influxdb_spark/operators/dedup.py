@@ -1,0 +1,208 @@
+"""Deduplication operators (north star; SURVEY.md §2.9).
+
+The reference relies on APRS-IS network-level duplicate suppression
+(SURVEY §2.9 "Dedup: none").  The engine provides the full ladder a
+training-data pipeline needs, each designed for 100 TB:
+
+- exact dedup: hash-groupBy on content digest — one shuffle on the
+  digest, no full-text comparisons;
+- fingerprint dedup: token-set canonicalization then hash-groupBy —
+  catches reorderings/duplicated whitespace;
+- MinHash + LSH: per-doc signature (narrow), band keys (narrow),
+  shuffle on band key only — candidate pairs come from bucket-local
+  joins, never a cross join; verification joins only candidates;
+- n-gram Jaccard: shingle inverted index self-join — the join key is
+  the shingle hash, so co-partitioning is on content, and the
+  |intersection| arrives pre-aggregated from the map side;
+- SimHash: bit-majority signature via one explode + one groupBy.
+
+All hashing goes through ``functions.hashing`` portable md5 hashes so
+every operator has an exact DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aprs2influxdb_spark.functions.rounding import rhu
+
+from aprs2influxdb_spark.functions.hashing import MINHASH_P, minhash_expr, portable_hash64
+
+
+def tokens_col(text_col: str = "text"):
+    """Lowercased whitespace tokens; single definition shared by every
+    text dedup/analysis operator (and mirrored in the oracle SQL)."""
+    return F.split(F.lower(F.col(text_col)), " ")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content digest: canonical (min-id) row per text,
+    with duplicate count.  GroupBy on a 128-bit digest, not the text —
+    at 100 TB the shuffle carries 16-byte keys, not documents."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def fingerprint_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-exact dedup on the sorted distinct token set (catches
+    word-order shuffles and repeated tokens)."""
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(tokens_col(text_col))), " "))
+    return (
+        docs.groupBy(fp.alias("fingerprint"))
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def shingles_col(text_col: str = "text", n: int = 3):
+    """Word n-gram shingles as strings (distinct)."""
+    toks = tokens_col(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 16, shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature over word-shingle sets (narrow op).
+
+    Staged projections so the md5-hashed shingle array is computed ONCE
+    and the 16 permutation-min columns reference it as an attribute —
+    inlining it into each minhash branch (what a naive single ``select``
+    compiles to) costs 16x the shingle building and hashing and showed
+    up as a 35x slowdown at sf0.1.  CollapseProject leaves multi-
+    referenced non-cheap aliases alone, so the staging survives
+    optimization.
+    """
+    from aprs2influxdb_spark.functions.hashing import MINHASH_P, minhash_coeffs
+
+    hashed = docs.select(
+        F.col(id_col),
+        F.transform(
+            shingles_col(text_col, shingle_n),
+            lambda t: F.pmod(F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"), F.lit(MINHASH_P)),
+        ).alias("hs"),
+    )
+    sig = F.array(
+        *[
+            F.coalesce(
+                F.array_min(F.transform(F.col("hs"), lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_P)))),
+                F.lit(MINHASH_P),
+            )
+            for a, b in minhash_coeffs(num_hashes)
+        ]
+    )
+    return hashed.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: signature → band keys → bucket join
+    → exact-Jaccard verification on candidates only.
+
+    Scale shape: explode to ``bands`` rows/doc, shuffle on the band
+    key (content-addressed, naturally balanced unless a band bucket is
+    hot — hot buckets mean true near-dup clusters, which are the
+    answer, not skew).  The verification join re-shuffles only
+    candidate ids.  No O(n^2) stage anywhere.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    band_key = [
+        (b, F.md5(F.concat_ws("_", F.lit(b), *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])))
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.struct(F.lit(b).alias("band"), k.alias("key")) for b, k in band_key])).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(right, ["band", "key"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+    sh = docs.select(F.col(id_col), shingles_col(text_col, shingle_n).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(a, "id_a").join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", rhu("jaccard", 4).alias("jaccard"))
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 3, threshold: float = 0.3,
+) -> DataFrame:
+    """Exact all-pairs Jaccard over the shingle inverted index.
+
+    ``|A ∩ B|`` is computed distributively: explode shingles, self-join
+    on the shingle, count per pair — partial aggregation happens map-
+    side, and only pairs that share ≥1 shingle ever materialize.  At
+    100 TB, stop-shingle removal (drop shingles with doc-frequency
+    above a cap) bounds the inverted-index fanout; candidates here are
+    already bounded by the synthetic corpus' shingle sharing.
+    """
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles_col(text_col, shingle_n)).alias("shingle")
+    )
+    sizes = docs.select(
+        F.col(id_col), F.size(shingles_col(text_col, shingle_n)).alias("n_sh")
+    )
+    inter = (
+        sh.alias("a").join(sh.alias("b"), "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", rhu("jaccard", 4).alias("jaccard"))
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """SimHash signature: per bit, majority vote of token hashes.
+
+    One narrow projection — the per-bit sums are ``aggregate`` folds
+    over the token array, no explode/shuffle at all.  Hamming-near
+    docs then group on the signature (or banded substrings at scale).
+    """
+    toks = tokens_col(text_col)
+    hashed = F.transform(toks, lambda t: portable_hash64(t))
+    bit_cols = []
+    for b in range(bits):
+        votes = F.aggregate(
+            hashed,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit_cols.append(F.when(votes > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long")))
+    sig = bit_cols[0]
+    for c in bit_cols[1:]:
+        sig = sig + c
+    return docs.select(F.col(id_col), sig.alias("simhash"))

@@ -1,0 +1,112 @@
+"""Multimodal column handling (north star).
+
+Images/audio/video are opaque ``binary`` columns plus typed metadata.
+The Spark-side plumbing — schema, Arrow batch shape, ``mapInPandas``
+partition flow — is real and tested; the actual media decode is
+stubbed (the image/audio libraries are not in this container) behind
+``decode_image_stub``, a deterministic fake with the same signature a
+real decoder would have.
+
+Scale notes: media blobs ride in their own column so column pruning
+keeps them out of every query that doesn't touch them; feature
+extraction is ``mapInPandas`` (one Arrow batch in, one out — no
+per-row Python), and the output drops the blob so the shuffle that
+follows carries features, not media.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), True),      # image | audio | video
+        StructField("mime", StringType(), True),
+        StructField("payload", BinaryType(), True),   # opaque blob
+        StructField("width", IntegerType(), True),    # typed metadata
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("digest", StringType(), True),
+        StructField("feat_mean", LongType(), True),   # stub "feature"
+    ]
+)
+
+
+def decode_image_stub(payload: bytes) -> dict:
+    """Deterministic fake decoder.  A real implementation would be::
+
+        import PIL.Image, io
+        img = PIL.Image.open(io.BytesIO(payload))
+        ...
+
+    and is intentionally NOT implemented here (no media libs in the
+    container).  The fake derives stable pseudo-features from the
+    bytes so tests can assert the plumbing end-to-end.
+    """
+    if payload is None:
+        raise NotImplementedError("real decode requires PIL/librosa — not available")
+    return {"n_bytes": len(payload), "feat_mean": sum(payload[:64]) if payload else 0}
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over media blobs.
+
+    mapInPandas so one Python worker call handles a whole Arrow batch;
+    the blob column is consumed here and dropped from the output.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
+                    "digest": payloads.map(
+                        lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
+                    ),
+                    "feat_mean": payloads.map(
+                        lambda b: decode_image_stub(b)["feat_mean"] if b is not None else 0
+                    ),
+                }
+            )
+
+    return media.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+def media_meta(media: DataFrame) -> DataFrame:
+    """Blob-free metadata view — pure column expressions (the common
+    fast path: no Python, blob column pruned at the parquet scan)."""
+    return media.select(
+        "media_id",
+        "kind",
+        F.octet_length("payload").alias("n_bytes"),
+        F.sha2("payload", 256).alias("digest"),
+        "width",
+        "height",
+    )

@@ -1,0 +1,93 @@
+"""Text analysis operators (north star): quality scoring, language ID,
+token counting, rolling-hash fingerprinting.
+
+All native column expressions — the regexes are kept in the syntax
+subset Java regex and RE2 (DuckDB) interpret identically so every
+operator has an exact oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aprs2influxdb_spark.functions.rounding import rhu
+
+from aprs2influxdb_spark.operators.dedup import tokens_col
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+}
+
+# BPE-ish pretokenizer: letter runs, digit runs, single punctuation
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality features: token count, mean token length,
+    punctuation ratio, stopword ratio, plus a blended 0-1 score."""
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    mean_tok_len = F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t)) / n_tokens
+    n_punct = F.length(F.regexp_replace(F.col(text_col), "[^!-/:-@\\[-`{-~]", ""))
+    punct_ratio = n_punct / n_chars
+    sw = F.array([F.lit(w) for w in LANG_STOPWORDS["en"]])
+    stopword_ratio = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / n_tokens
+    score = (
+        F.least(n_tokens / F.lit(50.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0))) * 0.3
+        + F.least(stopword_ratio * 5, F.lit(1.0)) * 0.3
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        rhu(mean_tok_len, 4).alias("mean_tok_len"),
+        rhu(punct_ratio, 4).alias("punct_ratio"),
+        rhu(stopword_ratio, 4).alias("stopword_ratio"),
+        rhu(score, 4).alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID: hit count per language's list,
+    argmax with deterministic tie order en > de > fr, 'und'(etermined)
+    when nothing hits."""
+    toks = F.array_distinct(tokens_col(text_col))
+    hits = {
+        lang: F.size(F.array_intersect(toks, F.array([F.lit(w) for w in words])))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*hits.values())
+    pred = (
+        F.when(best <= 0, "und")
+        .when(hits["en"] == best, "en")
+        .when(hits["de"] == best, "de")
+        .otherwise("fr")
+    )
+    return docs.select(F.col(id_col), pred.alias("pred_lang"), best.alias("n_hits"))
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens vs BPE-ish regex tokens per document."""
+    ws = F.size(tokens_col(text_col))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0))
+    return docs.select(F.col(id_col), ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
+
+
+def rolling_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Polynomial rolling hash over the document's tokens:
+    h = fold(h * 31 + hash(token)) mod 1e9+7 — an order-sensitive
+    fingerprint (reordered near-dups hash differently, unlike
+    ``fingerprint_dedup``)."""
+    from aprs2influxdb_spark.functions.hashing import portable_hash64
+
+    h = F.aggregate(
+        tokens_col(text_col),
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * 31 + F.pmod(portable_hash64(t), F.lit(1_000_000_007)), F.lit(1_000_000_007)),
+    )
+    return docs.select(F.col(id_col), h.alias("fingerprint"))

@@ -1,0 +1,798 @@
+"""Query inventory: every operator from SURVEY.md §2 (re-shaped onto
+the driver's tables) plus the north-star LLM-pipeline operators.
+
+``registry()`` maps query name -> (builder, oracle_sql).  Builders take
+``(spark, sf_dir)`` and return a DataFrame; oracle_sql is the DuckDB
+twin over the pre-registered views (``region nation customer supplier
+part orders lineitem events documents embeddings``) or ``None`` for
+ops with no faithful SQL expression (weaker rows-only check).
+
+Parity conventions (driver hashes values order-insensitively):
+- every computed column aliased identically on both sides;
+- float aggregates rounded (2dp money, 4dp ratios) on BOTH sides so
+  summation-order ULP noise can't flip the hash;
+- deterministic tie-breaks on every top-k / limit;
+- all text hashing via portable md5 (functions.hashing).
+
+APRS-surface operators (D/F/N/J rows of SURVEY §2) are exercised here
+on the ``events``/``documents`` tables — the driver's oracle domain —
+and byte-for-byte on real packet fixtures in tests/test_projections.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aprs2influxdb_spark.functions.rounding import rhu
+from aprs2influxdb_spark.functions.hashing import (
+    MINHASH_P,
+    minhash_coeffs,
+    portable_hash64,
+    portable_hash64_sql,
+)
+from aprs2influxdb_spark.operators import dedup as dd
+from aprs2influxdb_spark.operators import similarity as sim
+from aprs2influxdb_spark.operators import textanalysis as ta
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet INT64 TIMESTAMP(NANOS): Spark rejects it
+        # unless read as raw long; truncate ns -> us with exact integer
+        # division (`div`, not `/` — double math loses sub-us bits at
+        # 1.7e18 ns), matching DuckDB's silent ns -> us truncation.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------
+# APRS-surface analogs (SURVEY §2.2, §2.4-§2.6) on events/documents
+# --------------------------------------------------------------------
+
+def q_dispatch_counts(spark, sf):
+    """D1 10-way dispatch ≙ group/route by type tag."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), rhu(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+SQL_DISPATCH = """
+SELECT event_type, count(*) AS n, (floor((sum(value)) * 100 + 0.5) / 100.0) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_known_types_filter(spark, sf):
+    """D2 drop-unknown-format ≙ whitelist filter."""
+    return (
+        _t(spark, sf, "events")
+        .filter(F.col("event_type").isin("click", "view", "purchase"))
+        .select("event_id", "event_type", rhu("value", 2).alias("value_r"))
+    )
+
+
+SQL_KNOWN_TYPES = """
+SELECT event_id, event_type, (floor((value) * 100 + 0.5) / 100.0) AS value_r
+FROM events WHERE event_type IN ('click', 'view', 'purchase')
+"""
+
+
+def q_escape_text(spark, sf):
+    """F1 escape chain (ascii-'?', backslash-first escaping) on documents."""
+    from aprs2influxdb_spark.functions.scalars import escape_text
+
+    return _t(spark, sf, "documents").select("doc_id", escape_text(F.col("text")).alias("escaped"))
+
+
+SQL_ESCAPE = r"""
+SELECT doc_id,
+       replace(replace(replace(regexp_replace(text, '[^\x00-\x7F]', '?', 'g'),
+               '\', '\\'), '''', '\'''), '"', '\"') AS escaped
+FROM documents
+"""
+
+
+def q_path_join(spark, sf):
+    """F2 array join (path="a,b,c" analog) over tokenized docs."""
+    return _t(spark, sf, "documents").select(
+        "doc_id", F.array_join(F.split(F.lower("text"), " "), ",").alias("joined")
+    )
+
+
+SQL_PATH_JOIN = """
+SELECT doc_id, array_to_string(string_split(lower(text), ' '), ',') AS joined
+FROM documents
+"""
+
+
+def q_line_protocol(spark, sf):
+    """F3-F5 serializers: tag + numeric + text field assembly."""
+    e = _t(spark, sf, "events")
+    line = F.concat(
+        F.lit("packet,format="), F.col("event_type"),
+        F.lit(" value="), F.format_string("%.2f", F.col("value")),
+        F.lit(',user="'), F.col("user_id").cast("string"), F.lit('"'),
+    )
+    return e.select("event_id", line.alias("line"))
+
+
+SQL_LINE_PROTOCOL = """
+SELECT event_id,
+       'packet,format=' || event_type || ' value=' || printf('%.2f', value)
+       || ',user="' || user_id || '"' AS line
+FROM events
+"""
+
+
+def q_telemetry_poly(spark, sf):
+    """F7 polynomial a*v^2+b*v+c (a=0.5, b=2, c=1) over event values."""
+    v = F.col("value")
+    return _t(spark, sf, "events").select(
+        "event_id", rhu(F.lit(0.5) * v * v + F.lit(2.0) * v + F.lit(1.0), 4).alias("scaled")
+    )
+
+
+SQL_TELEMETRY_POLY = """
+SELECT event_id, (floor((0.5 * value * value + 2.0 * value + 1.0) * 10000 + 0.5) / 10000.0) AS scaled
+FROM events
+"""
+
+
+def q_json_extract(spark, sf):
+    """N1/N2 nested extraction: JSON props field."""
+    return _t(spark, sf, "events").select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_id, json_extract_string(props, '$.k')::INT AS k FROM events
+"""
+
+
+def q_asof_calibration(spark, sf):
+    """J1 as-of calibration: each non-error event scaled by the latest
+    prior 'error' value of its user (identity 1.0 before any error)."""
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    calib = F.last(F.when(F.col("event_type") == "error", F.col("value")), ignorenulls=True).over(w)
+    return (
+        e.withColumn("calib", calib)
+        .filter(F.col("event_type") != "error")
+        .select(
+            "event_id", "user_id",
+            rhu(F.col("value") * F.coalesce(F.col("calib"), F.lit(1.0)), 4).alias("calibrated"),
+        )
+    )
+
+
+SQL_ASOF_CALIBRATION = """
+SELECT event_id, user_id, (floor((value * coalesce(calib, 1.0)) * 10000 + 0.5) / 10000.0) AS calibrated
+FROM (
+  SELECT event_id, user_id, event_type, value,
+         last_value(CASE WHEN event_type = 'error' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS calib
+  FROM events
+) WHERE event_type != 'error'
+"""
+
+
+def q_eqn_compaction(spark, sf):
+    """J2 state compaction: last-write-wins latest 'error' per user."""
+    return (
+        _t(spark, sf, "events")
+        .filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(
+            rhu(F.max_by("value", "ts"), 2).alias("last_error_value"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
+SQL_EQN_COMPACTION = """
+SELECT user_id, (floor((arg_max(value, ts)) * 100 + 0.5) / 100.0) AS last_error_value, max(ts) AS last_ts
+FROM events WHERE event_type = 'error' GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------
+# Analytics layer (SURVEY §2.9): agg / join / window / setop / topk
+# --------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf):
+    """TPC-H Q1-style hash aggregation with partial (map-side) agg."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            rhu(F.sum("l_quantity"), 2).alias("sum_qty"),
+            rhu(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            rhu(F.sum(disc_price), 2).alias("sum_disc_price"),
+            rhu(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            rhu(F.avg("l_quantity"), 4).alias("avg_qty"),
+            rhu(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            rhu(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       (floor((sum(l_quantity)) * 100 + 0.5) / 100.0) AS sum_qty,
+       (floor((sum(l_extendedprice)) * 100 + 0.5) / 100.0) AS sum_base_price,
+       (floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100.0) AS sum_disc_price,
+       (floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100 + 0.5) / 100.0) AS sum_charge,
+       (floor((avg(l_quantity)) * 10000 + 0.5) / 10000.0) AS avg_qty,
+       (floor((avg(l_extendedprice)) * 10000 + 0.5) / 10000.0) AS avg_price,
+       (floor((avg(l_discount)) * 10000 + 0.5) / 10000.0) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders(spark, sf):
+    """TPC-H Q3-style join + agg + deterministic top-10."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15"))
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rhu(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+SQL_TOP_ORDERS = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       (floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100.0) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_region_revenue(spark, sf):
+    """TPC-H Q5-style 6-way join; dims broadcast, facts co-shuffled."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(rhu(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+SQL_REGION_REVENUE = """
+SELECT n_name, (floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100.0) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q_topk_per_group(spark, sf):
+    """Window top-k per key (rank within partition)."""
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        _t(spark, sf, "customer")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_mktsegment", "c_custkey", rhu("c_acctbal", 2).alias("acctbal"), "rk")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT c_mktsegment, c_custkey, (floor((c_acctbal) * 100 + 0.5) / 100.0) AS acctbal, rk
+FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rk
+  FROM customer
+) WHERE rk <= 3
+"""
+
+
+def q_rollup_revenue(spark, sf):
+    """ROLLUP hierarchy aggregation (region -> nation -> total)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(rhu(F.sum("o_totalprice"), 2).alias("revenue"), F.grouping_id().alias("gid"))
+    )
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT r_name, n_name, (floor((sum(o_totalprice)) * 100 + 0.5) / 100.0) AS revenue,
+       grouping(r_name, n_name) AS gid
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_cube_events(spark, sf):
+    """CUBE over (event_type, hour-of-day)."""
+    e = _t(spark, sf, "events").withColumn("hr", F.hour("ts"))
+    return e.cube("event_type", "hr").agg(
+        F.count("*").alias("n"), F.grouping_id().alias("gid")
+    )
+
+
+SQL_CUBE_EVENTS = """
+SELECT event_type, hr, count(*) AS n, grouping(event_type, hr) AS gid
+FROM (SELECT event_type, hour(ts) AS hr FROM events)
+GROUP BY CUBE (event_type, hr)
+"""
+
+
+def q_setop_intersect(spark, sf):
+    """INTERSECT: customers ordering both URGENT and LOW priority."""
+    o = _t(spark, sf, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return urgent.intersect(low)
+
+
+SQL_SETOP_INTERSECT = """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+"""
+
+
+def q_setop_except(spark, sf):
+    """EXCEPT: customers with orders but none URGENT."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.select("o_custkey")
+        .exceptAll(o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey"))
+        .distinct()
+    )
+
+
+SQL_SETOP_EXCEPT = """
+SELECT DISTINCT o_custkey FROM (
+  SELECT o_custkey FROM orders
+  EXCEPT ALL
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+"""
+
+
+def q_distinct_daily_users(spark, sf):
+    """COUNT(DISTINCT) per time bucket."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count_distinct("user_id").alias("users"), F.count("*").alias("n_events"))
+    )
+
+
+SQL_DISTINCT_DAILY = """
+SELECT date_trunc('day', ts)::TIMESTAMP AS day, count(DISTINCT user_id) AS users, count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def q_time_bucket_agg(spark, sf):
+    """Tumbling time-bucket aggregate (InfluxDB GROUP BY time() ≙)."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
+        .agg(F.count("*").alias("n"), rhu(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+SQL_TIME_BUCKET = """
+SELECT date_trunc('hour', ts)::TIMESTAMP AS bucket, event_type, count(*) AS n,
+       (floor((avg(value)) * 10000 + 0.5) / 10000.0) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark, sf):
+    """Sessionization: 30-min-gap sessions per user via lag + running
+    sum (batch twin of streaming session windows)."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    return (
+        e.withColumn("new_sess", F.when(gap > 1800.0, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg((F.sum("new_sess") + 1).alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+SQL_SESSIONIZE = """
+SELECT user_id, sum(new_sess) + 1 AS n_sessions, count(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts)/1000000.0 - lag(epoch_us(ts)/1000000.0)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800.0
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+) GROUP BY user_id
+"""
+
+
+def q_running_sum(spark, sf):
+    """Analytic window: running revenue per customer."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", rhu(F.sum("o_totalprice").over(w), 2).alias("running_total")
+    )
+
+
+SQL_RUNNING_SUM = """
+SELECT o_orderkey, o_custkey,
+       (floor((sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100.0) AS running_total
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------
+# North star: dedup
+# --------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf):
+    return dd.exact_dedup(_t(spark, sf, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_fingerprint(spark, sf):
+    return dd.fingerprint_dedup(_t(spark, sf, "documents"))
+
+
+SQL_DEDUP_FINGERPRINT = """
+SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint,
+       min(doc_id) AS canonical_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+_SHINGLES_SQL = (
+    "list_distinct(list_transform("
+    "range(0, greatest(len(string_split(lower(text), ' ')) - 3, 0) + 1), "
+    "i -> array_to_string(list_slice(string_split(lower(text), ' '), i + 1, i + 3), ' ')))"
+)
+
+
+def q_ngram_jaccard(spark, sf):
+    return dd.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.3)
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+), sizes AS (
+  SELECT doc_id, len({_SHINGLES_SQL}) AS n_sh FROM documents
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       (floor((n_common / (sa.n_sh + sb.n_sh - n_common)) * 10000 + 0.5) / 10000.0) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.3
+"""
+
+
+def _minhash_sig_sql(num_hashes: int = 16) -> str:
+    h = f"(({portable_hash64_sql('t')}) % {MINHASH_P})"
+    parts = [
+        f"coalesce(list_min(list_transform({_SHINGLES_SQL}, t -> ({a} * {h} + {b}) % {MINHASH_P})), {MINHASH_P})"
+        for a, b in minhash_coeffs(num_hashes)
+    ]
+    return "[" + ", ".join(parts) + "]"
+
+
+def q_minhash_signatures(spark, sf):
+    sigs = dd.minhash_signatures(_t(spark, sf, "documents"), num_hashes=16)
+    # string-encode the signature so the driver's value hash treats it
+    # as a scalar (array cells hash engine-specifically)
+    return sigs.select(
+        "doc_id",
+        F.array_join(F.transform("sig", lambda x: x.cast("string")), "_").alias("sig"),
+    )
+
+
+SQL_MINHASH_SIGNATURES = f"""
+SELECT doc_id, array_to_string({_minhash_sig_sql(16)}, '_') AS sig FROM documents
+"""
+
+
+def q_minhash_lsh_pairs(spark, sf):
+    return dd.minhash_lsh_pairs(_t(spark, sf, "documents"), num_hashes=16, bands=4, threshold=0.5)
+
+
+def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    rpb = num_hashes // bands
+    band_keys = ", ".join(
+        "md5(concat_ws('_', "
+        + str(b)
+        + ", "
+        + ", ".join(f"sig[{b * rpb + r + 1}]" for r in range(rpb))
+        + "))"
+        for b in range(bands)
+    )
+    return f"""
+WITH sigs AS (
+  SELECT doc_id, {_minhash_sig_sql(num_hashes)} AS sig FROM documents
+), banded AS (
+  SELECT doc_id, unnest([{band_keys}]) AS key,
+         unnest(range(0, {bands})) AS band
+  FROM sigs
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+), sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+)
+SELECT id_a, id_b,
+       (floor((len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh)))) * 10000 + 0.5) / 10000.0) AS jaccard
+FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
+WHERE len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= {threshold}
+"""
+
+
+def q_simhash(spark, sf):
+    return dd.simhash(_t(spark, sf, "documents"), bits=16)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    toks = "string_split(lower(text), ' ')"
+    h = portable_hash64_sql("t")
+    terms = []
+    for b in range(bits):
+        votes = f"list_sum(list_transform({toks}, t -> CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END))"
+        terms.append(f"(CASE WHEN {votes} > 0 THEN {2 ** b} ELSE 0 END)")
+    return f"SELECT doc_id, ({' + '.join(terms)})::BIGINT AS simhash FROM documents"
+
+
+# --------------------------------------------------------------------
+# North star: similarity search
+# --------------------------------------------------------------------
+
+QUERY_VEC_IDS = [0, 1, 2, 3, 4]
+
+
+def q_cosine_topk(spark, sf):
+    return sim.brute_force_topk(_t(spark, sf, "embeddings"), QUERY_VEC_IDS, k=10)
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id IN (0,1,2,3,4)
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         (floor((list_dot_product(q.qv, e.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))) * 10000 + 0.5) / 10000.0) AS cos_sim
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= 10
+"""
+
+
+def q_embedding_norms(spark, sf):
+    """Vector aggregate per label: count + mean L2 norm."""
+    e = _t(spark, sf, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda a, v: a + v))
+    return e.groupBy("label").agg(
+        F.count("*").alias("n_vecs"), rhu(F.avg(norm), 4).alias("avg_norm")
+    )
+
+
+SQL_EMBEDDING_NORMS = """
+SELECT label, count(*) AS n_vecs,
+       (floor((avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))) * 10000 + 0.5) / 10000.0) AS avg_norm
+FROM embeddings GROUP BY label
+"""
+
+
+# --------------------------------------------------------------------
+# North star: text analysis
+# --------------------------------------------------------------------
+
+def q_text_quality(spark, sf):
+    return ta.quality_features(_t(spark, sf, "documents"))
+
+
+_TOKS = "string_split(lower(text), ' ')"
+_SW_EN = "['the','a','of','and','to','in','is','that','it','for']"
+
+SQL_TEXT_QUALITY = f"""
+SELECT doc_id,
+       len({_TOKS}) AS n_tokens,
+       (floor((list_sum(list_transform({_TOKS}, t -> length(t))) * 1.0 / len({_TOKS})) * 10000 + 0.5) / 10000.0) AS mean_tok_len,
+       (floor((length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) * 1.0 / length(text)) * 10000 + 0.5) / 10000.0) AS punct_ratio,
+       (floor((len(list_filter({_TOKS}, t -> list_contains({_SW_EN}, t))) * 1.0 / len({_TOKS})) * 10000 + 0.5) / 10000.0) AS stopword_ratio,
+       (floor((least(len({_TOKS}) / 50.0, 1.0) * 0.4
+             + (1.0 - least(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) * 4.0 / length(text), 1.0)) * 0.3
+             + least(len(list_filter({_TOKS}, t -> list_contains({_SW_EN}, t))) * 5.0 / len({_TOKS}), 1.0) * 0.3) * 10000 + 0.5) / 10000.0) AS quality_score
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf):
+    return ta.language_id(_t(spark, sf, "documents"))
+
+
+_SW = {k: "[" + ",".join(f"'{w}'" for w in v) + "]" for k, v in ta.LANG_STOPWORDS.items()}
+_HIT = {k: f"len(list_intersect(list_distinct({_TOKS}), {v}))" for k, v in _SW.items()}
+
+SQL_LANG_ID = f"""
+SELECT doc_id,
+       CASE WHEN greatest({_HIT['en']}, {_HIT['de']}, {_HIT['fr']}) <= 0 THEN 'und'
+            WHEN {_HIT['en']} = greatest({_HIT['en']}, {_HIT['de']}, {_HIT['fr']}) THEN 'en'
+            WHEN {_HIT['de']} = greatest({_HIT['en']}, {_HIT['de']}, {_HIT['fr']}) THEN 'de'
+            ELSE 'fr' END AS pred_lang,
+       greatest({_HIT['en']}, {_HIT['de']}, {_HIT['fr']}) AS n_hits
+FROM documents
+"""
+
+
+def q_token_counts(spark, sf):
+    return ta.token_counts(_t(spark, sf, "documents"))
+
+
+SQL_TOKEN_COUNTS = f"""
+SELECT doc_id, len({_TOKS}) AS ws_tokens,
+       len(regexp_extract_all(text, '{ta.TOKEN_REGEX}')) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_rolling_fingerprint(spark, sf):
+    return ta.rolling_fingerprint(_t(spark, sf, "documents"))
+
+
+SQL_ROLLING_FINGERPRINT = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform({_TOKS}, t -> ({portable_hash64_sql('t')}) % 1000000007)),
+         (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------
+# North star: multimodal (blob-free metadata path; decode plumbing is
+# tested in tests/test_multimodal.py — no SQL twin for mapInPandas)
+# --------------------------------------------------------------------
+
+def q_multimodal_meta(spark, sf):
+    """Binary-column metadata: byte length + digest of the payload
+    (documents.text stands in as the blob; real media rides a binary
+    column with identical expressions)."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("digest"),
+    )
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS digest
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------
+
+def registry() -> dict[str, tuple]:
+    return {
+        # APRS operator surface (D/F/N/J)
+        "dispatch_counts": (q_dispatch_counts, SQL_DISPATCH),
+        "known_types_filter": (q_known_types_filter, SQL_KNOWN_TYPES),
+        "escape_text": (q_escape_text, SQL_ESCAPE),
+        "path_join": (q_path_join, SQL_PATH_JOIN),
+        "line_protocol": (q_line_protocol, SQL_LINE_PROTOCOL),
+        "telemetry_poly": (q_telemetry_poly, SQL_TELEMETRY_POLY),
+        "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+        "asof_calibration": (q_asof_calibration, SQL_ASOF_CALIBRATION),
+        "eqn_compaction": (q_eqn_compaction, SQL_EQN_COMPACTION),
+        # analytics layer
+        "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+        "top_orders": (q_top_orders, SQL_TOP_ORDERS),
+        "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
+        "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+        "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),
+        "cube_events": (q_cube_events, SQL_CUBE_EVENTS),
+        "setop_intersect": (q_setop_intersect, SQL_SETOP_INTERSECT),
+        "setop_except": (q_setop_except, SQL_SETOP_EXCEPT),
+        "distinct_daily_users": (q_distinct_daily_users, SQL_DISTINCT_DAILY),
+        "time_bucket_agg": (q_time_bucket_agg, SQL_TIME_BUCKET),
+        "sessionize": (q_sessionize, SQL_SESSIONIZE),
+        "running_sum": (q_running_sum, SQL_RUNNING_SUM),
+        # dedup
+        "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+        "dedup_fingerprint": (q_dedup_fingerprint, SQL_DEDUP_FINGERPRINT),
+        "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+        "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
+        "minhash_lsh_pairs": (q_minhash_lsh_pairs, _minhash_lsh_sql()),
+        "simhash": (q_simhash, _simhash_sql()),
+        # similarity
+        "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+        "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
+        # text analysis
+        "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+        "lang_id": (q_lang_id, SQL_LANG_ID),
+        "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+        "rolling_fingerprint": (q_rolling_fingerprint, SQL_ROLLING_FINGERPRINT),
+        # multimodal
+        "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    }
