@@ -1,0 +1,72 @@
+"""Structured Streaming form of the packet pipeline (SURVEY.md §7.2.7).
+
+The batch expressions are reused verbatim — the stream is the same
+wide packets DataFrame under ``readStream``.  What streaming adds:
+
+- ``stream_packets``: file/memory/rate source -> canonical schema
+- ``stream_lines``: dispatch + projection + line protocol (stateless
+  part of the reference's callback, :1047-1075) as a streaming select
+- windowed/watermarked analytics the reference never had (§2.9)
+- ``dedup_within_watermark``: APRS-IS upstream duplicate suppression,
+  made explicit and bounded-state
+- stateful calibration lives in ``streaming.calibration``
+
+Scale notes: the stateless path is shuffle-free per micro-batch; the
+windowed aggs shuffle on (window, key) with watermark-bounded state;
+RocksDB state store is the flip for >memory state at 1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aprs2influxdb_spark.operators.projections import line_protocol, malformed_predicate
+from aprs2influxdb_spark.schema import OUTPUT_FORMATS, PACKET_SCHEMA
+
+
+def stream_packets(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """File-based packet stream with the canonical schema (tests feed
+    the same schema through a memory source instead)."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(PACKET_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
+
+
+def stream_lines(packets: DataFrame, eqns_col: str | None = None) -> DataFrame:
+    """Stateless pipeline: dispatch (D1/D2) + dead-letter filter (D3)
+    + per-format projection (P1-P9) -> ``line`` column.
+
+    Calibration-aware scaling needs keyed state — chain
+    ``streaming.calibration.with_streaming_calibration`` before this
+    and pass its output column name as ``eqns_col``.
+    """
+    eqns = F.col(eqns_col) if eqns_col else None
+    return (
+        packets.filter(F.col("format").isin(OUTPUT_FORMATS))
+        .filter(~malformed_predicate(eqns))
+        .withColumn("line", line_protocol(eqns))
+    )
+
+
+def packet_rates(packets: DataFrame, window: str = "1 minute", watermark: str = "5 minutes") -> DataFrame:
+    """Event-time packet rate per format — the InfluxDB dashboard query
+    the reference's pipeline served, now with a defined late-data
+    policy (SURVEY §2.9: watermarks were impossible in the reference).
+    """
+    return (
+        packets.withWatermark("ingest_ts", watermark)
+        .groupBy(F.window("ingest_ts", window).alias("win"), "format")
+        .agg(F.count("*").alias("n"))
+        .select("win.start", "win.end", "format", "n")
+    )
+
+
+def dedup_within_watermark(packets: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Explicit form of APRS-IS's network-level duplicate suppression:
+    drop repeated ``raw`` frames within the watermark horizon —
+    bounded state, unlike a global dropDuplicates."""
+    return packets.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(["raw"])

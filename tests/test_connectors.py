@@ -1,0 +1,208 @@
+"""Connector tests: APRS-IS source (S1/S2/K2) against a fake APRS-IS
+TCP server, InfluxDB sink (K1) against a local HTTP capture server."""
+
+from __future__ import annotations
+
+import http.server
+import socket
+import socketserver
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from aprs2influxdb_spark.functions.scalars import aprs_passcode
+from aprs2influxdb_spark.operators.projections import to_line_protocol
+from aprs2influxdb_spark.sinks.influxdb import write_lines_http
+from aprs2influxdb_spark.sources.aprsis import decode_frames, parse_frame, register
+
+FRAMES = [
+    "KB2ICI-14>APRS,TCPIP*,qAC,FOURTH:>Net Control Center",
+    "WB4APR>APRS,WIDE1-1::N0CALL   :Hello world{001",
+    "N8DEU>APRS,WIDE2-2::BLN3     :Snow expected tonight",
+    "KB1LQC>APRS,WIDE1-1,WIDE2-2:=4217.22N/07148.38W-PHG5130 op test",
+    "W2GSB>BEACON,WIDE2-1:SoMe BeAcOn TeXt",
+]
+
+
+class TestFrameParser:
+    def test_status(self):
+        d = parse_frame(FRAMES[0])
+        assert d["format"] == "status" and d["status"] == "Net Control Center"
+        assert d["from_call"] == "KB2ICI-14" and d["path"][0] == "TCPIP*"
+
+    def test_message_with_msgno(self):
+        d = parse_frame(FRAMES[1])
+        assert d["format"] == "message" and d["addresse"] == "N0CALL"
+        assert d["message_text"] == "Hello world" and d["msgNo"] == 1
+
+    def test_bulletin(self):
+        d = parse_frame(FRAMES[2])
+        assert d["format"] == "bulletin" and d["bid"] == 3 and d["identifier"] == "BLN3"
+
+    def test_uncompressed_position(self):
+        d = parse_frame(FRAMES[3])
+        assert d["format"] == "uncompressed"
+        assert abs(d["latitude"] - 42.287) < 1e-3
+        assert abs(d["longitude"] + 71.8063) < 1e-3
+        assert d["symbol"] == "-" and d["symbol_table"] == "/"
+        assert d["messagecapable"] is True
+
+    def test_beacon_fallback(self):
+        d = parse_frame(FRAMES[4])
+        assert d["format"] == "beacon" and d["text"] == "SoMe BeAcOn TeXt"
+
+    def test_garbage_rejected(self):
+        assert parse_frame("not an aprs frame") is None
+        assert parse_frame("") is None
+
+
+class FakeAprsIS(threading.Thread):
+    """Minimal APRS-IS: acks login, replays FRAMES, records inbound."""
+
+    def __init__(self):
+        super().__init__(daemon=True)
+        self.received: list[str] = []
+        self.login: str | None = None
+        self._srv = socket.create_server(("127.0.0.1", 0))
+        self.port = self._srv.getsockname()[1]
+        self._stop = threading.Event()
+
+    def run(self):
+        conn, _ = self._srv.accept()
+        f = conn.makefile("rwb")
+        self.login = f.readline().decode().strip()
+        f.write(b"# logresp verified\r\n")
+        for fr in FRAMES:
+            f.write(fr.encode() + b"\r\n")
+        f.flush()
+        conn.settimeout(0.2)
+        buf = b""
+        while not self._stop.is_set():
+            try:
+                data = conn.recv(4096)  # raw recv: the buffered file is
+                if not data:            # unreliable after a timeout
+                    break
+                buf += data
+                while b"\n" in buf:
+                    line, buf = buf.split(b"\n", 1)
+                    self.received.append(line.decode().strip())
+            except (TimeoutError, OSError):
+                pass
+
+    def stop(self):
+        self._stop.set()
+        self._srv.close()
+
+
+class TestAprsISSource:
+    def test_end_to_end(self, spark):
+        srv = FakeAprsIS()
+        srv.start()
+        register(spark)
+        raw = (
+            spark.readStream.format("aprsis")
+            .option("host", "127.0.0.1")
+            .option("port", srv.port)
+            .option("callsign", "TE5T")
+            .option("heartbeat_seconds", "1")
+            .load()
+        )
+        lines = to_line_protocol(decode_frames(raw))
+        q = (
+            lines.select("format", "line")
+            .writeStream.format("memory")
+            .queryName("aprs_e2e")
+            .start()
+        )
+        try:
+            deadline = time.time() + 90
+            while time.time() < deadline:
+                if spark.sql("SELECT * FROM aprs_e2e").count() >= len(FRAMES):
+                    break
+                time.sleep(0.5)
+            rows = {r["format"]: r["line"] for r in spark.sql("SELECT * FROM aprs_e2e").collect()}
+            hb_deadline = time.time() + 15
+            while time.time() < hb_deadline and not any(
+                "heartbeat" in r for r in srv.received
+            ):
+                time.sleep(0.5)
+        finally:
+            q.stop()
+            srv.stop()
+        # login used the real passcode algorithm (F8)
+        assert srv.login == f"user TE5T pass {aprs_passcode('TE5T')} vers aprs2influxdb-spark 0.1"
+        assert set(rows) == {"status", "message", "bulletin", "uncompressed", "beacon"}
+        assert rows["status"].startswith('packet,format=status from="KB2ICI-14"')
+        assert 'message_text="Hello world"' in rows["message"]
+        assert "latitude=42.287" in rows["uncompressed"]
+        # K2 heartbeat reached the server in F6 format
+        assert any("aprs2influxdb heartbeat" in r for r in srv.received)
+
+
+class _CaptureHandler(http.server.BaseHTTPRequestHandler):
+    calls: list[tuple[str, bytes]] = []
+    fail_first = False
+
+    def do_POST(self):
+        body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+        cls = type(self)
+        cls.calls.append((self.path, body))
+        if cls.fail_first and len(cls.calls) == 1:
+            self.send_response(500)
+        else:
+            self.send_response(204)
+        self.end_headers()
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture()
+def http_server():
+    _CaptureHandler.calls = []
+    _CaptureHandler.fail_first = False
+    srv = socketserver.TCPServer(("127.0.0.1", 0), _CaptureHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", _CaptureHandler
+    srv.shutdown()
+
+
+class TestInfluxSink:
+    def test_batched_writes(self, http_server):
+        url, handler = http_server
+        n = write_lines_http([f"m v={i}" for i in range(5)], url, "aprs", batch_size=2)
+        assert n == 5
+        assert len(handler.calls) == 3  # 2+2+1, not 5 (reference: 5 posts)
+        assert handler.calls[0][0] == "/write?db=aprs"
+        assert handler.calls[0][1] == b"m v=0\nm v=1"
+
+    def test_retry_on_error(self, http_server):
+        url, handler = http_server
+        handler.fail_first = True
+        n = write_lines_http(["m v=1"], url, "aprs", backoff_s=0.05)
+        assert n == 1
+        assert len(handler.calls) == 2  # failed once, retried
+
+    def test_parity_mode_stream(self, spark, tmp_path):
+        from aprs2influxdb_spark.sinks.influxdb import influxdb_sink
+        from aprs2influxdb_spark.sources.fixtures import fixture_rows, packets_df
+        from aprs2influxdb_spark.streaming.pipeline import stream_lines, stream_packets
+
+        d = str(tmp_path / "pk")
+        packets_df(spark, fixture_rows()).write.parquet(d)
+        out = str(tmp_path / "lines")
+        q = influxdb_sink(
+            stream_lines(stream_packets(spark, d)),
+            checkpoint=str(tmp_path / "ck"),
+            parity_dir=out,
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = sorted(r["value"] for r in spark.read.text(out).collect())
+        exp = sorted(
+            r["line"] for r in to_line_protocol(packets_df(spark, fixture_rows())).select("line").collect()
+        )
+        assert got == exp

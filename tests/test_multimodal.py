@@ -1,0 +1,51 @@
+"""Multimodal column plumbing (north star): binary payloads + typed
+metadata through mapInPandas feature extraction, with the decode step
+stubbed deterministically (no media libs in this container)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from aprs2influxdb_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_image_stub,
+    extract_features,
+    media_meta,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", "image/png", b"\x89PNG" + bytes(range(100)), 64, 64, None),
+        (2, "audio", "audio/wav", b"RIFF" + bytes(200), None, None, 2000),
+        (3, "image", "image/jpeg", None, None, None, None),  # missing blob
+        (4, "video", "video/mp4", b"\x00\x00ftyp", 1920, 1080, 60000),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_feature_extraction_batch_shape(spark, media):
+    out = extract_features(media).orderBy("media_id").collect()
+    assert [r["media_id"] for r in out] == [1, 2, 3, 4]
+    png = out[0]
+    assert png["n_bytes"] == 104
+    assert png["digest"] == hashlib.sha256(b"\x89PNG" + bytes(range(100))).hexdigest()
+    assert png["feat_mean"] == sum((b"\x89PNG" + bytes(range(100)))[:64])
+    # null payload flows through without poisoning the batch
+    assert out[2]["n_bytes"] == 0 and out[2]["digest"] is None
+
+
+def test_media_meta_prunes_blob(spark, media):
+    meta = media_meta(media)
+    assert "payload" not in meta.columns
+    row = meta.filter("media_id = 4").collect()[0]
+    assert row["n_bytes"] == 6 and row["width"] == 1920
+
+
+def test_decode_stub_contract():
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(None)
+    assert decode_image_stub(b"abc")["n_bytes"] == 3

@@ -1,0 +1,118 @@
+"""Streaming tests (SURVEY.md §5.4): stateless line pipeline parity
+with batch, cross-batch calibration state (J1/J2 streaming), windowed
+aggregates with watermark, dedup-within-watermark."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from aprs2influxdb_spark.operators.calibration import with_effective_equations
+from aprs2influxdb_spark.operators.projections import to_line_protocol
+from aprs2influxdb_spark.schema import PACKET_SCHEMA
+from aprs2influxdb_spark.sources.fixtures import fixture_rows, packets_df
+from aprs2influxdb_spark.streaming.calibration import with_streaming_calibration
+from aprs2influxdb_spark.streaming.pipeline import (
+    dedup_within_watermark,
+    packet_rates,
+    stream_lines,
+    stream_packets,
+)
+
+
+@pytest.fixture()
+def packet_dir(spark, tmp_path):
+    """Fixture packets as a sequence of parquet files (one arrival
+    wave per file, increasing mtime) so maxFilesPerTrigger=1 replays
+    them as ordered micro-batches."""
+    rows = fixture_rows()
+    waves = [rows[0:4], rows[4:5], rows[5:15]]  # data | eqn upsert | rest
+    d = tmp_path / "packets"
+    d.mkdir()
+    for i, wave in enumerate(waves):
+        packets_df(spark, wave).coalesce(1).write.parquet(str(d / f"wave{i}"))
+        time.sleep(0.05)
+    return str(d / "wave*")
+
+
+def _run_to_memory(df, name, mode="append"):
+    q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+
+
+class TestStatelessStreamParity:
+    def test_stream_lines_match_batch(self, spark, tmp_path):
+        rows = fixture_rows()
+        d = str(tmp_path / "pk")
+        packets_df(spark, rows).write.parquet(d)
+        stream = stream_packets(spark, d)
+        _run_to_memory(stream_lines(stream).select("line"), "slines")
+        got = sorted(r["line"] for r in spark.sql("SELECT line FROM slines").collect())
+        # batch twin without calibration state (eqns=null -> identity)
+        batch = to_line_protocol(packets_df(spark, rows))
+        exp = sorted(r["line"] for r in batch.select("line").collect())
+        assert got == exp
+        assert len(got) == 12
+
+
+class TestStreamingCalibration:
+    def test_cross_batch_state(self, spark, packet_dir):
+        stream = stream_packets(spark, packet_dir)
+        cal = with_streaming_calibration(stream)
+        lines = stream_lines(
+            cal.withColumn("eqns", F.from_json("eqns_json", "array<array<double>>")),
+            eqns_col="eqns",
+        )
+        _run_to_memory(lines.select("from_call", "ingest_ts", "line"), "clines")
+        got = {
+            (r["from_call"], r["ingest_ts"].second): r["line"]
+            for r in spark.sql("SELECT * FROM clines").collect()
+        }
+        # telemetry BEFORE equations (wave 0) -> identity scaling
+        assert got[("KC3DEF", 4)].endswith(
+            "analog1=1.0,analog2=2.0,analog3=3.0,analog4=4.0,analog5=5.0"
+        )
+        # telemetry AFTER the eqn wave -> scaled by state from wave 1
+        assert got[("KC3DEF", 6)].endswith(
+            "analog1=6.0,analog2=2.0,analog3=3.0,analog4=4.0,analog5=49.0"
+        )
+        # telemetry-message rows emit nothing
+        assert ("KC3DEF", 5) not in got and ("K9IDL", 15) not in got
+        # matches the batch as-of window exactly
+        batch = to_line_protocol(
+            with_effective_equations(packets_df(spark, fixture_rows())),
+            eqns_col="eqns_effective",
+        )
+        exp = {
+            (r["from_call"], r["ingest_ts"].second): r["line"]
+            for r in batch.select("from_call", "ingest_ts", "line").collect()
+        }
+        assert got == exp
+
+
+class TestWindowedAggs:
+    def test_packet_rates(self, spark, tmp_path):
+        d = str(tmp_path / "pk2")
+        packets_df(spark, fixture_rows()).write.parquet(d)
+        # complete mode: a single replay batch never advances the
+        # watermark past the window close, so append would emit nothing
+        _run_to_memory(packet_rates(stream_packets(spark, d), "1 minute"), "rates", mode="complete")
+        rows = spark.sql("SELECT * FROM rates").collect()
+        by_fmt = {r["format"]: r["n"] for r in rows}
+        assert by_fmt["uncompressed"] == 4
+        assert by_fmt["telemetry-message"] == 2  # rates count raw feed
+
+    def test_dedup_within_watermark(self, spark, tmp_path):
+        rows = fixture_rows()
+        dup = dict(rows[0])  # same raw again
+        d = str(tmp_path / "pk3")
+        packets_df(spark, rows + [dup]).write.parquet(d)
+        _run_to_memory(
+            dedup_within_watermark(stream_packets(spark, d)).select("raw"), "dedup"
+        )
+        n = spark.sql("SELECT count(*) AS n FROM dedup").collect()[0]["n"]
+        assert n == len(rows) - 1  # rows 3's raw is "" ... dup dropped, one row per distinct raw
