@@ -158,48 +158,82 @@ def _weather_fields() -> list[Column]:
     ]
 
 
-def fields_for_format(spec: FormatSpec, eqns: Column) -> Column:
-    """CSV fields string for one format, in reference emit order.
-
-    ``array_compact`` drops null entries — exactly the reference's
-    "append only if present" list building (D4/D5).
-    """
-    cols: list[Column] = []
-    for k in spec.num_keys:
-        cols.append(num_field(_EMIT_NAME.get(k, k), k))
-    for k in spec.text_keys:
-        if k in _BOOL_COLS:
-            cols.append(bool_text_field(_EMIT_NAME.get(k, k), k))
-        else:
-            cols.append(text_field(_EMIT_NAME.get(k, k), k))
-    cols.append(path_field("path"))
+def _field_tokens(spec: FormatSpec) -> list[str]:
+    """Intermediate-column names for one format's fields, in reference
+    emit order.  Tokens are shared across formats so each field
+    expression is computed exactly once per row."""
+    toks: list[str] = []
+    toks += [f"__lp_n_{k}" for k in spec.num_keys]
+    toks += [f"__lp_t_{k}" for k in spec.text_keys]
+    toks.append("__lp_path")
     for entry in spec.tail:
         if entry == "telemetry":
-            cols.extend(_telemetry_fields(eqns))
+            toks += [f"__lp_tel_{i}" for i in range(7)]
         elif entry == "weather":
-            cols.extend(_weather_fields())
+            toks += [f"__lp_wx_{k}" for k in WEATHER_KEYS]
         else:
-            _, colname = entry
-            cols.append(text_field(colname, colname, escape=True))
-    return F.concat_ws(",", F.array_compact(F.array(*cols)))
+            toks.append(f"__lp_e_{entry[1]}")
+    return toks
 
 
-def line_protocol(eqns: Column | None = None) -> Column:
-    """Full line-protocol column over the wide packet DataFrame.
-
-    ``measurement + "," + tagStr + " " + fieldsStr`` with measurement
-    ``packet`` and single tag ``format=<v>`` (:238-245, :302-305).
-    One CASE chain — no unions, no shuffle; Catalyst prunes unused
-    branches when ``format`` is filtered upstream.
-    """
+def field_exprs(eqns: Column | None = None) -> dict[str, Column]:
+    """Every serialized-field expression used by any format, keyed by
+    token — the shared lower Project of the two-stage serializer."""
     if eqns is None:
         eqns = F.lit(None).cast("array<array<double>>")
+    out: dict[str, Column] = {"__lp_path": path_field("path")}
+    for spec in FORMAT_SPECS.values():
+        for k in spec.num_keys:
+            out.setdefault(f"__lp_n_{k}", num_field(_EMIT_NAME.get(k, k), k))
+        for k in spec.text_keys:
+            if k in _BOOL_COLS:
+                out.setdefault(f"__lp_t_{k}", bool_text_field(_EMIT_NAME.get(k, k), k))
+            else:
+                out.setdefault(f"__lp_t_{k}", text_field(_EMIT_NAME.get(k, k), k))
+        for entry in spec.tail:
+            if entry not in ("telemetry", "weather"):
+                k = entry[1]
+                out.setdefault(f"__lp_e_{k}", text_field(k, k, escape=True))
+    for i, c in enumerate(_telemetry_fields(eqns)):
+        out[f"__lp_tel_{i}"] = c
+    for k, c in zip(WEATHER_KEYS, _weather_fields()):
+        out[f"__lp_wx_{k}"] = c
+    return out
+
+
+def line_case() -> Column:
+    """Upper stage of the serializer: the 9-way format CASE, assembling
+    ``measurement + "," + tagStr + " " + fieldsStr`` with measurement
+    ``packet`` and single tag ``format=<v>`` (:238-245, :302-305) by
+    *referencing* the precomputed ``__lp_*`` field columns.
+
+    ``concat_ws`` skips null entries natively — exactly the reference's
+    "append only if present" list building (D4/D5).  (Not
+    ``array_compact``: that rewrites to a higher-order ``ArrayFilter``,
+    which knocks the projection out of whole-stage codegen.)
+
+    Two stages, not one: inlining the field expressions into every
+    branch multiplies the escape chains ×9 and the generated Java
+    breaks janino's compile limits — Spark then silently falls back to
+    interpreted projection.  Referencing shared columns keeps each
+    generated method small, and CollapseProject leaves the split alone
+    because the field columns are non-cheap and multiply referenced.
+    """
     expr: Column | None = None
     for fmt in OUTPUT_FORMATS:
-        fields = fields_for_format(FORMAT_SPECS[fmt], eqns)
+        fields = F.concat_ws(",", *[F.col(t) for t in _field_tokens(FORMAT_SPECS[fmt])])
         branch = F.concat(F.lit("packet,format=" + fmt + " "), fields)
         expr = F.when(F.col("format") == fmt, branch) if expr is None else expr.when(F.col("format") == fmt, branch)
     return expr
+
+
+def with_line(df: DataFrame, eqns: Column | None = None) -> DataFrame:
+    """Add the line-protocol ``line`` column (two-stage, see
+    ``line_case``).  Works on batch and streaming DataFrames alike —
+    both stages are stateless narrow projections."""
+    exprs = field_exprs(eqns)
+    staged = df.select("*", *[c.alias(t) for t, c in exprs.items()])
+    return staged.withColumn("line", line_case()).drop(*exprs.keys())
 
 
 def malformed_predicate(eqns: Column | None = None) -> Column:
@@ -226,7 +260,7 @@ def to_line_protocol(packets: DataFrame, eqns_col: str | None = None, drop_malfo
     out = packets.filter(F.col("format").isin(OUTPUT_FORMATS))
     if drop_malformed:
         out = out.filter(~malformed_predicate(eqns))
-    return out.withColumn("line", line_protocol(eqns))
+    return with_line(out, eqns)
 
 
 def dead_letters(packets: DataFrame, eqns_col: str | None = None) -> DataFrame:

@@ -487,6 +487,97 @@ FROM orders
 """
 
 
+def q_semi_join(spark, sf):
+    """LEFT SEMI join: customers with at least one urgent order."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q_anti_join(spark, sf):
+    """LEFT ANTI join: customers with no urgent order (the no-orders-at-
+    all variant is empty at sf0.01, which would make the oracle check
+    vacuous)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q_promo_revenue(spark, sf):
+    """TPC-H Q14-style: broadcast dim join + conditional aggregation."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            rhu(F.sum(promo) * 100.0 / F.sum(rev), 4).alias("promo_pct"),
+            rhu(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+SQL_PROMO_REVENUE = """
+SELECT (floor((sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+        * 100.0 / sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000.0) AS promo_pct,
+       (floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100.0) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def q_percentiles(spark, sf):
+    """Exact interpolated percentiles per group (the quantile family —
+    approx sketches exist too but aren't oracle-comparable)."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            rhu(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            rhu(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        )
+    )
+
+
+SQL_PERCENTILES = """
+SELECT event_type,
+       (floor((quantile_cont(value, 0.5)) * 10000 + 0.5) / 10000.0) AS p50,
+       (floor((quantile_cont(value, 0.95)) * 10000 + 0.5) / 10000.0) AS p95
+FROM events GROUP BY event_type
+"""
+
+
+def q_corr_stats(spark, sf):
+    """Statistical aggregates: Pearson corr + stddev per group."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        rhu(F.corr("l_quantity", "l_extendedprice"), 3).alias("qty_price_corr"),
+        rhu(F.stddev_samp("l_extendedprice"), 2).alias("price_sd"),
+    )
+
+
+SQL_CORR_STATS = """
+SELECT l_returnflag,
+       (floor((corr(l_quantity, l_extendedprice)) * 1000 + 0.5) / 1000.0) AS qty_price_corr,
+       (floor((stddev_samp(l_extendedprice)) * 100 + 0.5) / 100.0) AS price_sd
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # --------------------------------------------------------------------
 # North star: dedup
 # --------------------------------------------------------------------
@@ -642,6 +733,24 @@ SELECT query_id, neighbor_id, cos_sim, rk FROM (
 """
 
 
+def q_srp_buckets(spark, sf):
+    """ANN scale path: sign-random-projection LSH bucket per vector
+    (deterministic md5-derived hyperplanes — the bucketing DuckDB can
+    recompute exactly)."""
+    e = _t(spark, sf, "embeddings")
+    return e.select("vec_id", sim.srp_bucket(F.col("embedding"), n_planes=6).alias("bucket"))
+
+
+def _srp_sql(n_planes: int = 6, seed: int = 7) -> str:
+    comps = []
+    for p in range(n_planes):
+        h = f"(('0x' || substr(md5(concat_ws('_', {p}, (i - 1)::VARCHAR, {seed})), 1, 15))::BIGINT)"
+        comp = f"((({h}) % 2000000) - 1000000) / 1000000.0"
+        proj = f"list_sum(list_transform(embedding::DOUBLE[], (x, i) -> x * ({comp})))"
+        comps.append(f"(CASE WHEN ({proj}) > 0 THEN {2 ** p} ELSE 0 END)")
+    return f"SELECT vec_id, ({' + '.join(comps)})::BIGINT AS bucket FROM embeddings"
+
+
 def q_embedding_norms(spark, sf):
     """Vector aggregate per label: count + mean L2 norm."""
     e = _t(spark, sf, "embeddings")
@@ -774,6 +883,11 @@ def registry() -> dict[str, tuple]:
         "cube_events": (q_cube_events, SQL_CUBE_EVENTS),
         "setop_intersect": (q_setop_intersect, SQL_SETOP_INTERSECT),
         "setop_except": (q_setop_except, SQL_SETOP_EXCEPT),
+        "semi_join": (q_semi_join, SQL_SEMI_JOIN),
+        "anti_join": (q_anti_join, SQL_ANTI_JOIN),
+        "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
+        "percentiles": (q_percentiles, SQL_PERCENTILES),
+        "corr_stats": (q_corr_stats, SQL_CORR_STATS),
         "distinct_daily_users": (q_distinct_daily_users, SQL_DISTINCT_DAILY),
         "time_bucket_agg": (q_time_bucket_agg, SQL_TIME_BUCKET),
         "sessionize": (q_sessionize, SQL_SESSIONIZE),
@@ -787,6 +901,7 @@ def registry() -> dict[str, tuple]:
         "simhash": (q_simhash, _simhash_sql()),
         # similarity
         "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+        "srp_buckets": (q_srp_buckets, _srp_sql()),
         "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
         # text analysis
         "text_quality": (q_text_quality, SQL_TEXT_QUALITY),

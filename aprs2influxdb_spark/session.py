@@ -25,6 +25,10 @@ def get_spark(app_name: str = "aprs2influxdb_spark", shuffle_partitions: int | N
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # the two-stage line-protocol serializer stages ~50 field columns
+        # beside the ~45 packet columns; the default maxFields=100 would
+        # silently drop that projection out of whole-stage codegen
+        .config("spark.sql.codegen.maxFields", "400")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aprs2influxdb_spark.operators.projections import line_protocol, malformed_predicate
+from aprs2influxdb_spark.operators.projections import malformed_predicate, with_line
 from aprs2influxdb_spark.schema import OUTPUT_FORMATS, PACKET_SCHEMA
 
 
@@ -45,10 +45,11 @@ def stream_lines(packets: DataFrame, eqns_col: str | None = None) -> DataFrame:
     and pass its output column name as ``eqns_col``.
     """
     eqns = F.col(eqns_col) if eqns_col else None
-    return (
-        packets.filter(F.col("format").isin(OUTPUT_FORMATS))
-        .filter(~malformed_predicate(eqns))
-        .withColumn("line", line_protocol(eqns))
+    return with_line(
+        packets.filter(F.col("format").isin(OUTPUT_FORMATS)).filter(
+            ~malformed_predicate(eqns)
+        ),
+        eqns,
     )
 
 
