@@ -27,7 +27,12 @@ from pyspark.sql import functions as F
 
 from aprs2influxdb_spark.functions.rounding import rhu
 
-from aprs2influxdb_spark.functions.hashing import MINHASH_P, minhash_expr, portable_hash64
+from aprs2influxdb_spark.functions.hashing import (
+    MINHASH_P,
+    hashed_shingles,
+    minhash_expr,
+    portable_hash64,
+)
 
 
 def tokens_col(text_col: str = "text"):
@@ -56,36 +61,31 @@ def fingerprint_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "do
     )
 
 
-def shingles_col(text_col: str = "text", n: int = 3):
-    """Word n-gram shingles as strings (distinct)."""
-    toks = tokens_col(text_col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    )
-
-
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 16, shingle_n: int = 3,
 ) -> DataFrame:
     """Per-doc MinHash signature over word-shingle sets (narrow op).
 
-    Staged projections so the md5-hashed shingle array is computed ONCE
-    and the 16 permutation-min columns reference it as an attribute —
-    inlining it into each minhash branch (what a naive single ``select``
-    compiles to) costs 16x the shingle building and hashing and showed
-    up as a 35x slowdown at sf0.1.  CollapseProject leaves multi-
-    referenced non-cheap aliases alone, so the staging survives
-    optimization.
+    Two design points, both measured at sf0.1:
+
+    - Shingle hashes come from :func:`hashed_shingles` (Horner over
+      per-token hashes) — building shingle *strings* and md5-ing each
+      was ~75% of the whole LSH pipeline's time.
+    - Staged projections so the hashed shingle array is computed ONCE
+      and the 16 permutation-min columns reference it as an attribute —
+      inlining it into each branch (what a naive single ``select``
+      compiles to) costs 16x the shingle hashing and showed up as a
+      35x slowdown.  CollapseProject leaves multi-referenced non-cheap
+      aliases alone, so the staging survives optimization.
     """
     from aprs2influxdb_spark.functions.hashing import MINHASH_P, minhash_coeffs
 
     hashed = docs.select(
         F.col(id_col),
         F.transform(
-            shingles_col(text_col, shingle_n),
-            lambda t: F.pmod(F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"), F.lit(MINHASH_P)),
+            hashed_shingles(tokens_col(text_col), shingle_n),
+            lambda s: F.pmod(s, F.lit(MINHASH_P)),
         ).alias("hs"),
     )
     sig = F.array(
@@ -134,7 +134,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = docs.select(F.col(id_col), shingles_col(text_col, shingle_n).alias("sh"))
+    sh = docs.select(F.col(id_col), hashed_shingles(tokens_col(text_col), shingle_n).alias("sh"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     verified = (
@@ -158,16 +158,19 @@ def ngram_jaccard_pairs(
 
     ``|A ∩ B|`` is computed distributively: explode shingles, self-join
     on the shingle, count per pair — partial aggregation happens map-
-    side, and only pairs that share ≥1 shingle ever materialize.  At
-    100 TB, stop-shingle removal (drop shingles with doc-frequency
-    above a cap) bounds the inverted-index fanout; candidates here are
-    already bounded by the synthetic corpus' shingle sharing.
+    side, and only pairs that share ≥1 shingle ever materialize.  The
+    join key is the 8-byte :func:`hashed_shingles` hash, not the
+    shingle string — the shuffle carries longs and the two identical
+    sides resolve to one ReusedExchange.  At 100 TB, stop-shingle
+    removal (drop shingles with doc-frequency above a cap) bounds the
+    inverted-index fanout; candidates here are already bounded by the
+    synthetic corpus' shingle sharing.
     """
     sh = docs.select(
-        F.col(id_col), F.explode(shingles_col(text_col, shingle_n)).alias("shingle")
+        F.col(id_col), F.explode(hashed_shingles(tokens_col(text_col), shingle_n)).alias("shingle")
     )
     sizes = docs.select(
-        F.col(id_col), F.size(shingles_col(text_col, shingle_n)).alias("n_sh")
+        F.col(id_col), F.size(hashed_shingles(tokens_col(text_col), shingle_n)).alias("n_sh")
     )
     inter = (
         sh.alias("a").join(sh.alias("b"), "shingle")

@@ -27,9 +27,11 @@ from pyspark.sql import functions as F
 from aprs2influxdb_spark.functions.rounding import rhu
 from aprs2influxdb_spark.functions.hashing import (
     MINHASH_P,
+    hashed_shingles_sql,
     minhash_coeffs,
     portable_hash64,
     portable_hash64_sql,
+    token_hashes_sql,
 )
 from aprs2influxdb_spark.operators import dedup as dd
 from aprs2influxdb_spark.operators import similarity as sim
@@ -603,11 +605,15 @@ FROM documents GROUP BY 1
 """
 
 
-_SHINGLES_SQL = (
-    "list_distinct(list_transform("
-    "range(0, greatest(len(string_split(lower(text), ' ')) - 3, 0) + 1), "
-    "i -> array_to_string(list_slice(string_split(lower(text), ' '), i + 1, i + 3), ' ')))"
+# hashed-shingle oracle scaffolding: a token-hash CTE (`tokh`, column
+# `h`) that hashed_shingles_sql("h") composes over — the exact DuckDB
+# twin of functions.hashing.hashed_shingles
+_TOKH_CTE = (
+    "tokh AS (SELECT doc_id, "
+    + token_hashes_sql("string_split(lower(text), ' ')")
+    + " AS h FROM documents)"
 )
+_HSH_SQL = hashed_shingles_sql("h")
 
 
 def q_ngram_jaccard(spark, sf):
@@ -615,10 +621,10 @@ def q_ngram_jaccard(spark, sf):
 
 
 SQL_NGRAM_JACCARD = f"""
-WITH sh AS (
-  SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+WITH {_TOKH_CTE}, sh AS (
+  SELECT doc_id, unnest({_HSH_SQL}) AS shingle FROM tokh
 ), sizes AS (
-  SELECT doc_id, len({_SHINGLES_SQL}) AS n_sh FROM documents
+  SELECT doc_id, len({_HSH_SQL}) AS n_sh FROM tokh
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -634,9 +640,10 @@ WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.3
 
 
 def _minhash_sig_sql(num_hashes: int = 16) -> str:
-    h = f"(({portable_hash64_sql('t')}) % {MINHASH_P})"
+    """Signature over hashed shingles (column ``h`` from _TOKH_CTE):
+    sig[k] = min over shingles s of (a_k * (s % P) + b_k) % P."""
     parts = [
-        f"coalesce(list_min(list_transform({_SHINGLES_SQL}, t -> ({a} * {h} + {b}) % {MINHASH_P})), {MINHASH_P})"
+        f"coalesce(list_min(list_transform({_HSH_SQL}, s -> ({a} * (s % {MINHASH_P}) + {b}) % {MINHASH_P})), {MINHASH_P})"
         for a, b in minhash_coeffs(num_hashes)
     ]
     return "[" + ", ".join(parts) + "]"
@@ -653,7 +660,8 @@ def q_minhash_signatures(spark, sf):
 
 
 SQL_MINHASH_SIGNATURES = f"""
-SELECT doc_id, array_to_string({_minhash_sig_sql(16)}, '_') AS sig FROM documents
+WITH {_TOKH_CTE}
+SELECT doc_id, array_to_string({_minhash_sig_sql(16)}, '_') AS sig FROM tokh
 """
 
 
@@ -672,8 +680,8 @@ def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.
         for b in range(bands)
     )
     return f"""
-WITH sigs AS (
-  SELECT doc_id, {_minhash_sig_sql(num_hashes)} AS sig FROM documents
+WITH {_TOKH_CTE}, sigs AS (
+  SELECT doc_id, {_minhash_sig_sql(num_hashes)} AS sig FROM tokh
 ), banded AS (
   SELECT doc_id, unnest([{band_keys}]) AS key,
          unnest(range(0, {bands})) AS band
@@ -682,7 +690,7 @@ WITH sigs AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
   FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
 ), sh AS (
-  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+  SELECT doc_id, {_HSH_SQL} AS sh FROM tokh
 )
 SELECT id_a, id_b,
        (floor((len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh)))) * 10000 + 0.5) / 10000.0) AS jaccard
