@@ -89,6 +89,119 @@ def srp_bucket(vec, n_planes: int = 8, seed: int = 7):
     return bucket
 
 
+def cosine_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.95, n_planes: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (north-star dedup ladder,
+    top rung): candidate pairs share an SRP bucket, then exact cosine
+    verifies.  Near-identical vectors land in the same bucket with
+    probability 1 - theta/pi per plane, so a high threshold tolerates
+    few planes.
+
+    Scale shape: bucket narrow, self-join shuffles on the bucket id
+    only, norms are computed once per row (not per pair), and no
+    O(n^2) stage exists.  Recall loss is the documented LSH trade;
+    the oracle mirrors the same bucketing, so parity is exact.
+    """
+    bucketed = emb.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        srp_bucket(F.col(vec_col), n_planes, seed).alias("bucket"),
+    ).withColumn("nrm", _norm(F.col("v")))
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", rhu("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+def ivf_assignments(
+    emb: DataFrame, n_centroids: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantization: the ``n_centroids`` lowest-id vectors
+    serve as deterministic centroids (a k-means step would converge
+    them, but the driver oracle needs a closed-form seed); every vector
+    is assigned to its max-cosine centroid.
+
+    Returns (centroids, assignments).  Assignment is a broadcast
+    cross-join against the tiny centroid set + per-vector top-1 window
+    — the corpus shuffles once on ``vec_id`` for the window, and at
+    scale the centroid set stays broadcast-sized by construction.
+    """
+    from pyspark.sql import Window
+
+    cent = (
+        emb.orderBy(F.col(id_col)).limit(n_centroids)
+        .select(F.col(id_col).alias("c_id"), F.col(vec_col).cast("array<double>").alias("cv"))
+    )
+    scored = (
+        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        .crossJoin(F.broadcast(cent))
+        # rank on the 8-decimal-rounded cosine: raw doubles differ in the
+        # last bit across engines and would flip near-tied assignments
+        .withColumn("cos_c", rhu(cosine(F.col("v"), F.col("cv")), 8))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cos_c").desc(), F.col("c_id").asc())
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "v", "c_id")
+    )
+    return cent, assign
+
+
+def ivf_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 10,
+    n_centroids: int = 16, n_probe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: each query probes its ``n_probe`` nearest
+    centroids and scores only vectors assigned to them.
+
+    The inverted lists are the assignment table partitioned by
+    centroid; probing is a broadcast of (query, probed centroid) pairs
+    joined on ``c_id`` — the corpus-side data moves once, at bucketing
+    time, never per query.  Recall < 1 by construction (the ANN
+    trade); brute_force_topk is the exactness baseline.
+    """
+    from pyspark.sql import Window
+
+    cent, assign = ivf_assignments(emb, n_centroids, id_col, vec_col)
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cos_c").desc(), F.col("c_id").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cos_c", rhu(cosine(F.col("qv"), F.col("cv")), 8))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "c_id")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(assign.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv"), "c_id"), "c_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", rhu(cosine(F.col("qv"), F.col("nv")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
 def lsh_bucketed_topk(
     emb: DataFrame, query_ids: list[int], k: int = 10, n_planes: int = 6,
     id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 7,

@@ -749,14 +749,93 @@ def q_srp_buckets(spark, sf):
     return e.select("vec_id", sim.srp_bucket(F.col("embedding"), n_planes=6).alias("bucket"))
 
 
-def _srp_sql(n_planes: int = 6, seed: int = 7) -> str:
+def _srp_bucket_expr(vec_expr: str, n_planes: int, seed: int = 7) -> str:
+    """DuckDB twin of similarity.srp_bucket over a DOUBLE[] expression."""
     comps = []
     for p in range(n_planes):
         h = f"(('0x' || substr(md5(concat_ws('_', {p}, (i - 1)::VARCHAR, {seed})), 1, 15))::BIGINT)"
         comp = f"((({h}) % 2000000) - 1000000) / 1000000.0"
-        proj = f"list_sum(list_transform(embedding::DOUBLE[], (x, i) -> x * ({comp})))"
+        proj = f"list_sum(list_transform({vec_expr}, (x, i) -> x * ({comp})))"
         comps.append(f"(CASE WHEN ({proj}) > 0 THEN {2 ** p} ELSE 0 END)")
-    return f"SELECT vec_id, ({' + '.join(comps)})::BIGINT AS bucket FROM embeddings"
+    return f"({' + '.join(comps)})::BIGINT"
+
+
+def _srp_sql(n_planes: int = 6, seed: int = 7) -> str:
+    return (
+        f"SELECT vec_id, {_srp_bucket_expr('embedding::DOUBLE[]', n_planes, seed)}"
+        " AS bucket FROM embeddings"
+    )
+
+
+def q_cosine_near_dup(spark, sf):
+    """Embedding-cosine near-dup pairs: SRP-bucket candidates, exact
+    cosine verify (the top rung of the dedup ladder).  The synthetic
+    embeddings are near-orthogonal (max pairwise cos ~0.51), so the
+    threshold sits at the p99.9 of the pair distribution to exercise
+    the operator with non-empty output."""
+    return sim.cosine_near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.35, n_planes=4)
+
+
+def _cosine_near_dup_sql(threshold: float = 0.35, n_planes: int = 4, seed: int = 7) -> str:
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_srp_bucket_expr('embedding::DOUBLE[]', n_planes, seed)} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       (floor((list_dot_product(a.v, c.v) /
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)))) * 10000 + 0.5) / 10000.0) AS cos_sim
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE list_dot_product(a.v, c.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= {threshold}
+"""
+
+
+def q_ivf_topk(spark, sf):
+    """IVF ANN: deterministic coarse centroids, probe top-4 of 16,
+    score only the probed inverted lists."""
+    return sim.ivf_topk(_t(spark, sf, "embeddings"), QUERY_VEC_IDS, k=10, n_centroids=16, n_probe=4)
+
+
+def _ivf_sql(k: int = 10, n_centroids: int = 16, n_probe: int = 4) -> str:
+    qids = ", ".join(str(i) for i in QUERY_VEC_IDS)
+    cos = "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    cos_vc = cos.format(a="e.v", b="c.cv")
+    cos_qc = cos.format(a="q.qv", b="c.cv")
+    cos_qn = cos.format(a="p.qv", b="a.v")
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), assign AS (
+  SELECT vec_id, v, c_id FROM (
+    SELECT e.vec_id, e.v, c.c_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY (floor(({cos_vc}) * 100000000 + 0.5) / 100000000.0) DESC, c.c_id) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id IN ({qids})
+), probes AS (
+  SELECT query_id, qv, c_id FROM (
+    SELECT q.query_id, q.qv, c.c_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY (floor(({cos_qc}) * 100000000 + 0.5) / 100000000.0) DESC, c.c_id) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {n_probe}
+), scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         (floor(({cos_qn}) * 10000 + 0.5) / 10000.0) AS cos_sim
+  FROM probes p JOIN assign a ON a.c_id = p.c_id
+  WHERE a.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= {k}
+"""
 
 
 def q_embedding_norms(spark, sf):
@@ -909,6 +988,8 @@ def registry() -> dict[str, tuple]:
         "simhash": (q_simhash, _simhash_sql()),
         # similarity
         "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+        "cosine_near_dup": (q_cosine_near_dup, _cosine_near_dup_sql()),
+        "ivf_topk": (q_ivf_topk, _ivf_sql()),
         "srp_buckets": (q_srp_buckets, _srp_sql()),
         "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
         # text analysis
