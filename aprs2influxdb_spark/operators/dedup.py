@@ -22,7 +22,7 @@ every operator has an exact DuckDB oracle twin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from aprs2influxdb_spark.functions.rounding import rhu
@@ -44,19 +44,26 @@ def tokens_col(text_col: str = "text"):
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup by content digest: canonical (min-id) row per text,
     with duplicate count.  GroupBy on a 128-bit digest, not the text —
-    at 100 TB the shuffle carries 16-byte keys, not documents."""
+    at 100 TB the shuffle carries 16-byte keys, not documents.
+
+    The digest is staged as a column before the groupBy: grouping
+    directly on the expression makes the aggregate re-evaluate it
+    (measured 5× slower for the fingerprint variant at sf0.1)."""
     return (
-        docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        docs.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col))
+        .groupBy("text_md5")
         .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_dups"))
     )
 
 
 def fingerprint_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Near-exact dedup on the sorted distinct token set (catches
-    word-order shuffles and repeated tokens)."""
+    word-order shuffles and repeated tokens).  Key staged as a column
+    — see :func:`exact_dedup`."""
     fp = F.md5(F.array_join(F.array_sort(F.array_distinct(tokens_col(text_col))), " "))
     return (
-        docs.groupBy(fp.alias("fingerprint"))
+        docs.select(fp.alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
         .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_dups"))
     )
 
@@ -160,29 +167,31 @@ def ngram_jaccard_pairs(
     on the shingle, count per pair — partial aggregation happens map-
     side, and only pairs that share ≥1 shingle ever materialize.  The
     join key is the 8-byte :func:`hashed_shingles` hash, not the
-    shingle string — the shuffle carries longs and the two identical
-    sides resolve to one ReusedExchange.  At 100 TB, stop-shingle
-    removal (drop shingles with doc-frequency above a cap) bounds the
-    inverted-index fanout; candidates here are already bounded by the
-    synthetic corpus' shingle sharing.
+    shingle string.  Each doc's shingle-set size rides along the
+    exploded rows (2 extra ints per row) and comes out of the pair
+    aggregate via ``min`` — the alternative (separate size scans joined
+    back on each id) re-computes the shingles twice more and adds two
+    joins after the aggregate.  At 100 TB, stop-shingle removal (drop
+    shingles with doc-frequency above a cap) bounds the inverted-index
+    fanout; candidates here are already bounded by the synthetic
+    corpus' shingle sharing.
     """
-    sh = docs.select(
-        F.col(id_col), F.explode(hashed_shingles(tokens_col(text_col), shingle_n)).alias("shingle")
-    )
-    sizes = docs.select(
-        F.col(id_col), F.size(hashed_shingles(tokens_col(text_col), shingle_n)).alias("n_sh")
+    arr = docs.select(F.col(id_col), hashed_shingles(tokens_col(text_col), shingle_n).alias("arr"))
+    sh = arr.select(
+        F.col(id_col), F.size("arr").alias("n_sh"), F.explode("arr").alias("shingle")
     )
     inter = (
         sh.alias("a").join(sh.alias("b"), "shingle")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.min("a.n_sh").alias("n_a"),
+            F.min("b.n_sh").alias("n_b"),
+        )
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "id_a").join(sb, "id_b")
-        .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+        inter.withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", rhu("jaccard", 4).alias("jaccard"))
     )
@@ -194,18 +203,25 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
     One narrow projection — the per-bit sums are ``aggregate`` folds
     over the token array, no explode/shuffle at all.  Hamming-near
     docs then group on the signature (or banded substrings at scale).
+
+    The token-hash array is let-bound via a one-element ``transform``
+    (see :func:`~aprs2influxdb_spark.functions.hashing.hashed_shingles`)
+    — each of the ``bits`` folds referencing the raw expression would
+    re-md5 every token, a measured 8× slowdown at sf0.1.
     """
-    toks = tokens_col(text_col)
-    hashed = F.transform(toks, lambda t: portable_hash64(t))
-    bit_cols = []
-    for b in range(bits):
-        votes = F.aggregate(
-            hashed,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        bit_cols.append(F.when(votes > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long")))
-    sig = bit_cols[0]
-    for c in bit_cols[1:]:
-        sig = sig + c
+    hashed = F.transform(tokens_col(text_col), lambda t: portable_hash64(t))
+
+    def _sig(h: Column) -> Column:
+        sig = None
+        for b in range(bits):
+            votes = F.aggregate(
+                h,
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + F.when(F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            )
+            c = F.when(votes > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+            sig = c if sig is None else sig + c
+        return sig
+
+    sig = F.get(F.transform(F.array(hashed), _sig), 0)
     return docs.select(F.col(id_col), sig.alias("simhash"))

@@ -65,26 +65,28 @@ def brute_force_topk(
     )
 
 
-def hyperplane_component(plane: int, dim_idx, seed: int = 7):
+def hyperplane_component(plane: int, dim: int, seed: int = 7) -> float:
     """Deterministic pseudo-random component in [-1, 1): derived from
     md5(plane||'_'||dim||'_'||seed) so DuckDB computes the identical
-    hyperplane.  Column-valued in ``dim_idx``."""
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws("_", F.lit(plane), dim_idx.cast("string"), F.lit(seed))), 1, 15), 16, 10
-    ).cast("long")
-    return (F.pmod(h, F.lit(2_000_000)) - F.lit(1_000_000)) / F.lit(1_000_000.0)
+    hyperplane.  A pure constant — evaluated HERE in the driver, never
+    per row: the md5-in-expression form re-hashed n_planes × dim times
+    per vector and was the dominant cost of every SRP operator."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{plane}_{dim}_{seed}".encode()).hexdigest()[:15], 16)
+    return ((h % 2_000_000) - 1_000_000) / 1_000_000.0
 
 
-def srp_bucket(vec, n_planes: int = 8, seed: int = 7):
+def srp_bucket(vec, n_planes: int = 8, seed: int = 7, dim: int = 64):
     """Sign-random-projection bucket id (0..2^n_planes-1) of an
-    array<numeric> column — the LSH for cosine distance."""
+    array<numeric> column — the LSH for cosine distance.  Hyperplanes
+    are literal arrays (``dim`` components each); vectors shorter than
+    ``dim`` bucket to 0 via null propagation, longer ones ignore the
+    tail."""
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        proj = F.aggregate(
-            F.transform(vec, lambda x, i: x.cast("double") * hyperplane_component(p, i, seed)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        plane = F.array(*[F.lit(hyperplane_component(p, d, seed)) for d in range(dim)])
+        proj = _dot(F.transform(vec, lambda x: x.cast("double")), plane)
         bucket = bucket + F.when(proj > 0, F.lit(2 ** p).cast("long")).otherwise(F.lit(0).cast("long"))
     return bucket
 
