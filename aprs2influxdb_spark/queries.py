@@ -580,6 +580,75 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_range_join(spark, sf):
+    """Interval/range join: for each error event, how many events the
+    same user produced in the following 5 minutes.  The equi-key
+    (user_id) keeps it a hash join with a range residual — never a
+    cartesian; at scale add time-bucket blocking on both sides."""
+    e = _t(spark, sf, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts")
+    )
+    fol = e.select(F.col("user_id").alias("u"), F.col("ts").alias("ev_ts"))
+    return (
+        err.join(
+            fol,
+            (err.u == fol.u)
+            & (fol.ev_ts > err.err_ts)
+            & (fol.ev_ts <= err.err_ts + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .groupBy("err_id")
+        .agg(F.count("*").alias("n_follow"))
+    )
+
+
+SQL_RANGE_JOIN = """
+SELECT e.event_id AS err_id, count(*) AS n_follow
+FROM events e JOIN events f
+  ON f.user_id = e.user_id
+ AND f.ts > e.ts AND f.ts <= e.ts + INTERVAL 5 MINUTE
+WHERE e.event_type = 'error'
+GROUP BY 1
+"""
+
+
+def q_grouping_sets(spark, sf):
+    """GROUPING SETS beyond rollup/cube: two named aggregation shapes
+    in one pass over lineitem."""
+    li = _t(spark, sf, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(floor(sum(l_quantity) * 100 + 0.5) / 100.0 AS DOUBLE) AS sum_qty,
+               count(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       floor(sum(l_quantity) * 100 + 0.5) / 100.0 AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))
+"""
+
+
+def q_approx_distinct(spark, sf):
+    """HyperLogLog++ distinct-user sketch per event type.  No oracle:
+    DuckDB's approx_count_distinct uses a different sketch, so values
+    legitimately differ — the driver records the weaker rows-only
+    check, and q_distinct_daily_users is the exact-count twin."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+    )
+
+
 # --------------------------------------------------------------------
 # North star: dedup
 # --------------------------------------------------------------------
@@ -975,6 +1044,9 @@ def registry() -> dict[str, tuple]:
         "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
         "percentiles": (q_percentiles, SQL_PERCENTILES),
         "corr_stats": (q_corr_stats, SQL_CORR_STATS),
+        "range_join": (q_range_join, SQL_RANGE_JOIN),
+        "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
+        "approx_distinct": (q_approx_distinct, None),
         "distinct_daily_users": (q_distinct_daily_users, SQL_DISTINCT_DAILY),
         "time_bucket_agg": (q_time_bucket_agg, SQL_TIME_BUCKET),
         "sessionize": (q_sessionize, SQL_SESSIONIZE),

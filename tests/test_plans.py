@@ -9,6 +9,14 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from aprs2influxdb_spark.plans import (
+    audit,
+    executed_plan,
+    has_codegen,
+    plan_stats,
+    pushed_filters,
+    scan_schema,
+)
 from aprs2influxdb_spark.queries import (
     q_pricing_summary,
     q_region_revenue,
@@ -20,47 +28,57 @@ from aprs2influxdb_spark.sources.fixtures import fixture_packets
 from aprs2influxdb_spark.storage import read_packets, write_packets
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
 class TestScanQuality:
     def test_filter_pushdown_reaches_parquet(self, spark, sf_dir):
-        plan = _plan(q_pricing_summary(spark, sf_dir))
-        assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+        pf = pushed_filters(q_pricing_summary(spark, sf_dir))
+        assert "IsNotNull(l_shipdate)" in pf and "LessThanOrEqual(l_shipdate" in pf
 
     def test_column_pruning(self, spark, sf_dir):
-        plan = _plan(q_token_counts(spark, sf_dir))
         # only the two needed columns reach the scan
-        assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+        assert scan_schema(q_token_counts(spark, sf_dir)).startswith(
+            "struct<doc_id:bigint,text:string>"
+        )
 
     def test_aggregation_is_partial_then_final(self, spark, sf_dir):
-        plan = _plan(q_pricing_summary(spark, sf_dir))
+        plan = executed_plan(q_pricing_summary(spark, sf_dir))
         assert plan.count("HashAggregate") >= 2  # map-side combine present
 
     def test_whole_stage_codegen_on_serializer(self, spark, tmp_path):
         # a LocalTableScan (createDataFrame) skips codegen; the real path
-        # is parquet-backed, so assert over that
+        # is parquet-backed, so assert over that.  array_compact (a
+        # higher-order ArrayFilter) or a too-large single-stage CASE
+        # would silently drop the serializer out of codegen.
         path = str(tmp_path / "pk")
         fixture_packets(spark).write.parquet(path)
-        plan = _plan(to_line_protocol(spark.read.parquet(path)))
-        # executedPlan toString marks codegen stages with "*(n)"; the
-        # serializer Project must carry one (array_compact would rewrite
-        # to a higher-order ArrayFilter and lose it)
-        assert plan.startswith("*(")
+        assert has_codegen(to_line_protocol(spark.read.parquet(path)))
 
 
 class TestJoinStrategy:
     def test_dims_broadcast_in_q5(self, spark, sf_dir):
-        plan = _plan(q_region_revenue(spark, sf_dir))
-        assert "BroadcastHashJoin" in plan
-        assert "CartesianProduct" not in plan
+        stats = audit(q_region_revenue(spark, sf_dir))
+        assert stats.broadcasts >= 1
+        assert stats.cartesian == 0
 
     def test_topk_broadcasts_queries_not_corpus(self, spark, sf_dir):
-        plan = _plan(q_cosine_topk(spark, sf_dir))
         # the corpus is never shuffled for scoring; queries ride broadcast
+        plan = executed_plan(q_cosine_topk(spark, sf_dir))
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-        assert "CartesianProduct" not in plan
+        assert plan_stats(q_cosine_topk(spark, sf_dir)).cartesian == 0
+
+    def test_audit_rejects_cartesian(self, spark, sf_dir):
+        # tiny ranges broadcast into a BNLJ; force the real cartesian
+        # operator with the shuffle-replicate hint
+        a = spark.range(3).hint("shuffle_replicate_nl")
+        b = spark.range(3)
+        with pytest.raises(ValueError, match="CartesianProduct"):
+            audit(a.crossJoin(b))
+
+    def test_audit_shuffle_budget(self, spark, sf_dir):
+        df = q_pricing_summary(spark, sf_dir)
+        stats = audit(df, max_shuffles=1)  # one shuffle: the groupBy
+        assert stats.shuffles == 1
+        with pytest.raises(ValueError, match="shuffles"):
+            audit(df, max_shuffles=0)
 
 
 class TestPacketTableLayout:
@@ -72,15 +90,14 @@ class TestPacketTableLayout:
 
     def test_partition_pruning_by_format(self, spark, packet_path):
         df = read_packets(spark, packet_path).filter(F.col("format") == "wx")
-        plan = _plan(df)
-        assert "PartitionFilters: [isnotnull(format" in plan
+        assert "PartitionFilters: [isnotnull(format" in executed_plan(df)
         assert df.count() == 1  # only the wx partition was read
 
     def test_partition_pruning_by_date(self, spark, packet_path):
         df = read_packets(spark, packet_path).filter(
             F.col("ingest_date") == "2024-01-01"
         )
-        assert "PartitionFilters: [isnotnull(ingest_date" in _plan(df)
+        assert "PartitionFilters: [isnotnull(ingest_date" in executed_plan(df)
 
     def test_roundtrip_preserves_rows(self, spark, packet_path):
         assert read_packets(spark, packet_path).count() == 15
