@@ -99,6 +99,92 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_extract, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("ts_ms", LongType(), True),
+        StructField("frame_digest", StringType(), True),
+    ]
+)
+
+
+def resize_image_stub(payload: bytes, width: int, height: int) -> bytes:
+    """STUB resize.  A real implementation would be::
+
+        img = PIL.Image.open(io.BytesIO(payload)).resize((width, height))
+
+    (PIL is not in this container).  The fake emits a deterministic
+    payload derived from the input digest + target size so the
+    plumbing (binary-in/binary-out through Arrow) is testable."""
+    import hashlib
+
+    if payload is None:
+        raise NotImplementedError("real resize requires PIL — not available")
+    return hashlib.sha256(payload + f"{width}x{height}".encode()).digest()
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Arrow-batched image resize: binary column in, binary column out,
+    metadata updated.  The output payload is a thumbnail — orders of
+    magnitude smaller than the source blob — so downstream shuffles and
+    caches carry thumbnails, never originals."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": width,
+                    "height": height,
+                    "payload": pdf["payload"].map(
+                        lambda b: resize_image_stub(b, width, height) if b is not None else None
+                    ),
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling: one video row fans out to one row per
+    sampled frame (``mapInPandas`` is a generator, so the fan-out never
+    materializes a per-video frame list in memory).  Frame decode is
+    STUBBED (no av/ffmpeg in the container) — the digest is a
+    deterministic stand-in for the decoded frame tensor; row shape,
+    timestamps, and partition flow are real."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "frame_idx": [], "ts_ms": [], "frame_digest": []}
+            for _, row in pdf.iterrows():
+                dur = row["duration_ms"] or 0
+                payload = row["payload"] or b""
+                for idx, ts in enumerate(range(0, int(dur), every_ms)):
+                    out["media_id"].append(row["media_id"])
+                    out["frame_idx"].append(idx)
+                    out["ts_ms"].append(ts)
+                    out["frame_digest"].append(
+                        hashlib.sha256(payload + idx.to_bytes(4, "big")).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "video").mapInPandas(_sample, FRAME_SCHEMA)
+
+
 def media_meta(media: DataFrame) -> DataFrame:
     """Blob-free metadata view — pure column expressions (the common
     fast path: no Python, blob column pruned at the parquet scan)."""

@@ -13,6 +13,9 @@ from aprs2influxdb_spark.operators.multimodal import (
     decode_image_stub,
     extract_features,
     media_meta,
+    resize_image_stub,
+    resize_images,
+    sample_frames,
 )
 
 
@@ -49,3 +52,25 @@ def test_decode_stub_contract():
     with pytest.raises(NotImplementedError):
         decode_image_stub(None)
     assert decode_image_stub(b"abc")["n_bytes"] == 3
+
+
+def test_resize_is_image_only_and_deterministic(spark, media):
+    out = resize_images(media, 8, 8).orderBy("media_id").collect()
+    # only the two image rows survive the kind filter
+    assert [r["media_id"] for r in out] == [1, 3]
+    assert out[0]["width"] == 8 and out[0]["height"] == 8
+    assert out[0]["payload"] == resize_image_stub(b"\x89PNG" + bytes(range(100)), 8, 8)
+    assert out[1]["payload"] is None  # missing blob passes through as null
+
+
+def test_frame_sampling_fans_out(spark, media):
+    out = sample_frames(media, every_ms=10_000).orderBy("frame_idx").collect()
+    # one video of 60 s sampled at 10 s -> 6 frames
+    assert [r["media_id"] for r in out] == [4] * 6
+    assert [r["ts_ms"] for r in out] == [0, 10_000, 20_000, 30_000, 40_000, 50_000]
+    digests = {r["frame_digest"] for r in out}
+    assert len(digests) == 6  # per-frame digests distinct
+
+    assert sample_frames(media, every_ms=10_000).columns == [
+        "media_id", "frame_idx", "ts_ms", "frame_digest",
+    ]
