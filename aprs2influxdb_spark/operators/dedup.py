@@ -132,7 +132,12 @@ def minhash_lsh_pairs(
         F.explode(F.array(*[F.struct(F.lit(b).alias("band"), k.alias("key")) for b, k in band_key])).alias("bk"),
     ).select(id_col, "bk.band", "bk.key")
 
-    left = banded.alias("l")
+    # shuffle-hash, not broadcast: at toy scale Spark would broadcast the
+    # banded corpus (it fits), recomputing the whole signature subtree
+    # for the build side — measured 1.5x slower.  At 100 TB a broadcast
+    # of the full signature table is not a plan at all; the shuffled
+    # self-join on the band key is the honest strategy at every scale.
+    left = banded.alias("l").hint("shuffle_hash")
     right = banded.alias("r")
     cand = (
         left.join(right, ["band", "key"])
@@ -181,7 +186,10 @@ def ngram_jaccard_pairs(
         F.col(id_col), F.size("arr").alias("n_sh"), F.explode("arr").alias("shingle")
     )
     inter = (
-        sh.alias("a").join(sh.alias("b"), "shingle")
+        # shuffle-hash for the same reason as the LSH candidate join:
+        # broadcasting the exploded inverted index is a toy-scale-only
+        # plan and recomputes the shingle subtree for the build side
+        sh.alias("a").hint("shuffle_hash").join(sh.alias("b"), "shingle")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .agg(
