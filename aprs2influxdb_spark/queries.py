@@ -580,6 +580,82 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_pivot_events(spark, sf):
+    """Long-to-wide pivot: daily value totals per event type as
+    columns.  Explicit pivot values keep the schema static — at scale a
+    dynamic pivot means a driver-side distinct scan first."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", ["click", "view", "purchase", "error", "signup"])
+        .agg(rhu(F.sum("value"), 2))
+    )
+
+
+SQL_PIVOT_EVENTS = """
+SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+       floor(sum(CASE WHEN event_type = 'click' THEN value END) * 100 + 0.5) / 100.0 AS click,
+       floor(sum(CASE WHEN event_type = 'view' THEN value END) * 100 + 0.5) / 100.0 AS view,
+       floor(sum(CASE WHEN event_type = 'purchase' THEN value END) * 100 + 0.5) / 100.0 AS purchase,
+       floor(sum(CASE WHEN event_type = 'error' THEN value END) * 100 + 0.5) / 100.0 AS error,
+       floor(sum(CASE WHEN event_type = 'signup' THEN value END) * 100 + 0.5) / 100.0 AS signup
+FROM events GROUP BY 1
+"""
+
+
+def q_unpivot_lineitem(spark, sf):
+    """Wide-to-long unpivot (melt): the three lineitem money columns as
+    (orderkey, linenumber, charge_kind, amount) rows — ``unpivot`` is a
+    Generate, narrow and shuffle-free."""
+    return (
+        _t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax")
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_extendedprice", "l_discount", "l_tax"],
+            "charge_kind",
+            "amount",
+        )
+        .select("l_orderkey", "l_linenumber", "charge_kind", rhu("amount", 2).alias("amount"))
+    )
+
+
+SQL_UNPIVOT_LINEITEM = """
+SELECT l_orderkey, l_linenumber, charge_kind,
+       floor(amount * 100 + 0.5) / 100.0 AS amount
+FROM (
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS charge_kind, l_extendedprice AS amount FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+)
+"""
+
+
+def q_lag_delta(spark, sf):
+    """lag/lead analytics: per-user gap (seconds) and value delta
+    between consecutive events."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))).alias("gap_s"),
+        rhu(F.col("value") - F.lag("value", 1).over(w), 4).alias("value_delta"),
+    )
+
+
+SQL_LAG_DELTA = """
+SELECT event_id, user_id,
+       -- floor, not ::BIGINT (which rounds): Spark unix_timestamp floors
+       floor(epoch(ts))::BIGINT - floor(epoch(lag(ts, 1) OVER w))::BIGINT AS gap_s,
+       floor((value - lag(value, 1) OVER w) * 10000 + 0.5) / 10000.0 AS value_delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q_range_join(spark, sf):
     """Interval/range join: for each error event, how many events the
     same user produced in the following 5 minutes.  The equi-key
@@ -1044,6 +1120,9 @@ def registry() -> dict[str, tuple]:
         "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
         "percentiles": (q_percentiles, SQL_PERCENTILES),
         "corr_stats": (q_corr_stats, SQL_CORR_STATS),
+        "pivot_events": (q_pivot_events, SQL_PIVOT_EVENTS),
+        "unpivot_lineitem": (q_unpivot_lineitem, SQL_UNPIVOT_LINEITEM),
+        "lag_delta": (q_lag_delta, SQL_LAG_DELTA),
         "range_join": (q_range_join, SQL_RANGE_JOIN),
         "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
         "approx_distinct": (q_approx_distinct, None),
