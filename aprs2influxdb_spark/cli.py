@@ -1,0 +1,106 @@
+"""Daemon CLI (SURVEY.md §2.8 O1/O2, §2.7 K3).
+
+Reference: nine argparse options parsed at import time
+(``aprs2influxdb/__main__.py:14-27``), an hourly rotating log with five
+backups + stdout (``:1124-1150``), and a two-thread topology — heartbeat
++ consumer — started from ``main()`` (``:1199-1206``).
+
+Engine: same nine options with the same defaults, the same rotating-log
+shape, and the thread topology subsumed by Structured Streaming — one
+streaming query runs the packet pipeline (source → decode → stateful
+calibration → line protocol → InfluxDB sink) and the heartbeat timer
+lives inside the source connector where keep-alive belongs (§3.3).
+Like the reference, a failed APRS-IS login does not exit — the
+connector retries forever (``immortal``, ``:1098``, ``:1187-1196``).
+
+Arguments parse in ``main()``, not at import (the reference's
+import-time parse is a quirk not worth preserving — it breaks embedding
+and testing).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from logging.handlers import TimedRotatingFileHandler
+
+from pyspark.sql import DataFrame, SparkSession
+
+from aprs2influxdb_spark.session import get_spark
+from aprs2influxdb_spark.sinks.influxdb import influxdb_sink
+from aprs2influxdb_spark.sources.aprsis import decode_frames, register
+from aprs2influxdb_spark.streaming.calibration import with_streaming_calibration
+from aprs2influxdb_spark.streaming.pipeline import stream_lines
+
+
+def build_parser() -> argparse.ArgumentParser:
+    """The reference's nine options, same names and defaults (:16-25)."""
+    p = argparse.ArgumentParser(
+        description="Connects to APRS-IS and saves stream to local InfluxDB"
+    )
+    p.add_argument("--dbhost", help="Set InfluxDB host", default="localhost")
+    p.add_argument("--dbport", help="Set InfluxDB port", default="8086")
+    p.add_argument("--dbuser", help="Set InfluxDB user", default="root")
+    p.add_argument("--dbpassword", help="Set InfluxDB password", default="root")
+    p.add_argument("--dbname", help="Set InfluxDB database name", default="mydb")
+    p.add_argument("--callsign", help="Set APRS-IS login callsign", default="nocall")
+    p.add_argument("--port", help="Set APRS-IS port", default="10152")
+    p.add_argument("--interval", help="Set APRS-IS heartbeat interval in minutes", default="15")
+    p.add_argument("--debug", help="Set logging level to DEBUG", action="store_true")
+    return p
+
+
+def create_log(path: str, debug: bool = False) -> logging.Logger:
+    """K3: hourly rotating file (5 backups) + stdout, WARNING default
+    (:1124-1150)."""
+    logger = logging.getLogger("aprs2influxdb_spark")
+    handler = TimedRotatingFileHandler(path, when="h", interval=1, backupCount=5)
+    logger.addHandler(handler)
+    logger.addHandler(logging.StreamHandler(sys.stdout))
+    logger.setLevel(logging.DEBUG if debug else logging.WARNING)
+    return logger
+
+
+def build_pipeline(spark: SparkSession, args: argparse.Namespace, raw: DataFrame | None = None) -> DataFrame:
+    """Wire source → decode → stateful calibration → line protocol.
+
+    ``raw`` overrides the live APRS-IS source with any (raw, ingest_ts)
+    stream (file/memory source in tests) — the rest of the pipeline is
+    identical either way.
+    """
+    if raw is None:
+        register(spark)
+        raw = (
+            spark.readStream.format("aprsis")
+            .option("callsign", args.callsign)
+            .option("port", args.port)
+            .option("heartbeat_seconds", float(args.interval) * 60)
+            .load()
+        )
+    packets = with_streaming_calibration(decode_frames(raw))
+    from pyspark.sql import functions as F
+
+    packets = packets.withColumn(
+        "eqns_effective", F.from_json("eqns_json", "array<array<double>>")
+    )
+    return stream_lines(packets, eqns_col="eqns_effective")
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    logger = create_log(f"{sys.prefix}/aprs2influxdb.log", args.debug)
+    logger.warning("starting aprs2influxdb_spark daemon")
+    spark = get_spark("aprs2influxdb-daemon")
+    lines = build_pipeline(spark, args)
+    query = influxdb_sink(
+        lines,
+        checkpoint="/tmp/aprs2influxdb_spark_ckpt",
+        url=f"http://{args.dbhost}:{args.dbport}",
+        db=args.dbname,
+    )
+    query.awaitTermination()
+
+
+if __name__ == "__main__":
+    main()

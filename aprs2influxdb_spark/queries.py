@@ -580,6 +580,30 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_salted_agg(spark, sf):
+    """Skew pattern: two-phase salted aggregation over a hot key.
+    Phase 1 fans each key across 16 salt buckets (map-side partials
+    shuffle evenly even if one key owns 90% of rows); phase 2 merges
+    the 16 partials per key.  Result is provably identical to the
+    direct groupBy — that identity is exactly what the oracle checks.
+    AQE's skew handling covers joins; aggregation skew needs this."""
+    e = _t(spark, sf, "events")
+    partial = (
+        e.withColumn("salt", F.pmod(F.col("event_id"), F.lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(F.count("*").alias("pn"), F.sum("value").alias("pv"))
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"), rhu(F.sum("pv"), 2).alias("total_value")
+    )
+
+
+SQL_SALTED_AGG = """
+SELECT event_type, count(*) AS n, (floor((sum(value)) * 100 + 0.5) / 100.0) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
 def q_pivot_events(spark, sf):
     """Long-to-wide pivot: daily value totals per event type as
     columns.  Explicit pivot values keep the schema static — at scale a
@@ -1120,6 +1144,7 @@ def registry() -> dict[str, tuple]:
         "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
         "percentiles": (q_percentiles, SQL_PERCENTILES),
         "corr_stats": (q_corr_stats, SQL_CORR_STATS),
+        "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
         "pivot_events": (q_pivot_events, SQL_PIVOT_EVENTS),
         "unpivot_lineitem": (q_unpivot_lineitem, SQL_UNPIVOT_LINEITEM),
         "lag_delta": (q_lag_delta, SQL_LAG_DELTA),

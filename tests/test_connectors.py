@@ -206,3 +206,46 @@ class TestInfluxSink:
             r["line"] for r in to_line_protocol(packets_df(spark, fixture_rows())).select("line").collect()
         )
         assert got == exp
+
+
+class TestCliDaemon:
+    def test_parser_matches_reference_defaults(self):
+        from aprs2influxdb_spark.cli import build_parser
+
+        # the reference's nine options with its exact defaults (:16-25)
+        args = build_parser().parse_args([])
+        assert (args.dbhost, args.dbport, args.dbuser, args.dbpassword, args.dbname) == (
+            "localhost", "8086", "root", "root", "mydb",
+        )
+        assert (args.callsign, args.port, args.interval, args.debug) == (
+            "nocall", "10152", "15", False,
+        )
+
+    def test_build_pipeline_file_source(self, spark, tmp_path):
+        """The daemon pipeline (decode -> stateful calibration -> line
+        protocol) over a file source standing in for the live socket:
+        telemetry-message frames must be absorbed into state, data
+        frames emitted as lines."""
+        from aprs2influxdb_spark.cli import build_parser, build_pipeline
+
+        src = tmp_path / "raw"
+        src.mkdir()
+        rows = [(f, None) for f in FRAMES]
+        spark.createDataFrame(rows, "raw string, ingest_ts timestamp").withColumn(
+            "ingest_ts", F.current_timestamp()
+        ).coalesce(1).write.parquet(str(src / "batch0"))
+
+        raw = (
+            spark.readStream.schema("raw string, ingest_ts timestamp")
+            .parquet(str(src / "*"))
+        )
+        lines = build_pipeline(spark, build_parser().parse_args([]), raw=raw)
+        q = lines.select("line").writeStream.format("memory").queryName("cli_e2e").start()
+        try:
+            q.processAllAvailable()
+            got = [r["line"] for r in spark.sql("SELECT * FROM cli_e2e").collect()]
+        finally:
+            q.stop()
+        assert len(got) == len(FRAMES)
+        assert any(l.startswith("packet,format=status ") for l in got)
+        assert any(l.startswith("packet,format=uncompressed ") for l in got)
