@@ -48,6 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--port", help="Set APRS-IS port", default="10152")
     p.add_argument("--interval", help="Set APRS-IS heartbeat interval in minutes", default="15")
     p.add_argument("--debug", help="Set logging level to DEBUG", action="store_true")
+    # engine extension (the reference has no checkpointing at all):
+    # distinct daemons need distinct checkpoints, and /tmp is volatile
+    p.add_argument(
+        "--checkpoint",
+        help="Streaming checkpoint directory (state + offsets survive restarts)",
+        default="./aprs2influxdb_spark_ckpt",
+    )
     return p
 
 
@@ -95,9 +102,11 @@ def main(argv: list[str] | None = None) -> None:
     lines = build_pipeline(spark, args)
     query = influxdb_sink(
         lines,
-        checkpoint="/tmp/aprs2influxdb_spark_ckpt",
+        checkpoint=args.checkpoint,
         url=f"http://{args.dbhost}:{args.dbport}",
         db=args.dbname,
+        user=args.dbuser,
+        password=args.dbpassword,
     )
     query.awaitTermination()
 

@@ -171,8 +171,9 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         for pdf in batches:
             out: dict[str, list] = {"media_id": [], "frame_idx": [], "ts_ms": [], "frame_digest": []}
             for _, row in pdf.iterrows():
-                dur = row["duration_ms"] or 0
-                payload = row["payload"] or b""
+                # nullable longs arrive as NaN (truthy!) — `or 0` won't catch it
+                dur = 0 if pd.isna(row["duration_ms"]) else int(row["duration_ms"])
+                payload = row["payload"] if row["payload"] is not None else b""
                 for idx, ts in enumerate(range(0, int(dur), every_ms)):
                     out["media_id"].append(row["media_id"])
                     out["frame_idx"].append(idx)

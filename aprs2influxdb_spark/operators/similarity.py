@@ -80,14 +80,26 @@ def hyperplane_component(plane: int, dim: int, seed: int = 7) -> float:
 def srp_bucket(vec, n_planes: int = 8, seed: int = 7, dim: int = 64):
     """Sign-random-projection bucket id (0..2^n_planes-1) of an
     array<numeric> column — the LSH for cosine distance.  Hyperplanes
-    are literal arrays (``dim`` components each); vectors shorter than
-    ``dim`` bucket to 0 via null propagation, longer ones ignore the
-    tail."""
+    are literal arrays (``dim`` components each).
+
+    Vectors shorter than ``dim`` are effectively zero-padded (the
+    ``coalesce`` below — plain ``zip_with`` products would null-poison
+    the fold and collapse every row into bucket 0); vectors longer than
+    ``dim`` have their tail ignored, so pick ``dim`` ≥ the corpus
+    dimensionality for oracle parity.  The sign test uses the
+    8-decimal-rounded projection on both engines: a projection within
+    ULP of zero must not flip buckets between Spark's sequential fold
+    and DuckDB's summation."""
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
         plane = F.array(*[F.lit(hyperplane_component(p, d, seed)) for d in range(dim)])
-        proj = _dot(F.transform(vec, lambda x: x.cast("double")), plane)
-        bucket = bucket + F.when(proj > 0, F.lit(2 ** p).cast("long")).otherwise(F.lit(0).cast("long"))
+        proj = F.aggregate(
+            F.zip_with(vec, plane, lambda x, w: F.coalesce(x.cast("double") * w, F.lit(0.0))),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        proj_r = rhu(proj, 8)
+        bucket = bucket + F.when(proj_r > 0, F.lit(2 ** p).cast("long")).otherwise(F.lit(0).cast("long"))
     return bucket
 
 

@@ -22,11 +22,22 @@ def executed_plan(df: DataFrame) -> str:
 
 
 def has_codegen(df: DataFrame) -> bool:
-    """True when the plan root sits inside a whole-stage-codegen stage
-    (``*(n)`` marker).  Expressions that break codegen (higher-order
-    functions at the top, janino limits) silently fall back to
-    interpreted eval — worth failing loudly in tests instead."""
-    return executed_plan(df).lstrip().startswith("*(")
+    """True when the topmost *operator* sits inside a whole-stage-
+    codegen stage (``*(n)`` marker).  Expressions that break codegen
+    (higher-order functions at the top, janino limits) silently fall
+    back to interpreted eval — worth failing loudly in tests instead.
+
+    AQE wraps shuffling plans in ``AdaptiveSparkPlan``, whose header
+    carries no marker — skip wrapper lines and judge the first real
+    operator.  (Before execution AQE shows the initial plan; stage
+    markers inside exchanges may only materialize at runtime, so for
+    shuffling queries prefer asserting on ``plan_stats``.)"""
+    for line in executed_plan(df).splitlines():
+        s = line.strip().lstrip("+-: ").strip()
+        if not s or s.startswith(("AdaptiveSparkPlan", "==", "ResultQueryStage")):
+            continue
+        return s.startswith("*(")
+    return False
 
 
 def pushed_filters(df: DataFrame) -> str:
@@ -68,7 +79,9 @@ def plan_stats(df: DataFrame) -> PlanStats:
         broadcasts=plan.count("BroadcastExchange"),
         sort_merge_joins=plan.count("SortMergeJoin"),
         cartesian=plan.count("CartesianProduct"),
-        codegen_stages=len({s for s in plan.split("*(")[1:] if s[:1].isdigit()}),
+        # distinct stage IDs, not marked-operator lines: every operator
+        # in a stage shares the same "*(n)" prefix
+        codegen_stages=len({s.split(")")[0] for s in plan.split("*(")[1:] if s[:1].isdigit()}),
     )
 
 

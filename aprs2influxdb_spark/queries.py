@@ -919,13 +919,17 @@ def q_srp_buckets(spark, sf):
 
 
 def _srp_bucket_expr(vec_expr: str, n_planes: int, seed: int = 7) -> str:
-    """DuckDB twin of similarity.srp_bucket over a DOUBLE[] expression."""
+    """DuckDB twin of similarity.srp_bucket over a DOUBLE[] expression.
+    The sign test rounds the projection to 8 decimals, mirroring the
+    Spark side — near-zero projections must not flip buckets on
+    summation-order ULP noise."""
     comps = []
     for p in range(n_planes):
         h = f"(('0x' || substr(md5(concat_ws('_', {p}, (i - 1)::VARCHAR, {seed})), 1, 15))::BIGINT)"
         comp = f"((({h}) % 2000000) - 1000000) / 1000000.0"
         proj = f"list_sum(list_transform({vec_expr}, (x, i) -> x * ({comp})))"
-        comps.append(f"(CASE WHEN ({proj}) > 0 THEN {2 ** p} ELSE 0 END)")
+        proj_r = f"(floor(({proj}) * 100000000 + 0.5) / 100000000.0)"
+        comps.append(f"(CASE WHEN ({proj_r}) > 0 THEN {2 ** p} ELSE 0 END)")
     return f"({' + '.join(comps)})::BIGINT"
 
 

@@ -29,11 +29,19 @@ from pyspark.sql import DataFrame
 def write_lines_http(
     lines: list[str], url: str, db: str, batch_size: int = 5000,
     max_retries: int = 3, backoff_s: float = 0.5,
+    user: str | None = None, password: str | None = None,
 ) -> int:
     """POST lines to InfluxDB /write in batches with retry; returns
     number of lines written.  Raises after exhausting retries (the
-    stream then replays the micro-batch — at-least-once, idempotent)."""
-    endpoint = f"{url.rstrip('/')}/write?" + urllib.parse.urlencode({"db": db})
+    stream then replays the micro-batch — at-least-once, idempotent).
+    Credentials go as the 1.x API's u/p query parameters (what the
+    reference's InfluxDBClient sends, :1081-1084)."""
+    params = {"db": db}
+    if user is not None:
+        params["u"] = user
+    if password is not None:
+        params["p"] = password
+    endpoint = f"{url.rstrip('/')}/write?" + urllib.parse.urlencode(params)
     written = 0
     for i in range(0, len(lines), batch_size):
         chunk = "\n".join(lines[i : i + batch_size]).encode()
@@ -60,6 +68,7 @@ def influxdb_sink(
     lines_df: DataFrame, checkpoint: str, url: str | None = None,
     db: str = "mydb", line_col: str = "line", batch_size: int = 5000,
     parity_dir: str | None = None, trigger_seconds: int | None = None,
+    user: str | None = None, password: str | None = None,
 ):
     """Start the streaming sink.  ``url=None`` selects parity mode
     (append lines as text files under ``parity_dir``)."""
@@ -81,7 +90,7 @@ def influxdb_sink(
         def _part(rows):
             buf = [r[0] for r in rows]
             if buf:
-                write_lines_http(buf, url, db, batch_size)
+                write_lines_http(buf, url, db, batch_size, user=user, password=password)
             return iter(())
 
         # executor-side partition writes: the driver never collects

@@ -26,11 +26,25 @@ from pyspark.sql import functions as F
 
 
 def write_packets(packets: DataFrame, path: str, files_per_partition: int = 4) -> None:
-    """Write the canonical packet table partitioned for pruning."""
+    """Write the canonical packet table partitioned for pruning.
+
+    Shuffle keys are (date, format, salt(from_call)): every
+    (date, format) directory receives at most ``files_per_partition``
+    files — one per salt bucket — while the shuffle itself spreads over
+    the full ``spark.sql.shuffle.partitions`` width (passing a *number*
+    to ``repartition`` would cap the whole write at that many tasks —
+    4 tasks for 100 TB).  The within-partition sort leads with the
+    partition columns: the dynamic-partition writer requires that
+    prefix, and omitting it makes Spark insert its own sort on just
+    (date, format), which survives small in-memory runs by TimSort
+    stability but destroys the from_call clustering once the sort
+    spills and merges runs.
+    """
+    salt = F.pmod(F.xxhash64("from_call"), F.lit(files_per_partition))
     (
         packets.withColumn("ingest_date", F.to_date("ingest_ts"))
-        .repartition(files_per_partition, "ingest_date", "format", "from_call")
-        .sortWithinPartitions("from_call", "ingest_ts")
+        .repartition(F.col("ingest_date"), F.col("format"), salt)
+        .sortWithinPartitions("ingest_date", "format", "from_call", "ingest_ts")
         .write.partitionBy("ingest_date", "format")
         .mode("overwrite")
         .parquet(path)

@@ -63,6 +63,14 @@ def test_resize_is_image_only_and_deterministic(spark, media):
     assert out[1]["payload"] is None  # missing blob passes through as null
 
 
+def test_frame_sampling_null_duration(spark):
+    # nullable longs surface as NaN in pandas (truthy!) — a video with
+    # no duration metadata must yield zero frames, not kill the task
+    rows = [(9, "video", "video/mp4", b"vv", None, None, None)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    assert sample_frames(media, every_ms=1000).count() == 0
+
+
 def test_frame_sampling_fans_out(spark, media):
     out = sample_frames(media, every_ms=10_000).orderBy("frame_idx").collect()
     # one video of 60 s sampled at 10 s -> 6 frames
