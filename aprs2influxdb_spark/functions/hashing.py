@@ -116,32 +116,3 @@ def portable_hash64_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
 
 
-def minhash_expr(tokens: Column, num_hashes: int, seed: int = 42) -> Column:
-    """MinHash signature (array<bigint>, length ``num_hashes``) of an
-    array<string> token column, as one native expression.
-
-    h_k(t) = (a_k * (H(t) % P) + b_k) % P;  sig[k] = min over tokens.
-    Empty/null token arrays yield a signature of all P (sentinel), so
-    empty docs only match empty docs.
-    """
-    hashed = F.transform(tokens, lambda t: F.pmod(F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"), F.lit(MINHASH_P)))
-    sigs = []
-    for a, b in minhash_coeffs(num_hashes, seed):
-        sigs.append(
-            F.coalesce(
-                F.array_min(F.transform(hashed, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_P)))),
-                F.lit(MINHASH_P),
-            )
-        )
-    return F.array(*sigs)
-
-
-def minhash_sql(tokens_expr: str, num_hashes: int, seed: int = 42) -> str:
-    """DuckDB twin of :func:`minhash_expr` over a LIST(VARCHAR) expr."""
-    h = f"(({portable_hash64_sql('t')}) % {MINHASH_P})"
-    parts = []
-    for a, b in minhash_coeffs(num_hashes, seed):
-        parts.append(
-            f"coalesce(list_min(list_transform({tokens_expr}, t -> ({a} * {h} + {b}) % {MINHASH_P})), {MINHASH_P})"
-        )
-    return "[" + ", ".join(parts) + "]"

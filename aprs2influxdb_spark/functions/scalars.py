@@ -54,16 +54,36 @@ def text_field(name: str, col: Column | str, escape: bool = False) -> Column:
     return F.when(c.isNotNull(), F.concat(F.lit(name + '="'), c, F.lit('"')))
 
 
-def num_field(name: str, col: Column | str) -> Column:
+def double_str(c: Column) -> Column:
+    """Python-``str``-compatible rendering of a double column.
+
+    Java's double→string switches to scientific notation at |v| ≥ 1e7
+    ("4.0E7") where Python prints plain digits up to 1e16
+    ("40000000.0") — and calibrated analogs (a·v²) reach that range.
+    Integral doubles below 1e15 format via ``%.1f`` (identical to
+    Python ``str`` for them, at any magnitude); everything else uses
+    the native shortest-digits cast, which matches Python in the normal
+    range.  Residual divergence (non-integral |v| ≥ 1e7 or < 1e-3) is
+    accepted — APRS field values don't live there.
+    """
+    integral = (c == F.floor(c)) & (F.abs(c) < F.lit(1e15))
+    return F.when(integral, F.format_string("%.1f", c)).otherwise(c.cast("string"))
+
+
+def num_field(name: str, col: Column | str, double: bool = False) -> Column:
     """F3 numeric serializer ``name=value`` (:252-254).
 
     The reference emits numbers verbatim with no ``i`` suffix, so every
     number lands in InfluxDB as a float (SURVEY §1.3).  The engine keeps
     native numeric types until this serializer.  Null propagates (key
-    absent ⇒ field absent, D5).
+    absent ⇒ field absent, D5).  Pass ``double=True`` for double-typed
+    columns so large integral values render Python-style (see
+    :func:`double_str`); int/long columns cast plainly ("0", not "0.0",
+    matching Python int str).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(c.isNotNull(), F.concat(F.lit(name + "="), c.cast("string")))
+    s = double_str(c) if double else c.cast("string")
+    return F.when(c.isNotNull(), F.concat(F.lit(name + "="), s))
 
 
 def bool_text_field(name: str, col: Column | str) -> Column:

@@ -43,10 +43,17 @@ def with_effective_equations(
 
     The result column is null for senders with no prior equations —
     the serializer / scaler coalesces to identity, preserving :117-125.
+
+    Ties on ``order_col`` are broken deterministically: equation rows
+    sort before data rows (a data packet sharing its timestamp with an
+    equation update sees the NEW equations — the defined refinement of
+    the reference's arrival order), and ``raw`` breaks any remaining
+    tie so repeated runs and batch-vs-streaming agree.
     """
+    eqn_first = F.when(F.col("tEQNS").isNotNull(), 0).otherwise(1)
     w = (
         Window.partitionBy("from_call")
-        .orderBy(F.col(order_col).asc())
+        .orderBy(F.col(order_col).asc(), eqn_first.asc(), F.col("raw").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return packets.withColumn(out_col, F.last(F.col("tEQNS"), ignorenulls=True).over(w))

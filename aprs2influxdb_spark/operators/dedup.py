@@ -30,7 +30,6 @@ from aprs2influxdb_spark.functions.rounding import rhu
 from aprs2influxdb_spark.functions.hashing import (
     MINHASH_P,
     hashed_shingles,
-    minhash_expr,
     portable_hash64,
 )
 

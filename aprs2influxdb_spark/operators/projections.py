@@ -33,12 +33,16 @@ from pyspark.sql import functions as F
 
 from aprs2influxdb_spark.functions.scalars import (
     bool_text_field,
+    double_str,
     num_field,
     path_field,
     telemetry_poly,
     text_field,
 )
-from aprs2influxdb_spark.schema import KNOWN_FORMATS, OUTPUT_FORMATS, WEATHER_KEYS
+from aprs2influxdb_spark.schema import KNOWN_FORMATS, OUTPUT_FORMATS, PACKET_SCHEMA, WEATHER_KEYS
+
+# double-typed packet columns render Python-style (see scalars.double_str)
+_DOUBLE_COLS = {f.name for f in PACKET_SCHEMA.fields if f.dataType.typeName() == "double"}
 
 # engine column name -> emitted field name (reference uses "from"/"to")
 _EMIT_NAME = {"from_call": "from", "to_call": "to"}
@@ -143,7 +147,9 @@ def _telemetry_fields(eqns: Column) -> list[Column]:
         out.append(
             F.when(
                 t.isNotNull() & t["vals"].isNotNull(),
-                F.concat(F.lit(f"analog{i + 1}="), scaled.cast("string")),
+                # double_str: a*v^2 exceeds 1e7 with real calibrations,
+                # where Java's cast would emit "4.0E7" vs Python "40000000.0"
+                F.concat(F.lit(f"analog{i + 1}="), double_str(scaled)),
             )
         )
     return out
@@ -153,7 +159,7 @@ def _weather_fields() -> list[Column]:
     """parseWeather (:165-187): 9 whitelisted numeric keys, in order."""
     w = F.col("weather")
     return [
-        F.when(w.isNotNull() & w[k].isNotNull(), F.concat(F.lit(f"{k}="), w[k].cast("string")))
+        F.when(w.isNotNull() & w[k].isNotNull(), F.concat(F.lit(f"{k}="), double_str(w[k])))
         for k in WEATHER_KEYS
     ]
 
@@ -184,7 +190,7 @@ def field_exprs(eqns: Column | None = None) -> dict[str, Column]:
     out: dict[str, Column] = {"__lp_path": path_field("path")}
     for spec in FORMAT_SPECS.values():
         for k in spec.num_keys:
-            out.setdefault(f"__lp_n_{k}", num_field(_EMIT_NAME.get(k, k), k))
+            out.setdefault(f"__lp_n_{k}", num_field(_EMIT_NAME.get(k, k), k, double=k in _DOUBLE_COLS))
         for k in spec.text_keys:
             if k in _BOOL_COLS:
                 out.setdefault(f"__lp_t_{k}", bool_text_field(_EMIT_NAME.get(k, k), k))
@@ -239,13 +245,17 @@ def with_line(df: DataFrame, eqns: Column | None = None) -> DataFrame:
 def malformed_predicate(eqns: Column | None = None) -> Column:
     """D3 per-record error isolation (:86-89): rows the reference would
     drop via ``except StandardError`` — telemetry vals present but
-    shorter than 5 (IndexError at :129-133), or calibration channels
-    shorter than 5 while vals are being scaled (:130)."""
+    shorter than 5 (IndexError at :129-133), or calibration equations
+    with fewer than 5 channels OR any channel shorter than 3
+    coefficients while vals are being scaled (IndexError at :157-159 /
+    :130 — a 1-coefficient channel must dead-letter the row, not emit a
+    hybrid of sender-a and identity-b/c)."""
     vals = F.col("telemetry")["vals"]
     bad_vals = vals.isNotNull() & (F.size(vals) < 5)
     if eqns is None:
         return F.coalesce(bad_vals, F.lit(False))
-    bad_eqns = vals.isNotNull() & eqns.isNotNull() & (F.size(eqns) < 5)
+    short_channel = F.exists(eqns, lambda ch: F.size(ch) < 3)
+    bad_eqns = vals.isNotNull() & eqns.isNotNull() & ((F.size(eqns) < 5) | short_channel)
     return F.coalesce(bad_vals | bad_eqns, F.lit(False))
 
 

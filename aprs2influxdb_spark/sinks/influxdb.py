@@ -18,6 +18,7 @@ Uses only urllib (stdlib); the /write API is plain POST text.
 
 from __future__ import annotations
 
+import logging
 import time
 import urllib.error
 import urllib.parse
@@ -54,13 +55,29 @@ def write_lines_http(
                 )
                 with urllib.request.urlopen(req, timeout=30) as resp:
                     resp.read()
+                written += min(batch_size, len(lines) - i)
                 break
+            except urllib.error.HTTPError as err:
+                # 4xx is PERMANENT (malformed line, bad db, auth): retrying
+                # and then raising would wedge the stream in an infinite
+                # replay loop on one bad record.  Log-and-drop the chunk —
+                # the reference's behavior for write errors (:1063-1075).
+                # 5xx is transient: fall through to retry.
+                if 400 <= err.code < 500:
+                    logging.getLogger(__name__).warning(
+                        "InfluxDB rejected chunk (%s): %s — dropping %d lines",
+                        err.code, err.read()[:200], min(batch_size, len(lines) - i),
+                    )
+                    break
+                attempt += 1
+                if attempt > max_retries:
+                    raise
+                time.sleep(backoff_s * (2 ** (attempt - 1)))
             except (urllib.error.URLError, OSError):
                 attempt += 1
                 if attempt > max_retries:
                     raise
                 time.sleep(backoff_s * (2 ** (attempt - 1)))
-        written += min(batch_size, len(lines) - i)
     return written
 
 

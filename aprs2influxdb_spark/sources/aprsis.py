@@ -50,7 +50,7 @@ class AprsISStreamReader(SimpleDataSourceStreamReader):
         self.interval_s = float(options.get("heartbeat_seconds", 15 * 60))  # :23
         self.max_batch = int(options.get("max_frames_per_batch", 10000))
         self._sock: socket.socket | None = None
-        self._file = None
+        self._buf = bytearray()
         self._lock = threading.Lock()
         self._hb: threading.Thread | None = None
 
@@ -59,7 +59,7 @@ class AprsISStreamReader(SimpleDataSourceStreamReader):
         # connection objects stay driver-side (replay returns nothing
         # anyway — see readBetweenOffsets)
         state = self.__dict__.copy()
-        state.update(_sock=None, _file=None, _lock=None, _hb=None)
+        state.update(_sock=None, _buf=bytearray(), _lock=None, _hb=None)
         return state
 
     def __setstate__(self, state: dict) -> None:
@@ -70,23 +70,41 @@ class AprsISStreamReader(SimpleDataSourceStreamReader):
     def _connect(self) -> None:
         self._close()
         s = socket.create_connection((self.host, self.port), timeout=30)
-        f = s.makefile("rwb")
         passcode = aprs_passcode(self.callsign)
-        f.write(f"user {self.callsign} pass {passcode} vers aprs2influxdb-spark 0.1\r\n".encode())
-        f.flush()
-        self._sock, self._file = s, f
+        s.sendall(f"user {self.callsign} pass {passcode} vers aprs2influxdb-spark 0.1\r\n".encode())
+        # short read timeout bounds each recv so the micro-batch
+        # deadline holds; reading goes through an explicit byte buffer
+        # (NOT socket.makefile — its internal buffer is documented to go
+        # inconsistent when a timeout fires mid-read, dropping partial
+        # frames)
+        s.settimeout(1.0)
+        self._sock = s
+        self._buf = bytearray()
         if self._hb is None:
             self._hb = threading.Thread(target=self._heartbeat_loop, daemon=True)
             self._hb.start()
 
     def _close(self) -> None:
-        for obj in (self._file, self._sock):
-            try:
-                if obj is not None:
-                    obj.close()
-            except OSError:
-                pass
-        self._sock = self._file = None
+        try:
+            if self._sock is not None:
+                self._sock.close()
+        except OSError:
+            pass
+        self._sock = None
+        self._buf = bytearray()
+
+    def _readline(self) -> bytes:
+        """One CRLF-terminated frame from the buffer, recv-ing as
+        needed.  TimeoutError propagates with the partial frame intact
+        in the buffer; empty recv means the peer closed (EOF)."""
+        while b"\n" not in self._buf:
+            data = self._sock.recv(4096)
+            if not data:
+                raise OSError("EOF from APRS-IS")
+            self._buf.extend(data)
+        line, _, rest = bytes(self._buf).partition(b"\n")
+        self._buf = bytearray(rest)
+        return line
 
     def _heartbeat_loop(self) -> None:
         # F6 formatter (:1113-1117); fire-and-forget like the reference
@@ -114,16 +132,19 @@ class AprsISStreamReader(SimpleDataSourceStreamReader):
         deadline = time.time() + 1.0
         while len(rows) < self.max_batch and time.time() < deadline:
             try:
-                if self._file is None:
+                if self._sock is None:
                     self._connect()
-                raw = self._file.readline()
-                if not raw:
-                    raise OSError("EOF from APRS-IS")
+                raw = self._readline()
                 text = raw.decode("utf-8", errors="replace").rstrip("\r\n")
                 if not text or text.startswith("#"):
                     continue  # server comments / login ack
                 rows.append((text, _dt.datetime.now(_dt.timezone.utc)))
-            except (OSError, socket.timeout):
+            except TimeoutError:
+                # idle feed is NOT a dead connection: keep it (tearing
+                # down on idle is a reconnect storm against the APRS-IS
+                # server) and re-check the batch deadline
+                continue
+            except OSError:
                 self._close()
                 time.sleep(0.2)  # immortal: retry within budget
         return iter(rows), {"n": start["n"] + len(rows)}
@@ -182,10 +203,14 @@ def parse_frame(raw: str) -> dict | None:
         if len(body) >= 10 and body[9] == ":":
             addressee, text = body[:9].strip(), body[10:]
             msg = {**base, "format": "message", "addresse": addressee}
-            if "{" in text:
-                text, _, msgno = text.rpartition("{")
-                if msgno.isdigit():
-                    msg["msgNo"] = int(msgno)
+            # strip only an APRS-1.01-valid trailing {msgNo (1-5
+            # alphanumerics at end-of-text) — rpartition on any '{'
+            # would corrupt message bodies that merely contain one
+            m_no = re.search(r"\{([A-Za-z0-9]{1,5})$", text)
+            if m_no:
+                text = text[: m_no.start()]
+                if m_no.group(1).isdigit():
+                    msg["msgNo"] = int(m_no.group(1))
             msg["message_text"] = text
             if addressee.upper().startswith("BLN"):
                 msg["format"] = "bulletin"
@@ -233,6 +258,11 @@ def decode_frames(raw_df: DataFrame) -> DataFrame:
                 d = parse_frame(r) if r is not None else {}
                 d = d or {}
                 d["ingest_ts"] = ts
+                if r is not None:
+                    # dead-lettered frames keep their raw text — a
+                    # null-format row with null raw would be
+                    # undiagnosable and unreplayable
+                    d.setdefault("raw", r)
                 recs.append({f.name: d.get(f.name) for f in PACKET_SCHEMA.fields})
             yield pd.DataFrame(recs, columns=[f.name for f in PACKET_SCHEMA.fields])
 

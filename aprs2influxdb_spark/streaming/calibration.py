@@ -48,20 +48,28 @@ def _calibrate_group(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     eqns_json: str | None = state.get[0] if state.exists else None
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ingest_ts", kind="stable")
-        out_rows: list[dict[str, Any]] = []
-        for _, row in pdf.iterrows():
-            teqns = row.get("tEQNS")
-            if row["format"] == "telemetry-message":
-                if teqns is not None and len(teqns) > 0:
-                    eqns_json = json.dumps([list(ch) for ch in teqns])
-                continue  # no emit (:1058)
-            out = {c: row.get(c) for c in _OUT_COLS if c != "eqns_json"}
-            out["eqns_json"] = eqns_json
-            out_rows.append(out)
-        if out_rows:
-            yield pd.DataFrame(out_rows, columns=_OUT_COLS)
+    # a key's rows arrive as MULTIPLE Arrow chunks (split at
+    # maxRecordsPerBatch); sorting per chunk would let an equation row
+    # in a later chunk time-travel behind data rows of an earlier one —
+    # concatenate first, then order the whole group.  Per-key state is
+    # tiny; the hottest sender's micro-batch rows bound this concat.
+    chunks = list(pdfs)
+    if not chunks:  # timeout invocation — no rows for this key
+        state.update((eqns_json,))
+        return
+    pdf = pd.concat(chunks, ignore_index=True).sort_values("ingest_ts", kind="stable")
+    out_rows: list[dict[str, Any]] = []
+    for _, row in pdf.iterrows():
+        teqns = row.get("tEQNS")
+        if row["format"] == "telemetry-message":
+            if teqns is not None and len(teqns) > 0:
+                eqns_json = json.dumps([list(ch) for ch in teqns])
+            continue  # no emit (:1058)
+        out = {c: row.get(c) for c in _OUT_COLS if c != "eqns_json"}
+        out["eqns_json"] = eqns_json
+        out_rows.append(out)
+    if out_rows:
+        yield pd.DataFrame(out_rows, columns=_OUT_COLS)
     state.update((eqns_json,))
 
 

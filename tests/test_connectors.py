@@ -53,6 +53,19 @@ class TestFrameParser:
         d = parse_frame(FRAMES[4])
         assert d["format"] == "beacon" and d["text"] == "SoMe BeAcOn TeXt"
 
+    def test_brace_in_message_body_not_truncated(self):
+        # '{' inside the body is not a message-number marker unless a
+        # valid 1-5 alnum msgNo terminates the text (APRS 1.01)
+        d = parse_frame("WB4APR>APRS::N0CALL   :grid {DM79} ok")
+        assert d["format"] == "message"
+        assert d["message_text"] == "grid {DM79} ok"
+        assert "msgNo" not in d
+
+    def test_alnum_msgno_stripped_without_int(self):
+        d = parse_frame("WB4APR>APRS::N0CALL   :see you{AB12")
+        assert d["message_text"] == "see you"
+        assert "msgNo" not in d  # alnum msgNo: stripped, not coerced
+
     def test_garbage_rejected(self):
         assert parse_frame("not an aprs frame") is None
         assert parse_frame("") is None
@@ -144,12 +157,15 @@ class TestAprsISSource:
 class _CaptureHandler(http.server.BaseHTTPRequestHandler):
     calls: list[tuple[str, bytes]] = []
     fail_first = False
+    reject_all = False
 
     def do_POST(self):
         body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
         cls = type(self)
         cls.calls.append((self.path, body))
-        if cls.fail_first and len(cls.calls) == 1:
+        if cls.reject_all:
+            self.send_response(400)
+        elif cls.fail_first and len(cls.calls) == 1:
             self.send_response(500)
         else:
             self.send_response(204)
@@ -163,6 +179,7 @@ class _CaptureHandler(http.server.BaseHTTPRequestHandler):
 def http_server():
     _CaptureHandler.calls = []
     _CaptureHandler.fail_first = False
+    _CaptureHandler.reject_all = False
     srv = socketserver.TCPServer(("127.0.0.1", 0), _CaptureHandler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -185,6 +202,20 @@ class TestInfluxSink:
         n = write_lines_http(["m v=1"], url, "aprs", backoff_s=0.05)
         assert n == 1
         assert len(handler.calls) == 2  # failed once, retried
+
+    def test_4xx_drops_chunk_instead_of_crash_loop(self, http_server):
+        # a permanently-rejected line must not wedge the stream in an
+        # infinite replay loop: 4xx -> log + drop, no retry, no raise
+        url, handler = http_server
+        handler.reject_all = True
+        n = write_lines_http(["bad line protocol"], url, "aprs", backoff_s=0.01)
+        assert n == 0  # dropped, not written
+        assert len(handler.calls) == 1  # no retry on permanent rejection
+
+    def test_auth_params_sent(self, http_server):
+        url, handler = http_server
+        write_lines_http(["m v=1"], url, "aprs", user="admin", password="secret")
+        assert handler.calls[0][0] == "/write?db=aprs&u=admin&p=secret"
 
     def test_parity_mode_stream(self, spark, tmp_path):
         from aprs2influxdb_spark.sinks.influxdb import influxdb_sink

@@ -98,3 +98,22 @@ def test_line_protocol_plan_is_narrow(spark):
 
 def test_every_output_format_covered():
     assert {r["format"] for r in fixture_rows()} - {"third-party", "telemetry-message"} == set(OUTPUT_FORMATS)
+
+
+def test_short_equation_channel_dead_letters(spark):
+    """A 1-coefficient calibration channel raised IndexError in the
+    reference (:157-159) and dropped the packet — it must dead-letter,
+    not emit a hybrid of sender-a and identity-b/c."""
+    from aprs2influxdb_spark.operators.projections import malformed_predicate
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("uncompressed", [[2.0]] * 5, {"seq": 1, "bits": "1", "vals": [1.0] * 5}),
+        ("uncompressed", [[0.0, 1.0, 0.0]] * 5, {"seq": 2, "bits": "1", "vals": [1.0] * 5}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "format string, eq array<array<double>>, telemetry struct<seq:long,bits:string,vals:array<double>>",
+    )
+    flags = [r[0] for r in df.select(malformed_predicate(F.col("eq")).alias("m")).collect()]
+    assert flags == [True, False]

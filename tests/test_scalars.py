@@ -86,3 +86,20 @@ class TestPolynomialAndMisc:
         assert aprs_passcode("KB1LQC") == 22703
         assert aprs_passcode("kb1lqc-1") == 22703  # case/SSID insensitive
         assert aprs_passcode("N0CALL") == 13023
+
+
+class TestDoubleStr:
+    def test_large_integral_stays_plain(self, spark):
+        from aprs2influxdb_spark.functions.scalars import double_str
+
+        df = spark.createDataFrame([(4.0e7,), (25.0,), (100.5,), (-0.0,)], "v double")
+        got = [r[0] for r in df.select(double_str(F.col("v")).alias("s")).collect()]
+        # Java cast would emit "4.0E7"; Python str emits "40000000.0"
+        assert got == ["40000000.0", "25.0", "100.5", "-0.0"]
+
+    def test_int_columns_not_floatified(self, spark):
+        from aprs2influxdb_spark.functions.scalars import num_field
+
+        df = spark.createDataFrame([(0,)], "posambiguity int")
+        got = df.select(num_field("posambiguity", "posambiguity").alias("s")).collect()[0][0]
+        assert got == "posambiguity=0"  # reference: Python int str, no ".0"
