@@ -86,9 +86,25 @@ def influxdb_sink(
     db: str = "mydb", line_col: str = "line", batch_size: int = 5000,
     parity_dir: str | None = None, trigger_seconds: int | None = None,
     user: str | None = None, password: str | None = None,
+    timestamp_col: str | None = None,
 ):
     """Start the streaming sink.  ``url=None`` selects parity mode
-    (append lines as text files under ``parity_dir``)."""
+    (append lines as text files under ``parity_dir``).
+
+    Delivery semantics: checkpointing gives at-least-once into the
+    sink.  WITHOUT ``timestamp_col`` the lines carry no timestamp
+    (reference parity, SURVEY §1.3 — InfluxDB assigns server receive
+    time), so a replayed micro-batch writes NEW points: at-least-once,
+    duplicates possible — strictly better than the reference's
+    at-most-once, but not exactly-once.  WITH ``timestamp_col`` each
+    line is stamped with that event's nanosecond timestamp, making
+    replays upsert the identical point — effectively exactly-once.
+    """
+    if timestamp_col is not None:
+        from pyspark.sql import functions as F
+
+        ns = (F.unix_micros(F.col(timestamp_col)) * 1000).cast("string")
+        lines_df = lines_df.withColumn(line_col, F.concat(F.col(line_col), F.lit(" "), ns))
 
     if url is None:
         if parity_dir is None:

@@ -71,3 +71,49 @@ def dedup_within_watermark(packets: DataFrame, watermark: str = "10 minutes") ->
     drop repeated ``raw`` frames within the watermark horizon —
     bounded state, unlike a global dropDuplicates."""
     return packets.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(["raw"])
+
+
+def match_acks(packets: DataFrame, max_wait: str = "10 minutes", watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked stream-stream join (SURVEY §2.9: no join of any kind
+    existed in the reference): pair each outgoing APRS message with its
+    acknowledgement — an ack is a message whose ``response`` is 'ack',
+    sent back to the original sender with the same ``msgNo`` — arriving
+    within ``max_wait``.
+
+    Both sides carry watermarks and the join has an event-time range
+    constraint, so Spark can evict unmatched messages from state once
+    the ack window passes (bounded state at any stream length).  The
+    shuffle key is the (callsign-pair, msgNo) equi-condition.
+    """
+    msgs = (
+        packets.filter((F.col("format") == "message") & F.col("response").isNull())
+        .withWatermark("ingest_ts", watermark)
+        .select(
+            F.col("from_call").alias("m_from"),
+            F.col("addresse").alias("m_to"),
+            F.col("msgNo").alias("m_no"),
+            F.col("ingest_ts").alias("m_ts"),
+            F.col("message_text"),
+        )
+    )
+    acks = (
+        packets.filter((F.col("format") == "message") & (F.col("response") == "ack"))
+        .withWatermark("ingest_ts", watermark)
+        .select(
+            F.col("from_call").alias("a_from"),
+            F.col("addresse").alias("a_to"),
+            F.col("msgNo").alias("a_no"),
+            F.col("ingest_ts").alias("a_ts"),
+        )
+    )
+    return msgs.join(
+        acks,
+        (F.col("m_from") == F.col("a_to"))
+        & (F.col("m_to") == F.col("a_from"))
+        & (F.col("m_no") == F.col("a_no"))
+        & (F.col("a_ts") >= F.col("m_ts"))
+        & (F.col("a_ts") <= F.col("m_ts") + F.expr(f"INTERVAL {max_wait}")),
+    ).select(
+        "m_from", "m_to", "m_no", "message_text", "m_ts", "a_ts",
+        (F.unix_micros("a_ts") - F.unix_micros("m_ts")).alias("ack_latency_us"),
+    )

@@ -116,3 +116,65 @@ class TestWindowedAggs:
         )
         n = spark.sql("SELECT count(*) AS n FROM dedup").collect()[0]["n"]
         assert n == len(rows) - 1  # rows 3's raw is "" ... dup dropped, one row per distinct raw
+
+
+class TestStreamStreamJoin:
+    def test_ack_matching(self, spark, tmp_path):
+        """Watermarked stream-stream join: message paired with its ack
+        by (callsign pair, msgNo) within the wait window; unmatched
+        and out-of-window acks produce nothing."""
+        import datetime as dt
+
+        from aprs2influxdb_spark.streaming.pipeline import match_acks
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+        def msg(from_c, to_c, no, ts_min, response=None, text="hi"):
+            return {
+                "format": "message", "from_call": from_c, "addresse": to_c,
+                "msgNo": no, "response": response, "message_text": text,
+                "ingest_ts": t0 + dt.timedelta(minutes=ts_min),
+                "raw": f"{from_c}>{to_c}:{no}:{ts_min}:{response}",
+            }
+
+        rows = [
+            msg("A1", "B1", 1, 0),                     # acked in-window
+            msg("B1", "A1", 1, 2, response="ack"),
+            msg("A2", "B2", 7, 0),                     # ack too late (>10min)
+            msg("B2", "A2", 7, 30, response="ack"),
+            msg("A3", "B3", 9, 0),                     # never acked
+        ]
+        d = tmp_path / "msgs"
+        d.mkdir()
+        packets_df(spark, rows).coalesce(1).write.parquet(str(d / "w0"))
+        stream = stream_packets(spark, str(d / "w*"))
+        _run_to_memory(match_acks(stream), "acks")
+        got = spark.sql("SELECT * FROM acks").collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r["m_from"], r["m_to"], r["m_no"]) == ("A1", "B1", 1)
+        assert r["ack_latency_us"] == 2 * 60 * 1_000_000
+
+
+class TestTimestampedSink:
+    def test_exactly_once_timestamp_suffix(self, spark, tmp_path):
+        """timestamp_col stamps each line with event-time nanos so a
+        replayed batch upserts the identical point (exactly-once);
+        without it, parity mode emits timestamp-less lines."""
+        from aprs2influxdb_spark.sinks.influxdb import influxdb_sink
+
+        d = str(tmp_path / "pk")
+        packets_df(spark, fixture_rows()).write.parquet(d)
+        out = str(tmp_path / "lines")
+        q = influxdb_sink(
+            stream_lines(stream_packets(spark, d)),
+            checkpoint=str(tmp_path / "ck"),
+            parity_dir=out,
+            timestamp_col="ingest_ts",
+        )
+        q.processAllAvailable()
+        q.stop()
+        lines = [r["value"] for r in spark.read.text(out).collect()]
+        assert lines and all(l.rsplit(" ", 1)[1].isdigit() for l in lines)
+        # nanosecond magnitude (19 digits for 2024+ epochs)
+        assert all(len(l.rsplit(" ", 1)[1]) == 19 for l in lines)
