@@ -101,3 +101,33 @@ class TestPacketTableLayout:
 
     def test_roundtrip_preserves_rows(self, spark, packet_path):
         assert read_packets(spark, packet_path).count() == 15
+
+
+class TestRegistrySweep:
+    def test_no_cartesian_products_anywhere(self, spark, sf_dir):
+        """Every registered query must plan without a CartesianProduct —
+        a cartesian that sneaks in is invisible at sf0.01 and a cluster
+        incident at 100 TB.  (BroadcastNestedLoopJoin with a broadcast
+        query side is fine and intended for the top-k scorers.)"""
+        from aprs2influxdb_spark.queries import registry
+
+        offenders = []
+        for name, (builder, _sql) in registry().items():
+            stats = plan_stats(builder(spark, sf_dir))
+            if stats.cartesian:
+                offenders.append(name)
+        assert not offenders, f"cartesian products in: {offenders}"
+
+    def test_no_vacuous_results_at_sf001(self, spark):
+        """Every oracle-checked query must produce rows at sf0.01 — an
+        empty result makes the driver's hash comparison vacuously pass
+        while verifying nothing."""
+        from aprs2influxdb_spark.queries import registry
+
+        empty = []
+        for name, (builder, sql) in registry().items():
+            if sql is None:
+                continue
+            if builder(spark, "/root/testdata/sf0.01").limit(1).count() == 0:
+                empty.append(name)
+        assert not empty, f"vacuous (0-row) queries at sf0.01: {empty}"
