@@ -204,6 +204,52 @@ def ngram_jaccard_pairs(
     )
 
 
+def near_dup_clusters(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+    threshold: float = 0.5, max_iter: int = 15,
+) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup pair graph:
+    every document mapped to its cluster's canonical (minimum) id —
+    the "keep one per near-dup cluster" step of a dedup pipeline.
+
+    Iterative min-label propagation: each round, every vertex takes the
+    min of its own label and its neighbors'; converged when no label
+    changes.  Rounds needed = graph diameter ≤ log₂(n) with the
+    min-id shortcut in practice; each round is one join + one groupBy
+    (both shuffling on vertex id, so the partitioning is reused).  The
+    driver-side convergence check is one count per round — this is the
+    standard large-scale CC shape (GraphX/GraphFrames do the same).
+    Singleton documents (no near-dup) are their own canonical id.
+    """
+    pairs = minhash_lsh_pairs(docs, text_col, id_col, num_hashes, bands, shingle_n, threshold)
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    )
+    labels = docs.select(F.col(id_col).alias("vid"), F.col(id_col).alias("label"))
+    edges = edges.localCheckpoint(eager=True)  # pair graph computed ONCE, not per round
+    for _ in range(max_iter):
+        neighbor_min = (
+            labels.join(edges, labels.vid == edges.src)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.vid == neighbor_min.dst, "left")
+            .select(
+                "vid",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+                (F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label")).alias("changed"),
+            )
+        ).localCheckpoint(eager=True)  # truncate the lineage each round
+        changed = new_labels.filter(F.col("changed")).limit(1).count()
+        labels = new_labels.drop("changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("vid").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
     """SimHash signature: per bit, majority vote of token hashes.
 

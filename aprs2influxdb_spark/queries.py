@@ -868,6 +868,32 @@ WHERE len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh
 """
 
 
+def q_near_dup_clusters(spark, sf):
+    """Connected components over the LSH near-dup graph: doc -> cluster
+    canonical (min) id.  Iterative label propagation in Spark; the
+    oracle computes the same components with a recursive CTE over the
+    identical pair list."""
+    return dd.near_dup_clusters(_t(spark, sf, "documents"))
+
+
+def _near_dup_clusters_sql() -> str:
+    pairs = _minhash_lsh_sql()  # identical pair graph as the Spark side
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(vid, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.vid
+)
+SELECT vid AS doc_id, min(label) AS cluster_id FROM reach GROUP BY vid
+"""
+
+
 def q_simhash(spark, sf):
     return dd.simhash(_t(spark, sf, "documents"), bits=16)
 
@@ -1166,6 +1192,7 @@ def registry() -> dict[str, tuple]:
         "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
         "minhash_lsh_pairs": (q_minhash_lsh_pairs, _minhash_lsh_sql()),
         "simhash": (q_simhash, _simhash_sql()),
+        "near_dup_clusters": (q_near_dup_clusters, _near_dup_clusters_sql()),
         # similarity
         "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
         "cosine_near_dup": (q_cosine_near_dup, _cosine_near_dup_sql()),
