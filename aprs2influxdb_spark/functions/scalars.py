@@ -60,13 +60,14 @@ def double_str(c: Column) -> Column:
     Java's double→string switches to scientific notation at |v| ≥ 1e7
     ("4.0E7") where Python prints plain digits up to 1e16
     ("40000000.0") — and calibrated analogs (a·v²) reach that range.
-    Integral doubles below 1e15 format via ``%.1f`` (identical to
-    Python ``str`` for them, at any magnitude); everything else uses
-    the native shortest-digits cast, which matches Python in the normal
-    range.  Residual divergence (non-integral |v| ≥ 1e7 or < 1e-3) is
-    accepted — APRS field values don't live there.
+    Integral doubles below 1e16 (Python's own plain/scientific cutoff;
+    doubles are integer-exact to 2^53 ≈ 9e15) format via ``%.1f``;
+    everything else uses the native shortest-digits cast, which matches
+    Python in the normal range.  Residual divergence (non-integral
+    |v| ≥ 1e7 or < 1e-3, anything ≥ 1e16) is accepted — APRS field
+    values don't live there.
     """
-    integral = (c == F.floor(c)) & (F.abs(c) < F.lit(1e15))
+    integral = (c == F.floor(c)) & (F.abs(c) < F.lit(1e16))
     return F.when(integral, F.format_string("%.1f", c)).otherwise(c.cast("string"))
 
 

@@ -215,12 +215,18 @@ def near_dup_clusters(
 
     Iterative min-label propagation: each round, every vertex takes the
     min of its own label and its neighbors'; converged when no label
-    changes.  Rounds needed = graph diameter ≤ log₂(n) with the
-    min-id shortcut in practice; each round is one join + one groupBy
-    (both shuffling on vertex id, so the partitioning is reused).  The
-    driver-side convergence check is one count per round — this is the
-    standard large-scale CC shape (GraphX/GraphFrames do the same).
-    Singleton documents (no near-dup) are their own canonical id.
+    changes.  Rounds needed = the largest component's DIAMETER (plain
+    propagation has no star-contraction shortcut — for chain-shaped
+    components that is the chain length; raise ``max_iter`` or switch
+    to large-star/small-star contraction if clusters that long are
+    expected).  Each round is one join + one groupBy, both shuffling
+    on vertex id; the driver-side convergence check is one count per
+    round — the standard large-scale CC shape (GraphX does the same).
+    Singleton documents are their own canonical id.
+
+    Raises ``RuntimeError`` if not converged within ``max_iter`` —
+    silently returning partial labels would split real clusters with
+    no warning.
     """
     pairs = minhash_lsh_pairs(docs, text_col, id_col, num_hashes, bands, shingle_n, threshold)
     edges = (
@@ -229,6 +235,7 @@ def near_dup_clusters(
     )
     labels = docs.select(F.col(id_col).alias("vid"), F.col(id_col).alias("label"))
     edges = edges.localCheckpoint(eager=True)  # pair graph computed ONCE, not per round
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             labels.join(edges, labels.vid == edges.src)
@@ -246,7 +253,13 @@ def near_dup_clusters(
         changed = new_labels.filter(F.col("changed")).limit(1).count()
         labels = new_labels.drop("changed")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected components did not converge in {max_iter} rounds — "
+            "a component's diameter exceeds max_iter; raise it"
+        )
     return labels.select(F.col("vid").alias(id_col), F.col("label").alias("cluster_id"))
 
 

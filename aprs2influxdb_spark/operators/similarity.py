@@ -19,8 +19,6 @@ from pyspark.sql import functions as F
 
 from aprs2influxdb_spark.functions.rounding import rhu
 
-from aprs2influxdb_spark.functions.hashing import MINHASH_P
-
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)

@@ -43,32 +43,34 @@ def write_lines_http(
     if password is not None:
         params["p"] = password
     endpoint = f"{url.rstrip('/')}/write?" + urllib.parse.urlencode(params)
-    written = 0
-    for i in range(0, len(lines), batch_size):
-        chunk = "\n".join(lines[i : i + batch_size]).encode()
+
+    def _post_chunk(chunk_lines: list[str]) -> int:
+        """POST one chunk; returns lines written.  5xx/network retries
+        with backoff; 4xx is PERMANENT (malformed line, bad db, auth) —
+        retrying and then raising would wedge the stream in an infinite
+        replay loop, and dropping the whole chunk would amplify one bad
+        record into batch_size lost points, so bisect down to the
+        single offending line and drop only it (log-and-drop per line —
+        the reference's own behavior, :1063-1075)."""
         attempt = 0
         while True:
             try:
                 req = urllib.request.Request(
-                    endpoint, data=chunk,
+                    endpoint, data="\n".join(chunk_lines).encode(),
                     headers={"Content-Type": "text/plain; charset=utf-8"},
                 )
                 with urllib.request.urlopen(req, timeout=30) as resp:
                     resp.read()
-                written += min(batch_size, len(lines) - i)
-                break
+                return len(chunk_lines)
             except urllib.error.HTTPError as err:
-                # 4xx is PERMANENT (malformed line, bad db, auth): retrying
-                # and then raising would wedge the stream in an infinite
-                # replay loop on one bad record.  Log-and-drop the chunk —
-                # the reference's behavior for write errors (:1063-1075).
-                # 5xx is transient: fall through to retry.
                 if 400 <= err.code < 500:
-                    logging.getLogger(__name__).warning(
-                        "InfluxDB rejected chunk (%s): %s — dropping %d lines",
-                        err.code, err.read()[:200], min(batch_size, len(lines) - i),
-                    )
-                    break
+                    if len(chunk_lines) == 1:
+                        logging.getLogger(__name__).warning(
+                            "InfluxDB rejected line (%s): %r", err.code, chunk_lines[0][:200]
+                        )
+                        return 0
+                    mid = len(chunk_lines) // 2
+                    return _post_chunk(chunk_lines[:mid]) + _post_chunk(chunk_lines[mid:])
                 attempt += 1
                 if attempt > max_retries:
                     raise
@@ -78,6 +80,10 @@ def write_lines_http(
                 if attempt > max_retries:
                     raise
                 time.sleep(backoff_s * (2 ** (attempt - 1)))
+
+    written = 0
+    for i in range(0, len(lines), batch_size):
+        written += _post_chunk(lines[i : i + batch_size])
     return written
 
 
@@ -99,12 +105,25 @@ def influxdb_sink(
     at-most-once, but not exactly-once.  WITH ``timestamp_col`` each
     line is stamped with that event's nanosecond timestamp, making
     replays upsert the identical point — effectively exactly-once.
+    A content-hash tag ``h`` rides alongside: series identity is
+    (measurement, tags, time) and ``format`` is the only reference
+    tag, so two DIFFERENT packets sharing an ingest timestamp (one
+    recv() burst is stamped in a tight loop) would otherwise silently
+    last-write-wins each other.
     """
     if timestamp_col is not None:
         from pyspark.sql import functions as F
 
+        line = F.col(line_col)
+        first_space = F.instr(line, " ")
+        tagged = F.concat(
+            F.substr(line, F.lit(1), first_space - 1),
+            F.lit(",h="),
+            F.substring(F.md5(line), 1, 8),
+            F.substr(line, first_space),
+        )
         ns = (F.unix_micros(F.col(timestamp_col)) * 1000).cast("string")
-        lines_df = lines_df.withColumn(line_col, F.concat(F.col(line_col), F.lit(" "), ns))
+        lines_df = lines_df.withColumn(line_col, F.concat(tagged, F.lit(" "), ns))
 
     if url is None:
         if parity_dir is None:

@@ -203,6 +203,15 @@ def parse_frame(raw: str) -> dict | None:
         if len(body) >= 10 and body[9] == ":":
             addressee, text = body[:9].strip(), body[10:]
             msg = {**base, "format": "message", "addresse": addressee}
+            # ack/rej responses (APRS 1.01: body is exactly 'ackNNNNN' /
+            # 'rejNNNNN') — without this, the response column is never
+            # populated and stream-stream ack matching finds nothing
+            m_ack = re.fullmatch(r"(ack|rej)([A-Za-z0-9]{1,5})", text)
+            if m_ack:
+                msg["response"] = m_ack.group(1)
+                if m_ack.group(2).isdigit():
+                    msg["msgNo"] = int(m_ack.group(2))
+                return msg
             # strip only an APRS-1.01-valid trailing {msgNo (1-5
             # alphanumerics at end-of-text) — rpartition on any '{'
             # would corrupt message bodies that merely contain one

@@ -57,7 +57,14 @@ def _calibrate_group(
     if not chunks:  # timeout invocation — no rows for this key
         state.update((eqns_json,))
         return
-    pdf = pd.concat(chunks, ignore_index=True).sort_values("ingest_ts", kind="stable")
+    pdf = pd.concat(chunks, ignore_index=True)
+    # same deterministic tie-break as the batch as-of window
+    # (operators/calibration.py): equation rows before data rows on
+    # equal timestamps, then raw — batch and streaming must agree
+    pdf["__eqn_first"] = (pdf["format"] != "telemetry-message").astype(int)
+    pdf = pdf.sort_values(["ingest_ts", "__eqn_first", "raw"], kind="stable").drop(
+        columns="__eqn_first"
+    )
     out_rows: list[dict[str, Any]] = []
     for _, row in pdf.iterrows():
         teqns = row.get("tEQNS")

@@ -66,6 +66,19 @@ class TestFrameParser:
         assert d["message_text"] == "see you"
         assert "msgNo" not in d  # alnum msgNo: stripped, not coerced
 
+    def test_ack_and_rej_responses(self):
+        # APRS 1.01: body 'ackNNN'/'rejNNN' is a response, not a message
+        d = parse_frame("B1>APRS::A1       :ack001")
+        assert d["format"] == "message"
+        assert d["response"] == "ack" and d["msgNo"] == 1
+        assert "message_text" not in d
+        d = parse_frame("B1>APRS::A1       :rejAB1")
+        assert d["response"] == "rej" and "msgNo" not in d
+        # a message merely starting with 'ack' is NOT a response
+        d = parse_frame("B1>APRS::A1       :ack received thanks")
+        assert d.get("response") is None
+        assert d["message_text"] == "ack received thanks"
+
     def test_garbage_rejected(self):
         assert parse_frame("not an aprs frame") is None
         assert parse_frame("") is None
@@ -158,12 +171,13 @@ class _CaptureHandler(http.server.BaseHTTPRequestHandler):
     calls: list[tuple[str, bytes]] = []
     fail_first = False
     reject_all = False
+    reject_bodies: set[bytes] = set()
 
     def do_POST(self):
         body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
         cls = type(self)
         cls.calls.append((self.path, body))
-        if cls.reject_all:
+        if cls.reject_all or any(b in body for b in cls.reject_bodies):
             self.send_response(400)
         elif cls.fail_first and len(cls.calls) == 1:
             self.send_response(500)
@@ -180,6 +194,7 @@ def http_server():
     _CaptureHandler.calls = []
     _CaptureHandler.fail_first = False
     _CaptureHandler.reject_all = False
+    _CaptureHandler.reject_bodies = set()
     srv = socketserver.TCPServer(("127.0.0.1", 0), _CaptureHandler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -211,6 +226,14 @@ class TestInfluxSink:
         n = write_lines_http(["bad line protocol"], url, "aprs", backoff_s=0.01)
         assert n == 0  # dropped, not written
         assert len(handler.calls) == 1  # no retry on permanent rejection
+
+    def test_4xx_bisects_to_single_bad_line(self, http_server):
+        # one bad line in a chunk must not discard its neighbors:
+        # the sink bisects on 400 down to the offending line
+        url, handler = http_server
+        handler.reject_bodies = {b"BAD"}
+        n = write_lines_http(["m v=1", "BAD", "m v=3"], url, "aprs", backoff_s=0.01)
+        assert n == 2  # both good lines written, only BAD dropped
 
     def test_auth_params_sent(self, http_server):
         url, handler = http_server

@@ -118,16 +118,21 @@ class TestRegistrySweep:
                 offenders.append(name)
         assert not offenders, f"cartesian products in: {offenders}"
 
-    def test_no_vacuous_results_at_sf001(self, spark):
-        """Every oracle-checked query must produce rows at sf0.01 — an
-        empty result makes the driver's hash comparison vacuously pass
-        while verifying nothing."""
+    def test_no_vacuous_results_at_driver_sf(self, spark):
+        """Every oracle-checked query must produce rows at the driver's
+        gate scale (sf0.01 unless overridden) — an empty result makes
+        the hash comparison vacuously pass while verifying nothing.
+        Pinned to the driver's SF, not the (smaller) test fixture SF,
+        because sparse queries are legitimately empty at sf0.001."""
+        import os
+
         from aprs2influxdb_spark.queries import registry
 
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_DRIVER", "/root/testdata/sf0.01")
         empty = []
         for name, (builder, sql) in registry().items():
             if sql is None:
                 continue
-            if builder(spark, "/root/testdata/sf0.01").limit(1).count() == 0:
+            if builder(spark, sf_dir).limit(1).count() == 0:
                 empty.append(name)
-        assert not empty, f"vacuous (0-row) queries at sf0.01: {empty}"
+        assert not empty, f"vacuous (0-row) queries at {sf_dir}: {empty}"
