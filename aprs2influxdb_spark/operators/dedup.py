@@ -204,6 +204,55 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_capped(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 3, threshold: float = 0.3, max_doc_freq: int = 5,
+) -> DataFrame:
+    """:func:`ngram_jaccard_pairs` with stop-shingle candidate pruning
+    — the shape that survives 100 TB.
+
+    The uncapped inverted-index self-join emits ``df²`` rows per
+    shingle; one boilerplate shingle appearing in 1M documents emits
+    10¹² pairs.  Here shingles with document frequency above
+    ``max_doc_freq`` are dropped from the *candidate* index (one extra
+    groupBy on the shingle — same key as the join, so AQE co-locates
+    it), bounding every shingle's fanout at ``max_doc_freq²``.
+    Verification then computes EXACT Jaccard over the full
+    (uncapped) shingle sets of the surviving pairs, so reported
+    similarities are unchanged — what's lost is only recall of pairs
+    whose every shared shingle is a stop-shingle, i.e. pairs that
+    overlap solely in boilerplate.  This is the standard CCNet/Gopher
+    -style inverted-index pruning trade.
+    """
+    arr = docs.select(F.col(id_col), hashed_shingles(tokens_col(text_col), shingle_n).alias("arr"))
+    sh = arr.select(F.col(id_col), F.explode("arr").alias("shingle"))
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_doc_freq)
+        .select("shingle")
+    )
+    pruned = sh.join(keep.hint("shuffle_hash"), "shingle")
+    cand = (
+        pruned.alias("a").hint("shuffle_hash").join(pruned.alias("b"), "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    a = arr.select(F.col(id_col).alias("id_a"), F.col("arr").alias("sh_a"))
+    b = arr.select(F.col(id_col).alias("id_b"), F.col("arr").alias("sh_b"))
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", rhu("jaccard", 4).alias("jaccard"))
+    )
+
+
 def near_dup_clusters(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,

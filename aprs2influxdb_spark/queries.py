@@ -818,6 +818,34 @@ def _minhash_sig_sql(num_hashes: int = 16) -> str:
     return "[" + ", ".join(parts) + "]"
 
 
+def q_ngram_jaccard_capped(spark, sf):
+    """Stop-shingle-pruned exact Jaccard: candidate pairs only through
+    shingles with document frequency <= 5 (bounding the inverted-index
+    fanout at df² per shingle — the 100 TB shape), then exact
+    verification over the FULL shingle sets of surviving pairs."""
+    return dd.ngram_jaccard_pairs_capped(_t(spark, sf, "documents"), threshold=0.3, max_doc_freq=5)
+
+
+SQL_NGRAM_JACCARD_CAPPED = f"""
+WITH {_TOKH_CTE}, arr AS (
+  SELECT doc_id, {_HSH_SQL} AS arr FROM tokh
+), sh AS (
+  SELECT doc_id, unnest(arr) AS shingle FROM arr
+), keep AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 5
+), pruned AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       (floor((len(list_intersect(x.arr, y.arr)) / len(list_distinct(list_concat(x.arr, y.arr)))) * 10000 + 0.5) / 10000.0) AS jaccard
+FROM cand JOIN arr x ON x.doc_id = id_a JOIN arr y ON y.doc_id = id_b
+WHERE len(list_intersect(x.arr, y.arr)) / len(list_distinct(list_concat(x.arr, y.arr))) >= 0.3
+"""
+
+
 def q_minhash_signatures(spark, sf):
     sigs = dd.minhash_signatures(_t(spark, sf, "documents"), num_hashes=16)
     # string-encode the signature so the driver's value hash treats it
@@ -1037,6 +1065,36 @@ SELECT query_id, neighbor_id, cos_sim, rk FROM (
 """
 
 
+def q_lsh_bucketed_topk(spark, sf):
+    """ANN top-k via SRP bucket cohorts: score only corpus vectors
+    sharing the query's bucket — the 100 TB path where brute force is
+    the wrong plan (recall < 1 by construction; cosine_topk is the
+    exactness baseline)."""
+    return sim.lsh_bucketed_topk(_t(spark, sf, "embeddings"), QUERY_VEC_IDS, k=10, n_planes=6)
+
+
+def _lsh_bucketed_sql(k: int = 10, n_planes: int = 6, seed: int = 7) -> str:
+    qids = ", ".join(str(i) for i in QUERY_VEC_IDS)
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_srp_bucket_expr('embedding::DOUBLE[]', n_planes, seed)} AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id IN ({qids})
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         (floor((list_dot_product(q.qv, c.v) /
+                (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v)))) * 10000 + 0.5) / 10000.0) AS cos_sim
+  FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= {k}
+"""
+
+
 def q_embedding_norms(spark, sf):
     """Vector aggregate per label: count + mean L2 norm."""
     e = _t(spark, sf, "embeddings")
@@ -1189,6 +1247,7 @@ def registry() -> dict[str, tuple]:
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_fingerprint": (q_dedup_fingerprint, SQL_DEDUP_FINGERPRINT),
         "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+        "ngram_jaccard_capped": (q_ngram_jaccard_capped, SQL_NGRAM_JACCARD_CAPPED),
         "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
         "minhash_lsh_pairs": (q_minhash_lsh_pairs, _minhash_lsh_sql()),
         "simhash": (q_simhash, _simhash_sql()),
@@ -1198,6 +1257,7 @@ def registry() -> dict[str, tuple]:
         "cosine_near_dup": (q_cosine_near_dup, _cosine_near_dup_sql()),
         "ivf_topk": (q_ivf_topk, _ivf_sql()),
         "srp_buckets": (q_srp_buckets, _srp_sql()),
+        "lsh_bucketed_topk": (q_lsh_bucketed_topk, _lsh_bucketed_sql()),
         "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
         # text analysis
         "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
