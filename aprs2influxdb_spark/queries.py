@@ -1203,6 +1203,34 @@ FROM documents
 
 
 # --------------------------------------------------------------------
+# Streaming operators under the batch gate (bounded-stream execution;
+# see streaming.bounded for the equivalence argument per operator)
+# --------------------------------------------------------------------
+
+def q_streaming_time_bucket(spark, sf):
+    from aprs2influxdb_spark.streaming.bounded import streaming_time_bucket
+
+    return streaming_time_bucket(spark, sf)
+
+
+def q_streaming_distinct_keys(spark, sf):
+    from aprs2influxdb_spark.streaming.bounded import streaming_distinct_keys
+
+    return streaming_distinct_keys(spark, sf)
+
+
+SQL_STREAMING_DISTINCT = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+def q_streaming_asof_calibration(spark, sf):
+    from aprs2influxdb_spark.streaming.bounded import streaming_asof_calibration
+
+    return streaming_asof_calibration(spark, sf)
+
+
+# --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
 
@@ -1266,4 +1294,8 @@ def registry() -> dict[str, tuple]:
         "rolling_fingerprint": (q_rolling_fingerprint, SQL_ROLLING_FINGERPRINT),
         # multimodal
         "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+        # streaming (bounded-stream execution of the streaming plans)
+        "streaming_time_bucket": (q_streaming_time_bucket, SQL_TIME_BUCKET),
+        "streaming_distinct_keys": (q_streaming_distinct_keys, SQL_STREAMING_DISTINCT),
+        "streaming_asof_calibration": (q_streaming_asof_calibration, SQL_ASOF_CALIBRATION),
     }

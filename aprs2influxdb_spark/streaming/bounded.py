@@ -1,0 +1,185 @@
+"""Bounded-stream execution of the streaming operators, for the
+driver's batch-shaped correctness gate.
+
+The registry's correctness contract is ``builder(spark, sf_dir) ->
+DataFrame`` compared against DuckDB SQL over the same parquet — a
+batch-shaped check.  Streaming operators still belong in that gate:
+each builder here runs the REAL streaming plan (``readStream`` file
+source -> streaming transform -> memory sink) to completion with
+``Trigger.AvailableNow`` and returns the sink table, which must equal
+the batch/DuckDB answer by the streaming-batch equivalence law:
+
+- windowed aggregation in **complete** mode over a bounded stream ==
+  the batch group-by.  (Append mode would be the production choice —
+  with a watermark it emits each window once, finalized — but on a
+  bounded stream the final windows never close, because the watermark
+  is ``max event time - delay``; results would be forever short of
+  the batch answer.  Complete mode is the parity-harness choice, and
+  also a real deployment shape for small-cardinality dashboards.)
+- ``dropDuplicatesWithinWatermark`` emitting only the KEY columns ==
+  ``SELECT DISTINCT keys``: which physical duplicate survives is
+  arrival-order-dependent, but the key set is not.
+- per-key ``applyInPandasWithState`` that sorts each group by
+  (event time, id) == the batch as-of window with the same ordering.
+
+Scale notes: these are the operators of ``streaming.pipeline`` /
+``streaming.calibration`` on their natural keys — the windowed agg
+shuffles on (window, event_type) with watermark-bounded state, dedup
+state is bounded by the watermark horizon, calibration state is one
+double per user.  The bounded-run harness itself (memory sink, single
+micro-batch) is test scaffolding, not the production sink path.
+"""
+
+from __future__ import annotations
+
+import math
+import tempfile
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from aprs2influxdb_spark.functions.rounding import rhu
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events.parquet`` as a file-source stream with the same ts
+    normalization as the batch reader (INT64 nanos -> microsecond
+    timestamp; see ``queries._t``).
+
+    The path is wrapped as a one-character glob (``...parque[t]``)
+    because the file source accepts glob paths but rejects a bare file
+    path ("basePath must be a directory").
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    glob = path[:-1] + "[" + path[-1] + "]"
+    df = spark.readStream.schema(schema).parquet(glob)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def run_bounded(
+    spark: SparkSession, stream_df: DataFrame, mode: str, name: str
+) -> DataFrame:
+    """Run a streaming DataFrame to exhaustion (AvailableNow) into a
+    memory sink; return the sink table.  Query name and checkpoint are
+    unique per call so repeated builder invocations don't collide."""
+    qname = f"{name}_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+def streaming_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the batch tumbling time-bucket aggregate:
+    event-time ``window()`` + watermark over the events stream."""
+    agg = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), rhu(F.avg("value"), 4).alias("avg_value"))
+        .select(F.col("win.start").alias("bucket"), "event_type", "n", "avg_value")
+    )
+    return run_bounded(spark, agg, "complete", "stream_time_bucket")
+
+
+def streaming_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` on (user_id, event_type) —
+    the streaming dedup operator (bounded state, unlike a global
+    ``dropDuplicates``) — projected to its key columns, whose set is
+    deterministic regardless of which duplicate row survives."""
+    dedup = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_bounded(spark, dedup, "append", "stream_distinct")
+
+
+ASOF_OUTPUT = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("calibrated", DoubleType()),
+    ]
+)
+ASOF_STATE = StructType([StructField("calib", DoubleType(), True)])
+
+
+def _asof_group(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user as-of calibration (J1 streaming form on the events
+    analog): 'error' rows upsert the scale factor (J2), other rows emit
+    value * latest-prior-error (identity 1.0 before any), half-up
+    rounded to 4 decimals exactly like the batch ``rhu``.
+
+    Chunks are concatenated before the (ts, event_id) sort — sorting
+    per chunk would let an error row time-travel (see
+    ``streaming.calibration._calibrate_group``)."""
+    calib = state.get[0] if state.exists else None
+    chunks = list(pdfs)
+    if not chunks:
+        state.update((calib,))
+        return
+    pdf = pd.concat(chunks, ignore_index=True).sort_values(
+        ["ts", "event_id"], kind="stable"
+    )
+    out: list[dict] = []
+    for row in pdf.itertuples():
+        if row.event_type == "error":
+            calib = float(row.value)
+        else:
+            c = 1.0 if calib is None else calib
+            out.append(
+                {
+                    "event_id": int(row.event_id),
+                    "user_id": int(row.user_id),
+                    "calibrated": math.floor(float(row.value) * c * 10000 + 0.5) / 10000.0,
+                }
+            )
+    state.update((calib,))
+    if out:
+        yield pd.DataFrame(out, columns=["event_id", "user_id", "calibrated"])
+
+
+def streaming_asof_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming as-of calibration over events, keyed by
+    user — the J1/J2 pattern of ``streaming.calibration`` on the
+    driver's oracle domain, so the batch-window twin
+    (``queries.q_asof_calibration``) is its exact oracle.
+
+    Equivalence to the batch window holds per micro-batch (the group
+    sort is batch-local); across micro-batches the state applies in
+    ARRIVAL order, the reference's own semantics (SURVEY §3.2).  The
+    sf tables are single parquet files, so the gate run is a single
+    batch and the two orders coincide."""
+    calibrated = (
+        stream_events(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _asof_group, ASOF_OUTPUT, ASOF_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+    return run_bounded(spark, calibrated, "append", "stream_asof")
