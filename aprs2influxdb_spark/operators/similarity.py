@@ -214,6 +214,107 @@ def ivf_topk(
     )
 
 
+def kmeans_refined_centroids(
+    emb: DataFrame, n_centroids: int = 16, n_iter: int = 1,
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd-refined IVF centroids: seed with the ``n_centroids``
+    lowest-id vectors (the deterministic seed of
+    :func:`ivf_assignments`), then ``n_iter`` assign/mean rounds.
+
+    Per round: one broadcast-assignment pass + one aggregate computing
+    all ``dim`` per-centroid component means as codegen'd ``avg``
+    columns — the classic Spark k-means shape, where only the
+    O(n_centroids × dim) centroid table ever reaches the driver; the
+    corpus is scanned twice per round and never shuffled beyond the
+    final groupBy on ``c_id``.
+
+    Determinism for oracle parity: component means are half-up rounded
+    to 6 decimals and assignment cosines to 8, so double summation-
+    order ULP noise can't flip a component or an assignment between
+    engines.  Empty clusters keep their previous centroid.
+    """
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.orderBy(F.col(id_col)).limit(n_centroids)
+        .select(id_col, F.col(vec_col).cast("array<double>")).collect()
+    ]
+    for _ in range(n_iter):
+        assign = _assign_to_centroids(emb, cents, id_col, vec_col)
+        mean_cols = [rhu(F.avg(F.get(F.col("v"), i)), 6).alias(f"m{i}") for i in range(dim)]
+        rows = assign.groupBy("c_id").agg(*mean_cols).collect()
+        means = {int(r["c_id"]): [float(r[f"m{i}"]) for i in range(dim)] for r in rows}
+        cents = [(c_id, means.get(c_id, cv)) for c_id, cv in cents]
+    return cents
+
+
+def _assign_to_centroids(
+    emb: DataFrame, cents: list[tuple[int, list[float]]],
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """Max-cosine assignment of every vector to a literal centroid set
+    (broadcast of a driver-built table; tie-break on rounded cosine
+    then centroid id, mirrored in the oracle)."""
+    from pyspark.sql import Window
+
+    spark = emb.sparkSession
+    cent_df = spark.createDataFrame(
+        [(c_id, cv) for c_id, cv in cents], "c_id long, cv array<double>"
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cos_c").desc(), F.col("c_id").asc())
+    return (
+        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("cos_c", rhu(cosine(F.col("v"), F.col("cv")), 8))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "v", "c_id")
+    )
+
+
+def ivf_kmeans_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 10,
+    n_centroids: int = 16, n_probe: int = 4, n_iter: int = 1,
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
+) -> DataFrame:
+    """:func:`ivf_topk` with Lloyd-refined centroids: better-centered
+    inverted lists raise recall at the same ``n_probe`` (seed centroids
+    are arbitrary corpus vectors; one mean step already moves them to
+    cluster centers).  Same probe/score shape as :func:`ivf_topk` —
+    the corpus moves once at bucketing, queries broadcast."""
+    from pyspark.sql import Window
+
+    cents = kmeans_refined_centroids(emb, n_centroids, n_iter, id_col, vec_col, dim)
+    spark = emb.sparkSession
+    cent = F.broadcast(spark.createDataFrame(
+        [(c_id, cv) for c_id, cv in cents], "c_id long, cv array<double>"
+    ))
+    assign = _assign_to_centroids(emb, cents, id_col, vec_col)
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cos_c").desc(), F.col("c_id").asc())
+    probes = (
+        q.crossJoin(cent)
+        .withColumn("cos_c", rhu(cosine(F.col("qv"), F.col("cv")), 8))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "c_id")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(assign.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv"), "c_id"), "c_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", rhu(cosine(F.col("qv"), F.col("nv")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
 def lsh_bucketed_topk(
     emb: DataFrame, query_ids: list[int], k: int = 10, n_planes: int = 6,
     id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 7,

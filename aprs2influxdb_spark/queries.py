@@ -1065,6 +1065,72 @@ SELECT query_id, neighbor_id, cos_sim, rk FROM (
 """
 
 
+def q_ivf_kmeans_topk(spark, sf):
+    """IVF ANN with one Lloyd refinement round over the deterministic
+    seed centroids — better-centered inverted lists at the same probe
+    budget.  Component means rounded half-up at 6 decimals, assignment
+    cosines at 8, so the oracle recomputes identical centroids."""
+    return sim.ivf_kmeans_topk(
+        _t(spark, sf, "embeddings"), QUERY_VEC_IDS, k=10,
+        n_centroids=16, n_probe=4, n_iter=1,
+    )
+
+
+def _ivf_kmeans_sql(k: int = 10, n_centroids: int = 16, n_probe: int = 4, dim: int = 64) -> str:
+    qids = ", ".join(str(i) for i in QUERY_VEC_IDS)
+    cos = "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    r8 = "(floor(({x}) * 100000000 + 0.5) / 100000000.0)"
+    cos_vc0 = r8.format(x=cos.format(a="e.v", b="c.cv"))
+    cos_vc1 = r8.format(x=cos.format(a="e.v", b="c.cv"))
+    cos_qc = r8.format(x=cos.format(a="q.qv", b="c.cv"))
+    cos_qn = cos.format(a="p.qv", b="a.v")
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cent0 AS (
+  SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT {n_centroids}
+), assign0 AS (
+  SELECT vec_id, v, c_id FROM (
+    SELECT e.vec_id, e.v, c.c_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_vc0} DESC, c.c_id) AS rn
+    FROM e CROSS JOIN cent0 c
+  ) WHERE rn = 1
+), means AS (
+  SELECT c_id, i, floor(avg(v[i]) * 1000000 + 0.5) / 1000000.0 AS m
+  FROM assign0 CROSS JOIN generate_series(1, {dim}) t(i)
+  GROUP BY 1, 2
+), cent AS (
+  SELECT c0.c_id, coalesce(mv.mv, c0.cv) AS cv
+  FROM cent0 c0 LEFT JOIN (
+    SELECT c_id, list(m ORDER BY i) AS mv FROM means GROUP BY c_id
+  ) mv USING (c_id)
+), assign AS (
+  SELECT vec_id, v, c_id FROM (
+    SELECT e.vec_id, e.v, c.c_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_vc1} DESC, c.c_id) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id IN ({qids})
+), probes AS (
+  SELECT query_id, qv, c_id FROM (
+    SELECT q.query_id, q.qv, c.c_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY {cos_qc} DESC, c.c_id) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {n_probe}
+), scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         (floor(({cos_qn}) * 10000 + 0.5) / 10000.0) AS cos_sim
+  FROM probes p JOIN assign a ON a.c_id = p.c_id
+  WHERE a.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= {k}
+"""
+
+
 def q_lsh_bucketed_topk(spark, sf):
     """ANN top-k via SRP bucket cohorts: score only corpus vectors
     sharing the query's bucket — the 100 TB path where brute force is
@@ -1284,6 +1350,7 @@ def registry() -> dict[str, tuple]:
         "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
         "cosine_near_dup": (q_cosine_near_dup, _cosine_near_dup_sql()),
         "ivf_topk": (q_ivf_topk, _ivf_sql()),
+        "ivf_kmeans_topk": (q_ivf_kmeans_topk, _ivf_kmeans_sql()),
         "srp_buckets": (q_srp_buckets, _srp_sql()),
         "lsh_bucketed_topk": (q_lsh_bucketed_topk, _lsh_bucketed_sql()),
         "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
