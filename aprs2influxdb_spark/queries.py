@@ -1296,6 +1296,18 @@ def q_streaming_asof_calibration(spark, sf):
     return streaming_asof_calibration(spark, sf)
 
 
+def q_streaming_asof_tws(spark, sf):
+    from aprs2influxdb_spark.streaming.bounded import streaming_asof_tws
+
+    return streaming_asof_tws(spark, sf)
+
+
+def _tws_available() -> bool:
+    from aprs2influxdb_spark.streaming.bounded import tws_available
+
+    return tws_available()
+
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -1365,4 +1377,12 @@ def registry() -> dict[str, tuple]:
         "streaming_time_bucket": (q_streaming_time_bucket, SQL_TIME_BUCKET),
         "streaming_distinct_keys": (q_streaming_distinct_keys, SQL_STREAMING_DISTINCT),
         "streaming_asof_calibration": (q_streaming_asof_calibration, SQL_ASOF_CALIBRATION),
+        # transformWithState twin registers only where its protobuf
+        # dependency exists (absent in this container; the operator and
+        # its skipping test remain — see streaming.bounded.tws_available)
+        **(
+            {"streaming_asof_tws": (q_streaming_asof_tws, SQL_ASOF_CALIBRATION)}
+            if _tws_available()
+            else {}
+        ),
     }

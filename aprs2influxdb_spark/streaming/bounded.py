@@ -42,6 +42,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -162,6 +163,92 @@ def _asof_group(
     state.update((calib,))
     if out:
         yield pd.DataFrame(out, columns=["event_id", "user_id", "calibrated"])
+
+
+def tws_available() -> bool:
+    """``transformWithStateInPandas`` talks to the JVM state store over
+    protobuf; without ``google.protobuf`` installed the TWS driver
+    worker crashes at query start.  Gate, don't crash (environment has
+    no installer)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class _AsofProcessor(StatefulProcessor):
+    """``transformWithState`` form of :func:`_asof_group` — Spark 4's
+    successor stateful API (typed state variables, RocksDB-backed,
+    timers).  Same per-group semantics: concatenate the micro-batch's
+    chunks, sort by (ts, event_id), 'error' rows upsert the per-user
+    scale factor, other rows emit half-up-rounded scaled values."""
+
+    def init(self, handle) -> None:
+        self._calib = handle.getValueState("calib", "calib double")
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        got = self._calib.get()
+        calib = got[0] if got is not None else None
+        chunks = list(rows)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="stable"
+        )
+        out: list[dict] = []
+        for row in pdf.itertuples():
+            if row.event_type == "error":
+                calib = float(row.value)
+            else:
+                c = 1.0 if calib is None else calib
+                out.append(
+                    {
+                        "event_id": int(row.event_id),
+                        "user_id": int(row.user_id),
+                        "calibrated": math.floor(float(row.value) * c * 10000 + 0.5) / 10000.0,
+                    }
+                )
+        if calib is not None:
+            self._calib.update((calib,))
+        if out:
+            yield pd.DataFrame(out, columns=["event_id", "user_id", "calibrated"])
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_asof_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`streaming_asof_calibration` on ``transformWithState``:
+    identical semantics, run through the newer operator (which requires
+    the RocksDB state store provider — the 1000-executor state backend,
+    exercised here under the same oracle as the legacy-API twin).
+
+    Raises ``RuntimeError`` where :func:`tws_available` is False."""
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas requires google.protobuf, not present "
+            "in this environment — use streaming_asof_calibration (identical "
+            "semantics on applyInPandasWithState)"
+        )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        calibrated = (
+            stream_events(spark, sf_dir)
+            .groupBy("user_id")
+            .transformWithStateInPandas(_AsofProcessor(), ASOF_OUTPUT, "Append", "None")
+        )
+        return run_bounded(spark, calibrated, "append", "stream_asof_tws")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 
 
 def streaming_asof_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:

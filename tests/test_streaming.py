@@ -178,3 +178,24 @@ class TestTimestampedSink:
         assert lines and all(l.rsplit(" ", 1)[1].isdigit() for l in lines)
         # nanosecond magnitude (19 digits for 2024+ epochs)
         assert all(len(l.rsplit(" ", 1)[1]) == 19 for l in lines)
+
+
+class TestTransformWithState:
+    def test_tws_matches_legacy_or_gates(self, spark, sf_dir):
+        """Where protobuf exists, the transformWithState calibration
+        must equal the applyInPandasWithState twin; where it doesn't,
+        the operator must gate with a clear error, not crash the
+        stream."""
+        from aprs2influxdb_spark.streaming.bounded import (
+            streaming_asof_calibration,
+            streaming_asof_tws,
+            tws_available,
+        )
+
+        if not tws_available():
+            with pytest.raises(RuntimeError, match="protobuf"):
+                streaming_asof_tws(spark, sf_dir)
+            return
+        legacy = {tuple(r) for r in streaming_asof_calibration(spark, sf_dir).collect()}
+        tws = {tuple(r) for r in streaming_asof_tws(spark, sf_dir).collect()}
+        assert tws == legacy
