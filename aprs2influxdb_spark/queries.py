@@ -1296,6 +1296,24 @@ def q_streaming_asof_calibration(spark, sf):
     return streaming_asof_calibration(spark, sf)
 
 
+def q_streaming_static_join(spark, sf):
+    from aprs2influxdb_spark.streaming.bounded import streaming_static_join
+
+    return streaming_static_join(spark, sf)
+
+
+SQL_STREAMING_STATIC_JOIN = """
+WITH dim AS (
+  SELECT user_id, arg_max(value, ts) AS last_error_value
+  FROM events WHERE event_type = 'error' GROUP BY user_id
+)
+SELECT e.event_id, e.user_id,
+       (floor((e.value * coalesce(dim.last_error_value, 1.0)) * 10000 + 0.5) / 10000.0) AS scaled
+FROM events e LEFT JOIN dim USING (user_id)
+WHERE e.event_type != 'error'
+"""
+
+
 def q_streaming_asof_tws(spark, sf):
     from aprs2influxdb_spark.streaming.bounded import streaming_asof_tws
 
@@ -1377,6 +1395,7 @@ def registry() -> dict[str, tuple]:
         "streaming_time_bucket": (q_streaming_time_bucket, SQL_TIME_BUCKET),
         "streaming_distinct_keys": (q_streaming_distinct_keys, SQL_STREAMING_DISTINCT),
         "streaming_asof_calibration": (q_streaming_asof_calibration, SQL_ASOF_CALIBRATION),
+        "streaming_static_join": (q_streaming_static_join, SQL_STREAMING_STATIC_JOIN),
         # transformWithState twin registers only where its protobuf
         # dependency exists (absent in this container; the operator and
         # its skipping test remain — see streaming.bounded.tws_available)

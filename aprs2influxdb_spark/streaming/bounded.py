@@ -118,6 +118,35 @@ def streaming_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_bounded(spark, dedup, "append", "stream_distinct")
 
 
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join: the events stream enriched with
+    the batch-compacted per-user last-error dimension (the J1-via-
+    compacted-dimension strategy of SURVEY §2.6 — the alternative to
+    keyed state when the dimension is rebuilt per batch).  The static
+    side is broadcast: no stream-side shuffle at all."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.max_by("value", "ts").alias("last_error_value"))
+    )
+    joined = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") != "error")
+        .join(F.broadcast(static), "user_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            rhu(F.col("value") * F.coalesce(F.col("last_error_value"), F.lit(1.0)), 4).alias(
+                "scaled"
+            ),
+        )
+    )
+    return run_bounded(spark, joined, "append", "stream_static_join")
+
+
 ASOF_OUTPUT = StructType(
     [
         StructField("event_id", LongType()),
