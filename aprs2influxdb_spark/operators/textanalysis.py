@@ -26,9 +26,11 @@ LANG_STOPWORDS = {
 TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
-def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-doc quality features: token count, mean token length,
-    punctuation ratio, stopword ratio, plus a blended 0-1 score."""
+def _quality_parts(text_col: str) -> dict:
+    """Quality feature columns, shared by :func:`quality_features` and
+    the composed :func:`select_training_docs` (expression reuse — the
+    composed pipeline is ONE projection, not a join of operator
+    outputs)."""
     toks = tokens_col(text_col)
     n_tokens = F.size(toks)
     n_chars = F.length(F.col(text_col))
@@ -42,20 +44,17 @@ def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc
         + (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0))) * 0.3
         + F.least(stopword_ratio * 5, F.lit(1.0)) * 0.3
     )
-    return docs.select(
-        F.col(id_col),
-        n_tokens.alias("n_tokens"),
-        rhu(mean_tok_len, 4).alias("mean_tok_len"),
-        rhu(punct_ratio, 4).alias("punct_ratio"),
-        rhu(stopword_ratio, 4).alias("stopword_ratio"),
-        rhu(score, 4).alias("quality_score"),
-    )
+    return {
+        "n_tokens": n_tokens,
+        "mean_tok_len": mean_tok_len,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stopword_ratio,
+        "score": score,
+    }
 
 
-def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-vote language ID: hit count per language's list,
-    argmax with deterministic tie order en > de > fr, 'und'(etermined)
-    when nothing hits."""
+def _lang_parts(text_col: str) -> tuple:
+    """(pred_lang, best_hits) columns — see :func:`_quality_parts`."""
     toks = F.array_distinct(tokens_col(text_col))
     hits = {
         lang: F.size(F.array_intersect(toks, F.array([F.lit(w) for w in words])))
@@ -68,7 +67,67 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         .when(hits["de"] == best, "de")
         .otherwise("fr")
     )
+    return pred, best
+
+
+def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality features: token count, mean token length,
+    punctuation ratio, stopword ratio, plus a blended 0-1 score."""
+    p = _quality_parts(text_col)
+    return docs.select(
+        F.col(id_col),
+        p["n_tokens"].alias("n_tokens"),
+        rhu(p["mean_tok_len"], 4).alias("mean_tok_len"),
+        rhu(p["punct_ratio"], 4).alias("punct_ratio"),
+        rhu(p["stopword_ratio"], 4).alias("stopword_ratio"),
+        rhu(p["score"], 4).alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID: hit count per language's list,
+    argmax with deterministic tie order en > de > fr, 'und'(etermined)
+    when nothing hits."""
+    pred, best = _lang_parts(text_col)
     return docs.select(F.col(id_col), pred.alias("pred_lang"), best.alias("n_hits"))
+
+
+def select_training_docs(
+    docs: DataFrame, min_quality: float = 0.6, langs: tuple = ("en",),
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Composed training-data selection — the end-to-end prep query a
+    pipeline runs before tokenization: quality gate + language gate +
+    exact dedup (canonical = min id per content digest, with the
+    surviving duplicate count).
+
+    Plan shape at 100 TB: ONE narrow projection computes digest,
+    quality score, and language (the operators compose as column
+    expressions, not DataFrame joins — three scans and two joins
+    collapse into zero of each); the gates filter BEFORE the dedup
+    window, so the only shuffle keys the (already filtered) 16-byte
+    digest.  The filter comparison uses the 4-decimal-rounded score on
+    both engines, keeping the boundary deterministic."""
+    from pyspark.sql import Window
+
+    p = _quality_parts(text_col)
+    pred, _best = _lang_parts(text_col)
+    feats = docs.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("text_md5"),
+        rhu(p["score"], 4).alias("quality_score"),
+        pred.alias("pred_lang"),
+    )
+    kept = feats.filter(
+        (F.col("quality_score") >= min_quality) & F.col("pred_lang").isin(*langs)
+    )
+    w = Window.partitionBy("text_md5")
+    return (
+        kept.withColumn("rn", F.row_number().over(w.orderBy(id_col)))
+        .withColumn("n_dups", F.count("*").over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "pred_lang", "quality_score", "n_dups")
+    )
 
 
 def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

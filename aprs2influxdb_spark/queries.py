@@ -1220,6 +1220,38 @@ FROM documents
 """
 
 
+def q_training_data_prep(spark, sf):
+    """Composed end-to-end training-data selection: quality gate +
+    language gate + exact dedup in one narrow projection + one window
+    (no joins — the operator expressions compose as columns)."""
+    return ta.select_training_docs(_t(spark, sf, "documents"), min_quality=0.6, langs=("en",))
+
+
+_SCORE = f"""(floor((least(len({_TOKS}) / 50.0, 1.0) * 0.4
+             + (1.0 - least(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) * 4.0 / length(text), 1.0)) * 0.3
+             + least(len(list_filter({_TOKS}, t -> list_contains({_SW_EN}, t))) * 5.0 / len({_TOKS}), 1.0) * 0.3) * 10000 + 0.5) / 10000.0)"""
+
+SQL_TRAINING_DATA_PREP = f"""
+WITH feats AS (
+  SELECT doc_id, md5(text) AS text_md5,
+         {_SCORE} AS quality_score,
+         CASE WHEN greatest({_HIT['en']}, {_HIT['de']}, {_HIT['fr']}) <= 0 THEN 'und'
+              WHEN {_HIT['en']} = greatest({_HIT['en']}, {_HIT['de']}, {_HIT['fr']}) THEN 'en'
+              WHEN {_HIT['de']} = greatest({_HIT['en']}, {_HIT['de']}, {_HIT['fr']}) THEN 'de'
+              ELSE 'fr' END AS pred_lang
+  FROM documents
+), kept AS (
+  SELECT * FROM feats WHERE quality_score >= 0.6 AND pred_lang IN ('en')
+)
+SELECT doc_id, pred_lang, quality_score, n_dups FROM (
+  SELECT doc_id, pred_lang, quality_score,
+         row_number() OVER (PARTITION BY text_md5 ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY text_md5) AS n_dups
+  FROM kept
+) WHERE rn = 1
+"""
+
+
 def q_token_counts(spark, sf):
     return ta.token_counts(_t(spark, sf, "documents"))
 
@@ -1388,6 +1420,7 @@ def registry() -> dict[str, tuple]:
         "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
         "lang_id": (q_lang_id, SQL_LANG_ID),
         "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+        "training_data_prep": (q_training_data_prep, SQL_TRAINING_DATA_PREP),
         "rolling_fingerprint": (q_rolling_fingerprint, SQL_ROLLING_FINGERPRINT),
         # multimodal
         "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
