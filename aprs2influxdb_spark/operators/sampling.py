@@ -1,0 +1,57 @@
+"""Deterministic sampling / splitting for training-data pipelines
+(north star; no analog in the reference — SURVEY §2.9).
+
+Random sampling at 100 TB must be reproducible, resumable, and
+shuffle-free — which rules out ``rand()`` (nondeterministic across
+retries and executors).  Both operators key off the portable content
+hash instead: the same row lands in the same split/sample on every
+engine, every run, every retry, and adding new rows never reassigns
+existing ones (the property that keeps train/val splits stable as a
+corpus grows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aprs2influxdb_spark.functions.hashing import portable_hash64
+
+
+def hash_split(
+    df: DataFrame, id_col: str = "doc_id",
+    splits: tuple = (("train", 95), ("val", 5)), salt: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by bucketing
+    ``hash(salt || id) % total_weight`` — the standard deterministic
+    train/val/test split.  Narrow projection, zero shuffles; split
+    ratios hold in expectation per the hash's uniformity.
+
+    ``splits`` is ((name, weight), ...) in priority order; ``salt``
+    decorrelates independent splits of the same corpus.
+    """
+    total = sum(w for _name, w in splits)
+    bucket = F.pmod(portable_hash64(F.concat(F.lit(salt + "_"), F.col(id_col).cast("string"))), F.lit(total))
+    edge = 0
+    expr = None
+    for name, w in splits:
+        edge += w
+        cond = bucket < edge
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)
+
+
+def uniform_sample(
+    df: DataFrame, n: int, id_col: str = "doc_id", salt: str = "sample",
+) -> DataFrame:
+    """Deterministic uniform sample without replacement: the ``n``
+    rows with the smallest salted id-hash.  Equivalent in distribution
+    to a uniform draw, but reproducible and engine-portable.
+
+    Physical plan is TakeOrderedAndProject (per-partition top-n, then
+    a driver-side merge of n·partitions candidates) — no global sort,
+    no full shuffle, which is what makes "sample 10k of 100 B rows"
+    a cheap operation.
+    """
+    h = portable_hash64(F.concat(F.lit(salt + "_"), F.col(id_col).cast("string")))
+    return df.withColumn("_h", h).orderBy(F.col("_h").asc(), F.col(id_col).asc()).limit(n).drop("_h")

@@ -1282,6 +1282,38 @@ FROM documents
 # tested in tests/test_multimodal.py — no SQL twin for mapInPandas)
 # --------------------------------------------------------------------
 
+def q_train_val_split(spark, sf):
+    """Deterministic hash-bucketed train/val split (95/5) — stable
+    across runs, engines, and corpus growth; zero shuffles."""
+    from aprs2influxdb_spark.operators.sampling import hash_split
+
+    return hash_split(_t(spark, sf, "documents")).select("doc_id", "split")
+
+
+_SPLIT_HASH = portable_hash64_sql("'split_' || doc_id::VARCHAR") + " % 100"
+
+SQL_TRAIN_VAL_SPLIT = f"""
+SELECT doc_id, CASE WHEN {_SPLIT_HASH} < 95 THEN 'train' ELSE 'val' END AS split
+FROM documents
+"""
+
+
+def q_uniform_sample(spark, sf):
+    """Deterministic uniform 100-row sample: smallest salted id-hashes
+    (TakeOrderedAndProject — per-partition top-n, no global sort)."""
+    from aprs2influxdb_spark.operators.sampling import uniform_sample
+
+    return uniform_sample(_t(spark, sf, "documents"), 100).select("doc_id")
+
+
+_SAMPLE_HASH = portable_hash64_sql("'sample_' || doc_id::VARCHAR")
+
+SQL_UNIFORM_SAMPLE = f"""
+SELECT doc_id FROM documents
+ORDER BY {_SAMPLE_HASH}, doc_id LIMIT 100
+"""
+
+
 def q_multimodal_meta(spark, sf):
     """Binary-column metadata: byte length + digest of the payload
     (documents.text stands in as the blob; real media rides a binary
@@ -1421,6 +1453,8 @@ def registry() -> dict[str, tuple]:
         "lang_id": (q_lang_id, SQL_LANG_ID),
         "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
         "training_data_prep": (q_training_data_prep, SQL_TRAINING_DATA_PREP),
+        "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
+        "uniform_sample": (q_uniform_sample, SQL_UNIFORM_SAMPLE),
         "rolling_fingerprint": (q_rolling_fingerprint, SQL_ROLLING_FINGERPRINT),
         # multimodal
         "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
