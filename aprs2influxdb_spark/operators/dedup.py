@@ -126,10 +126,13 @@ def minhash_lsh_pairs(
         (b, F.md5(F.concat_ws("_", F.lit(b), *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])))
         for b in range(bands)
     ]
+    # lazy checkpoint: both self-join sides consume the banded table —
+    # without it the whole signature subtree (tokenize + hash + 16
+    # permutation mins) runs twice
     banded = sigs.select(
         F.col(id_col),
         F.explode(F.array(*[F.struct(F.lit(b).alias("band"), k.alias("key")) for b, k in band_key])).alias("bk"),
-    ).select(id_col, "bk.band", "bk.key")
+    ).select(id_col, "bk.band", "bk.key").localCheckpoint(eager=False)
 
     # shuffle-hash, not broadcast: at toy scale Spark would broadcast the
     # banded corpus (it fits), recomputing the whole signature subtree
@@ -145,7 +148,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = docs.select(F.col(id_col), hashed_shingles(tokens_col(text_col), shingle_n).alias("sh"))
+    sh = docs.select(
+        F.col(id_col), hashed_shingles(tokens_col(text_col), shingle_n).alias("sh")
+    ).localCheckpoint(eager=False)  # consumed by both verification sides
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     verified = (
@@ -180,7 +185,11 @@ def ngram_jaccard_pairs(
     fanout; candidates here are already bounded by the synthetic
     corpus' shingle sharing.
     """
-    arr = docs.select(F.col(id_col), hashed_shingles(tokens_col(text_col), shingle_n).alias("arr"))
+    # lazy checkpoint: the inverted index is consumed by BOTH sides of
+    # the self-join — without it the tokenize+hash subtree runs twice
+    arr = docs.select(
+        F.col(id_col), hashed_shingles(tokens_col(text_col), shingle_n).alias("arr")
+    ).localCheckpoint(eager=False)
     sh = arr.select(
         F.col(id_col), F.size("arr").alias("n_sh"), F.explode("arr").alias("shingle")
     )
@@ -204,6 +213,88 @@ def ngram_jaccard_pairs(
     )
 
 
+def _capped_candidates(arr: DataFrame, id_col: str, max_doc_freq: int) -> DataFrame:
+    """Stop-shingle-pruned candidate pairs (id_a < id_b) from a
+    (id, shingle-hash-array) frame — the shared candidate stage of
+    :func:`ngram_jaccard_pairs_capped` and :func:`edit_distance_pairs`.
+    Shingles with document frequency above ``max_doc_freq`` never
+    enter the self-join, bounding fanout at ``max_doc_freq²`` per
+    shingle."""
+    sh = arr.select(F.col(id_col), F.explode("arr").alias("shingle"))
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_doc_freq)
+        .select("shingle")
+    )
+    pruned = sh.join(keep.hint("shuffle_hash"), "shingle")
+    return (
+        pruned.alias("a").hint("shuffle_hash").join(pruned.alias("b"), "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def edit_distance_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 3, max_doc_freq: int = 5, min_sim: float = 0.5,
+) -> DataFrame:
+    """Character-level near-dup pairs: stop-shingle-capped candidates
+    (same stage as :func:`ngram_jaccard_pairs_capped`), verified with
+    exact Levenshtein distance — the strictest rung of the dedup
+    ladder, catching small in-place edits that token-set methods score
+    identically.
+
+    ``edit_sim = 1 - dist / max(len)``.  Levenshtein is O(len_a ×
+    len_b) per pair — affordable precisely BECAUSE the inverted-index
+    pruning bounds the candidate count; an uncapped all-pairs
+    Levenshtein is never a plan.  ``F.levenshtein`` is a codegen'd
+    JVM builtin with an exact DuckDB twin, and the similarity is
+    rounded to 4 decimals on both engines.
+
+    Three measured plan decisions (sf0.1: 22.6 s → ~2 s):
+
+    - the shingle index is lazily ``localCheckpoint``-ed — four plan
+      arms (df-cap, both self-join sides, nothing else shares a scan)
+      otherwise each re-run tokenize+hash over the corpus;
+    - an EXACT length-difference prune runs before the DP:
+      ``dist ≥ |len_a − len_b|``, so a pair whose length-bound
+      similarity is already below ``min_sim`` can't pass (the oracle
+      applies the identical bound, so parity is unaffected);
+    - an explicit ``repartition`` of the candidate ids BEFORE the text
+      joins: AQE rightly coalesces the (tiny-by-bytes) candidate
+      shuffle to ~1 partition, but the DP is ms-per-ROW, not per-byte
+      — without it every Levenshtein runs on one core (measured 16 s
+      of the 22.6).  It must sit BELOW the joins: placed above them,
+      PushDownPredicate pushes the similarity filter (which embeds the
+      Levenshtein) back through Repartition into the single-partition
+      stage; the join is the one barrier a two-sided predicate cannot
+      cross."""
+    arr = docs.select(
+        F.col(id_col), hashed_shingles(tokens_col(text_col), shingle_n).alias("arr")
+    ).localCheckpoint(eager=False)
+    cand = _capped_candidates(arr, id_col, max_doc_freq)
+    a = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("t_a"))
+    b = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("t_b"))
+    len_bound = F.lit(1.0) - F.abs(F.length("t_a") - F.length("t_b")) / F.greatest(
+        F.length("t_a"), F.length("t_b")
+    )
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        cand.repartition(par)
+        .join(a, "id_a").join(b, "id_b")
+        .filter(len_bound >= min_sim)
+        .withColumn("edit_dist", F.levenshtein("t_a", "t_b"))
+        .withColumn(
+            "edit_sim",
+            rhu(F.lit(1.0) - F.col("edit_dist") / F.greatest(F.length("t_a"), F.length("t_b")), 4),
+        )
+        .filter(F.col("edit_sim") >= min_sim)
+        .select("id_a", "id_b", "edit_dist", "edit_sim")
+    )
+
+
 def ngram_jaccard_pairs_capped(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     shingle_n: int = 3, threshold: float = 0.3, max_doc_freq: int = 5,
@@ -224,21 +315,13 @@ def ngram_jaccard_pairs_capped(
     overlap solely in boilerplate.  This is the standard CCNet/Gopher
     -style inverted-index pruning trade.
     """
-    arr = docs.select(F.col(id_col), hashed_shingles(tokens_col(text_col), shingle_n).alias("arr"))
-    sh = arr.select(F.col(id_col), F.explode("arr").alias("shingle"))
-    keep = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= max_doc_freq)
-        .select("shingle")
-    )
-    pruned = sh.join(keep.hint("shuffle_hash"), "shingle")
-    cand = (
-        pruned.alias("a").hint("shuffle_hash").join(pruned.alias("b"), "shingle")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    # lazy checkpoint: five plan arms consume the shingle index (df
+    # cap, two self-join sides, two verification sides) — each would
+    # re-run tokenize+hash over the corpus (measured 4× at sf0.1)
+    arr = docs.select(
+        F.col(id_col), hashed_shingles(tokens_col(text_col), shingle_n).alias("arr")
+    ).localCheckpoint(eager=False)
+    cand = _capped_candidates(arr, id_col, max_doc_freq)
     a = arr.select(F.col(id_col).alias("id_a"), F.col("arr").alias("sh_a"))
     b = arr.select(F.col(id_col).alias("id_b"), F.col("arr").alias("sh_b"))
     return (

@@ -41,6 +41,32 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def stratified_sample(
+    df: DataFrame, n_per_group: int, group_col: str,
+    id_col: str = "doc_id", salt: str = "strat",
+) -> DataFrame:
+    """Deterministic stratified sample: the ``n_per_group`` rows with
+    the smallest salted id-hash within each group — fixed-size
+    per-stratum sampling (per language, per source, per label) that is
+    reproducible and growth-stable like :func:`uniform_sample`.
+
+    One shuffle on the group key, then a per-group ordered rank.  A
+    hot stratum sorts ``its`` rows on one partition's spill path —
+    at extreme skew, pre-filter with an approximate per-group hash
+    threshold first so the window only ranks ~n_per_group survivors.
+    """
+    from pyspark.sql import Window
+
+    h = portable_hash64(F.concat(F.lit(salt + "_"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_group)
+        .drop("_h", "_rk")
+    )
+
+
 def uniform_sample(
     df: DataFrame, n: int, id_col: str = "doc_id", salt: str = "sample",
 ) -> DataFrame:

@@ -136,6 +136,37 @@ def cosine_near_dup_pairs(
     )
 
 
+def quantize_embeddings(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column: per-vector
+    scale = 127 / max|component|, q[i] = round(v[i] × scale) — the
+    4×-compression step before an ANN index is built or shipped.
+
+    One narrow projection, zero shuffles.  The max-abs is let-bound
+    via the one-element ``transform`` trick (see ``hashed_shingles``):
+    referencing it from inside the per-component lambda would re-scan
+    the array per component — O(d²) per row.  All-zero vectors get a
+    null scale (``nullif``) rather than an Infinity, on both engines.
+    Output: (id, scale rounded to 6, q as int array).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    m = F.array_max(F.transform(v, F.abs))
+    qs = F.get(
+        F.transform(
+            F.array(F.lit(127.0) / F.nullif(m, F.lit(0.0))),
+            lambda scale: F.struct(
+                rhu(scale, 6).alias("scale"),
+                F.transform(v, lambda x: F.round(x * scale).cast("int")).alias("q"),
+            ),
+        ),
+        0,
+    )
+    return emb.select(F.col(id_col), qs.alias("_s")).select(
+        id_col, F.col("_s.scale").alias("scale"), F.col("_s.q").alias("q")
+    )
+
+
 def ivf_assignments(
     emb: DataFrame, n_centroids: int = 16,
     id_col: str = "vec_id", vec_col: str = "embedding",

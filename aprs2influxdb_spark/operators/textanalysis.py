@@ -137,6 +137,43 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     return docs.select(F.col(id_col), ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
 
 
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` terms per document by TF-IDF — the keyword/feature-
+    extraction step of a text pipeline.
+
+    score = tf × ln(N / df), ranked per doc with a deterministic
+    (rounded-score desc, term asc) tie-break.
+
+    Scale shape: explode → (doc, term) count (map-side partial agg
+    soaks up within-doc repeats before the shuffle), then document
+    frequency via a window over the term — the same shuffle key the
+    inverted index would use, and no join against a separate df table.
+    The corpus size N is a 1-row aggregate broadcast into the plan,
+    never a driver-side collect.  Final per-doc ranking re-shuffles on
+    the doc id.  Ranking uses the 6-decimal-rounded score so ln() ULP
+    noise between engines can't flip an ordering."""
+    from pyspark.sql import Window
+
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    wt = Window.partitionBy("term")
+    wd = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        tf.withColumn("df", F.count("*").over(wt))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", rhu(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6))
+        .withColumn("rk", F.row_number().over(wd))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tfidf", "rk")
+    )
+
+
 def rolling_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Polynomial rolling hash over the document's tokens:
     h = fold(h * 31 + hash(token)) mod 1e9+7 — an order-sensitive

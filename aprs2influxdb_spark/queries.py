@@ -1390,6 +1390,175 @@ def _tws_available() -> bool:
     return tws_available()
 
 
+def q_tfidf_top_terms(spark, sf):
+    """Top-3 TF-IDF terms per document (keyword extraction)."""
+    return ta.tfidf_top_terms(_t(spark, sf, "documents"), k=3)
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents)
+  GROUP BY doc_id, term
+), d AS (
+  SELECT doc_id, term, tf, count(*) OVER (PARTITION BY term) AS df FROM tf
+), n AS (SELECT count(*) AS n_docs FROM documents),
+s AS (
+  SELECT doc_id, term,
+         (floor((tf * ln(n_docs * 1.0 / df)) * 1000000 + 0.5) / 1000000.0) AS tfidf
+  FROM d, n
+)
+SELECT doc_id, term, tfidf, rk FROM (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+  FROM s
+) WHERE rk <= 3
+"""
+
+
+def q_stratified_sample(spark, sf):
+    """Deterministic 20-per-language stratified sample."""
+    from aprs2influxdb_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf, "documents"), 20, group_col="lang"
+    ).select("doc_id", "lang")
+
+
+_STRAT_HASH = portable_hash64_sql("'strat_' || doc_id::VARCHAR")
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY {_STRAT_HASH} ASC, doc_id ASC) AS rk
+  FROM documents
+) WHERE rk <= 20
+"""
+
+
+def q_edit_distance_pairs(spark, sf):
+    """Levenshtein-verified near-dup pairs on stop-shingle-capped
+    candidates (strictest dedup-ladder rung)."""
+    return dd.edit_distance_pairs(_t(spark, sf, "documents"), min_sim=0.5)
+
+
+_EDIT_SIM = (
+    "(floor((1.0 - levenshtein(x.text, y.text) * 1.0"
+    " / greatest(length(x.text), length(y.text))) * 10000 + 0.5) / 10000.0)"
+)
+
+SQL_EDIT_DISTANCE_PAIRS = f"""
+WITH {_TOKH_CTE}, arr AS (
+  SELECT doc_id, {_HSH_SQL} AS arr FROM tokh
+), sh AS (
+  SELECT doc_id, unnest(arr) AS shingle FROM arr
+), keep AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 5
+), pruned AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, levenshtein(x.text, y.text) AS edit_dist, {_EDIT_SIM} AS edit_sim
+FROM cand JOIN documents x ON x.doc_id = id_a JOIN documents y ON y.doc_id = id_b
+WHERE 1.0 - abs(length(x.text) - length(y.text)) * 1.0
+          / greatest(length(x.text), length(y.text)) >= 0.5
+  AND {_EDIT_SIM} >= 0.5
+"""
+
+
+def q_quantize_embeddings(spark, sf):
+    """Int8 symmetric quantization of the embedding column (q string-
+    encoded — the driver hashes array cells engine-specifically)."""
+    qd = sim.quantize_embeddings(_t(spark, sf, "embeddings"))
+    return qd.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.transform("q", lambda x: x.cast("string")), "_").alias("q"),
+    )
+
+
+SQL_QUANTIZE_EMBEDDINGS = """
+WITH m AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+  FROM embeddings
+), s AS (
+  SELECT vec_id, v, 127.0 / nullif(mx, 0.0) AS raw_scale FROM m
+)
+SELECT vec_id,
+       (floor((raw_scale) * 1000000 + 0.5) / 1000000.0) AS scale,
+       array_to_string(list_transform(v, x -> (CAST(round(x * raw_scale) AS INTEGER))::VARCHAR), '_') AS q
+FROM s
+"""
+
+
+def q_histogram_prices(spark, sf):
+    """Fixed-width histogram of l_extendedprice (5000-wide bins) —
+    the profiling pass before outlier filtering; one scan, one
+    map-side-combined groupBy on ~21 bin keys."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.select(F.floor(F.col("l_extendedprice") / F.lit(5000.0)).cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+        .withColumn("lo", rhu(F.col("bin") * 5000.0, 2))
+    )
+
+
+SQL_HISTOGRAM_PRICES = """
+SELECT bin, count(*) AS n, (floor((bin * 5000.0) * 100 + 0.5) / 100.0) AS lo
+FROM (SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin FROM lineitem)
+GROUP BY bin
+"""
+
+
+def q_gap_fill(spark, sf):
+    """Time-series gap fill: per-type minute grid (sequence+explode)
+    left-joined to the bucketed aggregate, forward-filled with
+    ``last ignore nulls`` — InfluxDB's ``fill(previous)``.
+
+    Scale shape: the grid derives from per-series min/max spans (tiny
+    after the first agg), the join shuffles on (series, minute), and
+    the fill window partitions per series.  Series count is the
+    parallelism unit — at 100 TB this is millions of series, not 5."""
+    ev = _t(spark, sf, "events")
+    per_min = (
+        ev.groupBy("event_type", F.date_trunc("minute", "ts").alias("minute"))
+        .agg(rhu(F.sum("value"), 2).alias("v"))
+    )
+    spans = per_min.groupBy("event_type").agg(
+        F.min("minute").alias("lo"), F.max("minute").alias("hi")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 MINUTE"))).alias("minute"),
+    )
+    w = Window.partitionBy("event_type").orderBy("minute")
+    return (
+        grid.join(per_min, ["event_type", "minute"], "left")
+        .withColumn("v_filled", F.last("v", ignorenulls=True).over(w))
+        .select("event_type", "minute", "v_filled")
+    )
+
+
+SQL_GAP_FILL = """
+WITH per_min AS (
+  SELECT event_type, date_trunc('minute', ts)::TIMESTAMP AS minute,
+         (floor((sum(value)) * 100 + 0.5) / 100.0) AS v
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT event_type, min(minute) AS lo, max(minute) AS hi FROM per_min GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS minute FROM spans
+)
+SELECT event_type, minute,
+       last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY minute) AS v_filled
+FROM grid LEFT JOIN per_min USING (event_type, minute)
+"""
+
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -1455,7 +1624,13 @@ def registry() -> dict[str, tuple]:
         "training_data_prep": (q_training_data_prep, SQL_TRAINING_DATA_PREP),
         "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
         "uniform_sample": (q_uniform_sample, SQL_UNIFORM_SAMPLE),
+        "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
         "rolling_fingerprint": (q_rolling_fingerprint, SQL_ROLLING_FINGERPRINT),
+        "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+        "edit_distance_pairs": (q_edit_distance_pairs, SQL_EDIT_DISTANCE_PAIRS),
+        "quantize_embeddings": (q_quantize_embeddings, SQL_QUANTIZE_EMBEDDINGS),
+        "histogram_prices": (q_histogram_prices, SQL_HISTOGRAM_PRICES),
+        "gap_fill": (q_gap_fill, SQL_GAP_FILL),
         # multimodal
         "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
         # streaming (bounded-stream execution of the streaming plans)

@@ -40,12 +40,15 @@ HEADLINE = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "ngram_jaccard",
+    "edit_distance_pairs",
     "simhash",
     "cosine_topk",
     "cosine_near_dup",
     "ivf_topk",
     "text_quality",
     "rolling_fingerprint",
+    "tfidf_top_terms",
+    "gap_fill",
 ]
 
 
