@@ -32,6 +32,14 @@ from aprs2influxdb_spark.functions.hashing import (
     hashed_shingles,
     portable_hash64,
 )
+from aprs2influxdb_spark.functions.partitioning import spread_for_compute
+
+
+def _spread_docs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Narrow (id, text) projection spread to core count — every
+    operator below starts with per-token md5 hashing, whose cost is
+    per ROW, not per byte; see ``functions.partitioning``."""
+    return spread_for_compute(docs.select(id_col, text_col))
 
 
 def tokens_col(text_col: str = "text"):
@@ -59,6 +67,10 @@ def fingerprint_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "do
     """Near-exact dedup on the sorted distinct token set (catches
     word-order shuffles and repeated tokens).  Key staged as a column
     — see :func:`exact_dedup`."""
+    # no compute-spread here: the fingerprint expression is cheap enough
+    # that the extra exchange costs more than the serial scan-side eval
+    # saves (measured 0.34 s vs 0.68 s at sf0.1); the groupBy's own
+    # shuffle bounds the damage at any scale
     fp = F.md5(F.array_join(F.array_sort(F.array_distinct(tokens_col(text_col))), " "))
     return (
         docs.select(fp.alias("fingerprint"), F.col(id_col))
@@ -87,6 +99,7 @@ def minhash_signatures(
     """
     from aprs2influxdb_spark.functions.hashing import MINHASH_P, minhash_coeffs
 
+    docs = _spread_docs(docs, id_col, text_col)
     hashed = docs.select(
         F.col(id_col),
         F.transform(
@@ -148,7 +161,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = docs.select(
+    sh = _spread_docs(docs, id_col, text_col).select(
         F.col(id_col), hashed_shingles(tokens_col(text_col), shingle_n).alias("sh")
     ).localCheckpoint(eager=False)  # consumed by both verification sides
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
@@ -187,7 +200,7 @@ def ngram_jaccard_pairs(
     """
     # lazy checkpoint: the inverted index is consumed by BOTH sides of
     # the self-join — without it the tokenize+hash subtree runs twice
-    arr = docs.select(
+    arr = _spread_docs(docs, id_col, text_col).select(
         F.col(id_col), hashed_shingles(tokens_col(text_col), shingle_n).alias("arr")
     ).localCheckpoint(eager=False)
     sh = arr.select(
@@ -271,7 +284,7 @@ def edit_distance_pairs(
       Levenshtein) back through Repartition into the single-partition
       stage; the join is the one barrier a two-sided predicate cannot
       cross."""
-    arr = docs.select(
+    arr = _spread_docs(docs, id_col, text_col).select(
         F.col(id_col), hashed_shingles(tokens_col(text_col), shingle_n).alias("arr")
     ).localCheckpoint(eager=False)
     cand = _capped_candidates(arr, id_col, max_doc_freq)
@@ -318,7 +331,7 @@ def ngram_jaccard_pairs_capped(
     # lazy checkpoint: five plan arms consume the shingle index (df
     # cap, two self-join sides, two verification sides) — each would
     # re-run tokenize+hash over the corpus (measured 4× at sf0.1)
-    arr = docs.select(
+    arr = _spread_docs(docs, id_col, text_col).select(
         F.col(id_col), hashed_shingles(tokens_col(text_col), shingle_n).alias("arr")
     ).localCheckpoint(eager=False)
     cand = _capped_candidates(arr, id_col, max_doc_freq)
@@ -407,6 +420,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
     — each of the ``bits`` folds referencing the raw expression would
     re-md5 every token, a measured 8× slowdown at sf0.1.
     """
+    docs = _spread_docs(docs, id_col, text_col)
     hashed = F.transform(tokens_col(text_col), lambda t: portable_hash64(t))
 
     def _sig(h: Column) -> Column:

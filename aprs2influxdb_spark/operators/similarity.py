@@ -17,7 +17,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from aprs2influxdb_spark.functions.partitioning import spread_for_compute
 from aprs2influxdb_spark.functions.rounding import rhu
+
+
+def _spread_vecs(emb, id_col, vec_col):
+    """Narrow (id, vector) projection spread to core count — every
+    scoring stage below is a per-row HOF fold (interpreted, not
+    codegen'd), the definition of per-ROW cost; see
+    ``functions.partitioning``."""
+    return spread_for_compute(emb.select(id_col, vec_col))
 
 
 def _dot(a, b):
@@ -51,7 +60,10 @@ def brute_force_topk(
     )
     scored = (
         F.broadcast(q)
-        .crossJoin(emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")))
+        .crossJoin(
+            _spread_vecs(emb, id_col, vec_col)
+            .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+        )
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos_sim", rhu(cosine(F.col("qv").cast("array<double>"), F.col("nv").cast("array<double>")), 4))
     )
@@ -116,11 +128,14 @@ def cosine_near_dup_pairs(
     O(n^2) stage exists.  Recall loss is the documented LSH trade;
     the oracle mirrors the same bucketing, so parity is exact.
     """
-    bucketed = emb.select(
+    # spread before the SRP folds (per-row HOF cost), checkpoint after:
+    # both self-join sides consume the bucketed table, and a broadcast
+    # build side would otherwise recompute the whole bucketing subtree
+    bucketed = _spread_vecs(emb, id_col, vec_col).select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("v"),
         srp_bucket(F.col(vec_col), n_planes, seed).alias("bucket"),
-    ).withColumn("nrm", _norm(F.col("v")))
+    ).withColumn("nrm", _norm(F.col("v"))).localCheckpoint(eager=False)
     a = bucketed.select(
         F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "bucket"
     )
@@ -143,7 +158,8 @@ def quantize_embeddings(
     scale = 127 / max|component|, q[i] = round(v[i] × scale) — the
     4×-compression step before an ANN index is built or shipped.
 
-    One narrow projection, zero shuffles.  The max-abs is let-bound
+    One narrow projection (plus the local-only compute spread, a
+    no-op on a real cluster scan).  The max-abs is let-bound
     via the one-element ``transform`` trick (see ``hashed_shingles``):
     referencing it from inside the per-component lambda would re-scan
     the array per component — O(d²) per row.  All-zero vectors get a
@@ -162,7 +178,7 @@ def quantize_embeddings(
         ),
         0,
     )
-    return emb.select(F.col(id_col), qs.alias("_s")).select(
+    return _spread_vecs(emb, id_col, vec_col).select(F.col(id_col), qs.alias("_s")).select(
         id_col, F.col("_s.scale").alias("scale"), F.col("_s.q").alias("q")
     )
 
@@ -188,7 +204,8 @@ def ivf_assignments(
         .select(F.col(id_col).alias("c_id"), F.col(vec_col).cast("array<double>").alias("cv"))
     )
     scored = (
-        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        _spread_vecs(emb, id_col, vec_col)
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
         .crossJoin(F.broadcast(cent))
         # rank on the 8-decimal-rounded cosine: raw doubles differ in the
         # last bit across engines and would flip near-tied assignments
@@ -294,7 +311,8 @@ def _assign_to_centroids(
     )
     w = Window.partitionBy(id_col).orderBy(F.col("cos_c").desc(), F.col("c_id").asc())
     return (
-        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        _spread_vecs(emb, id_col, vec_col)
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
         .crossJoin(F.broadcast(cent_df))
         .withColumn("cos_c", rhu(cosine(F.col("v"), F.col("cv")), 8))
         .withColumn("rn", F.row_number().over(w))
@@ -358,9 +376,9 @@ def lsh_bucketed_topk(
     """
     from pyspark.sql import Window
 
-    bucketed = emb.select(
+    bucketed = _spread_vecs(emb, id_col, vec_col).select(
         F.col(id_col), F.col(vec_col), srp_bucket(F.col(vec_col), n_planes, seed).alias("bucket")
-    )
+    ).localCheckpoint(eager=False)  # consumed by the query AND corpus sides
     q = bucketed.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
     )

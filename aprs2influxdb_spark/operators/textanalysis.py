@@ -13,7 +13,15 @@ from pyspark.sql import functions as F
 
 from aprs2influxdb_spark.functions.rounding import rhu
 
+from aprs2influxdb_spark.functions.partitioning import spread_for_compute
 from aprs2influxdb_spark.operators.dedup import tokens_col
+
+
+def _spread_docs(docs, id_col, text_col):
+    """Narrow (id, text) projection spread to core count — the regex /
+    array-fold scoring below is per-row CPU; see
+    ``functions.partitioning``."""
+    return spread_for_compute(docs.select(id_col, text_col))
 
 # tiny per-language stopword lists for the n-gram/stopword heuristic
 LANG_STOPWORDS = {
@@ -74,7 +82,7 @@ def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     """Per-doc quality features: token count, mean token length,
     punctuation ratio, stopword ratio, plus a blended 0-1 score."""
     p = _quality_parts(text_col)
-    return docs.select(
+    return _spread_docs(docs, id_col, text_col).select(
         F.col(id_col),
         p["n_tokens"].alias("n_tokens"),
         rhu(p["mean_tok_len"], 4).alias("mean_tok_len"),
@@ -89,7 +97,7 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     argmax with deterministic tie order en > de > fr, 'und'(etermined)
     when nothing hits."""
     pred, best = _lang_parts(text_col)
-    return docs.select(F.col(id_col), pred.alias("pred_lang"), best.alias("n_hits"))
+    return _spread_docs(docs, id_col, text_col).select(F.col(id_col), pred.alias("pred_lang"), best.alias("n_hits"))
 
 
 def select_training_docs(
@@ -112,7 +120,7 @@ def select_training_docs(
 
     p = _quality_parts(text_col)
     pred, _best = _lang_parts(text_col)
-    feats = docs.select(
+    feats = _spread_docs(docs, id_col, text_col).select(
         F.col(id_col),
         F.md5(F.col(text_col)).alias("text_md5"),
         rhu(p["score"], 4).alias("quality_score"),
@@ -134,7 +142,7 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     """Whitespace tokens vs BPE-ish regex tokens per document."""
     ws = F.size(tokens_col(text_col))
     bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0))
-    return docs.select(F.col(id_col), ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
+    return _spread_docs(docs, id_col, text_col).select(F.col(id_col), ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
 
 
 def tfidf_top_terms(
@@ -158,7 +166,8 @@ def tfidf_top_terms(
 
     n_docs = docs.select(F.count("*").alias("n_docs"))
     tf = (
-        docs.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
+        _spread_docs(docs, id_col, text_col)
+        .select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
     )
@@ -186,4 +195,4 @@ def rolling_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "
         F.lit(0).cast("long"),
         lambda acc, t: F.pmod(acc * 31 + F.pmod(portable_hash64(t), F.lit(1_000_000_007)), F.lit(1_000_000_007)),
     )
-    return docs.select(F.col(id_col), h.alias("fingerprint"))
+    return _spread_docs(docs, id_col, text_col).select(F.col(id_col), h.alias("fingerprint"))
