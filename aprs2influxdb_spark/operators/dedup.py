@@ -97,15 +97,22 @@ def minhash_signatures(
       35x slowdown.  CollapseProject leaves multi-referenced non-cheap
       aliases alone, so the staging survives optimization.
     """
+    arr = _spread_docs(docs, id_col, text_col).select(
+        F.col(id_col), hashed_shingles(tokens_col(text_col), shingle_n).alias("sh")
+    )
+    return _signatures_from_shingles(arr, id_col, num_hashes)
+
+
+def _signatures_from_shingles(arr: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """(id, sig) from an (id, sh shingle-hash-array) frame — the
+    signature math of :func:`minhash_signatures`, factored out so
+    :func:`minhash_lsh_pairs` can derive signatures AND verification
+    sets from ONE checkpointed shingle index."""
     from aprs2influxdb_spark.functions.hashing import MINHASH_P, minhash_coeffs
 
-    docs = _spread_docs(docs, id_col, text_col)
-    hashed = docs.select(
+    hashed = arr.select(
         F.col(id_col),
-        F.transform(
-            hashed_shingles(tokens_col(text_col), shingle_n),
-            lambda s: F.pmod(s, F.lit(MINHASH_P)),
-        ).alias("hs"),
+        F.transform(F.col("sh"), lambda s: F.pmod(s, F.lit(MINHASH_P))).alias("hs"),
     )
     sig = F.array(
         *[
@@ -134,7 +141,13 @@ def minhash_lsh_pairs(
     candidate ids.  No O(n^2) stage anywhere.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    # ONE checkpointed shingle index feeds both the signatures and the
+    # exact-Jaccard verification sets — previously two full
+    # tokenize+hash passes over the corpus
+    arr = _spread_docs(docs, id_col, text_col).select(
+        F.col(id_col), hashed_shingles(tokens_col(text_col), shingle_n).alias("sh")
+    ).localCheckpoint(eager=False)
+    sigs = _signatures_from_shingles(arr, id_col, num_hashes)
     band_key = [
         (b, F.md5(F.concat_ws("_", F.lit(b), *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])))
         for b in range(bands)
@@ -161,11 +174,8 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = _spread_docs(docs, id_col, text_col).select(
-        F.col(id_col), hashed_shingles(tokens_col(text_col), shingle_n).alias("sh")
-    ).localCheckpoint(eager=False)  # consumed by both verification sides
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    a = arr.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = arr.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     verified = (
         cand.join(a, "id_a").join(b, "id_b")
         .withColumn(
