@@ -27,11 +27,18 @@ from urllib.parse import urlparse
 from pyspark.sql import DataFrame
 
 
+_SUFFIXES = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50}
+
+
 def _parse_bytes(v: str) -> int:
+    """Spark byte-config strings: bare bytes ('134217728'), bare-b
+    ('134217728b' — what Spark's own defaultValueString emits), and
+    k/m/g/t/p with optional trailing b ('128m', '1gb')."""
     v = v.strip().lower()
-    for suffix, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
-        if v.endswith(suffix + "b") or v.endswith(suffix):
-            return int(float(v.rstrip("b").rstrip(suffix))) * mult
+    if v.endswith("b"):
+        v = v[:-1]
+    if v and v[-1] in _SUFFIXES:
+        return int(float(v[:-1])) * _SUFFIXES[v[-1]]
     return int(v)
 
 
@@ -40,25 +47,29 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
     (~20 ms) logical-plan walk, vs ~100 ms of RDD conversion for
     ``df.rdd.getNumPartitions()``.  ``None`` when the plan has no
     statable file inputs (in-memory fixtures, checkpoints, remote
-    object stores)."""
-    try:
-        files = df.inputFiles()
-    except Exception:
-        return None
+    object stores).
+
+    Mirrors Spark's own packing model (FilePartition): small files are
+    PACKED together, each padded by ``openCostInBytes`` — 100 × 1 MB
+    files are ~4 scan partitions, not 100, so ``max(len(files), …)``
+    would wrongly skip the spread in exactly the many-small-files
+    layout it exists for."""
+    files = df.inputFiles()
     if not files:
         return None
     total = 0
     for f in files:
         path = urlparse(f).path if "://" in f else f
-        try:
-            total += os.path.getsize(path)
-        except OSError:
-            return None
-    maxpb = _parse_bytes(df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
-    # each file contributes >= 1 partition; large files split by bytes
-    # (an over-estimate when row groups are coarse, which only ever
-    # SKIPS the repartition — never adds one a real cluster wouldn't)
-    return max(len(files), -(-total // maxpb))
+        total += os.path.getsize(path)  # OSError -> caller's fallback
+    conf = df.sparkSession.conf
+    maxpb = _parse_bytes(conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    open_cost = _parse_bytes(conf.get("spark.sql.files.openCostInBytes", "4194304"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    padded = total + len(files) * open_cost
+    # Spark's maxSplitBytes: fill the cores unless that would drop
+    # below openCost or exceed maxPartitionBytes
+    max_split = min(maxpb, max(open_cost, padded // max(par, 1)))
+    return max(1, -(-padded // max_split))
 
 
 def spread_for_compute(df: DataFrame) -> DataFrame:
@@ -67,7 +78,10 @@ def spread_for_compute(df: DataFrame) -> DataFrame:
     per-row-expensive stage, after selecting only the columns that
     stage needs (the shuffle then carries the minimum bytes)."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    est = _estimated_scan_partitions(df)
+    try:
+        est = _estimated_scan_partitions(df)
+    except Exception:
+        est = None
     if est is None:
         est = df.rdd.getNumPartitions()
     if est >= par:

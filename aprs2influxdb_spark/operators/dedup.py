@@ -108,7 +108,7 @@ def _signatures_from_shingles(arr: DataFrame, id_col: str, num_hashes: int) -> D
     signature math of :func:`minhash_signatures`, factored out so
     :func:`minhash_lsh_pairs` can derive signatures AND verification
     sets from ONE checkpointed shingle index."""
-    from aprs2influxdb_spark.functions.hashing import MINHASH_P, minhash_coeffs
+    from aprs2influxdb_spark.functions.hashing import minhash_coeffs
 
     hashed = arr.select(
         F.col(id_col),
@@ -272,9 +272,13 @@ def edit_distance_pairs(
     ``edit_sim = 1 - dist / max(len)``.  Levenshtein is O(len_a ×
     len_b) per pair — affordable precisely BECAUSE the inverted-index
     pruning bounds the candidate count; an uncapped all-pairs
-    Levenshtein is never a plan.  ``F.levenshtein`` is a codegen'd
-    JVM builtin with an exact DuckDB twin, and the similarity is
-    rounded to 4 decimals on both engines.
+    Levenshtein is never a plan.  The distance is computed over the
+    ASCII-projected text (non-ASCII → ``?``, the reference's own
+    sanitization — aprs2influxdb/__main__.py encodes ascii/replace):
+    Spark's ``levenshtein`` counts code points but DuckDB's counts
+    BYTES, so the projection is what makes the oracle exact on any
+    input rather than only on ASCII corpora.  Similarity is rounded
+    to 4 decimals on both engines.
 
     Three measured plan decisions (sf0.1: 22.6 s → ~2 s):
 
@@ -298,8 +302,9 @@ def edit_distance_pairs(
         F.col(id_col), hashed_shingles(tokens_col(text_col), shingle_n).alias("arr")
     ).localCheckpoint(eager=False)
     cand = _capped_candidates(arr, id_col, max_doc_freq)
-    a = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("t_a"))
-    b = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("t_b"))
+    ascii_text = F.regexp_replace(F.col(text_col), "[^\\x00-\\x7F]", "?")
+    a = docs.select(F.col(id_col).alias("id_a"), ascii_text.alias("t_a"))
+    b = docs.select(F.col(id_col).alias("id_b"), ascii_text.alias("t_b"))
     len_bound = F.lit(1.0) - F.abs(F.length("t_a") - F.length("t_b")) / F.greatest(
         F.length("t_a"), F.length("t_b")
     )

@@ -1459,9 +1459,13 @@ WITH {_TOKH_CTE}, arr AS (
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+), t AS (
+  -- ASCII projection: DuckDB levenshtein counts BYTES, Spark's counts
+  -- code points; both agree on ASCII, so both engines project first
+  SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g') AS text FROM documents
 )
 SELECT id_a, id_b, levenshtein(x.text, y.text) AS edit_dist, {_EDIT_SIM} AS edit_sim
-FROM cand JOIN documents x ON x.doc_id = id_a JOIN documents y ON y.doc_id = id_b
+FROM cand JOIN t x ON x.doc_id = id_a JOIN t y ON y.doc_id = id_b
 WHERE 1.0 - abs(length(x.text) - length(y.text)) * 1.0
           / greatest(length(x.text), length(y.text)) >= 0.5
   AND {_EDIT_SIM} >= 0.5
@@ -1472,10 +1476,16 @@ def q_quantize_embeddings(spark, sf):
     """Int8 symmetric quantization of the embedding column (q string-
     encoded — the driver hashes array cells engine-specifically)."""
     qd = sim.quantize_embeddings(_t(spark, sf, "embeddings"))
+    # NULL q (all-zero vector) must stay NULL: Spark's array_join would
+    # render the all-NULL array as '' while DuckDB's array_to_string
+    # returns NULL — gate on scale so both engines emit NULL
     return qd.select(
         "vec_id",
         "scale",
-        F.array_join(F.transform("q", lambda x: x.cast("string")), "_").alias("q"),
+        F.when(
+            F.col("scale").isNotNull(),
+            F.array_join(F.transform("q", lambda x: x.cast("string")), "_"),
+        ).alias("q"),
     )
 
 
