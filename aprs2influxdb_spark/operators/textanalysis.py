@@ -183,6 +183,32 @@ def tfidf_top_terms(
     )
 
 
+def vocabulary(
+    docs: DataFrame, top_n: int = 100, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus vocabulary: the ``top_n`` most frequent terms with
+    occurrence and document frequencies — the vocab-building pass
+    before tokenizer training.
+
+    Explode → one groupBy on the term (map-side partial agg absorbs
+    within-partition repeats; df via ``count_distinct`` inside the
+    same aggregate, no second pass) → global top-n as
+    TakeOrderedAndProject (per-partition top-n, driver merges
+    n·partitions candidates — no global sort).  Deterministic
+    tie-break on the term."""
+    return (
+        _spread_docs(docs, id_col, text_col)
+        .select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("term").asc())
+        .limit(top_n)
+    )
+
+
 def rolling_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Polynomial rolling hash over the document's tokens:
     h = fold(h * 31 + hash(token)) mod 1e9+7 — an order-sensitive

@@ -1569,6 +1569,87 @@ FROM grid LEFT JOIN per_min USING (event_type, minute)
 """
 
 
+def q_vocab_top_terms(spark, sf):
+    """Corpus vocabulary: top-100 terms with occurrence + doc freq."""
+    return ta.vocabulary(_t(spark, sf, "documents"), top_n=100)
+
+
+SQL_VOCAB_TOP_TERMS = """
+SELECT term, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents)
+GROUP BY term
+ORDER BY n_occurrences DESC, term ASC
+LIMIT 100
+"""
+
+
+def q_zscore_prices(spark, sf):
+    """Per-group standardization (z-score of l_extendedprice within
+    l_returnflag) — the feature-normalization pass of a training
+    pipeline, as one window over the group key.
+
+    Cross-engine determinism: the group moments (mean, stddev) are
+    snapshot-rounded to 2 decimals BEFORE standardizing — exactly as a
+    real pipeline persists its normalization constants — so z is then
+    bit-identical arithmetic on both engines; raw moments differ in
+    the last float bits (summation order) and would flip rounded z
+    values near boundaries."""
+    li = _t(spark, sf, "lineitem")
+    w = Window.partitionBy("l_returnflag")
+    mu = rhu(F.avg("l_extendedprice").over(w), 2)
+    sd = rhu(F.stddev("l_extendedprice").over(w), 2)
+    z = (F.col("l_extendedprice") - mu) / sd
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", rhu(z, 4).alias("z")
+    )
+
+
+SQL_ZSCORE_PRICES = """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       (floor(((l_extendedprice
+                - (floor((avg(l_extendedprice) OVER (PARTITION BY l_returnflag)) * 100 + 0.5) / 100.0))
+               / (floor((stddev(l_extendedprice) OVER (PARTITION BY l_returnflag)) * 100 + 0.5) / 100.0))
+             * 10000 + 0.5) / 10000.0) AS z
+FROM lineitem
+"""
+
+
+def q_cluster_keep_best(spark, sf):
+    """End-to-end near-dup collapse: MinHash-LSH clusters × quality
+    scores, keeping each cluster's best-quality (tie: min id) doc —
+    the full 'dedup by cluster, keep the best copy' pipeline step.
+
+    Plan shape: the cluster labels (iterative CC, checkpointed pair
+    graph) join the one-projection quality scores on the doc id; the
+    keep decision is a per-cluster window.  Every stage shuffles on a
+    key that exists at 100 TB (doc id / cluster id), never on text."""
+    docs = _t(spark, sf, "documents")
+    clusters = dd.near_dup_clusters(docs)
+    quality = ta.quality_features(docs).select("doc_id", "quality_score")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        clusters.join(quality, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("cluster_id", F.col("doc_id").alias("keep_doc_id"), "quality_score")
+    )
+
+
+def _cluster_keep_best_sql() -> str:
+    return f"""
+WITH c AS (SELECT * FROM ({_near_dup_clusters_sql()})),
+q AS (SELECT doc_id, quality_score FROM ({SQL_TEXT_QUALITY}))
+SELECT cluster_id, doc_id AS keep_doc_id, quality_score FROM (
+  SELECT c.cluster_id, c.doc_id, q.quality_score,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality_score DESC, c.doc_id) AS rk
+  FROM c JOIN q USING (doc_id)
+) WHERE rk = 1
+"""
+
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -1637,6 +1718,9 @@ def registry() -> dict[str, tuple]:
         "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
         "rolling_fingerprint": (q_rolling_fingerprint, SQL_ROLLING_FINGERPRINT),
         "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+        "vocab_top_terms": (q_vocab_top_terms, SQL_VOCAB_TOP_TERMS),
+        "zscore_prices": (q_zscore_prices, SQL_ZSCORE_PRICES),
+        "cluster_keep_best": (q_cluster_keep_best, _cluster_keep_best_sql()),
         "edit_distance_pairs": (q_edit_distance_pairs, SQL_EDIT_DISTANCE_PAIRS),
         "quantize_embeddings": (q_quantize_embeddings, SQL_QUANTIZE_EMBEDDINGS),
         "histogram_prices": (q_histogram_prices, SQL_HISTOGRAM_PRICES),
