@@ -1360,6 +1360,12 @@ def q_streaming_asof_calibration(spark, sf):
     return streaming_asof_calibration(spark, sf)
 
 
+def q_streaming_dedup_exact(spark, sf):
+    from aprs2influxdb_spark.streaming.bounded import streaming_dedup_exact
+
+    return streaming_dedup_exact(spark, sf)
+
+
 def q_streaming_static_join(spark, sf):
     from aprs2influxdb_spark.streaming.bounded import streaming_static_join
 
@@ -1731,6 +1737,7 @@ def registry() -> dict[str, tuple]:
         "streaming_time_bucket": (q_streaming_time_bucket, SQL_TIME_BUCKET),
         "streaming_distinct_keys": (q_streaming_distinct_keys, SQL_STREAMING_DISTINCT),
         "streaming_asof_calibration": (q_streaming_asof_calibration, SQL_ASOF_CALIBRATION),
+        "streaming_dedup_exact": (q_streaming_dedup_exact, SQL_DEDUP_EXACT),
         "streaming_static_join": (q_streaming_static_join, SQL_STREAMING_STATIC_JOIN),
         # transformWithState twin registers only where its protobuf
         # dependency exists (absent in this container; the operator and

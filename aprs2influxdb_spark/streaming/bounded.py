@@ -118,6 +118,30 @@ def streaming_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_bounded(spark, dedup, "append", "stream_distinct")
 
 
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the dedup ladder's first rung: content-digest
+    aggregation (canonical = min id, duplicate count) over the
+    documents stream — the dedup a training-data INGEST pipeline runs
+    as documents arrive, rather than as a batch pass.
+
+    Complete mode over a bounded stream == the batch groupBy (see the
+    module docstring).  In production this state is keyed by the
+    16-byte digest and grows with corpus cardinality — the deployment
+    shape is update mode into a keyed store (the InfluxDB sink's
+    upsert path, or RocksDB state store with changelog checkpointing),
+    not complete-mode re-emission."""
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    glob = path[:-1] + "[" + path[-1] + "]"
+    agg = (
+        spark.readStream.schema(schema).parquet(glob)
+        .select(F.md5(F.col("text")).alias("text_md5"), "doc_id")
+        .groupBy("text_md5")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_dups"))
+    )
+    return run_bounded(spark, agg, "complete", "stream_dedup_exact")
+
+
 def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast join: the events stream enriched with
     the batch-compacted per-user last-error dimension (the J1-via-
