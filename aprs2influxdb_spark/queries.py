@@ -1620,6 +1620,270 @@ FROM lineitem
 """
 
 
+def q_nation_trade(spark, sf):
+    """TPC-H Q7-style bilateral trade volume: revenue shipped between
+    two nations (either direction) by supplier nation, customer nation
+    and ship year.
+
+    Scale shape: lineitem ⋈ orders is the one fact-fact shuffle;
+    supplier and customer are pre-pruned by an inner broadcast join to
+    the 2-row filtered nation dim BEFORE touching the facts, so the
+    fact join only carries rows that can survive — at 100 TB the
+    nation filter removes ~92% of suppliers/customers ahead of the
+    shuffle instead of after it."""
+    pair = ("NATION_1", "NATION_2")
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = _t(spark, sf, "orders")
+    n = _t(spark, sf, "nation").filter(F.col("n_name").isin(*pair))
+    s = _t(spark, sf, "supplier").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("s_nk"),
+    )
+    c = _t(spark, sf, "customer").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("c_nk"),
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(rhu(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+SQL_NATION_TRADE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       (floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100.0) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_market_share(spark, sf):
+    """TPC-H Q8-style market share: NATION_5's fraction of ECONOMY-part
+    revenue sold into ASIA-region customers, per order year.
+
+    Determinism across engines: numerator and denominator sums are
+    snapshot-rounded to 2 decimals BEFORE the division (summation
+    order differs between engines; the rounded sums are bit-identical,
+    so the share division is the same IEEE op on both sides).
+
+    Scale shape: conditional aggregation (sum(CASE)) instead of a
+    second join pass — one scan of the joined facts produces both the
+    nation-filtered and total volumes.  region→nation→customer prune
+    by broadcast before the fact shuffle; part is a scaled table, so
+    its join is left unhinted for AQE to pick broadcast at small SF
+    and shuffle at 100 TB."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    c = (
+        _t(spark, sf, "customer")
+        .join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select("n_nationkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    sn = _t(spark, sf, "supplier").join(
+        F.broadcast(_t(spark, sf, "nation").select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("s_nk"),
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(sn, li.l_suppkey == sn.s_suppkey)
+    )
+    num = rhu(F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0))), 2)
+    den = rhu(F.sum(vol), 2)
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(num.alias("nation_vol"), den.alias("total_vol"))
+        .withColumn("mkt_share", rhu(F.col("nation_vol") / F.col("total_vol"), 6))
+    )
+
+
+SQL_MARKET_SHARE = """
+SELECT o_year, nation_vol, total_vol,
+       (floor((nation_vol / total_vol) * 1000000 + 0.5) / 1000000.0) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         (floor((sum(CASE WHEN sn.n_name = 'NATION_5'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)) * 100 + 0.5) / 100.0)
+           AS nation_vol,
+         (floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100.0) AS total_vol
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY o_year
+)
+"""
+
+
+def q_customer_distribution(spark, sf):
+    """TPC-H Q13-style customer order-count distribution: LEFT OUTER
+    join (customers with zero orders must appear) then a two-level
+    aggregation — count per customer, then histogram of those counts.
+
+    Scale shape: both shuffles key on columns that stay high-cardinality
+    at 100 TB (c_custkey, then the small c_count domain); the second
+    aggregation input is already one row per customer, so the histogram
+    shuffle moves |customers| rows, not |orders|."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+SQL_CUSTOMER_DISTRIBUTION = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q_big_orders(spark, sf):
+    """TPC-H Q18-style large-volume orders: orders whose total line
+    quantity exceeds a threshold, with customer attribution.
+
+    Scale shape: the HAVING pre-aggregation runs on lineitem alone
+    (map-side partial sums, one shuffle on l_orderkey) and its output
+    after the filter is tiny — AQE then broadcasts it into orders
+    instead of shuffling the orders fact; customer joins on the
+    already-filtered order set."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            rhu("o_totalprice", 2).alias("totalprice"), "total_qty",
+        )
+    )
+
+
+SQL_BIG_ORDERS = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       (floor((o_totalprice) * 100 + 0.5) / 100.0) AS totalprice, total_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_bracket_revenue(spark, sf):
+    """TPC-H Q19-style OR-of-ANDs bracket revenue: three
+    (brand, size-range, quantity-range) arms over lineitem ⋈ part.
+
+    Scale shape: the p_brand/p_size arms of the predicate reference
+    only part columns, so Catalyst pushes their OR
+    (`p_brand='B12' AND size≤10 OR p_brand='B23' AND ... OR ...`)
+    below the join into the part scan (visible as PushedFilters), and
+    the quantity bounds (1..35 overall) prune lineitem row groups —
+    the join sees both sides pre-filtered, not the raw facts."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    arm = lambda brand, smax, qlo, qhi: (
+        (F.col("p_brand") == brand)
+        & (F.col("p_size").between(1, smax))
+        & (F.col("l_quantity").between(qlo, qhi))
+    )
+    cond = arm("Brand#12", 10, 1, 15) | arm("Brand#23", 20, 10, 25) | arm("Brand#3", 30, 20, 35)
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            rhu(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+SQL_BRACKET_REVENUE = """
+SELECT (floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100.0) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 35)
+"""
+
+
+def q_priority_lines(spark, sf):
+    """TPC-H Q12-style conditional line counts: per return flag, how
+    many 1997-shipped lines belong to high- vs low-priority orders —
+    sum(CASE) conditional aggregation, exact integer parity.
+
+    Scale shape: one fact-fact join (shipdate-pruned lineitem ⋈
+    orders) then a 3-group aggregation; both CASE sums come from the
+    same pass (no per-priority re-scan)."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = _t(spark, sf, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+SQL_PRIORITY_LINES = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+"""
+
+
 def q_cluster_keep_best(spark, sf):
     """End-to-end near-dup collapse: MinHash-LSH clusters × quality
     scores, keeping each cluster's best-quality (tie: min id) doc —
@@ -1692,6 +1956,12 @@ def registry() -> dict[str, tuple]:
         "lag_delta": (q_lag_delta, SQL_LAG_DELTA),
         "range_join": (q_range_join, SQL_RANGE_JOIN),
         "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
+        "nation_trade": (q_nation_trade, SQL_NATION_TRADE),
+        "market_share": (q_market_share, SQL_MARKET_SHARE),
+        "customer_distribution": (q_customer_distribution, SQL_CUSTOMER_DISTRIBUTION),
+        "big_orders": (q_big_orders, SQL_BIG_ORDERS),
+        "bracket_revenue": (q_bracket_revenue, SQL_BRACKET_REVENUE),
+        "priority_lines": (q_priority_lines, SQL_PRIORITY_LINES),
         "approx_distinct": (q_approx_distinct, None),
         "distinct_daily_users": (q_distinct_daily_users, SQL_DISTINCT_DAILY),
         "time_bucket_agg": (q_time_bucket_agg, SQL_TIME_BUCKET),
