@@ -1384,6 +1384,18 @@ WHERE e.event_type != 'error'
 """
 
 
+def q_streaming_sessionize(spark, sf):
+    from aprs2influxdb_spark.streaming.bounded import streaming_sessionize
+
+    return streaming_sessionize(spark, sf)
+
+
+def _streaming_sessionize_sql() -> str:
+    from aprs2influxdb_spark.streaming.bounded import SQL_STREAMING_SESSIONIZE
+
+    return SQL_STREAMING_SESSIONIZE
+
+
 def q_streaming_asof_tws(spark, sf):
     from aprs2influxdb_spark.streaming.bounded import streaming_asof_tws
 
@@ -2009,6 +2021,7 @@ def registry() -> dict[str, tuple]:
         "streaming_asof_calibration": (q_streaming_asof_calibration, SQL_ASOF_CALIBRATION),
         "streaming_dedup_exact": (q_streaming_dedup_exact, SQL_DEDUP_EXACT),
         "streaming_static_join": (q_streaming_static_join, SQL_STREAMING_STATIC_JOIN),
+        "streaming_sessionize": (q_streaming_sessionize, _streaming_sessionize_sql()),
         # transformWithState twin registers only where its protobuf
         # dependency exists (absent in this container; the operator and
         # its skipping test remain — see streaming.bounded.tws_available)

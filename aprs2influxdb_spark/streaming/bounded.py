@@ -142,6 +142,53 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_bounded(spark, agg, "complete", "stream_dedup_exact")
 
 
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization via ``session_window`` (30-minute gap)
+    over the events stream — the native streaming form of the batch
+    lag+running-sum sessionizer, with state merged incrementally as
+    events arrive instead of a full per-user sort.
+
+    Boundary semantics differ from the batch twin by design:
+    ``session_window`` closes a session when the next event is **≥**
+    gap after the last (windows are half-open ``[start, last+gap)``),
+    while the batch lag formulation splits only on **>** gap — the
+    oracle here encodes the ``>=`` rule, so this entry is oracle-exact
+    for session_window itself, not a re-check of the batch query.
+
+    The per-session rows from the complete-mode sink are then reduced
+    to per-user (n_sessions, n_events) — a batch projection of the
+    streaming result, keeping the gate's compare key-stable (session
+    start times are data, not arrival, dependent, but the per-user
+    rollup is fully deterministic).
+
+    Scale shape: state is one (user, open-session) struct per active
+    user bounded by the watermark horizon; the shuffle keys on
+    user_id.  At 100 TB the production form is append mode with
+    watermark-finalized sessions flowing to the sink."""
+    agg = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sess"), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    sess = run_bounded(spark, agg, "complete", "stream_sessionize")
+    return sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"), F.sum("n").alias("n_events")
+    )
+
+
+SQL_STREAMING_SESSIONIZE = """
+SELECT user_id, sum(new_sess) + 1 AS n_sessions, count(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts)/1000000.0 - lag(epoch_us(ts)/1000000.0)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800.0
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+) GROUP BY user_id
+"""
+
+
 def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast join: the events stream enriched with
     the batch-compacted per-user last-error dimension (the J1-via-
