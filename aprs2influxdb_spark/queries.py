@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aprs2influxdb_spark.functions.rounding import rhu
+from aprs2influxdb_spark.functions.rounding import rhu, rhu_sql
 from aprs2influxdb_spark.functions.hashing import (
     MINHASH_P,
     hashed_shingles_sql,
@@ -1896,6 +1896,47 @@ GROUP BY l_returnflag
 """
 
 
+EMB_DIM = 64
+
+
+def q_label_centroids(spark, sf):
+    """Per-label embedding centroids (class prototypes) — the
+    prototype/centroid pass of embedding-space curation (label
+    balancing, outlier pruning, nearest-class-mean classification).
+
+    Plan shape: one hash aggregate with 64 scalar ``avg`` columns
+    (one per dimension) reassembled into an array AFTER the agg —
+    NOT ``posexplode`` + groupBy(label, pos), which would shuffle
+    64× the row count at 100 TB.  Scalar aggs combine map-side, so
+    the shuffle carries |labels| × 64 doubles per map task, and the
+    whole expression stays in whole-stage codegen (codegen.maxFields
+    is raised to 400 in the session factory for exactly this kind of
+    wide-agg plan)."""
+    e = _t(spark, sf, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    aggs = [
+        rhu(F.avg(F.get(vec, i)), 4).alias(f"_c{i}") for i in range(EMB_DIM)
+    ]
+    return (
+        e.groupBy("label")
+        .agg(F.count("*").alias("n_vecs"), *aggs)
+        .select(
+            "label", "n_vecs",
+            F.array(*[F.col(f"_c{i}") for i in range(EMB_DIM)]).alias("centroid"),
+        )
+    )
+
+
+def _label_centroids_sql() -> str:
+    dims = ", ".join(
+        rhu_sql(f"avg(embedding[{i + 1}]::DOUBLE)", 4) for i in range(EMB_DIM)
+    )
+    return f"""
+SELECT label, count(*) AS n_vecs, [{dims}] AS centroid
+FROM embeddings GROUP BY label
+"""
+
+
 def q_cluster_keep_best(spark, sf):
     """End-to-end near-dup collapse: MinHash-LSH clusters × quality
     scores, keeping each cluster's best-quality (tie: min id) doc —
@@ -1996,6 +2037,7 @@ def registry() -> dict[str, tuple]:
         "srp_buckets": (q_srp_buckets, _srp_sql()),
         "lsh_bucketed_topk": (q_lsh_bucketed_topk, _lsh_bucketed_sql()),
         "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
+        "label_centroids": (q_label_centroids, _label_centroids_sql()),
         # text analysis
         "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
         "lang_id": (q_lang_id, SQL_LANG_ID),
