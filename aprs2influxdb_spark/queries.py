@@ -1937,6 +1937,112 @@ FROM embeddings GROUP BY label
 """
 
 
+def q_centroid_assign(spark, sf):
+    """Nearest-class-mean assignment: every embedding scored against
+    the 4dp-snapshot-rounded label centroids of
+    :func:`q_label_centroids`, assigned to the nearest (squared-L2),
+    reported as a (true label × assigned label) contingency — the
+    label-noise / cluster-purity audit of an embedding-space curation
+    pass.
+
+    Determinism: prototypes are the already-rounded centroids, the
+    squared distance is a fixed-order fold (bit-identical on both
+    engines: left-to-right over 64 dims from 0.0), and is rounded to
+    6dp before the argmin, which tie-breaks on label — no float
+    boundary can flip an assignment.
+
+    Scale shape: the vectors×prototypes score is a broadcast
+    nested-loop with the tiny (|labels| rows) side broadcast — the
+    fact side streams, never shuffles; the argmin is a per-vector
+    window on vec_id (hash-partitionable at any scale); the
+    contingency agg is map-side combinable on a |labels|² domain."""
+    e = _t(spark, sf, "embeddings")
+    cents = q_label_centroids(spark, sf).select(
+        F.col("label").alias("c_label"), "centroid"
+    )
+    vec = F.col("embedding").cast("array<double>")
+    d2 = F.aggregate(
+        F.zip_with(vec, F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("c_label").asc())
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("d2", rhu(d2, 6))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy(F.col("label").alias("true_label"), F.col("c_label").alias("assigned_label"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _centroid_assign_sql() -> str:
+    d2 = "list_sum(list_transform(range(1, 65), i -> (embedding[i]::DOUBLE - centroid[i]) ** 2))"
+    return f"""
+WITH cents AS (
+  SELECT label AS c_label, centroid FROM ({_label_centroids_sql()})
+)
+SELECT true_label, assigned_label, count(*) AS n FROM (
+  SELECT e.label AS true_label, c.c_label AS assigned_label,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {rhu_sql(d2, 6)}, c.c_label) AS rk
+  FROM embeddings e CROSS JOIN cents c
+) WHERE rk = 1
+GROUP BY true_label, assigned_label
+"""
+
+
+def q_funnel_conversion(spark, sf):
+    """Funnel analysis: of users whose first event-funnel entry is a
+    ``signup``, how many reach a ``purchase`` within 24 hours —
+    engagement-curation analytics over the events stream.
+
+    Plan shape: ONE window pass (per-user min of the conditional
+    signup time — no self-join of events to events), then the
+    purchase-in-window predicate filters the same scan; distinct
+    converted users and distinct signup users reduce to two tiny
+    counts.  At 100 TB the single shuffle keys on user_id."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id")
+    first_signup = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    flagged = e.withColumn("first_signup", first_signup).filter(
+        F.col("first_signup").isNotNull()
+    )
+    converted = flagged.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") >= F.col("first_signup"))
+        & (F.col("ts") <= F.col("first_signup") + F.expr("INTERVAL 24 HOURS"))
+    ).select("user_id").distinct()
+    signups = flagged.select("user_id").distinct()
+    return (
+        signups.agg(F.count("*").alias("n_signup_users"))
+        .crossJoin(converted.agg(F.count("*").alias("n_converted")))
+        .withColumn("conv_rate", rhu(F.col("n_converted") / F.col("n_signup_users"), 6))
+    )
+
+
+SQL_FUNNEL_CONVERSION = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts,
+         min(CASE WHEN event_type = 'signup' THEN ts END)
+           OVER (PARTITION BY user_id) AS first_signup
+  FROM events
+),
+signups AS (SELECT DISTINCT user_id FROM flagged WHERE first_signup IS NOT NULL),
+conv AS (
+  SELECT DISTINCT user_id FROM flagged
+  WHERE first_signup IS NOT NULL AND event_type = 'purchase'
+    AND ts >= first_signup AND ts <= first_signup + INTERVAL 24 HOUR
+)
+SELECT (SELECT count(*) FROM signups) AS n_signup_users,
+       (SELECT count(*) FROM conv) AS n_converted,
+       (floor(((SELECT count(*) FROM conv) * 1.0 / (SELECT count(*) FROM signups)) * 1000000 + 0.5)
+         / 1000000.0) AS conv_rate
+"""
+
+
 def q_cluster_keep_best(spark, sf):
     """End-to-end near-dup collapse: MinHash-LSH clusters × quality
     scores, keeping each cluster's best-quality (tie: min id) doc —
@@ -2038,6 +2144,8 @@ def registry() -> dict[str, tuple]:
         "lsh_bucketed_topk": (q_lsh_bucketed_topk, _lsh_bucketed_sql()),
         "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
         "label_centroids": (q_label_centroids, _label_centroids_sql()),
+        "centroid_assign": (q_centroid_assign, _centroid_assign_sql()),
+        "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
         # text analysis
         "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
         "lang_id": (q_lang_id, SQL_LANG_ID),
