@@ -1896,6 +1896,274 @@ GROUP BY l_returnflag
 """
 
 
+def q_min_cost_supplier(spark, sf):
+    """TPC-H Q2-style correlated-min scalar subquery (this schema has
+    no partsupp, so lineitem serves as the part→supplier price list):
+    for each part, the supplier rows offering its minimum extended
+    price.
+
+    Plan shape: the correlated subquery decorrelates into a window
+    ``min`` over ``l_partkey`` — ONE shuffle on the part key, no
+    self-join, no re-scan (the groupBy+join-back alternative shuffles
+    twice).  The equality compares the raw doubles (both engines take
+    the min of the identical value set — no arithmetic, so exact);
+    the supplier dim is broadcast."""
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    w = Window.partitionBy("l_partkey")
+    best = (
+        li.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .withColumn("mp", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("mp"))
+        .select("l_partkey", "l_suppkey", rhu("mp", 2).alias("min_price"))
+        .distinct()
+    )
+    return best.join(F.broadcast(s.select("s_suppkey", "s_name")),
+                     best.l_suppkey == F.col("s_suppkey")).select(
+        "l_partkey", "l_suppkey", "s_name", "min_price")
+
+
+SQL_MIN_COST_SUPPLIER = """
+SELECT DISTINCT l.l_partkey, l.l_suppkey, s.s_name,
+       (floor((l.l_extendedprice) * 100 + 0.5) / 100.0) AS min_price
+FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE l.l_extendedprice = (SELECT min(l2.l_extendedprice) FROM lineitem l2
+                           WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+def q_late_ship_priority(spark, sf):
+    """TPC-H Q4-style EXISTS: orders placed in 1996 having at least
+    one lineitem shipped more than 90 days after the order date,
+    counted per priority.
+
+    Plan shape: LEFT SEMI join on the order key with the cross-table
+    lateness predicate evaluated inside the join — the order row is
+    emitted once no matter how many late lines match, and the date
+    filter prunes the orders scan before the shuffle."""
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+SQL_LATE_SHIP_PRIORITY = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q_valuable_parts(spark, sf):
+    """TPC-H Q11-style global-scalar threshold: parts whose total
+    traded value exceeds 0.1% of ALL parts' value.
+
+    Plan shape: one hash aggregate per part, then the single-row
+    grand total (an agg OVER the per-part aggregate, not a second
+    fact scan) broadcast back via cross join — the classic
+    decorrelation of an uncorrelated scalar subquery.  Both sides of
+    the comparison are snapshot-rounded to 2dp so summation-order ULP
+    noise cannot flip threshold-boundary rows between engines."""
+    pv = (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("pv"))
+    )
+    thr = pv.agg(rhu(F.sum("pv") * 0.001, 2).alias("thr"))
+    return (
+        pv.crossJoin(F.broadcast(thr))
+        .filter(rhu(F.col("pv"), 2) > F.col("thr"))
+        .select("l_partkey", rhu("pv", 2).alias("part_value"))
+    )
+
+
+SQL_VALUABLE_PARTS = """
+WITH pv AS (
+  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS pv
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, (floor((pv) * 100 + 0.5) / 100.0) AS part_value
+FROM pv
+WHERE (floor((pv) * 100 + 0.5) / 100.0) >
+      (SELECT (floor((sum(pv) * 0.001) * 100 + 0.5) / 100.0) FROM pv)
+"""
+
+
+def q_top_supplier(spark, sf):
+    """TPC-H Q15-style argmax over an aggregated view: the supplier(s)
+    with maximum Q1-1996 revenue.
+
+    Plan shape: revenue aggregate once, its single-row max broadcast
+    back, equality select — no re-aggregation, no window over the
+    whole table.  The max is taken over the 2dp-rounded revenues so
+    the tie/argmax decision is identical on both engines."""
+    rev = (
+        _t(spark, sf, "lineitem")
+        .filter((F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-04-01")))
+        .groupBy("l_suppkey")
+        .agg(rhu(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(s), rev.l_suppkey == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+SQL_TOP_SUPPLIER = """
+WITH r AS (
+  SELECT l_suppkey,
+         (floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100.0) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev
+FROM r JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM r)
+"""
+
+
+def q_small_qty_revenue(spark, sf):
+    """TPC-H Q17-style correlated-average: revenue (scaled to yearly)
+    from Brand#12 lineitems whose quantity is below half that part's
+    average quantity.
+
+    Plan shape: the correlated ``avg`` decorrelates into a per-part
+    aggregate joined back on the part key; the brand dim filter is a
+    broadcast semi applied BEFORE both the average and the sum, so
+    only ~1/50th of the fact ever aggregates.  Quantities are small
+    integers stored as doubles, so sum/avg are exact in both engines
+    and the ``<`` comparison cannot sit on a ULP boundary."""
+    p = F.broadcast(
+        _t(spark, sf, "part").filter(F.col("p_brand") == "Brand#12").select("p_partkey")
+    )
+    li = _t(spark, sf, "lineitem").join(p, F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avgs = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(avgs, F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(rhu(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+SQL_SMALL_QTY_REVENUE = """
+SELECT (floor((sum(l_extendedprice) / 7.0) * 100 + 0.5) / 100.0) AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#12'
+  AND l.l_quantity < 0.5 * (SELECT avg(l2.l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+def q_waiting_supplier(spark, sf):
+    """TPC-H Q21-style EXISTS + NOT EXISTS double correlation: per
+    supplier, the number of late lineitems in multi-supplier orders
+    where that supplier was the ONLY late one ("who alone held up the
+    order").  Late = shipped >60 days after the order date.
+
+    Plan shape: the two correlated subqueries (EXISTS another
+    supplier's line; NOT EXISTS another supplier's LATE line)
+    decorrelate into ONE per-order aggregate — distinct-supplier
+    count, distinct-late-supplier count, late-line count — instead of
+    three passes over the joined fact (the classic semi + anti plan
+    scans it thrice and shuffles the order key twice more).  Orders
+    where n_supp > 1 and exactly one supplier is late attribute all
+    their late lines to that supplier.  The oracle keeps the classic
+    EXISTS/NOT-EXISTS form, pinning the rewrite's equivalence."""
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    lines = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("late"),
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late_lines"),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
+    )
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .groupBy("late_supp")
+        .agg(F.sum("n_late_lines").alias("numwait"))
+        .join(F.broadcast(s), F.col("late_supp") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+    )
+
+
+SQL_WAITING_SUPPLIER = """
+WITH L AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT s_name, count(*) AS numwait
+FROM L l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.late
+  AND EXISTS (SELECT 1 FROM L l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM L l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.late)
+GROUP BY s_name
+"""
+
+
+def q_idle_rich_customers(spark, sf):
+    """TPC-H Q22-style anti-join + uncorrelated scalar: per nation,
+    count and total balance of customers whose balance beats the
+    positive-balance average but who placed no order since 2000.
+
+    Plan shape: single-row average broadcast via cross join (scalar
+    subquery decorrelation), then a LEFT ANTI join against the
+    date-pruned order keys — the NOT EXISTS never materializes a
+    distinct customer list, and the anti join's build side is only
+    the recent orders' custkeys."""
+    c = _t(spark, sf, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    recent = _t(spark, sf, "orders").filter(F.col("o_orderdate") >= F.lit("2000-01-01")).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("numcust"), rhu(F.sum("c_acctbal"), 2).alias("totacctbal"))
+    )
+
+
+SQL_IDLE_RICH_CUSTOMERS = """
+SELECT c_nationkey, count(*) AS numcust,
+       (floor((sum(c_acctbal)) * 100 + 0.5) / 100.0) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+"""
+
+
 EMB_DIM = 64
 
 
@@ -2121,6 +2389,13 @@ def registry() -> dict[str, tuple]:
         "big_orders": (q_big_orders, SQL_BIG_ORDERS),
         "bracket_revenue": (q_bracket_revenue, SQL_BRACKET_REVENUE),
         "priority_lines": (q_priority_lines, SQL_PRIORITY_LINES),
+        "min_cost_supplier": (q_min_cost_supplier, SQL_MIN_COST_SUPPLIER),
+        "late_ship_priority": (q_late_ship_priority, SQL_LATE_SHIP_PRIORITY),
+        "valuable_parts": (q_valuable_parts, SQL_VALUABLE_PARTS),
+        "top_supplier": (q_top_supplier, SQL_TOP_SUPPLIER),
+        "small_qty_revenue": (q_small_qty_revenue, SQL_SMALL_QTY_REVENUE),
+        "waiting_supplier": (q_waiting_supplier, SQL_WAITING_SUPPLIER),
+        "idle_rich_customers": (q_idle_rich_customers, SQL_IDLE_RICH_CUSTOMERS),
         "approx_distinct": (q_approx_distinct, None),
         "distinct_daily_users": (q_distinct_daily_users, SQL_DISTINCT_DAILY),
         "time_bucket_agg": (q_time_bucket_agg, SQL_TIME_BUCKET),
