@@ -81,3 +81,46 @@ def uniform_sample(
     """
     h = portable_hash64(F.concat(F.lit(salt + "_"), F.col(id_col).cast("string")))
     return df.withColumn("_h", h).orderBy(F.col("_h").asc(), F.col(id_col).asc()).limit(n).drop("_h")
+
+
+def pack_sequences(
+    df: DataFrame, target_tokens: int = 512, n_buckets: int = 8,
+    group_col: str = "lang", id_col: str = "doc_id", text_col: str = "text",
+    salt: str = "pack",
+) -> DataFrame:
+    """Concat-and-chop sequence packing: lay documents end-to-end in a
+    deterministic order and assign each to the fixed-size training
+    window (``seq_id``) where it starts — the packing pass that turns
+    a document corpus into equal-length training sequences.
+
+    Scale shape: packing is a running sum, and a running sum over ONE
+    global order is a single-partition window — so the corpus is first
+    split into ``(group, bucket)`` lanes by salted content hash, and
+    each lane packs independently.  Lanes are embarrassingly parallel,
+    deterministic under retries (hash bucketing, no ``rand()``), and
+    training-equivalent: any fixed document order is as good as any
+    other.  ``start_tok``/``seq_id`` are exact-integer window math, so
+    the oracle matches bit-for-bit."""
+    from pyspark.sql import Window
+
+    from aprs2influxdb_spark.operators.dedup import tokens_col
+
+    bucket = F.pmod(
+        portable_hash64(F.concat(F.lit(salt + "_"), F.col(id_col).cast("string"))),
+        F.lit(n_buckets),
+    )
+    w = (
+        Window.partitionBy(group_col, "bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        df.select(
+            F.col(id_col), F.col(group_col),
+            bucket.alias("bucket"),
+            F.size(tokens_col(text_col)).alias("n_tokens"),
+        )
+        .withColumn("start_tok", start)
+        .withColumn("seq_id", F.floor(F.col("start_tok") / target_tokens).cast("long"))
+    )

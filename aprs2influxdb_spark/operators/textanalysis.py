@@ -222,3 +222,93 @@ def rolling_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "
         lambda acc, t: F.pmod(acc * 31 + F.pmod(portable_hash64(t), F.lit(1_000_000_007)), F.lit(1_000_000_007)),
     )
     return _spread_docs(docs, id_col, text_col).select(F.col(id_col), h.alias("fingerprint"))
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the
+    fraction of all bigrams taken by the single most frequent bigram
+    (boilerplate / looping-text detector) and the distinct-token
+    ratio (vocabulary collapse detector).  Docs with fewer than two
+    tokens have no bigrams and are excluded on both engines.
+
+    Plan shape: NON-distinct bigram hashes (Horner over per-token
+    portable hashes — same let-binding trick as
+    ``functions.hashing.hashed_shingles``, which cannot be reused
+    because it dedups shingles and the mode count needs multiplicity),
+    one explode, then a two-level aggregate — (doc, bigram) counts,
+    then per-doc max/sum — so the mode is found by the shuffle's
+    combiner, never by a per-doc in-memory map.  Token counts ride
+    the exploded rows as two ints and come back out via ``min``."""
+    from aprs2influxdb_spark.functions.hashing import SHINGLE_BASE, SHINGLE_P, portable_hash64
+
+    toks = tokens_col(text_col)
+    th = F.transform(toks, lambda t: F.pmod(portable_hash64(t), F.lit(SHINGLE_P)))
+
+    def _bigrams(h):
+        idx = F.sequence(F.lit(0), F.size(h) - 2)
+        return F.transform(
+            idx, lambda i: F.pmod(F.get(h, i) * SHINGLE_BASE + F.get(h, i + 1), F.lit(SHINGLE_P))
+        )
+
+    base = (
+        _spread_docs(docs, id_col, text_col)
+        .select(
+            F.col(id_col),
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct"),
+            F.get(F.transform(F.array(th), _bigrams), 0).alias("bigrams"),
+        )
+        .filter(F.col("n_tokens") >= 2)
+    )
+    counts = (
+        base.select(id_col, "n_tokens", "n_distinct", F.explode("bigrams").alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("n_tokens").alias("n_tokens"),
+            F.min("n_distinct").alias("n_distinct"),
+        )
+    )
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.min("n_tokens").alias("n_tokens"),
+            F.min("n_distinct").alias("n_distinct"),
+            F.max("cnt").alias("top_cnt"),
+            F.sum("cnt").alias("n_bigrams"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            rhu(F.col("top_cnt") / F.col("n_bigrams"), 4).alias("top_bigram_frac"),
+            rhu(F.col("n_distinct") / F.col("n_tokens"), 4).alias("distinct_ratio"),
+        )
+    )
+
+
+def blocklist_stats(
+    docs: DataFrame, terms: tuple = ("vector", "stream", "big"),
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Blocklist screening (bad-words / contamination-term filtering):
+    per document containing at least one blocklisted token, the hit
+    count and hit fraction.  The same shape serves PII-pattern
+    scrubbing with a regex list instead of a token list.
+
+    Narrow projection + filter — zero shuffles; the token-membership
+    test is an array filter against a literal array, entirely inside
+    whole-stage codegen."""
+    toks = tokens_col(text_col)
+    bl = F.array(*[F.lit(t) for t in terms])
+    n_blocked = F.size(F.filter(toks, lambda t: F.array_contains(bl, t)))
+    return (
+        _spread_docs(docs, id_col, text_col)
+        .select(
+            F.col(id_col),
+            n_blocked.alias("n_blocked"),
+            rhu(n_blocked / F.size(toks), 4).alias("blocked_frac"),
+        )
+        .filter(F.col("n_blocked") > 0)
+    )

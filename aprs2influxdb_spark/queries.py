@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 from aprs2influxdb_spark.functions.rounding import rhu, rhu_sql
 from aprs2influxdb_spark.functions.hashing import (
     MINHASH_P,
+    SHINGLE_BASE,
+    SHINGLE_P,
     hashed_shingles_sql,
     minhash_coeffs,
     portable_hash64,
@@ -1968,10 +1970,13 @@ GROUP BY o_orderpriority
 
 def q_valuable_parts(spark, sf):
     """TPC-H Q11-style global-scalar threshold: parts whose total
-    traded value exceeds 0.1% of ALL parts' value.
+    traded value exceeds 1.5x the AVERAGE part's value.  (TPC-H's own
+    0.0001/SF fraction scales the cutoff with data size; a mean-
+    relative cutoff is the SF-invariant equivalent — a fixed global
+    fraction selects a vanishing tail as #parts grows.)
 
     Plan shape: one hash aggregate per part, then the single-row
-    grand total (an agg OVER the per-part aggregate, not a second
+    global mean (an agg OVER the per-part aggregate, not a second
     fact scan) broadcast back via cross join — the classic
     decorrelation of an uncorrelated scalar subquery.  Both sides of
     the comparison are snapshot-rounded to 2dp so summation-order ULP
@@ -1981,7 +1986,7 @@ def q_valuable_parts(spark, sf):
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("pv"))
     )
-    thr = pv.agg(rhu(F.sum("pv") * 0.001, 2).alias("thr"))
+    thr = pv.agg(rhu(F.avg("pv") * 1.5, 2).alias("thr"))
     return (
         pv.crossJoin(F.broadcast(thr))
         .filter(rhu(F.col("pv"), 2) > F.col("thr"))
@@ -1997,7 +2002,7 @@ WITH pv AS (
 SELECT l_partkey, (floor((pv) * 100 + 0.5) / 100.0) AS part_value
 FROM pv
 WHERE (floor((pv) * 100 + 0.5) / 100.0) >
-      (SELECT (floor((sum(pv) * 0.001) * 100 + 0.5) / 100.0) FROM pv)
+      (SELECT (floor((avg(pv) * 1.5) * 100 + 0.5) / 100.0) FROM pv)
 """
 
 
@@ -2161,6 +2166,84 @@ WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY c_nationkey
+"""
+
+
+def q_repetition_stats(spark, sf):
+    """Gopher-style repetition quality signals (top-bigram fraction +
+    distinct-token ratio) — see operators.textanalysis.repetition_stats
+    for the plan shape."""
+    return ta.repetition_stats(_t(spark, sf, "documents"))
+
+
+SQL_REPETITION_STATS = f"""
+WITH tk AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), th AS (
+  SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
+         {token_hashes_sql('toks')} AS h
+  FROM tk WHERE len(toks) >= 2
+), bg AS (
+  SELECT doc_id, n_tokens, n_distinct,
+         unnest(list_transform(range(0, len(h) - 1),
+                i -> (h[i + 1] * {SHINGLE_BASE} + h[i + 2]) % {SHINGLE_P})) AS bg
+  FROM th
+), c AS (
+  SELECT doc_id, bg, count(*) AS cnt,
+         min(n_tokens) AS n_tokens, min(n_distinct) AS n_distinct
+  FROM bg GROUP BY doc_id, bg
+)
+SELECT doc_id, min(n_tokens) AS n_tokens,
+       {rhu_sql('max(cnt)::DOUBLE / sum(cnt)', 4)} AS top_bigram_frac,
+       {rhu_sql('min(n_distinct)::DOUBLE / min(n_tokens)', 4)} AS distinct_ratio
+FROM c GROUP BY doc_id
+"""
+
+
+def q_blocklist_filter(spark, sf):
+    """Blocklist screening (bad-words / contamination-term filter):
+    docs containing blocklisted tokens, with hit counts."""
+    return ta.blocklist_stats(_t(spark, sf, "documents"))
+
+
+SQL_BLOCKLIST_FILTER = f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+         len(list_filter(toks, t -> t IN ('vector', 'stream', 'big'))) AS n_blocked,
+         len(toks) AS n_toks
+  FROM t
+)
+SELECT doc_id, n_blocked, {rhu_sql('n_blocked::DOUBLE / n_toks', 4)} AS blocked_frac
+FROM s WHERE n_blocked > 0
+"""
+
+
+def q_pack_sequences(spark, sf):
+    """Concat-and-chop sequence packing into 512-token training
+    windows, parallelized over (lang, hash-bucket) lanes — see
+    operators.sampling.pack_sequences."""
+    from aprs2influxdb_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(_t(spark, sf, "documents"), target_tokens=512, n_buckets=8)
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         ({portable_hash64_sql("'pack_' || doc_id::VARCHAR")}) % 8 AS bucket,
+         len(string_split(lower(text), ' ')) AS n_tokens
+  FROM documents
+), w AS (
+  SELECT doc_id, lang, bucket, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang, bucket ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+  FROM t
+)
+SELECT doc_id, lang, bucket, n_tokens, start_tok,
+       CAST(floor(start_tok / 512.0) AS BIGINT) AS seq_id
+FROM w
 """
 
 
@@ -2436,6 +2519,9 @@ def registry() -> dict[str, tuple]:
         "cluster_keep_best": (q_cluster_keep_best, _cluster_keep_best_sql()),
         "edit_distance_pairs": (q_edit_distance_pairs, SQL_EDIT_DISTANCE_PAIRS),
         "quantize_embeddings": (q_quantize_embeddings, SQL_QUANTIZE_EMBEDDINGS),
+        "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+        "blocklist_filter": (q_blocklist_filter, SQL_BLOCKLIST_FILTER),
+        "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
         "histogram_prices": (q_histogram_prices, SQL_HISTOGRAM_PRICES),
         "gap_fill": (q_gap_fill, SQL_GAP_FILL),
         # multimodal
