@@ -452,3 +452,55 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
 
     sig = F.get(F.transform(F.array(hashed), _sig), 0)
     return docs.select(F.col(id_col), sig.alias("simhash"))
+
+
+def decontaminate(
+    docs: DataFrame, eval_docs: DataFrame | None = None,
+    text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, eval_mod: int = 20, salt: str = "eval",
+) -> DataFrame:
+    """Benchmark decontamination: for each training document, count
+    its distinct word-n-gram shingles that also appear anywhere in
+    the held-out evaluation corpus — the n-gram-overlap contamination
+    check run before training on scraped data.  Emits only
+    contaminated docs (n_overlap >= 1); dropping them is a semi-join
+    away.
+
+    ``eval_docs`` is the benchmark corpus; when None, a deterministic
+    1/``eval_mod`` hash-slice of ``docs`` stands in for it (and those
+    rows are excluded from the training side).
+
+    Plan shape: shingle both sides with the shared Horner hashes
+    (narrow), collapse the eval side to its DISTINCT shingle set, and
+    broadcast it — benchmark suites are MBs against 100 TB of
+    training data, so the contamination check is a broadcast hash
+    join inside the training scan, no shuffle of training shingles.
+    Per-doc shingles arrive pre-deduped from ``hashed_shingles``, so
+    the post-join count(*) IS the distinct-overlap count.  If the
+    eval side ever outgrows broadcast range, drop the hint and the
+    same plan degrades gracefully to a shuffled hash join keyed on
+    shingle hash.
+    """
+    base = _spread_docs(docs, id_col, text_col).select(
+        F.col(id_col),
+        hashed_shingles(tokens_col(text_col), n).alias("sh"),
+        F.pmod(
+            portable_hash64(F.concat(F.lit(salt + "_"), F.col(id_col).cast("string"))),
+            F.lit(eval_mod),
+        ).alias("_bucket"),
+    )
+    if eval_docs is None:
+        eval_side = base.filter(F.col("_bucket") == 0)
+        train_side = base.filter(F.col("_bucket") != 0)
+    else:
+        eval_side = _spread_docs(eval_docs, id_col, text_col).select(
+            hashed_shingles(tokens_col(text_col), n).alias("sh")
+        )
+        train_side = base
+    eval_shingles = eval_side.select(F.explode("sh").alias("sh")).distinct()
+    return (
+        train_side.select(F.col(id_col), F.explode("sh").alias("sh"))
+        .join(F.broadcast(eval_shingles), "sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )

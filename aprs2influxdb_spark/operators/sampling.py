@@ -124,3 +124,46 @@ def pack_sequences(
         .withColumn("start_tok", start)
         .withColumn("seq_id", F.floor(F.col("start_tok") / target_tokens).cast("long"))
     )
+
+
+def lang_balance_sample(
+    df: DataFrame, group_col: str = "lang", id_col: str = "doc_id",
+    salt: str = "bal",
+) -> DataFrame:
+    """Temperature-balanced downsampling across groups (the
+    multilingual rebalancing pass of a training-data pipeline):
+    each group keeps rows at rate ``sqrt(n_min / n_group)`` — the
+    T=2 temperature flattening of the group distribution, keeping
+    the smallest group whole and square-root-damping the head.
+
+    The keep decision is ``hash(salt || id) % 1e6 < floor(rate *
+    1e6)`` — deterministic under retries, stable as the corpus grows,
+    and exactly reproducible on the oracle engine: the rate is built
+    only from exact integer group counts via IEEE-correctly-rounded
+    ``/`` and ``sqrt`` (no cross-group float summation whose order
+    could differ between engines).
+
+    Plan shape: one tiny count aggregate (|groups| rows), broadcast
+    back, then a narrow filter — the 100 TB cost is one scan plus a
+    map-side-combined count shuffle of group keys only.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n_g"))
+    n_min = counts.agg(F.min("n_g").alias("n_min"))
+    rates = (
+        counts.crossJoin(F.broadcast(n_min))
+        .select(
+            group_col,
+            F.floor(F.sqrt(F.col("n_min") / F.col("n_g")) * 1_000_000)
+            .cast("long")
+            .alias("keep_ppm"),
+        )
+    )
+    h = F.pmod(
+        portable_hash64(F.concat(F.lit(salt + "_"), F.col(id_col).cast("string"))),
+        F.lit(1_000_000),
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(h < F.col("keep_ppm"))
+        .select(F.col(id_col), F.col(group_col), F.col("keep_ppm"))
+    )

@@ -2247,6 +2247,52 @@ FROM w
 """
 
 
+def q_lang_balance_sample(spark, sf):
+    """Temperature-balanced (T=2) language downsampling — see
+    operators.sampling.lang_balance_sample for the plan shape."""
+    from aprs2influxdb_spark.operators.sampling import lang_balance_sample
+
+    return lang_balance_sample(_t(spark, sf, "documents"))
+
+
+SQL_LANG_BALANCE_SAMPLE = f"""
+WITH c AS (
+  SELECT lang, count(*) AS n_g FROM documents GROUP BY lang
+), m AS (
+  SELECT min(n_g) AS n_min FROM c
+), r AS (
+  SELECT lang, CAST(floor(sqrt(n_min::DOUBLE / n_g) * 1000000) AS BIGINT) AS keep_ppm
+  FROM c, m
+)
+SELECT d.doc_id, d.lang, r.keep_ppm
+FROM documents d JOIN r USING (lang)
+WHERE ({portable_hash64_sql("'bal_' || doc_id::VARCHAR")}) % 1000000 < r.keep_ppm
+"""
+
+
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination: training docs sharing any 3-gram
+    shingle with the held-out eval hash-slice, with distinct-overlap
+    counts — see operators.dedup.decontaminate for the plan shape."""
+    return dd.decontaminate(_t(spark, sf, "documents"))
+
+
+SQL_DECONTAMINATE = f"""
+WITH {_TOKH_CTE}, s AS (
+  SELECT doc_id, {_HSH_SQL} AS sh,
+         ({portable_hash64_sql("'eval_' || doc_id::VARCHAR")}) % 20 AS bucket
+  FROM tokh
+), e AS (
+  SELECT DISTINCT unnest(sh) AS sh FROM s WHERE bucket = 0
+), tr AS (
+  SELECT doc_id, unnest(sh) AS sh FROM s WHERE bucket != 0
+)
+SELECT doc_id, count(*) AS n_overlap
+FROM tr JOIN e USING (sh)
+GROUP BY doc_id
+"""
+
+
 EMB_DIM = 64
 
 
@@ -2522,6 +2568,8 @@ def registry() -> dict[str, tuple]:
         "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
         "blocklist_filter": (q_blocklist_filter, SQL_BLOCKLIST_FILTER),
         "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+        "lang_balance_sample": (q_lang_balance_sample, SQL_LANG_BALANCE_SAMPLE),
+        "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
         "histogram_prices": (q_histogram_prices, SQL_HISTOGRAM_PRICES),
         "gap_fill": (q_gap_fill, SQL_GAP_FILL),
         # multimodal
