@@ -2247,6 +2247,47 @@ FROM w
 """
 
 
+def q_influx_derivative(spark, sf):
+    """InfluxQL ``non_negative_derivative(value, 1s)`` +
+    ``moving_average(value, 5)`` per series — the rate-of-change and
+    smoothing analytics InfluxDB users run over the packet
+    measurement (SURVEY §1.3's downstream query model).
+
+    One window spec (partition by series key, order by time) serves
+    both functions, so the plan is a single shuffle on the series key
+    followed by one in-partition sort — at 100 TB the partition count
+    scales with #series, and no second exchange is introduced by
+    adding more InfluxQL analytics to the same window."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wm = w.rowsBetween(-4, 0)
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    deriv = (F.col("value") - F.lag("value", 1).over(w)) / F.nullif(gap, F.lit(0))
+    return _t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        rhu(F.when(deriv >= 0, deriv), 6).alias("nn_deriv_per_s"),
+        rhu(F.avg("value").over(wm), 4).alias("mov_avg5"),
+    )
+
+
+SQL_INFLUX_DERIVATIVE = f"""
+WITH d AS (
+  SELECT event_id, user_id, value,
+         (value - lag(value, 1) OVER w)
+           / nullif(floor(epoch(ts))::BIGINT - floor(epoch(lag(ts, 1) OVER w))::BIGINT, 0)
+           AS deriv,
+         avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS ma
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       {rhu_sql('CASE WHEN deriv >= 0 THEN deriv END', 6)} AS nn_deriv_per_s,
+       {rhu_sql('ma', 4)} AS mov_avg5
+FROM d
+"""
+
+
 def q_lang_balance_sample(spark, sf):
     """Temperature-balanced (T=2) language downsampling — see
     operators.sampling.lang_balance_sample for the plan shape."""
@@ -2570,6 +2611,7 @@ def registry() -> dict[str, tuple]:
         "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
         "lang_balance_sample": (q_lang_balance_sample, SQL_LANG_BALANCE_SAMPLE),
         "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+        "influx_derivative": (q_influx_derivative, SQL_INFLUX_DERIVATIVE),
         "histogram_prices": (q_histogram_prices, SQL_HISTOGRAM_PRICES),
         "gap_fill": (q_gap_fill, SQL_GAP_FILL),
         # multimodal
