@@ -312,3 +312,66 @@ def blocklist_stats(
         )
         .filter(F.col("n_blocked") > 0)
     )
+
+
+def chunk_documents(
+    docs: DataFrame, window: int = 64, stride: int = 48,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window token chunking (RAG / context-window prep):
+    split each document into ``window``-token chunks starting every
+    ``stride`` tokens, keeping the overlapping tail so no token is
+    dropped.  Chunk starts are ``0, stride, 2·stride, …`` up to the
+    last start position below the token count.
+
+    Narrow per-row explode — chunk generation is a lambda over the
+    token array, the only row amplification is the ~n_tokens/stride
+    output chunks per doc, and nothing shuffles: at 100 TB this is a
+    pure map stage that parallelizes with the input partitioning."""
+    toks = tokens_col(text_col)
+
+    def _chunks(t):
+        starts = F.sequence(
+            F.lit(0), F.floor(F.greatest(F.size(t) - 1, F.lit(0)) / stride) * stride, F.lit(stride)
+        )
+        return F.transform(starts, lambda s: F.slice(t, s + 1, window))
+
+    chunks = F.get(F.transform(F.array(toks), _chunks), 0)
+    return (
+        _spread_docs(docs, id_col, text_col)
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_toks"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_id"),
+            F.size("chunk_toks").alias("n_chunk_tokens"),
+            F.array_join("chunk_toks", " ").alias("chunk_text"),
+        )
+    )
+
+
+def source_mixture(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    source_col: str = "source", group_col: str = "lang",
+) -> DataFrame:
+    """Data-mixture report: per (source, lang), document count, token
+    count, and share of all tokens — the table a training run's
+    mixture weights are tuned against.
+
+    One map-side-combined aggregate over (source, lang) plus a
+    broadcast of the single-row global total; the token share divides
+    two exact integer counts, so the 6dp-rounded share is
+    engine-reproducible."""
+    per = (
+        spread_for_compute(docs.select(text_col, source_col, group_col))
+        .select(source_col, group_col, F.size(tokens_col(text_col)).alias("n_t"))
+        .groupBy(source_col, group_col)
+        .agg(F.count("*").alias("n_docs"), F.sum("n_t").alias("n_tokens"))
+    )
+    total = per.agg(F.sum("n_tokens").alias("total_tokens"))
+    return per.crossJoin(F.broadcast(total)).select(
+        source_col,
+        group_col,
+        "n_docs",
+        "n_tokens",
+        rhu(F.col("n_tokens") / F.col("total_tokens"), 6).alias("token_share"),
+    )

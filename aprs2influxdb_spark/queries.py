@@ -2247,6 +2247,48 @@ FROM w
 """
 
 
+def q_chunk_documents(spark, sf):
+    """Sliding-window token chunking (64-token windows, stride 48) —
+    see operators.textanalysis.chunk_documents."""
+    return ta.chunk_documents(_t(spark, sf, "documents"))
+
+
+SQL_CHUNK_DOCUMENTS = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks,
+         unnest(range(0, (floor(greatest(len(toks) - 1, 0) / 48))::BIGINT * 48 + 1, 48)) AS start,
+         unnest(range(0, (floor(greatest(len(toks) - 1, 0) / 48))::BIGINT + 1)) AS chunk_id
+  FROM t
+)
+SELECT doc_id, chunk_id::INT AS chunk_id,
+       len(list_slice(toks, start + 1, start + 64))::INT AS n_chunk_tokens,
+       array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk_text
+FROM s
+"""
+
+
+def q_source_mixture(spark, sf):
+    """Data-mixture report: per (source, lang) doc/token counts and
+    global token share — see operators.textanalysis.source_mixture."""
+    return ta.source_mixture(_t(spark, sf, "documents"))
+
+
+SQL_SOURCE_MIXTURE = f"""
+WITH per AS (
+  SELECT source, lang, count(*) AS n_docs,
+         sum(len(string_split(lower(text), ' '))) AS n_tokens
+  FROM documents GROUP BY source, lang
+), tot AS (
+  SELECT sum(n_tokens) AS total_tokens FROM per
+)
+SELECT source, lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       {rhu_sql('n_tokens::DOUBLE / total_tokens', 6)} AS token_share
+FROM per, tot
+"""
+
+
 def q_influx_derivative(spark, sf):
     """InfluxQL ``non_negative_derivative(value, 1s)`` +
     ``moving_average(value, 5)`` per series — the rate-of-change and
@@ -2612,6 +2654,8 @@ def registry() -> dict[str, tuple]:
         "lang_balance_sample": (q_lang_balance_sample, SQL_LANG_BALANCE_SAMPLE),
         "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
         "influx_derivative": (q_influx_derivative, SQL_INFLUX_DERIVATIVE),
+        "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+        "source_mixture": (q_source_mixture, SQL_SOURCE_MIXTURE),
         "histogram_prices": (q_histogram_prices, SQL_HISTOGRAM_PRICES),
         "gap_fill": (q_gap_fill, SQL_GAP_FILL),
         # multimodal
