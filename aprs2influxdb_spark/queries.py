@@ -1334,6 +1334,39 @@ FROM documents
 """
 
 
+def q_multimodal_features(spark, sf):
+    """Arrow-batched multimodal feature extraction (mapInPandas) under
+    the full oracle gate: documents.text cast to binary stands in for
+    the media blob, and the stub decoder's pseudo-feature (sum of the
+    first 64 payload bytes) is byte-exact reproducible in SQL — so the
+    Python-worker plumbing (Arrow batch shape, schema, null payloads)
+    is correctness-checked, not just smoke-tested."""
+    from aprs2influxdb_spark.operators.multimodal import extract_features
+
+    media = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return extract_features(media)
+
+
+SQL_MULTIMODAL_FEATURES = """
+WITH b AS (
+  SELECT doc_id AS media_id, 'image' AS kind, encode(text) AS payload,
+         hex(encode(text)) AS hx, text
+  FROM documents
+)
+SELECT media_id, kind,
+       octet_length(payload) AS n_bytes,
+       sha256(text) AS digest,
+       CAST(coalesce(list_sum(list_transform(
+           range(0, least(octet_length(payload), 64)),
+           i -> ('0x' || substr(hx, i * 2 + 1, 2))::BIGINT)), 0) AS BIGINT) AS feat_mean
+FROM b
+"""
+
+
 # --------------------------------------------------------------------
 # Streaming operators under the batch gate (bounded-stream execution;
 # see streaming.bounded for the equivalence argument per operator)
@@ -2660,6 +2693,7 @@ def registry() -> dict[str, tuple]:
         "gap_fill": (q_gap_fill, SQL_GAP_FILL),
         # multimodal
         "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+        "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
         # streaming (bounded-stream execution of the streaming plans)
         "streaming_time_bucket": (q_streaming_time_bucket, SQL_TIME_BUCKET),
         "streaming_distinct_keys": (q_streaming_distinct_keys, SQL_STREAMING_DISTINCT),
