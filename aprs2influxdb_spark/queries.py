@@ -1367,6 +1367,63 @@ FROM b
 """
 
 
+def q_multimodal_resize(spark, sf):
+    """Image-resize plumbing (binary in → binary thumbnail out through
+    one Arrow-batched ``mapInPandas``) under the exact oracle: the stub
+    resize emits ``sha256(payload ‖ "WxH")`` so DuckDB can reproduce
+    the output thumbnail byte-for-byte from the source text.  Verifies
+    the binary-column round-trip through Arrow, not just row counts."""
+    from aprs2influxdb_spark.operators.multimodal import resize_images
+
+    media = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return resize_images(media, 64, 64).select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        F.lower(F.hex("payload")).alias("thumb_hex"),
+    )
+
+
+SQL_MULTIMODAL_RESIZE = """
+SELECT doc_id AS media_id, 'image' AS kind, 64 AS width, 64 AS height,
+       sha256(text || '64x64') AS thumb_hex
+FROM documents
+"""
+
+
+def q_multimodal_frames(spark, sf):
+    """Video frame-sampling fan-out (one video row → one row per
+    sampled frame) under the exact oracle.  Duration is derived
+    deterministically from ``n_chars`` (10 ms per char) so the oracle
+    can regenerate the frame grid with ``range()``; the stubbed frame
+    digest column is dropped here (DuckDB can't sha256 blobs) — its
+    bytes are pinned by ``tests/test_multimodal.py`` instead."""
+    from aprs2influxdb_spark.operators.multimodal import sample_frames
+
+    media = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+    )
+    return sample_frames(media, every_ms=1000).select("media_id", "frame_idx", "ts_ms")
+
+
+SQL_MULTIMODAL_FRAMES = """
+WITH f AS (
+  SELECT doc_id, unnest(range(0, n_chars * 10, 1000)) AS ts_ms
+  FROM documents
+)
+SELECT doc_id AS media_id, CAST(ts_ms // 1000 AS INT) AS frame_idx, ts_ms
+FROM f
+"""
+
+
 # --------------------------------------------------------------------
 # Streaming operators under the batch gate (bounded-stream execution;
 # see streaming.bounded for the equivalence argument per operator)
@@ -2253,6 +2310,57 @@ FROM s WHERE n_blocked > 0
 """
 
 
+def q_pii_scrub(spark, sf):
+    """PII scrubbing: regex-redact sensitive spans before training.
+    The patterns (digit runs here; emails/phones in production use the
+    same call) stay JVM-side — ``regexp_replace``/``regexp_count`` run
+    inside whole-stage codegen, so redaction is a narrow map over the
+    scan with zero shuffle; at 100 TB it scales embarrassingly with
+    input splits.  Runs over ``events.props`` (the synthetic corpus's
+    only digit-bearing text) so every row exercises a real match."""
+    return _t(spark, sf, "events").select(
+        "event_id",
+        F.regexp_replace("props", r"\d+", "#").alias("props_redacted"),
+        F.regexp_count("props", F.lit(r"\d")).alias("n_digits"),
+    )
+
+
+SQL_PII_SCRUB = r"""
+SELECT event_id,
+       regexp_replace(props, '\d+', '#', 'g') AS props_redacted,
+       len(regexp_extract_all(props, '\d')) AS n_digits
+FROM events
+"""
+
+
+def q_ntile_buckets(spark, sf):
+    """Curriculum decile bucketing: ntile(10) of document length per
+    language, then per-bucket counts — the "order corpus easy→hard"
+    prep step.  The window partitions by ``lang``, so the sort is
+    per-language (never a single global sort); at 100 TB swap the
+    in-partition ntile for a two-pass range-partitioned rank with the
+    same bucket formula — semantics (and this oracle) unchanged."""
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    return (
+        _t(spark, sf, "documents")
+        .select("lang", "n_chars", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count("*").alias("n_docs"), rhu(F.avg("n_chars"), 4).alias("avg_chars"))
+    )
+
+
+SQL_NTILE_BUCKETS = f"""
+WITH b AS (
+  SELECT lang, n_chars,
+         ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS bucket
+  FROM documents
+)
+SELECT lang, bucket, count(*) AS n_docs, {rhu_sql('avg(n_chars)', 4)} AS avg_chars
+FROM b
+GROUP BY lang, bucket
+"""
+
+
 def q_pack_sequences(spark, sf):
     """Concat-and-chop sequence packing into 512-token training
     windows, parallelized over (lang, hash-bucket) lanes — see
@@ -2360,6 +2468,49 @@ SELECT event_id, user_id,
        {rhu_sql('CASE WHEN deriv >= 0 THEN deriv END', 6)} AS nn_deriv_per_s,
        {rhu_sql('ma', 4)} AS mov_avg5
 FROM d
+"""
+
+
+def q_influx_integral(spark, sf):
+    """InfluxQL ``integral(value, 1s)`` + ``spread(value)`` per series:
+    trapezoidal area under the value curve and max-min range — the
+    remaining InfluxQL aggregates over the packet measurement.
+
+    Plan: one shuffle on the series key serves both the lag window
+    (trapezoid legs) and the final group-by — Catalyst reuses the
+    hash partitioning, so adding the aggregate on top of the window
+    costs no extra exchange.  Per-series state is two floats; skew is
+    bounded by the busiest series, same profile as the derivative
+    query."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    area = (F.col("value") + F.lag("value", 1).over(w)) / 2 * gap
+    return (
+        _t(spark, sf, "events")
+        .withColumn("area", area)
+        .groupBy("user_id")
+        .agg(
+            rhu(F.sum("area"), 4).alias("integral_vs"),
+            rhu(F.max("value") - F.min("value"), 6).alias("spread"),
+            F.count("*").alias("n_points"),
+        )
+    )
+
+
+SQL_INFLUX_INTEGRAL = f"""
+WITH d AS (
+  SELECT user_id, value,
+         (value + lag(value, 1) OVER w) / 2
+           * (floor(epoch(ts))::BIGINT - floor(epoch(lag(ts, 1) OVER w))::BIGINT) AS area
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       {rhu_sql('sum(area)', 4)} AS integral_vs,
+       {rhu_sql('max(value) - min(value)', 6)} AS spread,
+       count(*) AS n_points
+FROM d
+GROUP BY user_id
 """
 
 
@@ -2683,10 +2834,13 @@ def registry() -> dict[str, tuple]:
         "quantize_embeddings": (q_quantize_embeddings, SQL_QUANTIZE_EMBEDDINGS),
         "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
         "blocklist_filter": (q_blocklist_filter, SQL_BLOCKLIST_FILTER),
+        "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+        "ntile_buckets": (q_ntile_buckets, SQL_NTILE_BUCKETS),
         "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
         "lang_balance_sample": (q_lang_balance_sample, SQL_LANG_BALANCE_SAMPLE),
         "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
         "influx_derivative": (q_influx_derivative, SQL_INFLUX_DERIVATIVE),
+        "influx_integral": (q_influx_integral, SQL_INFLUX_INTEGRAL),
         "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
         "source_mixture": (q_source_mixture, SQL_SOURCE_MIXTURE),
         "histogram_prices": (q_histogram_prices, SQL_HISTOGRAM_PRICES),
@@ -2694,6 +2848,8 @@ def registry() -> dict[str, tuple]:
         # multimodal
         "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
         "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+        "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
+        "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
         # streaming (bounded-stream execution of the streaming plans)
         "streaming_time_bucket": (q_streaming_time_bucket, SQL_TIME_BUCKET),
         "streaming_distinct_keys": (q_streaming_distinct_keys, SQL_STREAMING_DISTINCT),
