@@ -50,11 +50,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def normalize_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``ts`` to TIMESTAMP (LTZ, microseconds) regardless of
+    how the parquet INT64 TIMESTAMP(NANOS) column surfaced: as bigint
+    (nanosAsLong in effect) or as TIMESTAMP_NTZ (session tz is UTC, so
+    the cast preserves the instant and DuckDB parity)."""
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 # --------------------------------------------------------------------
@@ -451,9 +461,10 @@ def q_sessionize(spark, sf):
     sum (batch twin of streaming session windows)."""
     e = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    # NTZ-safe: timestamp - timestamp is a day-time interval (no tz cast)
+    gap = F.col("ts") - F.lag("ts").over(w)
     return (
-        e.withColumn("new_sess", F.when(gap > 1800.0, 1).otherwise(0))
+        e.withColumn("new_sess", F.when(gap > F.expr("INTERVAL '30' MINUTE"), 1).otherwise(0))
         .groupBy("user_id")
         .agg((F.sum("new_sess") + 1).alias("n_sessions"), F.count("*").alias("n_events"))
     )

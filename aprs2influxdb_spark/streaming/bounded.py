@@ -51,6 +51,7 @@ from pyspark.sql.types import (
 )
 
 from aprs2influxdb_spark.functions.rounding import rhu
+from aprs2influxdb_spark.queries import normalize_ts
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,10 +67,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     glob = path[:-1] + "[" + path[-1] + "]"
-    df = spark.readStream.schema(schema).parquet(glob)
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_ts(spark.readStream.schema(schema).parquet(glob))
 
 
 def run_bounded(
@@ -197,8 +195,7 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is broadcast: no stream-side shuffle at all."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
         .filter(F.col("event_type") == "error")
         .groupBy("user_id")
         .agg(F.max_by("value", "ts").alias("last_error_value"))
