@@ -2107,6 +2107,179 @@ WHERE (floor((pv) * 100 + 0.5) / 100.0) >
 """
 
 
+def q_forecast_revenue(spark, sf):
+    """TPC-H Q6-style forecast-revenue delta: a pure scan-filter-agg
+    with no join at all — the query whose entire cost is how little
+    of the fact table the scan reads.
+
+    Scale shape: all three predicates (date range, discount band,
+    quantity cap) push into the parquet scan (``PushedFilters`` +
+    row-group min/max pruning); with the packet-table layout
+    (date-partitioned), the date range prunes whole partitions before
+    any I/O.  The aggregate is a single partial+final sum — no
+    shuffle beyond the 1-row exchange."""
+    li = _t(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        rhu(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue_delta"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+SQL_FORECAST_REVENUE = """
+SELECT (floor((sum(l_extendedprice * l_discount)) * 100 + 0.5) / 100.0) AS revenue_delta,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.04 AND l_discount <= 0.06 AND l_quantity < 24
+"""
+
+
+def q_product_profit(spark, sf):
+    """TPC-H Q9-style product-type profit by supplier nation and order
+    year.  The schema has no partsupp, so supply cost is modeled as
+    ``0.6 * p_retailprice`` per unit — the join/aggregate shape (the
+    point of Q9) is unchanged.
+
+    Scale shape: the part name filter prunes the part dim BEFORE its
+    join (left unhinted — AQE picks broadcast at small SF, shuffle
+    when part outgrows the threshold at 100 TB); supplier⋈nation
+    pre-joins the two dims so the fact table is touched once per dim
+    axis; lineitem⋈orders is the one unavoidable fact-fact shuffle,
+    on the natural key both tables could be bucketed by."""
+    li = _t(spark, sf, "lineitem")
+    p = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_name").contains("widget"))
+        .select("p_partkey", "p_retailprice")
+    )
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    sn = (
+        _t(spark, sf, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(sn, li.l_suppkey == sn.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(rhu(F.sum(profit), 2).alias("profit"))
+    )
+
+
+SQL_PRODUCT_PROFIT = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       (floor((sum(l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity))
+        * 100 + 0.5) / 100.0) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def q_supplier_part_counts(spark, sf):
+    """TPC-H Q16-style supplier-relationship count: distinct suppliers
+    able to ship each (brand, type, size) combination, excluding one
+    brand and one type.  The schema has no partsupp; the observed
+    (l_partkey, l_suppkey) pairs in lineitem ARE the supplies-part
+    relation.
+
+    Scale shape: the pair projection dedups map-side via the
+    partial-aggregate of ``count(distinct)``'s expand; the part dim
+    filter cuts the join input first.  count(distinct suppkey) per
+    group is exact — the approx twin is ``approx_count_distinct``
+    (see ``approx_distinct``)."""
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#13") & (F.col("p_type") != "PROMO")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_SUPPLIER_PART_COUNTS = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_excess_shippers(spark, sf):
+    """TPC-H Q20-style nested semi join: suppliers in one nation who
+    shipped an outsized quantity of 'large%' parts in 1996 — i.e.
+    whose per-(part, supplier) 1996 shipments exceed 1.5x the average
+    such shipment (no partsupp availqty in the schema; the
+    mean-relative cutoff is the SF-invariant stand-in, as in
+    ``valuable_parts``).
+
+    Plan shape: grouped-having subquery → LEFT SEMI into the supplier
+    dim → broadcast nation filter.  The semi join never materializes
+    supplier columns on the probe side, and the qualified-supplier
+    set (a key list) is itself broadcast-sized."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").filter(F.col("p_name").startswith("large")).select("p_partkey")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    thr = shipped.agg(rhu(F.avg("qty") * 1.5, 2).alias("thr"))
+    qualified = (
+        shipped.crossJoin(F.broadcast(thr))
+        .filter(rhu(F.col("qty"), 2) > F.col("thr"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation").filter(F.col("n_name") == "NATION_5").select("n_nationkey")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))
+        .join(qualified, s.s_suppkey == qualified.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+SQL_EXCESS_SHIPPERS = """
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'large%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey, l_partkey
+)
+SELECT s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_5'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM shipped
+    WHERE (floor((qty) * 100 + 0.5) / 100.0) >
+          (SELECT (floor((avg(qty) * 1.5) * 100 + 0.5) / 100.0) FROM shipped)
+  )
+"""
+
+
 def q_top_supplier(spark, sf):
     """TPC-H Q15-style argmax over an aggregated view: the supplier(s)
     with maximum Q1-1996 revenue.
@@ -2799,6 +2972,10 @@ def registry() -> dict[str, tuple]:
         "min_cost_supplier": (q_min_cost_supplier, SQL_MIN_COST_SUPPLIER),
         "late_ship_priority": (q_late_ship_priority, SQL_LATE_SHIP_PRIORITY),
         "valuable_parts": (q_valuable_parts, SQL_VALUABLE_PARTS),
+        "forecast_revenue": (q_forecast_revenue, SQL_FORECAST_REVENUE),
+        "product_profit": (q_product_profit, SQL_PRODUCT_PROFIT),
+        "supplier_part_counts": (q_supplier_part_counts, SQL_SUPPLIER_PART_COUNTS),
+        "excess_shippers": (q_excess_shippers, SQL_EXCESS_SHIPPERS),
         "top_supplier": (q_top_supplier, SQL_TOP_SUPPLIER),
         "small_qty_revenue": (q_small_qty_revenue, SQL_SMALL_QTY_REVENUE),
         "waiting_supplier": (q_waiting_supplier, SQL_WAITING_SUPPLIER),
