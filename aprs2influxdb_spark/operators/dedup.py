@@ -323,6 +323,62 @@ def edit_distance_pairs(
     )
 
 
+def dup_ngram_coverage(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document duplicated-n-gram coverage: the fraction of each
+    document's distinct word n-grams that also occur in at least one
+    OTHER document — the substring-level dedup diagnostic of Lee et
+    al., "Deduplicating Training Data Makes Language Models Better"
+    (the metric their suffix-array ExactSubstr pass optimizes), at
+    shingle granularity instead of suffix-array granularity.
+
+    Pair-based rungs of the ladder answer "which documents are
+    near-dups"; this answers "how much of THIS document is boilerplate
+    shared with the corpus" — the quantity training-data pipelines
+    threshold on to drop mostly-duplicated pages that have no single
+    strong near-dup partner.
+
+    Plan shape: one shingle index (lazily checkpointed — three arms
+    consume it), document-frequency aggregate on the shingle key, then
+    the dup flag joins BACK to the exploded shingles on that same key
+    — shuffle-aligned, so AQE plans the join without a second
+    exchange of the big side.  The final per-doc count shuffles on
+    doc_id.  At 100 TB the df aggregate is the same map-side-combining
+    shape as a word count; no step is quadratic in corpus size
+    (contrast the pair rungs, which bound fanout via stop-shingle
+    caps)."""
+    arr = _spread_docs(docs, id_col, text_col).select(
+        F.col(id_col), hashed_shingles(tokens_col(text_col), shingle_n).alias("arr")
+    ).localCheckpoint(eager=False)
+    sh = arr.select(F.col(id_col), F.explode("arr").alias("shingle"))
+    dup_shingles = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > 1)
+        .select("shingle")
+    )
+    n_dup = (
+        sh.join(dup_shingles, "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup"))
+    )
+    return (
+        arr.select(F.col(id_col), F.size("arr").alias("n_shingles"))
+        .join(n_dup, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            rhu(
+                F.coalesce(F.col("n_dup"), F.lit(0))
+                / F.greatest(F.col("n_shingles"), F.lit(1)),
+                4,
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def ngram_jaccard_pairs_capped(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     shingle_n: int = 3, threshold: float = 0.3, max_doc_freq: int = 5,

@@ -1593,6 +1593,144 @@ WHERE 1.0 - abs(length(x.text) - length(y.text)) * 1.0
 """
 
 
+def q_dup_ngram_coverage(spark, sf):
+    """Per-document duplicated-n-gram fraction (Lee et al. ExactSubstr
+    diagnostic at shingle granularity) — linear-in-corpus, no pair
+    fanout."""
+    return dd.dup_ngram_coverage(_t(spark, sf, "documents"))
+
+
+SQL_DUP_NGRAM_COVERAGE = f"""
+WITH {_TOKH_CTE}, arr AS (
+  SELECT doc_id, {_HSH_SQL} AS arr FROM tokh
+), sh AS (
+  SELECT doc_id, unnest(arr) AS shingle FROM arr
+), dup AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1
+), nd AS (
+  SELECT sh.doc_id, count(*) AS n_dup FROM sh JOIN dup USING (shingle)
+  GROUP BY sh.doc_id
+)
+SELECT arr.doc_id, len(arr.arr) AS n_shingles,
+       (floor((coalesce(n_dup, 0) * 1.0 / greatest(len(arr.arr), 1)) * 10000 + 0.5)
+        / 10000.0) AS dup_frac
+FROM arr LEFT JOIN nd ON arr.doc_id = nd.doc_id
+"""
+
+
+def q_hier_rollup(spark, sf):
+    """Hierarchical time rollup (the hypertable continuous-aggregate
+    pattern): minute-grain partials (count, sum) re-aggregated to hour
+    grain, avg derived from the partials — the second level never
+    touches raw rows.
+
+    Scale shape: at 100 TB the minute partials are what a continuous
+    aggregate materializes incrementally; every coarser grain (hour,
+    day, month) is a re-aggregation of the stored partials, cutting
+    each rollup's input by the bucket fanout (~60x here).  Both
+    groupBys shuffle on (bucket, event_type); the second input is
+    already tiny."""
+    e = _t(spark, sf, "events")
+    minute = (
+        e.groupBy(F.date_trunc("minute", "ts").alias("m"), "event_type")
+        .agg(F.count("*").alias("pn"), F.sum("value").alias("ps"))
+    )
+    return (
+        minute.groupBy(F.date_trunc("hour", "m").alias("bucket"), "event_type")
+        .agg(
+            F.sum("pn").alias("n"),
+            rhu(F.sum("ps"), 2).alias("total"),
+            # avg from the SNAPSHOT-ROUNDED total: raw sums differ at
+            # 1 ulp across engines and /8 lands exactly on .xxxx5
+            # boundaries; the 2dp-rounded total is bit-identical, so
+            # the division + 4dp rounding is the same IEEE op on both
+            rhu(rhu(F.sum("ps"), 2) / F.sum("pn"), 4).alias("avg_value"),
+        )
+    )
+
+
+SQL_HIER_ROLLUP = """
+WITH minute AS (
+  SELECT date_trunc('minute', ts) AS m, event_type,
+         count(*) AS pn, sum(value) AS ps
+  FROM events GROUP BY 1, 2
+)
+SELECT date_trunc('hour', m) AS bucket, event_type,
+       CAST(sum(pn) AS BIGINT) AS n,
+       (floor((sum(ps)) * 100 + 0.5) / 100.0) AS total,
+       (floor(((floor((sum(ps)) * 100 + 0.5) / 100.0) / sum(pn)) * 10000 + 0.5)
+        / 10000.0) AS avg_value
+FROM minute GROUP BY 1, 2
+"""
+
+
+def q_profile_columns(spark, sf):
+    """Single-pass data-quality profile of the documents table: per
+    column, null count, empty-string count (strings only), and exact
+    distinct count, emitted long-form.
+
+    Plan shape: ONE scan computes every statistic (the per-column
+    UNION-ALL formulation — the oracle's — scans once per column);
+    the wide 1-row aggregate is then unpivoted driver-free with
+    ``inline``.  Multiple count-distincts expand the aggregate
+    (Catalyst's Expand, one duplicate of the input per distinct
+    aggregate) — the approx twin (``approx_count_distinct``) drops
+    the Expand for 100 TB profiling."""
+    d = _t(spark, sf, "documents")
+    cols = [("text", True), ("lang", True), ("source", True), ("n_chars", False)]
+    aggs = [F.count("*").alias("n_rows")]
+    for c, is_str in cols:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__null"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__distinct"))
+        if is_str:
+            aggs.append(
+                F.sum(F.when(F.length(c) == 0, 1).otherwise(0)).alias(f"{c}__empty")
+            )
+    wide = d.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows"),
+                F.col(f"{c}__null").alias("n_null"),
+                (F.col(f"{c}__empty") if is_str else F.lit(None).cast("long")).alias(
+                    "n_empty"
+                ),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+            )
+            for c, is_str in cols
+        ]
+    )
+    return wide.select(F.inline(rows))
+
+
+SQL_PROFILE_COLUMNS = """
+SELECT 'text' AS col_name, count(*) AS n_rows,
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+       count(DISTINCT text) AS n_distinct
+FROM documents
+UNION ALL
+SELECT 'lang', count(*),
+       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN length(lang) = 0 THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT lang)
+FROM documents
+UNION ALL
+SELECT 'source', count(*),
+       CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN length(source) = 0 THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT source)
+FROM documents
+UNION ALL
+SELECT 'n_chars', count(*),
+       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       NULL,
+       count(DISTINCT n_chars)
+FROM documents
+"""
+
+
 def q_quantize_embeddings(spark, sf):
     """Int8 symmetric quantization of the embedding column (q string-
     encoded — the driver hashes array cells engine-specifically)."""
@@ -2973,6 +3111,9 @@ def registry() -> dict[str, tuple]:
         "late_ship_priority": (q_late_ship_priority, SQL_LATE_SHIP_PRIORITY),
         "valuable_parts": (q_valuable_parts, SQL_VALUABLE_PARTS),
         "forecast_revenue": (q_forecast_revenue, SQL_FORECAST_REVENUE),
+        "dup_ngram_coverage": (q_dup_ngram_coverage, SQL_DUP_NGRAM_COVERAGE),
+        "hier_rollup": (q_hier_rollup, SQL_HIER_ROLLUP),
+        "profile_columns": (q_profile_columns, SQL_PROFILE_COLUMNS),
         "product_profit": (q_product_profit, SQL_PRODUCT_PROFIT),
         "supplier_part_counts": (q_supplier_part_counts, SQL_SUPPLIER_PART_COUNTS),
         "excess_shippers": (q_excess_shippers, SQL_EXCESS_SHIPPERS),
