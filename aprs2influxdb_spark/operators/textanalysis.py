@@ -209,6 +209,60 @@ def vocabulary(
     )
 
 
+def unigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Unigram language-model quality score: each document's mean
+    negative log-probability under the corpus's own unigram
+    distribution — the KenLM-style perplexity-proxy filter of CCNet/
+    Gopher pipelines, with the corpus itself as the LM.  Low score =
+    common boilerplate; high score = rare-token gibberish; quality
+    filters keep the middle band.
+
+    Cross-engine determinism: the per-term neg-logprob is INTEGERIZED
+    (micro-nats: ``floor(ln(total/cf)·1e6 + .5)`` as int64) before the
+    per-doc sum, so the aggregation is exact integer arithmetic —
+    bit-identical on any engine in any summation order.  Only then is
+    the (identical) integer divided and rounded.  Rounding a float
+    sum here would be wrong the way ``hier_rollup``'s avg was: ideal
+    half-grid sums flip under engine-dependent order.
+
+    Scale shape: explode → (doc, term) partial-agg count, corpus term
+    frequency via a window on the term (the shuffle an inverted index
+    would do anyway), the scalar total broadcast from a 1-row
+    aggregate, final per-doc sum shuffles on the id.  Max micro-nat
+    value is ~ln(total)·1e6 ≈ 26e6 at 100 T tokens; a 1 M-token
+    document sums to ~2.6e13 — far inside int64."""
+    from pyspark.sql import Window
+
+    tf = (
+        _spread_docs(docs, id_col, text_col)
+        .select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    wt = Window.partitionBy("term")
+    total = tf.agg(F.sum("tf").alias("total_tokens"))
+    inlp = F.floor(
+        F.log(F.col("total_tokens").cast("double") / F.col("cf")) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    return (
+        tf.withColumn("cf", F.sum("tf").over(wt))
+        .crossJoin(F.broadcast(total))
+        .withColumn("inlp", inlp)
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("inlp")).alias("s"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            rhu(F.col("s") / (F.col("n_tokens") * F.lit(1e6)), 4).alias("avg_nll"),
+        )
+    )
+
+
 def rolling_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Polynomial rolling hash over the document's tokens:
     h = fold(h * 31 + hash(token)) mod 1e9+7 — an order-sensitive

@@ -1593,6 +1593,33 @@ WHERE 1.0 - abs(length(x.text) - length(y.text)) * 1.0
 """
 
 
+def q_unigram_logprob(spark, sf):
+    """Unigram-LM quality score (perplexity proxy) per document, with
+    integerized micro-nat logprobs for order-independent parity."""
+    return ta.unigram_logprob(_t(spark, sf, "documents"))
+
+
+SQL_UNIGRAM_LOGPROB = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), wtf AS (
+  SELECT doc_id, tf, sum(tf) OVER (PARTITION BY term) AS cf FROM tf
+), tot AS (
+  SELECT sum(tf) AS total_tokens FROM tf
+), scored AS (
+  SELECT doc_id, tf,
+         CAST(floor(ln(CAST(total_tokens AS DOUBLE) / cf) * 1000000 + 0.5) AS BIGINT) AS inlp
+  FROM wtf, tot
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       (floor((CAST(sum(tf * inlp) AS DOUBLE) / (CAST(sum(tf) AS DOUBLE) * 1000000.0))
+        * 10000 + 0.5) / 10000.0) AS avg_nll
+FROM scored GROUP BY doc_id
+"""
+
+
 def q_dup_ngram_coverage(spark, sf):
     """Per-document duplicated-n-gram fraction (Lee et al. ExactSubstr
     diagnostic at shingle granularity) — linear-in-corpus, no pair
@@ -3112,6 +3139,7 @@ def registry() -> dict[str, tuple]:
         "valuable_parts": (q_valuable_parts, SQL_VALUABLE_PARTS),
         "forecast_revenue": (q_forecast_revenue, SQL_FORECAST_REVENUE),
         "dup_ngram_coverage": (q_dup_ngram_coverage, SQL_DUP_NGRAM_COVERAGE),
+        "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
         "hier_rollup": (q_hier_rollup, SQL_HIER_ROLLUP),
         "profile_columns": (q_profile_columns, SQL_PROFILE_COLUMNS),
         "product_profit": (q_product_profit, SQL_PRODUCT_PROFIT),
