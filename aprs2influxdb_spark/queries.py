@@ -293,21 +293,42 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 
 
 def q_region_revenue(spark, sf):
-    """TPC-H Q5-style 6-way join; dims broadcast, facts co-shuffled."""
+    """TPC-H Q5-style 6-way join; dims broadcast, facts co-shuffled.
+
+    The region predicate constrains the SUPPLIER's nation (and the
+    customer must share it), so region⋈nation is resolved first and
+    semi-joined into supplier BEFORE any fact join — without it the
+    ASIA cut happens only after lineitem⋈orders⋈supplier⋈customer,
+    a ~(#nations/#asia-nations)× larger intermediate that Catalyst
+    won't reorder away without CBO stats.  The prune is a LEFT SEMI
+    (not inner) so the static planner still sizes the supplier side
+    by supplier's own stats and keeps the broadcast plan — an inner
+    join there made the size unknown, and the fallback SortMergeJoin
+    shuffled the whole lineitem⋈orders intermediate on l_suppkey
+    (measured +0.5 s at sf0.1; AQE re-plans to broadcast only after
+    that shuffle is already materialized).  ``n_name`` is recovered
+    afterwards by the tiny nation-dim broadcast, inside the same
+    codegen stage."""
     li = _t(spark, sf, "lineitem")
     o = _t(spark, sf, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
     )
     c = _t(spark, sf, "customer")
-    s = _t(spark, sf, "supplier")
     n = _t(spark, sf, "nation")
     r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    asia_n = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    s = _t(spark, sf, "supplier").join(
+        F.broadcast(asia_n.select("n_nationkey")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+        "left_semi",
+    )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(asia_n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(rhu(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
