@@ -58,6 +58,12 @@ class TestJoinStrategy:
         stats = audit(q_region_revenue(spark, sf_dir))
         assert stats.broadcasts >= 1
         assert stats.cartesian == 0
+        # the supplier prune is a LEFT SEMI precisely so the static
+        # planner keeps broadcast joins: an inner prune loses the size
+        # estimate and falls back to SMJ, shuffling the whole fact
+        # intermediate on l_suppkey (see q_region_revenue docstring)
+        assert stats.sort_merge_joins == 0
+        assert stats.shuffles <= 1  # only the final groupBy exchange
 
     def test_topk_broadcasts_queries_not_corpus(self, spark, sf_dir):
         # the corpus is never shuffled for scoring; queries ride broadcast
