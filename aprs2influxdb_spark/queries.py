@@ -1508,6 +1508,21 @@ WHERE e.event_type != 'error'
 """
 
 
+def q_streaming_stream_join(spark, sf):
+    """Watermarked stream-stream interval join (error → same-user
+    clicks within 30 min); batch interval-join oracle is exact on a
+    bounded run."""
+    from aprs2influxdb_spark.streaming.bounded import streaming_stream_join
+
+    return streaming_stream_join(spark, sf)
+
+
+def _streaming_stream_join_sql() -> str:
+    from aprs2influxdb_spark.streaming.bounded import SQL_STREAMING_STREAM_JOIN
+
+    return SQL_STREAMING_STREAM_JOIN
+
+
 def q_streaming_sessionize(spark, sf):
     from aprs2influxdb_spark.streaming.bounded import streaming_sessionize
 
@@ -3234,6 +3249,7 @@ def registry() -> dict[str, tuple]:
         "streaming_asof_calibration": (q_streaming_asof_calibration, SQL_ASOF_CALIBRATION),
         "streaming_dedup_exact": (q_streaming_dedup_exact, SQL_DEDUP_EXACT),
         "streaming_static_join": (q_streaming_static_join, SQL_STREAMING_STATIC_JOIN),
+        "streaming_stream_join": (q_streaming_stream_join, _streaming_stream_join_sql()),
         "streaming_sessionize": (q_streaming_sessionize, _streaming_sessionize_sql()),
         # transformWithState twin registers only where its protobuf
         # dependency exists (absent in this container; the operator and

@@ -215,6 +215,68 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_bounded(spark, joined, "append", "stream_static_join")
 
 
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join: each 'error' event
+    paired with every same-user 'click' in the following 30 minutes —
+    the events-table twin of the packet pipeline's message-ack matcher
+    (``streaming.pipeline.match_acks``), under the full oracle gate.
+
+    Inner stream-stream joins emit matches as both sides arrive; the
+    watermarks plus the time-range conjunct are what let the state
+    store EVICT: a buffered error row is droppable once the click
+    watermark passes err_ts + 30 min (and vice versa), so state is
+    bounded by the interval + watermark horizon, not the stream
+    length.  The join shuffles both sides on user_id.  Latency is
+    emitted in integer microseconds — exact on both engines.
+
+    On a bounded AvailableNow run all data arrives in one batch, so
+    append mode yields every qualifying pair — the batch interval-join
+    oracle is exact."""
+    a = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id").alias("u"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", "1 hour")
+    )
+    b = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    j = a.join(
+        b,
+        (F.col("u") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("err_ts"))
+        & (F.col("click_ts") <= F.col("err_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    out = j.select(
+        "err_id",
+        "click_id",
+        F.col("u").alias("user_id"),
+        (F.unix_micros("click_ts") - F.unix_micros("err_ts")).alias("lag_us"),
+    )
+    return run_bounded(spark, out, "append", "stream_stream_join")
+
+
+SQL_STREAMING_STREAM_JOIN = """
+SELECT a.event_id AS err_id, b.event_id AS click_id, a.user_id,
+       epoch_us(b.ts) - epoch_us(a.ts) AS lag_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'error' AND b.event_type = 'click'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+"""
+
+
 ASOF_OUTPUT = StructType(
     [
         StructField("event_id", LongType()),
