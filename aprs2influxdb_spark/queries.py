@@ -638,6 +638,49 @@ FROM events GROUP BY event_type
 """
 
 
+def q_salted_join(spark, sf):
+    """Skew pattern for JOINS: the fact side salts its key with
+    ``pmod(event_id, 8)`` and the dimension replicates across all 8
+    salts, so a hot user's rows spread over 8 reducers instead of
+    bottlenecking one.  Result is provably identical to the unsalted
+    join — the identity the oracle checks (same contract as
+    ``salted_agg``).
+
+    AQE's skew-join split handles sort-merge joins after the fact;
+    manual salting is the strategy when the skew is known a priori
+    (per-sender packet volume follows a power law) or the join is
+    shuffle-hash where AQE's splitting doesn't apply.  The 8x dim
+    replication is the explicit price — chosen over AQE only when the
+    dim is small relative to the hot key's row share."""
+    e = _t(spark, sf, "events")
+    dim = e.groupBy("user_id").agg(rhu(F.avg("value"), 4).alias("user_avg"))
+    n_salts = 8
+    fact = e.withColumn("salt", F.pmod(F.col("event_id"), F.lit(n_salts)))
+    dim_x = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return (
+        fact.join(dim_x, ["user_id", "salt"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            rhu(F.sum(F.col("value") - F.col("user_avg")), 2).alias("sum_dev"),
+        )
+    )
+
+
+SQL_SALTED_JOIN = """
+WITH dim AS (
+  SELECT user_id, (floor((avg(value)) * 10000 + 0.5) / 10000.0) AS user_avg
+  FROM events GROUP BY user_id
+)
+SELECT e.event_type, count(*) AS n,
+       (floor((sum(e.value - d.user_avg)) * 100 + 0.5) / 100.0) AS sum_dev
+FROM events e JOIN dim d USING (user_id)
+GROUP BY e.event_type
+"""
+
+
 def q_pivot_events(spark, sf):
     """Long-to-wide pivot: daily value totals per event type as
     columns.  Explicit pivot values keep the schema static — at scale a
@@ -3159,6 +3202,7 @@ def registry() -> dict[str, tuple]:
         "percentiles": (q_percentiles, SQL_PERCENTILES),
         "corr_stats": (q_corr_stats, SQL_CORR_STATS),
         "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
+        "salted_join": (q_salted_join, SQL_SALTED_JOIN),
         "pivot_events": (q_pivot_events, SQL_PIVOT_EVENTS),
         "unpivot_lineitem": (q_unpivot_lineitem, SQL_UNPIVOT_LINEITEM),
         "lag_delta": (q_lag_delta, SQL_LAG_DELTA),
