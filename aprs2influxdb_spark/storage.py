@@ -55,6 +55,39 @@ def read_packets(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    key: str,
+    path: str | None = None,
+) -> None:
+    """Write ``df`` as a bucketed (and bucket-sorted) table on ``key``.
+
+    Bucketing is the shuffle-you-pay-once strategy for 100 TB repeat
+    joins: both sides of a fact-fact join (lineitem⋈orders on the
+    orderkey) written with the same bucket count on the join key are
+    co-located file-by-file, so every subsequent join/aggregate on that
+    key plans with ZERO exchanges — the scan itself satisfies the
+    hash-partitioning requirement (asserted in
+    ``tests/test_plans.py::test_bucketed_join_has_no_exchange``).
+    ``sortBy`` additionally pre-sorts each bucket file so sort-merge
+    joins skip their sorts.
+
+    Bucket metadata lives in the catalog, hence ``saveAsTable``; with
+    ``path`` the table is external (data at the given location, only
+    metadata in the catalog)."""
+    w = (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
 def compact_packets(
     spark: SparkSession,
     path: str,

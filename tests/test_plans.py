@@ -65,6 +65,41 @@ class TestJoinStrategy:
         assert stats.sort_merge_joins == 0
         assert stats.shuffles <= 1  # only the final groupBy exchange
 
+    def test_bucketed_join_has_no_exchange(self, spark, sf_dir, tmp_path):
+        """Both sides bucketed on the join key -> the fact-fact join
+        plans with ZERO exchanges (the scan satisfies the partitioning
+        requirement).  Broadcast is disabled for the test: at toy SF
+        the planner would broadcast and hide whether bucketing worked;
+        at 100 TB neither side is broadcastable and this bucketed SMJ
+        is the plan that matters."""
+        from aprs2influxdb_spark.storage import write_bucketed
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity"
+        )
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_totalprice"
+        )
+        write_bucketed(li, "li_bucketed", 8, "l_orderkey", path=str(tmp_path / "li"))
+        write_bucketed(o, "o_bucketed", 8, "o_orderkey", path=str(tmp_path / "o"))
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("li_bucketed").join(
+                spark.table("o_bucketed"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            stats = plan_stats(j)
+            assert stats.shuffles == 0
+            assert stats.broadcasts == 0
+            # unbucketed twin of the same join DOES shuffle both sides
+            un = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            assert plan_stats(un).shuffles == 2
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS li_bucketed")
+            spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
     def test_topk_broadcasts_queries_not_corpus(self, spark, sf_dir):
         # the corpus is never shuffled for scoring; queries ride broadcast
         plan = executed_plan(q_cosine_topk(spark, sf_dir))
