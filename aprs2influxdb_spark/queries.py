@@ -2899,6 +2899,54 @@ FROM d
 """
 
 
+def q_alert_transitions(spark, sf):
+    """Kapacitor-style threshold alerting over each series: rising
+    edges (value crosses ABOVE the threshold) and falling edges, with
+    the count of samples spent in the alert state — deadband-free
+    state-transition detection via one lag window.
+
+    A naive alert filter (``value > thr``) re-fires every sample while
+    high; the transition formulation emits one event per edge, which
+    is what an alert pipeline actually forwards.  Plan: single shuffle
+    on the series key, one in-partition sort, arithmetic on booleans —
+    no second pass."""
+    thr = F.lit(75.0)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    hi = (F.col("value") > thr).cast("int")
+    prev_hi = F.lag(hi).over(w)
+    return (
+        _t(spark, sf, "events")
+        .select(
+            "user_id",
+            hi.alias("hi"),
+            F.when(prev_hi.isNotNull() & (hi > prev_hi), 1).otherwise(0).alias("rise"),
+            F.when(prev_hi.isNotNull() & (hi < prev_hi), 1).otherwise(0).alias("fall"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("rise").alias("n_rising"),
+            F.sum("fall").alias("n_falling"),
+            F.sum("hi").alias("n_high_samples"),
+        )
+    )
+
+
+SQL_ALERT_TRANSITIONS = """
+WITH d AS (
+  SELECT user_id,
+         CASE WHEN value > 75.0 THEN 1 ELSE 0 END AS hi,
+         lag(CASE WHEN value > 75.0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_hi
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN prev_hi IS NOT NULL AND hi > prev_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_rising,
+       CAST(sum(CASE WHEN prev_hi IS NOT NULL AND hi < prev_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_falling,
+       CAST(sum(hi) AS BIGINT) AS n_high_samples
+FROM d GROUP BY user_id
+"""
+
+
 def q_influx_integral(spark, sf):
     """InfluxQL ``integral(value, 1s)`` + ``spread(value)`` per series:
     trapezoidal area under the value curve and max-min range — the
@@ -3278,6 +3326,7 @@ def registry() -> dict[str, tuple]:
         "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
         "influx_derivative": (q_influx_derivative, SQL_INFLUX_DERIVATIVE),
         "influx_integral": (q_influx_integral, SQL_INFLUX_INTEGRAL),
+        "alert_transitions": (q_alert_transitions, SQL_ALERT_TRANSITIONS),
         "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
         "source_mixture": (q_source_mixture, SQL_SOURCE_MIXTURE),
         "histogram_prices": (q_histogram_prices, SQL_HISTOGRAM_PRICES),
