@@ -597,6 +597,61 @@ FROM events GROUP BY event_type
 """
 
 
+def q_mad_outliers(spark, sf):
+    """Robust outlier screen per group: median absolute deviation
+    (MAD), the estimator that — unlike z-scores — one extreme value
+    cannot drag.  Flags samples with ``|value − median| > 3·MAD``.
+
+    Median and MAD are snapshot-rounded to 4dp before the deviation /
+    comparison (the ``zscore_prices`` convention: a pipeline persists
+    its constants, and interpolation ULP noise between engines must
+    not move the cutoff).  Plan: two exact-percentile aggregates
+    (median, then MAD of deviations) each a single shuffle on the
+    group key, the tiny per-group stats broadcast back for the
+    counting pass.  At 100 TB the exact sort-based percentile becomes
+    ``approx_percentile`` — same plan shape, sketch-mergeable."""
+    e = _t(spark, sf, "events")
+    med = e.groupBy("event_type").agg(
+        rhu(F.expr("percentile(value, 0.5)"), 4).alias("med")
+    )
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(rhu(F.expr("percentile(abs(value - med), 0.5)"), 4).alias("mad"))
+    )
+    stats = med.join(mad, "event_type")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+SQL_MAD_OUTLIERS = """
+WITH med AS (
+  SELECT event_type, (floor((quantile_cont(value, 0.5)) * 10000 + 0.5) / 10000.0) AS med
+  FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type,
+         (floor((quantile_cont(abs(e.value - m.med), 0.5)) * 10000 + 0.5) / 10000.0) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+)
+SELECT e.event_type, max(m.med) AS med, max(d.mad) AS mad,
+       CAST(sum(CASE WHEN abs(e.value - m.med) > 3 * d.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       count(*) AS n
+FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+GROUP BY e.event_type
+"""
+
+
 def q_corr_stats(spark, sf):
     """Statistical aggregates: Pearson corr + stddev per group."""
     li = _t(spark, sf, "lineitem")
@@ -3248,6 +3303,7 @@ def registry() -> dict[str, tuple]:
         "anti_join": (q_anti_join, SQL_ANTI_JOIN),
         "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
         "percentiles": (q_percentiles, SQL_PERCENTILES),
+        "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
         "corr_stats": (q_corr_stats, SQL_CORR_STATS),
         "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
         "salted_join": (q_salted_join, SQL_SALTED_JOIN),
