@@ -56,6 +56,15 @@ HEADLINE = [
     "rolling_fingerprint",
     "tfidf_top_terms",
     "gap_fill",
+    # round-1 additions: scan-pushdown (Q6), 5-table profit join (Q9),
+    # linear-pass substring-dedup diagnostic, unigram-LM scoring,
+    # partial-reuse rollup, robust outliers
+    "forecast_revenue",
+    "product_profit",
+    "dup_ngram_coverage",
+    "unigram_logprob",
+    "hier_rollup",
+    "mad_outliers",
 ]
 
 
