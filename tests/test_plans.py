@@ -100,6 +100,40 @@ class TestJoinStrategy:
             spark.sql("DROP TABLE IF EXISTS li_bucketed")
             spark.sql("DROP TABLE IF EXISTS o_bucketed")
 
+    def test_runtime_bloom_filter_reduces_fact_scan(self, spark, sf_dir):
+        """Runtime bloom-filter semi-join reduction: a selective filter
+        on one join side injects a bloom filter (`might_contain`) into
+        the OTHER side's scan, dropping non-matching fact rows before
+        the shuffle.  Spark's default thresholds (10 GB application-
+        side scan) only engage at real scale; the test lowers them to
+        prove the engine's config surface delivers the optimization
+        the 100 TB deployment relies on for selective fact-fact
+        joins."""
+        confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        }
+        prev = {k: spark.conf.get(k, None) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            )
+            j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).groupBy(
+                "o_orderpriority"
+            ).count()
+            assert "might_contain" in executed_plan(j).lower()
+        finally:
+            for k, v in prev.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
     def test_topk_broadcasts_queries_not_corpus(self, spark, sf_dir):
         # the corpus is never shuffled for scoring; queries ride broadcast
         plan = executed_plan(q_cosine_topk(spark, sf_dir))
