@@ -309,11 +309,22 @@ def edit_distance_pairs(
         F.length("t_a"), F.length("t_b")
     )
     par = docs.sparkSession.sparkContext.defaultParallelism
+    # banded DP: pairs that cannot reach min_sim abort at O(len·band)
+    # instead of filling the full O(len²) matrix (thresholded
+    # levenshtein returns -1 past the band).  The band is
+    # len·(1−min_sim) plus a length-proportional margin covering the
+    # 4dp half-up rounding slack (rhu can admit sims down to
+    # min_sim − 5e-5, i.e. distances up to len·5e-5 past the exact
+    # bound — the 1e-4·len + 1 margin strictly contains that at any
+    # length), so every pair the unbanded filter keeps is returned
+    # with its exact distance and parity is unchanged.
+    band = f"cast(greatest(length(t_a), length(t_b)) * {1.0 - min_sim + 1e-4} + 1 as int)"
     return (
         cand.repartition(par)
         .join(a, "id_a").join(b, "id_b")
         .filter(len_bound >= min_sim)
-        .withColumn("edit_dist", F.levenshtein("t_a", "t_b"))
+        .withColumn("edit_dist", F.expr(f"levenshtein(t_a, t_b, {band})"))
+        .filter(F.col("edit_dist") >= 0)
         .withColumn(
             "edit_sim",
             rhu(F.lit(1.0) - F.col("edit_dist") / F.greatest(F.length("t_a"), F.length("t_b")), 4),
