@@ -1096,6 +1096,70 @@ SELECT query_id, neighbor_id, cos_sim, rk FROM (
 """
 
 
+def q_ts_similarity(spark, sf):
+    """Time-series similarity search (the EDBT'19/REPOSE-style query
+    surface on the events table): each user's activity is summarized
+    as a 24-dim hourly profile (mean value per hour-of-day, absent
+    hours zero), and the query users' top-3 most-similar users are
+    found by exact cosine over the profiles — the same broadcast-and-
+    rank machinery as ``cosine_topk``, applied to derived series
+    features instead of stored embeddings.
+
+    Parity: hourly means are snapshot-rounded to 6dp BEFORE vector
+    assembly, so both engines score bit-identical vectors; the dot
+    product folds in index order on both sides.  Scale shape: profile
+    build is one shuffle on (user, hour) + one on user (both partial-
+    aggregated); scoring reuses the broadcast-queries pattern — the
+    corpus of profiles is never replicated or re-shuffled."""
+    e = _t(spark, sf, "events")
+    prof = (
+        e.groupBy("user_id", F.hour("ts").alias("h"))
+        .agg(rhu(F.avg("value"), 6).alias("v"))
+    )
+    vec = (
+        prof.groupBy("user_id")
+        .pivot("h", list(range(24)))
+        .agg(F.first("v"))
+        .select(
+            "user_id",
+            F.array(
+                *[F.coalesce(F.col(str(h)), F.lit(0.0)) for h in range(24)]
+            ).alias("profile"),
+        )
+    )
+    return sim.brute_force_topk(
+        vec, [0, 1, 2, 3, 4], k=3, id_col="user_id", vec_col="profile"
+    )
+
+
+SQL_TS_SIMILARITY = """
+WITH prof AS (
+  SELECT user_id, hour(ts) AS h,
+         (floor((avg(value)) * 1000000 + 0.5) / 1000000.0) AS v
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT user_id, map_from_entries(list({'k': h, 'v': v})) AS hm
+  FROM prof GROUP BY user_id
+), pv AS (
+  SELECT user_id,
+         list_transform(range(0, 24), i -> coalesce(hm[i][1], 0.0)) AS profile
+  FROM m
+), scored AS (
+  SELECT q.user_id AS query_id, c.user_id AS neighbor_id,
+         (floor((list_dot_product(q.profile, c.profile) /
+                 (sqrt(list_dot_product(q.profile, q.profile)) *
+                  sqrt(list_dot_product(c.profile, c.profile)))) * 10000 + 0.5)
+          / 10000.0) AS cos_sim
+  FROM pv q JOIN pv c ON c.user_id != q.user_id
+  WHERE q.user_id IN (0, 1, 2, 3, 4)
+)
+SELECT query_id, neighbor_id, cos_sim, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""
+
+
 def q_srp_buckets(spark, sf):
     """ANN scale path: sign-random-projection LSH bucket per vector
     (deterministic md5-derived hyperplanes — the bucketing DuckDB can
@@ -3349,6 +3413,7 @@ def registry() -> dict[str, tuple]:
         "near_dup_clusters": (q_near_dup_clusters, _near_dup_clusters_sql()),
         # similarity
         "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+        "ts_similarity": (q_ts_similarity, SQL_TS_SIMILARITY),
         "cosine_near_dup": (q_cosine_near_dup, _cosine_near_dup_sql()),
         "ivf_topk": (q_ivf_topk, _ivf_sql()),
         "ivf_kmeans_topk": (q_ivf_kmeans_topk, _ivf_kmeans_sql()),
