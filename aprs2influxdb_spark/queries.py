@@ -597,6 +597,30 @@ FROM events GROUP BY event_type
 """
 
 
+def q_bucket_percentiles(spark, sf):
+    """InfluxQL ``SELECT percentile(value, 95) ... GROUP BY time(1d),
+    tag``: exact per-(day, series) p50/p95 — the time-bucketed
+    quantile report dashboards poll.  One shuffle on (bucket, tag);
+    at 100 TB the exact sort-based percentile swaps for
+    ``approx_percentile`` (t-digest, mergeable) with the same plan."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.date_trunc("day", "ts").alias("bucket"), "event_type")
+        .agg(
+            rhu(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            rhu(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        )
+    )
+
+
+SQL_BUCKET_PERCENTILES = """
+SELECT date_trunc('day', ts)::TIMESTAMP AS bucket, event_type,
+       (floor((quantile_cont(value, 0.5)) * 10000 + 0.5) / 10000.0) AS p50,
+       (floor((quantile_cont(value, 0.95)) * 10000 + 0.5) / 10000.0) AS p95
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_mad_outliers(spark, sf):
     """Robust outlier screen per group: median absolute deviation
     (MAD), the estimator that — unlike z-scores — one extreme value
@@ -3368,6 +3392,7 @@ def registry() -> dict[str, tuple]:
         "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
         "percentiles": (q_percentiles, SQL_PERCENTILES),
         "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
+        "bucket_percentiles": (q_bucket_percentiles, SQL_BUCKET_PERCENTILES),
         "corr_stats": (q_corr_stats, SQL_CORR_STATS),
         "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
         "salted_join": (q_salted_join, SQL_SALTED_JOIN),
