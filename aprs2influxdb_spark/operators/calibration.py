@@ -85,3 +85,51 @@ def scale_telemetry(packets: DataFrame, eqns_col: str = "eqns_effective") -> Dat
         v = F.get(F.col("telemetry")["vals"], i)
         out = out.withColumn(f"analog{i + 1}", a * v * v + b * v + c)
     return out
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """General cross-table AS-OF join: enrich each left row with the
+    ``payload`` columns of the latest right row whose ``right_ts`` is
+    ``<=`` (or ``<`` with ``strict``) the left row's ``left_ts``, per
+    ``key`` — pandas ``merge_asof`` / QuestDB-DuckDB ``ASOF JOIN``
+    semantics, which Spark lacks natively.  ``with_effective_equations``
+    is the self-table special case; this is the two-table form
+    (quotes-to-trades, orders-to-events).
+
+    Implementation is the union-window technique, not a join: tag both
+    inputs, union them, and run ``last(payload) IGNORE NULLS`` over a
+    (key, time, side) window — right rows sort before (after, if
+    strict) left rows at equal timestamps, encoding the <=/< boundary
+    in the sort instead of a range predicate.
+
+    Scale shape: ONE shuffle of left+right together on the key, one
+    in-partition sort — versus the naive range-join formulation whose
+    time-window predicate explodes to a per-pair comparison.  Skew is
+    bounded by the hottest key's combined row count (same profile as
+    any window; salting does not apply because the window is the
+    semantics).  Right rows should be pre-compacted to one per
+    (key, ts) so equal-timestamp winners are deterministic."""
+    l_tag = left.withColumn("_is_left", F.lit(0 if strict else 1))
+    r_tag = right.select(
+        F.col(key), F.col(right_ts).alias(left_ts), *payload
+    ).withColumn("_is_left", F.lit(1 if strict else 0))
+    u = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(left_ts).asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *[c for c in u.columns if c not in payload],
+        *[F.last(p, ignorenulls=True).over(w).alias(p) for p in payload],
+    )
+    left_marker = 0 if strict else 1
+    return filled.filter(F.col("_is_left") == left_marker).drop("_is_left")

@@ -206,6 +206,44 @@ FROM (
 """
 
 
+def q_asof_join_orders(spark, sf):
+    """Cross-table AS-OF join (the operator SURVEY §2.6 generalizes
+    to): each event enriched with the customer's latest order total as
+    of the event time.  Orders are pre-compacted to one row per
+    (customer, date) — latest by order key — so equal-timestamp
+    winners are deterministic on both engines; the oracle is DuckDB's
+    NATIVE ``ASOF LEFT JOIN``, checking our union-window
+    implementation against an independent reference implementation of
+    the semantics."""
+    from aprs2influxdb_spark.operators.calibration import asof_join
+
+    e = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    od = (
+        _t(spark, sf, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("ots"),
+        )
+        .agg(F.max_by("o_totalprice", "o_orderkey").alias("last_order_price"))
+    )
+    return asof_join(
+        e, od, key="user_id", left_ts="ts", right_ts="ots",
+        payload=["last_order_price"],
+    ).select("event_id", "user_id", "last_order_price")
+
+
+SQL_ASOF_JOIN_ORDERS = """
+WITH od AS (
+  SELECT o_custkey AS user_id, o_orderdate AS ots,
+         arg_max(o_totalprice, o_orderkey) AS last_order_price
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, od.last_order_price
+FROM events e ASOF LEFT JOIN od
+  ON e.user_id = od.user_id AND od.ots <= e.ts
+"""
+
+
 def q_eqn_compaction(spark, sf):
     """J2 state compaction: last-write-wins latest 'error' per user."""
     return (
@@ -3378,6 +3416,7 @@ def registry() -> dict[str, tuple]:
         "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
         "asof_calibration": (q_asof_calibration, SQL_ASOF_CALIBRATION),
         "eqn_compaction": (q_eqn_compaction, SQL_EQN_COMPACTION),
+        "asof_join_orders": (q_asof_join_orders, SQL_ASOF_JOIN_ORDERS),
         # analytics layer
         "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
         "top_orders": (q_top_orders, SQL_TOP_ORDERS),
