@@ -1747,6 +1747,14 @@ def _streaming_stream_join_sql() -> str:
     return SQL_STREAMING_STREAM_JOIN
 
 
+def q_streaming_alert_transitions(spark, sf):
+    """Streaming threshold-edge detection: keyed state carries the
+    hi/lo flag across batches; bounded run == the batch lag query."""
+    from aprs2influxdb_spark.streaming.bounded import streaming_alert_transitions
+
+    return streaming_alert_transitions(spark, sf)
+
+
 def q_streaming_sessionize(spark, sf):
     from aprs2influxdb_spark.streaming.bounded import streaming_sessionize
 
@@ -3528,6 +3536,7 @@ def registry() -> dict[str, tuple]:
         "streaming_dedup_exact": (q_streaming_dedup_exact, SQL_DEDUP_EXACT),
         "streaming_static_join": (q_streaming_static_join, SQL_STREAMING_STATIC_JOIN),
         "streaming_stream_join": (q_streaming_stream_join, _streaming_stream_join_sql()),
+        "streaming_alert_transitions": (q_streaming_alert_transitions, SQL_ALERT_TRANSITIONS),
         "streaming_sessionize": (q_streaming_sessionize, _streaming_sessionize_sql()),
         # transformWithState twin registers only where its protobuf
         # dependency exists (absent in this container; the operator and

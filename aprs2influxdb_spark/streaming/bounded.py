@@ -277,6 +277,82 @@ FROM events a JOIN events b
 """
 
 
+ALERT_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_rising", LongType()),
+        StructField("n_falling", LongType()),
+        StructField("n_high_samples", LongType()),
+    ]
+)
+ALERT_STATE = StructType([StructField("last_hi", LongType(), True)])
+ALERT_THRESHOLD = 75.0
+
+
+def _alert_group(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user threshold-transition counting with the previous
+    batch's final hi/lo state persisted — the first sample of a new
+    micro-batch compares against the last sample of the previous one,
+    not against nothing (which is what makes this a STATEFUL op rather
+    than a per-batch window)."""
+    last_hi = state.get[0] if state.exists else None
+    chunks = list(pdfs)
+    if not chunks:
+        state.update((last_hi,))
+        return
+    pdf = pd.concat(chunks, ignore_index=True).sort_values(
+        ["ts", "event_id"], kind="stable"
+    )
+    rising = falling = high = 0
+    for row in pdf.itertuples():
+        hi = 1 if float(row.value) > ALERT_THRESHOLD else 0
+        if last_hi is not None:
+            if hi > last_hi:
+                rising += 1
+            elif hi < last_hi:
+                falling += 1
+        high += hi
+        last_hi = hi
+    state.update((last_hi,))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": int(key[0]),
+                "n_rising": rising,
+                "n_falling": falling,
+                "n_high_samples": high,
+            }
+        ]
+    )
+
+
+def streaming_alert_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``queries.q_alert_transitions``: per-user
+    threshold edge counts via ``applyInPandasWithState``, the hi/lo
+    state carried ACROSS micro-batches (a windowed lag cannot run on a
+    stream; keyed state is the streaming form of the lag).
+
+    Each batch emits that batch's transition counts per user; the
+    per-user totals summed over batches equal the batch query — on the
+    bounded single-batch gate run they are equal directly, so the
+    batch SQL is the exact oracle.  State is one int per user."""
+    counted = (
+        stream_events(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _alert_group, ALERT_OUTPUT, ALERT_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+    per_batch = run_bounded(spark, counted, "append", "stream_alert")
+    return per_batch.groupBy("user_id").agg(
+        F.sum("n_rising").alias("n_rising"),
+        F.sum("n_falling").alias("n_falling"),
+        F.sum("n_high_samples").alias("n_high_samples"),
+    )
+
+
 ASOF_OUTPUT = StructType(
     [
         StructField("event_id", LongType()),
