@@ -755,6 +755,81 @@ FROM events GROUP BY event_type
 """
 
 
+def q_nation_presence(spark, sf):
+    """FULL OUTER join (the one join type the rest of the registry
+    doesn't exercise): per-nation customer and supplier counts side by
+    side, keeping nations that have only one of the two.  Both inputs
+    are pre-aggregated to nation grain BEFORE the join — the outer
+    join then touches #nations rows, not the fact tables."""
+    c = (
+        _t(spark, sf, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    s = (
+        _t(spark, sf, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    n = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("nationkey"), "n_name"
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .join(F.broadcast(n), "nationkey", "left")
+        .select(
+            "nationkey",
+            "n_name",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+SQL_NATION_PRESENCE = """
+WITH c AS (
+  SELECT c_nationkey AS nationkey, count(*) AS n_customers FROM customer GROUP BY 1
+), s AS (
+  SELECT s_nationkey AS nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1
+)
+SELECT coalesce(c.nationkey, s.nationkey) AS nationkey, n_name,
+       coalesce(n_customers, 0) AS n_customers,
+       coalesce(n_suppliers, 0) AS n_suppliers
+FROM c FULL OUTER JOIN s USING (nationkey)
+LEFT JOIN nation ON n_nationkey = coalesce(c.nationkey, s.nationkey)
+"""
+
+
+def q_cumulative_users(spark, sf):
+    """Cumulative distinct-user growth curve: total users seen up to
+    and including each day.  Count-distinct over a running window is
+    unsupported (and at scale unworkable — the state is the set); the
+    scalable identity is first-seen day per user (one aggregate) →
+    per-day new-user counts → running sum over the tiny day-grain
+    frame.  The final window runs over #days rows, not events."""
+    e = _t(spark, sf, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("day")
+    )
+    daily_new = first_seen.groupBy("day").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily_new.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("total_users")
+    )
+
+
+SQL_CUMULATIVE_USERS = """
+WITH first_seen AS (
+  SELECT user_id, min(date_trunc('day', ts))::TIMESTAMP AS day FROM events GROUP BY 1
+), daily AS (
+  SELECT day, count(*) AS new_users FROM first_seen GROUP BY 1
+)
+SELECT day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS total_users
+FROM daily
+"""
+
+
 def q_salted_join(spark, sf):
     """Skew pattern for JOINS: the fact side salts its key with
     ``pmod(event_id, 8)`` and the dimension replicates across all 8
@@ -3443,6 +3518,8 @@ def registry() -> dict[str, tuple]:
         "corr_stats": (q_corr_stats, SQL_CORR_STATS),
         "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
         "salted_join": (q_salted_join, SQL_SALTED_JOIN),
+        "nation_presence": (q_nation_presence, SQL_NATION_PRESENCE),
+        "cumulative_users": (q_cumulative_users, SQL_CUMULATIVE_USERS),
         "pivot_events": (q_pivot_events, SQL_PIVOT_EVENTS),
         "unpivot_lineitem": (q_unpivot_lineitem, SQL_UNPIVOT_LINEITEM),
         "lag_delta": (q_lag_delta, SQL_LAG_DELTA),
