@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import pandas as pd
+
 from aprs2influxdb_spark.functions.partitioning import spread_for_compute
 from aprs2influxdb_spark.functions.rounding import rhu
 
@@ -393,4 +395,74 @@ def lsh_bucketed_topk(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
+def dtw_distance_py(a: list, b: list) -> float:
+    """Reference dynamic-time-warping distance (L1 local cost, full DP,
+    no band): the textbook recurrence, used by the Pandas-UDF operator
+    below AND by the unit test as an independent check.  Pure Python on
+    purpose — it is the semantics, not the fast path."""
+    n, m = len(a), len(b)
+    inf = float("inf")
+    prev = [0.0] + [inf] * m
+    for i in range(1, n + 1):
+        cur = [inf] * (m + 1)
+        for j in range(1, m + 1):
+            cost = abs(a[i - 1] - b[j - 1])
+            cur[j] = cost + min(prev[j], cur[j - 1], prev[j - 1])
+        prev = cur
+    return prev[m]
+
+
+def dtw_topk(
+    profiles: DataFrame, query_ids: list[int], k: int = 3,
+    id_col: str = "user_id", vec_col: str = "profile",
+) -> DataFrame:
+    """Top-k nearest series by dynamic time warping — the elastic
+    time-series distance (EDBT'19/REPOSE query surface) that tolerates
+    phase shifts cosine cannot.  DTW's DP recurrence is inherently
+    sequential per pair: genuinely inexpressible in SQL/column algebra,
+    so this is the engine's showcase of the sanctioned custom-operator
+    ladder (SURVEY §7.0): composition first, Pandas UDF only when the
+    semantics demand it.
+
+    The query profiles (a handful of short vectors) ride into the UDF
+    as a broadcast-joined column pair; the corpus side streams through
+    Arrow batches.  No collect, no driver loop — the plan is
+    broadcast-join → mapInArrow-style scoring → per-query top-k
+    window, identical in shape to ``brute_force_topk`` with the scalar
+    fold swapped for the Pandas UDF.
+
+    Scale: O(len²) per pair with tiny len (24 here); the candidate set
+    at 100 TB comes from an ANN prefilter (SRP buckets), exactly as
+    cosine's scale path."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def dtw_udf(qv: pd.Series, nv: pd.Series) -> pd.Series:
+        return pd.Series(
+            [dtw_distance_py(list(q), list(n)) for q, n in zip(qv, nv)],
+            dtype="float64",
+        )
+
+    q = profiles.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(
+            profiles.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dtw_dist", rhu(dtw_udf(F.col("qv"), F.col("nv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dtw_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "dtw_dist", "rk")
     )

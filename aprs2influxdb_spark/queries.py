@@ -1248,12 +1248,22 @@ def q_ts_similarity(spark, sf):
     build is one shuffle on (user, hour) + one on user (both partial-
     aggregated); scoring reuses the broadcast-queries pattern — the
     corpus of profiles is never replicated or re-shuffled."""
-    e = _t(spark, sf, "events")
+    return sim.brute_force_topk(
+        hourly_profiles(spark, sf), [0, 1, 2, 3, 4], k=3,
+        id_col="user_id", vec_col="profile",
+    )
+
+
+def hourly_profiles(spark, sf):
+    """24-dim per-user hourly mean-value profile vectors (snapshot-
+    rounded to 6dp so both engines assemble bit-identical vectors);
+    shared by the cosine and DTW series-similarity operators."""
     prof = (
-        e.groupBy("user_id", F.hour("ts").alias("h"))
+        _t(spark, sf, "events")
+        .groupBy("user_id", F.hour("ts").alias("h"))
         .agg(rhu(F.avg("value"), 6).alias("v"))
     )
-    vec = (
+    return (
         prof.groupBy("user_id")
         .pivot("h", list(range(24)))
         .agg(F.first("v"))
@@ -1264,8 +1274,17 @@ def q_ts_similarity(spark, sf):
             ).alias("profile"),
         )
     )
-    return sim.brute_force_topk(
-        vec, [0, 1, 2, 3, 4], k=3, id_col="user_id", vec_col="profile"
+
+
+def q_ts_dtw_topk(spark, sf):
+    """Dynamic-time-warping top-3 per query user over the hourly
+    profiles — Pandas-UDF custom operator (DTW's sequential DP has no
+    SQL form, hence no oracle: the driver records the rows-only check;
+    `tests/test_scalars.py` pins the distances against the pure-Python
+    reference implementation exactly)."""
+    return sim.dtw_topk(
+        hourly_profiles(spark, sf), [0, 1, 2, 3, 4], k=3,
+        id_col="user_id", vec_col="profile",
     )
 
 
@@ -3563,6 +3582,7 @@ def registry() -> dict[str, tuple]:
         # similarity
         "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
         "ts_similarity": (q_ts_similarity, SQL_TS_SIMILARITY),
+        "ts_dtw_topk": (q_ts_dtw_topk, None),
         "cosine_near_dup": (q_cosine_near_dup, _cosine_near_dup_sql()),
         "ivf_topk": (q_ivf_topk, _ivf_sql()),
         "ivf_kmeans_topk": (q_ivf_kmeans_topk, _ivf_kmeans_sql()),

@@ -103,3 +103,45 @@ class TestDoubleStr:
         df = spark.createDataFrame([(0,)], "posambiguity int")
         got = df.select(num_field("posambiguity", "posambiguity").alias("s")).collect()[0][0]
         assert got == "posambiguity=0"  # reference: Python int str, no ".0"
+
+
+class TestDtw:
+    def test_reference_recurrence(self):
+        from aprs2influxdb_spark.operators.similarity import dtw_distance_py
+
+        # identical series -> 0; pure shift -> len * shift under L1
+        assert dtw_distance_py([1.0, 2.0, 3.0], [1.0, 2.0, 3.0]) == 0.0
+        assert dtw_distance_py([0.0, 0.0], [1.0, 1.0]) == 2.0
+        # classic elasticity: a phase-shifted bump aligns cheaply
+        assert dtw_distance_py([0, 1, 0, 0], [0, 0, 1, 0]) == 0.0
+
+    def test_spark_matches_reference_exactly(self, spark, sf_dir):
+        """The Pandas-UDF operator (no SQL oracle possible) is pinned
+        against the pure-Python DP driver-side: same profiles, same
+        distances after identical rounding, same top-k ranking."""
+        import math
+
+        from aprs2influxdb_spark.operators.similarity import dtw_distance_py, dtw_topk
+        from aprs2influxdb_spark.queries import hourly_profiles
+
+        profiles = {
+            r["user_id"]: list(r["profile"])
+            for r in hourly_profiles(spark, sf_dir).collect()
+        }
+        got = {
+            (r["query_id"], r["rk"]): (r["neighbor_id"], r["dtw_dist"])
+            for r in dtw_topk(
+                hourly_profiles(spark, sf_dir), [0, 1, 2], k=3,
+                id_col="user_id", vec_col="profile",
+            ).collect()
+        }
+        for qid in [0, 1, 2]:
+            scored = sorted(
+                (
+                    (math.floor(dtw_distance_py(profiles[qid], v) * 1e6 + 0.5) / 1e6, nid)
+                    for nid, v in profiles.items()
+                    if nid != qid
+                ),
+            )[:3]
+            for rk, (dist, nid) in enumerate(scored, start=1):
+                assert got[(qid, rk)] == (nid, dist)
