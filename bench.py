@@ -65,6 +65,8 @@ HEADLINE = [
     "unigram_logprob",
     "hier_rollup",
     "mad_outliers",
+    "asof_join_orders",
+    "ts_similarity",
 ]
 
 
