@@ -1,0 +1,90 @@
+"""Robustness properties the 100 TB deployment relies on but sf-level
+oracle parity cannot see: approximate-sketch error bounds (the
+documented exact→approx swaps must actually be within tolerance) and
+empty-partition stability (operators must return empty results with
+stable schemas, not crash — at 1000 executors SOME partition is always
+empty)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+class TestApproxBounds:
+    def test_approx_percentile_within_rank_bound(self, spark, sf_dir):
+        """Several operators document approx_percentile as their scale
+        path; check the sketch's rank error at accuracy=10000 stays
+        inside the value spread of the neighboring exact percentiles."""
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        row = e.agg(
+            F.expr("percentile(value, 0.94)").alias("lo"),
+            F.expr("percentile(value, 0.96)").alias("hi"),
+            F.expr("approx_percentile(value, 0.95, 10000)").alias("approx"),
+        ).collect()[0]
+        assert row["lo"] <= row["approx"] <= row["hi"]
+
+    def test_approx_count_distinct_within_rsd(self, spark, sf_dir):
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        row = e.agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", rsd=0.05).alias("approx"),
+        ).collect()[0]
+        # HLL++ rsd=5%: allow 4 sigma
+        assert abs(row["approx"] - row["exact"]) <= max(1, 0.2 * row["exact"])
+
+
+class TestEmptyInputs:
+    """Every operator family on a zero-row input: stable schema, zero
+    rows, no exceptions (window/aggregate/HOF paths all exercise their
+    empty-partition branches)."""
+
+    def _empty_docs(self, spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/documents.parquet").limit(0)
+
+    def _empty_events(self, spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/events.parquet").limit(0)
+
+    def test_dedup_ladder_empty(self, spark, sf_dir):
+        from aprs2influxdb_spark.operators import dedup as dd
+
+        docs = self._empty_docs(spark, sf_dir)
+        assert dd.exact_dedup(docs).count() == 0
+        assert dd.minhash_lsh_pairs(docs).count() == 0
+        assert dd.ngram_jaccard_pairs_capped(docs).count() == 0
+        assert dd.edit_distance_pairs(docs).count() == 0
+        assert dd.dup_ngram_coverage(docs).count() == 0
+
+    def test_text_analysis_empty(self, spark, sf_dir):
+        from aprs2influxdb_spark.operators import textanalysis as ta
+
+        docs = self._empty_docs(spark, sf_dir)
+        assert ta.quality_features(docs).count() == 0
+        assert ta.tfidf_top_terms(docs).count() == 0
+        assert ta.unigram_logprob(docs).count() == 0
+
+    def test_similarity_empty(self, spark, sf_dir):
+        from aprs2influxdb_spark.operators import similarity as sim
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(0)
+        assert sim.brute_force_topk(emb, [0, 1]).count() == 0
+
+    def test_asof_join_empty_right(self, spark, sf_dir):
+        """Left rows with an EMPTY right side: all left rows survive
+        with null payload (left-join semantics of the as-of)."""
+        from aprs2influxdb_spark.operators.calibration import asof_join
+
+        e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", "user_id", "ts"
+        )
+        od = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select(
+                F.col("o_custkey").alias("user_id"),
+                F.col("o_orderdate").alias("ots"),
+                F.col("o_totalprice").alias("p"),
+            )
+            .limit(0)
+        )
+        out = asof_join(e, od, "user_id", "ts", "ots", ["p"])
+        assert out.count() == e.count()
+        assert out.filter(F.col("p").isNotNull()).count() == 0
