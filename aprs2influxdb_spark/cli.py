@@ -55,7 +55,37 @@ def build_parser() -> argparse.ArgumentParser:
         help="Streaming checkpoint directory (state + offsets survive restarts)",
         default="./aprs2influxdb_spark_ckpt",
     )
+    # engine extension: the analytics surface from the same entry point
+    # (the reference delegated all querying to InfluxDB/Grafana) — run
+    # any registry query against a table directory instead of starting
+    # the daemon
+    p.add_argument("--query", help="Run a named analytics query and exit", default=None)
+    p.add_argument(
+        "--sf-dir",
+        help="Table directory for --query (parquet tables)",
+        default="/root/testdata/sf0.01",
+    )
+    p.add_argument(
+        "--list-queries", help="List available query names and exit", action="store_true"
+    )
     return p
+
+
+def run_query(name: str, sf_dir: str, spark: SparkSession | None = None) -> int:
+    """Execute one registry query and print rows as JSON lines; returns
+    a process exit code.  Programmatic callers pass their own session."""
+    import json
+
+    from aprs2influxdb_spark.queries import registry
+
+    reg = registry()
+    if name not in reg:
+        print(f"unknown query {name!r}; use --list-queries", file=sys.stderr)
+        return 2
+    spark = spark or get_spark("aprs2influxdb-query")
+    for row in reg[name][0](spark, sf_dir).collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
 
 
 def create_log(path: str, debug: bool = False) -> logging.Logger:
@@ -96,6 +126,14 @@ def build_pipeline(spark: SparkSession, args: argparse.Namespace, raw: DataFrame
 
 def main(argv: list[str] | None = None) -> None:
     args = build_parser().parse_args(argv)
+    if args.list_queries:
+        from aprs2influxdb_spark.queries import registry
+
+        for name in sorted(registry()):
+            print(name)
+        return
+    if args.query:
+        sys.exit(run_query(args.query, args.sf_dir))
     logger = create_log(f"{sys.prefix}/aprs2influxdb.log", args.debug)
     logger.warning("starting aprs2influxdb_spark daemon")
     spark = get_spark("aprs2influxdb-daemon")

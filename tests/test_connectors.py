@@ -275,6 +275,18 @@ class TestCliDaemon:
             "nocall", "10152", "15", False,
         )
 
+    def test_query_mode(self, spark, sf_dir, capsys):
+        """--query runs a registry entry and prints JSON lines; unknown
+        names exit 2 with a hint instead of a stack trace."""
+        import json
+
+        from aprs2influxdb_spark.cli import run_query
+
+        assert run_query("dispatch_counts", sf_dir, spark=spark) == 0
+        lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+        assert len(lines) == 5 and {"event_type", "n", "total_value"} <= set(lines[0])
+        assert run_query("no_such_query", sf_dir, spark=spark) == 2
+
     def test_build_pipeline_file_source(self, spark, tmp_path):
         """The daemon pipeline (decode -> stateful calibration -> line
         protocol) over a file source standing in for the live socket:
