@@ -755,6 +755,47 @@ FROM events GROUP BY event_type
 """
 
 
+def q_cohort_retention(spark, sf):
+    """Cohort retention matrix: users grouped by first-seen week, and
+    for each (cohort, weeks-since) cell the count of distinct users
+    still active — the standard product-analytics retention triangle.
+
+    Plan: first-seen aggregate (one shuffle on user), joined back to
+    the events (AQE broadcasts the per-user dim at small SF; co-
+    shuffles on user_id when it outgrows the threshold), then one
+    distinct-count aggregate on the (cohort, week) cell.  Week
+    arithmetic stays in integer epoch-seconds — exact on both
+    engines."""
+    e = _t(spark, sf, "events")
+    first = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort")
+    )
+    week_n = F.floor(
+        (F.unix_timestamp(F.date_trunc("week", "ts")) - F.unix_timestamp("cohort"))
+        / F.lit(604800)
+    )
+    return (
+        e.join(first, "user_id")
+        .select("user_id", "cohort", week_n.alias("week_n"))
+        .groupBy("cohort", "week_n")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH first AS (
+  SELECT user_id, min(date_trunc('week', ts))::TIMESTAMP AS cohort
+  FROM events GROUP BY 1
+)
+SELECT cohort,
+       CAST(floor((epoch(date_trunc('week', e.ts)::TIMESTAMP) - epoch(cohort)) / 604800)
+            AS BIGINT) AS week_n,
+       count(DISTINCT e.user_id) AS active_users
+FROM events e JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def q_nation_presence(spark, sf):
     """FULL OUTER join (the one join type the rest of the registry
     doesn't exercise): per-nation customer and supplier counts side by
@@ -3539,6 +3580,7 @@ def registry() -> dict[str, tuple]:
         "salted_join": (q_salted_join, SQL_SALTED_JOIN),
         "nation_presence": (q_nation_presence, SQL_NATION_PRESENCE),
         "cumulative_users": (q_cumulative_users, SQL_CUMULATIVE_USERS),
+        "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
         "pivot_events": (q_pivot_events, SQL_PIVOT_EVENTS),
         "unpivot_lineitem": (q_unpivot_lineitem, SQL_UNPIVOT_LINEITEM),
         "lag_delta": (q_lag_delta, SQL_LAG_DELTA),
