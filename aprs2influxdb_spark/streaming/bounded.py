@@ -64,6 +64,10 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     path ("basePath must be a directory").
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the NTZ->LTZ normalization and event-time windows are only
+    # oracle-exact under UTC; pin it (the gate runs in the DRIVER's
+    # session, whose default we don't control)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     glob = path[:-1] + "[" + path[-1] + "]"
