@@ -38,9 +38,12 @@ def get_spark(app_name: str = "aprs2influxdb_spark", shuffle_partitions: int | N
 
 
 def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> dict:
-    """Load the driver's parquet tables as DataFrames keyed by name."""
+    """Load the driver's parquet tables as DataFrames keyed by name,
+    with the same ``events.ts`` normalization the query layer uses."""
+    from aprs2influxdb_spark.queries import _t
+
     names = tables or [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ]
-    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in names}
+    return {t: _t(spark, sf_dir, t) for t in names}
