@@ -762,6 +762,36 @@ FROM events GROUP BY event_type
 """
 
 
+def q_rank_family(spark, sf):
+    """The remaining ranking/analytic window functions in one pass:
+    rank, dense_rank, percent_rank, cume_dist over order totals within
+    priority — ordered by price alone so TIES exercise the peer-group
+    semantics (equal prices share rank; percent_rank=(rank-1)/(n-1)
+    and cume_dist=peers≤current/n are exact integer ratios, so no
+    rounding is needed for parity).  One shuffle on the partition key;
+    all four functions share the single in-partition sort."""
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    return _t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+SQL_RANK_FAMILY = """
+SELECT o_orderkey, o_orderpriority,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       percent_rank() OVER w AS prnk,
+       cume_dist() OVER w AS cdist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)
+"""
+
+
 def q_cohort_retention(spark, sf):
     """Cohort retention matrix: users grouped by first-seen week, and
     for each (cohort, weeks-since) cell the count of distinct users
@@ -3588,6 +3618,7 @@ def registry() -> dict[str, tuple]:
         "nation_presence": (q_nation_presence, SQL_NATION_PRESENCE),
         "cumulative_users": (q_cumulative_users, SQL_CUMULATIVE_USERS),
         "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+        "rank_family": (q_rank_family, SQL_RANK_FAMILY),
         "pivot_events": (q_pivot_events, SQL_PIVOT_EVENTS),
         "unpivot_lineitem": (q_unpivot_lineitem, SQL_UNPIVOT_LINEITEM),
         "lag_delta": (q_lag_delta, SQL_LAG_DELTA),
