@@ -1919,6 +1919,14 @@ def _streaming_stream_join_sql() -> str:
     return SQL_STREAMING_STREAM_JOIN
 
 
+def q_streaming_cumulative_users(spark, sf):
+    """Streaming distinct-user growth curve (first-seen state on the
+    stream, rollup as a batch projection of the sink)."""
+    from aprs2influxdb_spark.streaming.bounded import streaming_cumulative_users
+
+    return streaming_cumulative_users(spark, sf)
+
+
 def q_streaming_alert_transitions(spark, sf):
     """Streaming threshold-edge detection: keyed state carries the
     hi/lo flag across batches; bounded run == the batch lag query."""
@@ -3714,6 +3722,7 @@ def registry() -> dict[str, tuple]:
         "streaming_static_join": (q_streaming_static_join, SQL_STREAMING_STATIC_JOIN),
         "streaming_stream_join": (q_streaming_stream_join, _streaming_stream_join_sql()),
         "streaming_alert_transitions": (q_streaming_alert_transitions, SQL_ALERT_TRANSITIONS),
+        "streaming_cumulative_users": (q_streaming_cumulative_users, SQL_CUMULATIVE_USERS),
         "streaming_sessionize": (q_streaming_sessionize, _streaming_sessionize_sql()),
         # transformWithState twin registers only where its protobuf
         # dependency exists (absent in this container; the operator and

@@ -281,6 +281,28 @@ FROM events a JOIN events b
 """
 
 
+def streaming_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the distinct-user growth curve: the per-user
+    ``min(first-seen day)`` aggregate runs on the stream (complete
+    mode — state is one date per user, the same cardinality the batch
+    shuffle carries), then the day-grain rollup and running sum are a
+    batch projection of the sink table, exactly as the batch query
+    derives them."""
+    first_seen = (
+        stream_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("day", "ts")).alias("day"))
+    )
+    sink = run_bounded(spark, first_seen, "complete", "stream_cum_users")
+    from pyspark.sql import Window
+
+    daily = sink.groupBy("day").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("total_users")
+    )
+
+
 ALERT_OUTPUT = StructType(
     [
         StructField("user_id", LongType()),
