@@ -571,3 +571,62 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_overlap"))
     )
+
+
+def minhash_estimate_error(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Sketch-quality report for the MinHash pipeline: per verified
+    near-dup pair, the signature-agreement estimate of Jaccard
+    (matching positions / num_hashes) beside the exact value, and the
+    absolute estimation error — the measurement that justifies (or
+    indicts) a chosen signature width before a 100 TB run trusts it.
+
+    Both the estimate (k/num_hashes) and exact Jaccard
+    (|∩|/|∪| of shingle sets) are ratios of integers, so the error is
+    bit-identical across engines before its final rounding.  Plan
+    shape: identical to :func:`minhash_lsh_pairs` plus a broadcast-
+    sized signature join per side."""
+    arr = _spread_docs(docs, id_col, text_col).select(
+        F.col(id_col), hashed_shingles(tokens_col(text_col), shingle_n).alias("sh")
+    ).localCheckpoint(eager=False)
+    sigs = _signatures_from_shingles(arr, id_col, num_hashes).localCheckpoint(eager=False)
+    rows_per_band = num_hashes // bands
+    band_key = [
+        (b, F.md5(F.concat_ws("_", F.lit(b), *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])))
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.struct(F.lit(b).alias("band"), k.alias("key")) for b, k in band_key])).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key").localCheckpoint(eager=False)
+    left = banded.alias("l").hint("shuffle_hash")
+    cand = (
+        left.join(banded.alias("r"), ["band", "key"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    a = arr.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = arr.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+        / F.lit(float(num_hashes))
+    )
+    return (
+        cand.join(a, "id_a").join(b, "id_b").join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jac_raw", jac)
+        .filter(F.col("jac_raw") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            rhu("jac_raw", 4).alias("jaccard"),
+            rhu(est, 4).alias("est_jaccard"),
+            rhu(F.abs(est - F.col("jac_raw")), 4).alias("abs_err"),
+        )
+    )

@@ -1243,6 +1243,53 @@ WHERE len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh
 """
 
 
+def q_minhash_est_error(spark, sf):
+    """MinHash sketch-quality report: per verified pair, signature
+    estimate vs exact Jaccard and the absolute error — the measurement
+    that sizes the signature before trusting it at scale.  Estimate
+    and exact value are both integer ratios, so the error is
+    bit-identical across engines before rounding."""
+    return dd.minhash_estimate_error(
+        _t(spark, sf, "documents"), num_hashes=16, bands=4, threshold=0.5
+    )
+
+
+def _minhash_est_error_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    rpb = num_hashes // bands
+    band_keys = ", ".join(
+        "md5(concat_ws('_', "
+        + str(b)
+        + ", "
+        + ", ".join(f"sig[{b * rpb + r + 1}]" for r in range(rpb))
+        + "))"
+        for b in range(bands)
+    )
+    est = f"(len(list_filter(range(0, {num_hashes}), i -> sa.sig[i + 1] = sb.sig[i + 1])) / {num_hashes}.0)"
+    jac = "(len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))))"
+    return f"""
+WITH {_TOKH_CTE}, sigs AS (
+  SELECT doc_id, {_minhash_sig_sql(num_hashes)} AS sig FROM tokh
+), banded AS (
+  SELECT doc_id, unnest([{band_keys}]) AS key,
+         unnest(range(0, {bands})) AS band
+  FROM sigs
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+), sh AS (
+  SELECT doc_id, {_HSH_SQL} AS sh FROM tokh
+)
+SELECT id_a, id_b,
+       (floor(({jac}) * 10000 + 0.5) / 10000.0) AS jaccard,
+       (floor(({est}) * 10000 + 0.5) / 10000.0) AS est_jaccard,
+       (floor((abs({est} - {jac})) * 10000 + 0.5) / 10000.0) AS abs_err
+FROM cand
+JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
+JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b
+WHERE {jac} >= {threshold}
+"""
+
+
 def q_near_dup_clusters(spark, sf):
     """Connected components over the LSH near-dup graph: doc -> cluster
     canonical (min) id.  Iterative label propagation in Spark; the
@@ -3665,6 +3712,7 @@ def registry() -> dict[str, tuple]:
         "ngram_jaccard_capped": (q_ngram_jaccard_capped, SQL_NGRAM_JACCARD_CAPPED),
         "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
         "minhash_lsh_pairs": (q_minhash_lsh_pairs, _minhash_lsh_sql()),
+        "minhash_est_error": (q_minhash_est_error, _minhash_est_error_sql()),
         "simhash": (q_simhash, _simhash_sql()),
         "near_dup_clusters": (q_near_dup_clusters, _near_dup_clusters_sql()),
         # similarity
