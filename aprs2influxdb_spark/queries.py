@@ -762,6 +762,31 @@ FROM events GROUP BY event_type
 """
 
 
+def q_user_event_sets(spark, sf):
+    """Aggregation INTO a collection: each user's distinct event types
+    as a sorted joined string (collect_set is unordered and engine-
+    specific — the sort is what makes the value deterministic and the
+    column hashable).  The path-array model of the packet table
+    (SURVEY §1.1 ArrayType columns) queried in reverse: rows to
+    array."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types"),
+            F.count_distinct("event_type").alias("n_types"),
+        )
+    )
+
+
+SQL_USER_EVENT_SETS = """
+SELECT user_id,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+       count(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
 def q_rank_family(spark, sf):
     """The remaining ranking/analytic window functions in one pass:
     rank, dense_rank, percent_rank, cume_dist over order totals within
@@ -3674,6 +3699,7 @@ def registry() -> dict[str, tuple]:
         "cumulative_users": (q_cumulative_users, SQL_CUMULATIVE_USERS),
         "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
         "rank_family": (q_rank_family, SQL_RANK_FAMILY),
+        "user_event_sets": (q_user_event_sets, SQL_USER_EVENT_SETS),
         "pivot_events": (q_pivot_events, SQL_PIVOT_EVENTS),
         "unpivot_lineitem": (q_unpivot_lineitem, SQL_UNPIVOT_LINEITEM),
         "lag_delta": (q_lag_delta, SQL_LAG_DELTA),
