@@ -100,6 +100,29 @@ class TestJoinStrategy:
             spark.sql("DROP TABLE IF EXISTS li_bucketed")
             spark.sql("DROP TABLE IF EXISTS o_bucketed")
 
+    def test_new_query_shuffle_budgets(self, spark, sf_dir):
+        """Plan-shape budgets for the round's additions: the scan-only
+        query pushes every predicate, the window/agg queries stay
+        within their documented exchange counts, nothing goes
+        cartesian."""
+        from aprs2influxdb_spark.queries import (
+            q_forecast_revenue,
+            q_hier_rollup,
+            q_rank_family,
+            q_cohort_retention,
+        )
+
+        pf = pushed_filters(q_forecast_revenue(spark, sf_dir))
+        for col in ("l_shipdate", "l_discount", "l_quantity"):
+            assert col in pf, f"predicate on {col} not pushed: {pf}"
+        assert audit(q_forecast_revenue(spark, sf_dir)).shuffles <= 1
+
+        # minute partials + hour re-agg: two exchanges, no more
+        assert audit(q_hier_rollup(spark, sf_dir)).shuffles <= 2
+        # all four rank functions share one partition exchange + sort
+        assert audit(q_rank_family(spark, sf_dir)).shuffles == 1
+        audit(q_cohort_retention(spark, sf_dir))  # no cartesian
+
     def test_runtime_bloom_filter_reduces_fact_scan(self, spark, sf_dir):
         """Runtime bloom-filter semi-join reduction: a selective filter
         on one join side injects a bloom filter (`might_contain`) into
