@@ -472,6 +472,24 @@ SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
 """
 
 
+def q_setop_except_all(spark, sf):
+    """EXCEPT ALL (bag semantics): each customer's URGENT orders minus
+    one per LOW order — multiplicities survive, unlike the distinct
+    set ops.  Catalyst plans this as an aggregate on (value, count)
+    pairs, not a row-by-row anti join."""
+    o = _t(spark, sf, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return urgent.exceptAll(low)
+
+
+SQL_SETOP_EXCEPT_ALL = """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+"""
+
+
 def q_setop_except(spark, sf):
     """EXCEPT: customers with orders but none URGENT."""
     o = _t(spark, sf, "orders")
@@ -3686,6 +3704,7 @@ def registry() -> dict[str, tuple]:
         "cube_events": (q_cube_events, SQL_CUBE_EVENTS),
         "setop_intersect": (q_setop_intersect, SQL_SETOP_INTERSECT),
         "setop_except": (q_setop_except, SQL_SETOP_EXCEPT),
+        "setop_except_all": (q_setop_except_all, SQL_SETOP_EXCEPT_ALL),
         "semi_join": (q_semi_join, SQL_SEMI_JOIN),
         "anti_join": (q_anti_join, SQL_ANTI_JOIN),
         "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
