@@ -805,6 +805,17 @@ FROM events GROUP BY user_id
 """
 
 
+def q_lttb_downsample(spark, sf):
+    """Per-series LTTB perceptual downsampling to 20 points (the
+    dashboard-serving reduction; sequential per series, hence
+    applyInPandas and a rows-only driver check — exact selection is
+    pinned against the pure-Python reference in
+    tests/test_scalars.py::TestLttb)."""
+    from aprs2influxdb_spark.operators.timeseries import lttb_downsample
+
+    return lttb_downsample(_t(spark, sf, "events"), n_out=20)
+
+
 def q_rank_family(spark, sf):
     """The remaining ranking/analytic window functions in one pass:
     rank, dense_rank, percent_rank, cume_dist over order totals within
@@ -3719,6 +3730,7 @@ def registry() -> dict[str, tuple]:
         "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
         "rank_family": (q_rank_family, SQL_RANK_FAMILY),
         "user_event_sets": (q_user_event_sets, SQL_USER_EVENT_SETS),
+        "lttb_downsample": (q_lttb_downsample, None),
         "pivot_events": (q_pivot_events, SQL_PIVOT_EVENTS),
         "unpivot_lineitem": (q_unpivot_lineitem, SQL_UNPIVOT_LINEITEM),
         "lag_delta": (q_lag_delta, SQL_LAG_DELTA),

@@ -145,3 +145,49 @@ class TestDtw:
             )[:3]
             for rk, (dist, nid) in enumerate(scored, start=1):
                 assert got[(qid, rk)] == (nid, dist)
+
+
+class TestLttb:
+    def test_reference_properties(self):
+        from aprs2influxdb_spark.operators.timeseries import lttb_indices_py
+
+        ts = list(range(100))
+        vs = [0.0] * 100
+        vs[57] = 100.0  # lone spike must survive
+        keep = lttb_indices_py(ts, vs, 10)
+        assert len(keep) == 10 and keep[0] == 0 and keep[-1] == 99
+        assert 57 in keep
+        assert keep == sorted(set(keep))  # strictly increasing
+        # short series pass through untouched
+        assert lttb_indices_py(ts[:5], vs[:5], 10) == [0, 1, 2, 3, 4]
+
+    def test_spark_matches_reference_exactly(self, spark, sf_dir):
+        """applyInPandas LTTB (rows-only in the driver gate) pinned
+        against the reference selection computed on the same
+        Arrow-decoded values."""
+        import pandas as pd
+
+        from aprs2influxdb_spark.operators.timeseries import (
+            lttb_downsample,
+            lttb_indices_py,
+        )
+        from aprs2influxdb_spark.queries import _t
+
+        got = {
+            (r["user_id"], r["ts"], r["value"])
+            for r in lttb_downsample(_t(spark, sf_dir, "events"), n_out=20).collect()
+        }
+        pdf = (
+            _t(spark, sf_dir, "events")
+            .select("user_id", "ts", "value")
+            .toPandas()
+            .sort_values(["user_id", "ts"])
+        )
+        exp = set()
+        for uid, g in pdf.groupby("user_id"):
+            g = g.reset_index(drop=True)
+            ts_us = (g["ts"].astype("int64") // 1000).tolist()
+            vs = g["value"].astype(float).tolist()
+            for i in lttb_indices_py(ts_us, vs, 20):
+                exp.add((uid, g["ts"][i].to_pydatetime(), float(g["value"][i])))
+        assert got == exp
