@@ -68,6 +68,29 @@ class TestEmptyInputs:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(0)
         assert sim.brute_force_topk(emb, [0, 1]).count() == 0
 
+    def test_asof_join_strict_boundary(self, spark):
+        """strict=True excludes a right row at EXACTLY the left
+        timestamp; inclusive (default) admits it — the boundary is
+        encoded in the union sort order, so both directions are pinned
+        here on a hand-built equal-timestamp case."""
+        import datetime as dt
+
+        from aprs2influxdb_spark.operators.calibration import asof_join
+
+        t = dt.datetime(2024, 1, 1, 12, 0, 0)
+        left = spark.createDataFrame(
+            [(1, t, 100)], "user_id long, ts timestamp, event_id long"
+        )
+        right = spark.createDataFrame(
+            [(1, t, 7.0)], "user_id long, ots timestamp, p double"
+        )
+        inclusive = asof_join(left, right, "user_id", "ts", "ots", ["p"]).collect()
+        strict = asof_join(
+            left, right, "user_id", "ts", "ots", ["p"], strict=True
+        ).collect()
+        assert inclusive[0]["p"] == 7.0
+        assert strict[0]["p"] is None
+
     def test_asof_join_empty_right(self, spark, sf_dir):
         """Left rows with an EMPTY right side: all left rows survive
         with null payload (left-join semantics of the as-of)."""
