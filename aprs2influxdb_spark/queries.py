@@ -846,6 +846,51 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)
 """
 
 
+def q_funnel_latency(spark, sf):
+    """Time-to-convert distribution: for users whose first purchase
+    follows their first signup, the signup→purchase latency in integer
+    seconds, summarized as exact p50/p90 and a conversion count.
+    Latency arithmetic stays integer (epoch seconds), so only the
+    percentile interpolation needs the usual snapshot rounding.
+
+    Plan: two per-user min aggregates fused into ONE conditional
+    aggregate pass (min(CASE)), then a single-row percentile
+    aggregate — no join at all."""
+    e = _t(spark, sf, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p_ts"),
+    )
+    lat = firsts.filter(
+        F.col("s_ts").isNotNull() & F.col("p_ts").isNotNull() & (F.col("p_ts") >= F.col("s_ts"))
+    ).select(
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("s_ts")).alias("lat_s")
+    )
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        rhu(F.expr("percentile(lat_s, 0.5)"), 4).alias("p50_s"),
+        rhu(F.expr("percentile(lat_s, 0.9)"), 4).alias("p90_s"),
+    )
+
+
+SQL_FUNNEL_LATENCY = """
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS p_ts
+  FROM events GROUP BY user_id
+), lat AS (
+  SELECT floor(epoch(p_ts))::BIGINT - floor(epoch(s_ts))::BIGINT AS lat_s
+  FROM firsts
+  WHERE s_ts IS NOT NULL AND p_ts IS NOT NULL AND p_ts >= s_ts
+)
+SELECT count(*) AS n_converted,
+       (floor((quantile_cont(lat_s, 0.5)) * 10000 + 0.5) / 10000.0) AS p50_s,
+       (floor((quantile_cont(lat_s, 0.9)) * 10000 + 0.5) / 10000.0) AS p90_s
+FROM lat
+"""
+
+
 def q_cohort_retention(spark, sf):
     """Cohort retention matrix: users grouped by first-seen week, and
     for each (cohort, weeks-since) cell the count of distinct users
@@ -3728,6 +3773,7 @@ def registry() -> dict[str, tuple]:
         "nation_presence": (q_nation_presence, SQL_NATION_PRESENCE),
         "cumulative_users": (q_cumulative_users, SQL_CUMULATIVE_USERS),
         "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+        "funnel_latency": (q_funnel_latency, SQL_FUNNEL_LATENCY),
         "rank_family": (q_rank_family, SQL_RANK_FAMILY),
         "user_event_sets": (q_user_event_sets, SQL_USER_EVENT_SETS),
         "lttb_downsample": (q_lttb_downsample, None),
