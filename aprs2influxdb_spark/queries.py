@@ -846,6 +846,37 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)
 """
 
 
+def q_ship_latency(spark, sf):
+    """Fulfillment latency by priority: order-date → ship-date gap in
+    whole days per lineitem, averaged and tail-measured per priority
+    class — the operational-SLA view of the order pipeline.  Day
+    arithmetic is exact integer datediff; the join is the natural
+    orderkey fact-fact join (bucketable by `write_bucketed`)."""
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    lat = F.datediff("l_shipdate", "o_orderdate")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_orderpriority", lat.alias("lat_days"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            rhu(F.avg("lat_days"), 4).alias("avg_days"),
+            rhu(F.expr("percentile(lat_days, 0.9)"), 4).alias("p90_days"),
+        )
+    )
+
+
+SQL_SHIP_LATENCY = """
+SELECT o_orderpriority, count(*) AS n_lines,
+       (floor((avg(date_diff('day', o_orderdate, l_shipdate))) * 10000 + 0.5) / 10000.0) AS avg_days,
+       (floor((quantile_cont(date_diff('day', o_orderdate, l_shipdate), 0.9)) * 10000 + 0.5)
+        / 10000.0) AS p90_days
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def q_funnel_latency(spark, sf):
     """Time-to-convert distribution: for users whose first purchase
     follows their first signup, the signup→purchase latency in integer
@@ -3774,6 +3805,7 @@ def registry() -> dict[str, tuple]:
         "cumulative_users": (q_cumulative_users, SQL_CUMULATIVE_USERS),
         "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
         "funnel_latency": (q_funnel_latency, SQL_FUNNEL_LATENCY),
+        "ship_latency": (q_ship_latency, SQL_SHIP_LATENCY),
         "rank_family": (q_rank_family, SQL_RANK_FAMILY),
         "user_event_sets": (q_user_event_sets, SQL_USER_EVENT_SETS),
         "lttb_downsample": (q_lttb_downsample, None),
