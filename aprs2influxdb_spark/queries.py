@@ -2316,6 +2316,60 @@ FROM minute GROUP BY 1, 2
 """
 
 
+def q_ks_drift(spark, sf):
+    """Two-sample Kolmogorov–Smirnov statistic between two sources'
+    document-length distributions — the distribution-drift check a
+    data pipeline runs when a new crawl lands: ``max |F1(x) − F2(x)|``
+    over the empirical CDFs.
+
+    Every quantity is a ratio of integers (cumulative counts over
+    totals), so the statistic is bit-exact across engines before its
+    final rounding.  Plan: one global-window cumulative sum over the
+    union (RANGE frame so ties share a CDF step), one max — a single
+    sort, no join.  The single-partition window is the honest price of
+    a GLOBAL order statistic; at 100 TB the same query runs per
+    (source-pair, stratum) with the window partitioned by pair."""
+    d = _t(spark, sf, "documents").filter(F.col("source").isin("src0", "src1"))
+    u = d.select(
+        "n_chars",
+        F.when(F.col("source") == "src0", 1).otherwise(0).alias("w1"),
+        F.when(F.col("source") == "src1", 1).otherwise(0).alias("w2"),
+    )
+    totals = u.agg(F.sum("w1").alias("n1"), F.sum("w2").alias("n2"))
+    w = Window.orderBy("n_chars").rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    cdf = u.select(
+        "n_chars",
+        F.sum("w1").over(w).alias("c1"),
+        F.sum("w2").over(w).alias("c2"),
+    )
+    return (
+        cdf.crossJoin(F.broadcast(totals))
+        .select(
+            F.abs(F.col("c1") / F.col("n1") - F.col("c2") / F.col("n2")).alias("d")
+        )
+        .agg(rhu(F.max("d"), 6).alias("ks_stat"))
+    )
+
+
+SQL_KS_DRIFT = """
+WITH u AS (
+  SELECT n_chars,
+         CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS w1,
+         CASE WHEN source = 'src1' THEN 1 ELSE 0 END AS w2
+  FROM documents WHERE source IN ('src0', 'src1')
+), cdf AS (
+  SELECT n_chars,
+         sum(w1) OVER (ORDER BY n_chars RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+         sum(w2) OVER (ORDER BY n_chars RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+  FROM u
+), tot AS (
+  SELECT sum(w1) AS n1, sum(w2) AS n2 FROM u
+)
+SELECT (floor((max(abs(c1 * 1.0 / n1 - c2 * 1.0 / n2))) * 1000000 + 0.5) / 1000000.0) AS ks_stat
+FROM cdf, tot
+"""
+
+
 def q_profile_columns(spark, sf):
     """Single-pass data-quality profile of the documents table: per
     column, null count, empty-string count (strings only), and exact
@@ -3828,6 +3882,7 @@ def registry() -> dict[str, tuple]:
         "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
         "hier_rollup": (q_hier_rollup, SQL_HIER_ROLLUP),
         "profile_columns": (q_profile_columns, SQL_PROFILE_COLUMNS),
+        "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
         "product_profit": (q_product_profit, SQL_PRODUCT_PROFIT),
         "supplier_part_counts": (q_supplier_part_counts, SQL_SUPPLIER_PART_COUNTS),
         "excess_shippers": (q_excess_shippers, SQL_EXCESS_SHIPPERS),
