@@ -3499,6 +3499,48 @@ FROM d
 """
 
 
+def q_bucket_first_last(spark, sf):
+    """InfluxQL ``SELECT first(value), last(value) ... GROUP BY
+    time(1d), tag``: the opening and closing sample of each (day,
+    series) bucket, with a (ts, event_id) tie-break so equal
+    timestamps pick deterministically on both engines.  One window
+    over the bucket key serves both ends — no second sort."""
+    e = _t(spark, sf, "events")
+    b = e.select(
+        F.date_trunc("day", "ts").alias("bucket"), "event_type", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("bucket", "event_type")
+    asc = w.orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    desc = w.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        b.withColumn("rn_a", F.row_number().over(asc))
+        .withColumn("rn_d", F.row_number().over(desc))
+        .filter((F.col("rn_a") == 1) | (F.col("rn_d") == 1))
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("first_value"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("last_value"),
+        )
+    )
+
+
+SQL_BUCKET_FIRST_LAST = """
+WITH b AS (
+  SELECT date_trunc('day', ts)::TIMESTAMP AS bucket, event_type, ts, event_id, value,
+         row_number() OVER (PARTITION BY date_trunc('day', ts), event_type
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY date_trunc('day', ts), event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT bucket, event_type,
+       max(CASE WHEN rn_a = 1 THEN value END) AS first_value,
+       max(CASE WHEN rn_d = 1 THEN value END) AS last_value
+FROM b WHERE rn_a = 1 OR rn_d = 1
+GROUP BY bucket, event_type
+"""
+
+
 def q_alert_transitions(spark, sf):
     """Kapacitor-style threshold alerting over each series: rising
     edges (value crosses ABOVE the threshold) and falling edges, with
@@ -3943,6 +3985,7 @@ def registry() -> dict[str, tuple]:
         "influx_derivative": (q_influx_derivative, SQL_INFLUX_DERIVATIVE),
         "influx_integral": (q_influx_integral, SQL_INFLUX_INTEGRAL),
         "alert_transitions": (q_alert_transitions, SQL_ALERT_TRANSITIONS),
+        "bucket_first_last": (q_bucket_first_last, SQL_BUCKET_FIRST_LAST),
         "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
         "source_mixture": (q_source_mixture, SQL_SOURCE_MIXTURE),
         "histogram_prices": (q_histogram_prices, SQL_HISTOGRAM_PRICES),
