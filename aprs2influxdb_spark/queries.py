@@ -3499,6 +3499,39 @@ FROM d
 """
 
 
+def q_autocorr_series(spark, sf):
+    """Lag-1 autocorrelation per series type: Pearson correlation of
+    each sample with its predecessor (ordered by event time with an id
+    tie-break) — the serial-dependence diagnostic that tells a
+    forecasting/anomaly pipeline whether yesterday predicts today.
+    One window pass builds the lag pairs, one aggregate correlates;
+    the correlation is snapshot-rounded like ``corr_stats``."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = e.select(
+        "event_type",
+        F.col("value").alias("v"),
+        F.lag("value").over(w).alias("pv"),
+    ).filter(F.col("pv").isNotNull())
+    return pairs.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        rhu(F.corr("v", "pv"), 3).alias("lag1_autocorr"),
+    )
+
+
+SQL_AUTOCORR_SERIES = """
+WITH pairs AS (
+  SELECT event_type, value AS v,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+  FROM events
+)
+SELECT event_type, count(*) AS n_pairs,
+       (floor((corr(v, pv)) * 1000 + 0.5) / 1000.0) AS lag1_autocorr
+FROM pairs WHERE pv IS NOT NULL
+GROUP BY event_type
+"""
+
+
 def q_bucket_first_last(spark, sf):
     """InfluxQL ``SELECT first(value), last(value) ... GROUP BY
     time(1d), tag``: the opening and closing sample of each (day,
@@ -3986,6 +4019,7 @@ def registry() -> dict[str, tuple]:
         "influx_integral": (q_influx_integral, SQL_INFLUX_INTEGRAL),
         "alert_transitions": (q_alert_transitions, SQL_ALERT_TRANSITIONS),
         "bucket_first_last": (q_bucket_first_last, SQL_BUCKET_FIRST_LAST),
+        "autocorr_series": (q_autocorr_series, SQL_AUTOCORR_SERIES),
         "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
         "source_mixture": (q_source_mixture, SQL_SOURCE_MIXTURE),
         "histogram_prices": (q_histogram_prices, SQL_HISTOGRAM_PRICES),
