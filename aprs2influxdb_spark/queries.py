@@ -3499,6 +3499,28 @@ FROM d
 """
 
 
+def q_weekday_seasonality(spark, sf):
+    """Seasonality profile: mean value per (ISO weekday, series type)
+    — the day-of-week shape a capacity planner reads off a dashboard.
+    Weekday numbering is the cross-engine trap: Spark's ``dayofweek``
+    starts Sunday=1 while DuckDB's ``dow`` starts Sunday=0, so both
+    sides use the ISO convention (Monday=1) — Spark via
+    ``weekday()+1``, DuckDB via ``isodow``."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy((F.weekday("ts") + 1).alias("iso_dow"), "event_type")
+        .agg(F.count("*").alias("n"), rhu(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+SQL_WEEKDAY_SEASONALITY = """
+SELECT CAST(isodow(ts) AS INT) AS iso_dow, event_type,
+       count(*) AS n,
+       (floor((avg(value)) * 10000 + 0.5) / 10000.0) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_autocorr_series(spark, sf):
     """Lag-1 autocorrelation per series type: Pearson correlation of
     each sample with its predecessor (ordered by event time with an id
@@ -4020,6 +4042,7 @@ def registry() -> dict[str, tuple]:
         "alert_transitions": (q_alert_transitions, SQL_ALERT_TRANSITIONS),
         "bucket_first_last": (q_bucket_first_last, SQL_BUCKET_FIRST_LAST),
         "autocorr_series": (q_autocorr_series, SQL_AUTOCORR_SERIES),
+        "weekday_seasonality": (q_weekday_seasonality, SQL_WEEKDAY_SEASONALITY),
         "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
         "source_mixture": (q_source_mixture, SQL_SOURCE_MIXTURE),
         "histogram_prices": (q_histogram_prices, SQL_HISTOGRAM_PRICES),
