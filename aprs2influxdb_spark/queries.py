@@ -555,7 +555,7 @@ def q_sessionize(spark, sf):
 
 
 SQL_SESSIONIZE = """
-SELECT user_id, sum(new_sess) + 1 AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM (
   SELECT user_id,
          CASE WHEN epoch_us(ts)/1000000.0 - lag(epoch_us(ts)/1000000.0)
@@ -2835,8 +2835,8 @@ def q_priority_lines(spark, sf):
 
 SQL_PRIORITY_LINES = """
 SELECT l_returnflag,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
 GROUP BY l_returnflag

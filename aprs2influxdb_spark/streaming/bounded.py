@@ -180,7 +180,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_STREAMING_SESSIONIZE = """
-SELECT user_id, sum(new_sess) + 1 AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM (
   SELECT user_id,
          CASE WHEN epoch_us(ts)/1000000.0 - lag(epoch_us(ts)/1000000.0)

@@ -44,6 +44,53 @@ def _canon(rows, cols):
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
+_INT = {"TINYINT", "SMALLINT", "INTEGER", "INT", "BIGINT", "UTINYINT", "USMALLINT", "UINTEGER"}
+_FLOAT = {"FLOAT", "DOUBLE", "REAL"}
+
+
+def _kind(t):
+    """Collapse an engine type name to a comparison kind.  The driver's
+    hash compares pandas-rendered values, so what matters is the pandas
+    dtype each engine lands on: HUGEINT/UBIGINT widen to float64 (so a
+    Spark ``bigint`` twin hash-mismatches even when values agree) and is
+    deliberately NOT mapped to "int" here."""
+    t = str(t).upper()
+    if t.endswith("[]") or t.startswith("ARRAY") or t.startswith("LIST"):
+        return "list"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in _INT:
+        return "int"
+    if t in _FLOAT:
+        return "float"
+    if t in ("HUGEINT", "UBIGINT", "UHUGEINT"):
+        return "hugeint"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t in ("VARCHAR", "STRING", "TEXT"):
+        return "string"
+    if t in ("BOOLEAN", "BOOL"):
+        return "bool"
+    if t in ("BLOB", "BINARY"):
+        return "binary"
+    return t
+
+
+@pytest.mark.parametrize("name", sorted(registry().keys()))
+def test_oracle_dtype_kinds(spark, sf_dir, ddb, name):
+    """Schema-only sweep: every oracle's column type kinds must match the
+    Spark result's, catching int-vs-float (e.g. DuckDB HUGEINT sums) and
+    date-vs-timestamp contract drift before the driver's hash does."""
+    builder, sql = registry()[name]
+    if sql is None:
+        pytest.skip("rows-only entry: no oracle to sweep")
+    rel = ddb.sql(sql)
+    d_kinds = {c.lower(): _kind(t) for c, t in zip(rel.columns, rel.types)}
+    sdf = builder(spark, sf_dir)
+    s_kinds = {f.name.lower(): _kind(f.dataType.simpleString()) for f in sdf.schema.fields}
+    assert d_kinds == s_kinds, f"{name}: oracle kinds {d_kinds} vs spark kinds {s_kinds}"
+
+
 @pytest.mark.parametrize("name", sorted(registry().keys()))
 def test_query_matches_oracle(spark, sf_dir, ddb, name):
     builder, sql = registry()[name]
