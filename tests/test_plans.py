@@ -157,6 +157,23 @@ class TestJoinStrategy:
                 else:
                     spark.conf.set(k, v)
 
+    def test_kmv_bottom_k_is_partial(self, spark, sf_dir):
+        """The KMV sketch's rank filter must trigger WindowGroupLimit
+        pushdown BELOW the exchange (partial bottom-k per map task), so
+        at most k rows per group per input partition cross the wire —
+        without it the window sorts every distinct hash per group."""
+        from aprs2influxdb_spark.operators.sketches import kmv_distinct
+
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        df = kmv_distinct(e, k=64)
+        plan = executed_plan(df)
+        first_exchange = plan.find("Exchange")
+        assert first_exchange != -1
+        assert "WindowGroupLimit" in plan[first_exchange:], (
+            "no partial (pre-shuffle) WindowGroupLimit in KMV plan"
+        )
+        assert audit(df).shuffles <= 2  # distinct + window; groupBy reuses
+
     def test_topk_broadcasts_queries_not_corpus(self, spark, sf_dir):
         # the corpus is never shuffled for scoring; queries ride broadcast
         plan = executed_plan(q_cosine_topk(spark, sf_dir))

@@ -32,6 +32,26 @@ class TestApproxBounds:
         # HLL++ rsd=5%: allow 4 sigma
         assert abs(row["approx"] - row["exact"]) <= max(1, 0.2 * row["exact"])
 
+    def test_kmv_within_bound_and_exact_below_k(self, spark, sf_dir):
+        """Portable KMV sketch (the oracle-checked approx_distinct):
+        within ~4/sqrt(k-2) of exact above k distinct, and exactly equal
+        below k (the sketch holds every hash)."""
+        from aprs2influxdb_spark.operators.sketches import kmv_distinct
+
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        exact = {
+            r["event_type"]: r["n"]
+            for r in e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+        }
+        for k in (16, 1 << 20):  # estimator path / exact path
+            est = {r["event_type"]: r["approx_users"] for r in kmv_distinct(e, k=k).collect()}
+            assert set(est) == set(exact)
+            for t, n in exact.items():
+                if n < k:
+                    assert est[t] == n, f"k={k} {t}: below-k must be exact"
+                else:
+                    assert abs(est[t] - n) <= max(2, 4.0 / (k - 2) ** 0.5 * n), f"k={k} {t}"
+
 
 class TestEmptyInputs:
     """Every operator family on a zero-row input: stable schema, zero
