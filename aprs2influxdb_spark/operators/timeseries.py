@@ -6,9 +6,21 @@ LTTB (largest-triangle-three-buckets, Steinarsson 2013) is the standard
 perceptual downsampler: it keeps the points that preserve the visual
 shape of the series — spikes survive where a mean/first-per-bucket
 rollup flattens them.  Its selection is sequential per series (each
-choice depends on the previously selected point), so like DTW it has no
-SQL/column-algebra form: it runs as ``applyInPandas`` per series key,
-and correctness is pinned against the pure-Python reference below.
+choice depends on the previously selected point), so it runs as
+``applyInPandas`` per series key.  The sequential recurrence IS
+SQL-expressible as a recursive CTE over precomputed buckets
+(:func:`lttb_oracle_sql`), which is the DuckDB oracle for the
+``lttb_downsample`` registry entry; correctness is additionally pinned
+against the pure-Python reference below.
+
+Cross-engine float discipline (see the dtype/rounding notes in
+MEMORY/cross-engine-rounding-determinism): epoch-µs timestamps are
+< 2^53 so their doubles are exact; bucket-mean numerators are summed as
+a *left fold* on both sides (Python ``sum`` ↔ DuckDB ``list_reduce``
+over a rn-ordered list) then converted-then-divided in the same order
+(``float(sum)/span`` ↔ ``CAST(sum AS DOUBLE)/span``), and the triangle
+area uses the identical operation order — every double op is
+bit-identical across engines, so the argmax selection matches exactly.
 """
 
 from __future__ import annotations
@@ -41,8 +53,12 @@ def lttb_indices_py(ts: list, vs: list, n_out: int) -> list:
         avg_lo = min(int(math.floor((i + 1) * every)) + 1, n - 1)
         avg_hi = min(int(math.floor((i + 2) * every)) + 1, n)
         span = max(avg_hi - avg_lo, 1)
-        avg_t = sum(ts[avg_lo:avg_hi]) / span if avg_hi > avg_lo else ts[n - 1]
-        avg_v = sum(vs[avg_lo:avg_hi]) / span if avg_hi > avg_lo else vs[n - 1]
+        # float(sum)/span (not sum/span): int.__truediv__ rounds the exact
+        # rational once, but the DuckDB oracle must CAST its bigint sum to
+        # DOUBLE before dividing (two roundings) — mirror that here so the
+        # argmax is bit-identical across engines.
+        avg_t = float(sum(ts[avg_lo:avg_hi])) / span if avg_hi > avg_lo else float(ts[n - 1])
+        avg_v = float(sum(vs[avg_lo:avg_hi])) / span if avg_hi > avg_lo else float(vs[n - 1])
         best, best_area = lo, -1.0
         for j in range(lo, hi):
             area = abs(
@@ -58,7 +74,7 @@ def lttb_indices_py(ts: list, vs: list, n_out: int) -> list:
 
 def lttb_downsample(
     events: DataFrame, n_out: int = 20, id_col: str = "user_id",
-    ts_col: str = "ts", val_col: str = "value",
+    ts_col: str = "ts", val_col: str = "value", tiebreak_col: str | None = "event_id",
 ) -> DataFrame:
     """Per-series LTTB downsampling to at most ``n_out`` points.
 
@@ -67,20 +83,97 @@ def lttb_downsample(
     sequential per-series algorithms (same as the stateful calibration
     twin).  Time enters the area computation as integer epoch
     microseconds so the arithmetic is engine- and zone-independent.
+    ``tiebreak_col`` makes the per-group sort total under duplicate
+    (series, ts) samples — without it the selection is partitioning-
+    dependent; pass ``None`` only if (series, ts) is known unique.
     At 100 TB the series count provides the parallelism; a single
     pathological series is bounded by its own length, and the rendering
     use case caps that by time-range predicates pushed to the scan."""
     out_schema = f"{id_col} long, {ts_col} timestamp, {val_col} double"
+    sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    in_cols = [id_col, ts_col, val_col] + ([tiebreak_col] if tiebreak_col else [])
 
     def _group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_col]).reset_index(drop=True)
+        pdf = pdf.sort_values(sort_cols).reset_index(drop=True)
         ts_us = (pdf[ts_col].astype("int64") // 1000).tolist()
         vs = pdf[val_col].astype(float).tolist()
         keep = lttb_indices_py(ts_us, vs, n_out)
         return pdf.iloc[keep][[id_col, ts_col, val_col]]
 
     return (
-        events.select(id_col, ts_col, val_col)
+        events.select(*in_cols)
         .groupBy(id_col)
         .applyInPandas(_group, out_schema)
     )
+
+
+def lttb_oracle_sql(
+    n_out: int = 20, table: str = "events", id_col: str = "user_id",
+    ts_col: str = "ts", val_col: str = "value", tiebreak_col: str = "event_id",
+) -> str:
+    """DuckDB twin of :func:`lttb_downsample`: the sequential bucket
+    recurrence as a recursive CTE.  Buckets and their centroid means
+    are precomputed (non-recursive); the recursion carries only the
+    previously selected row number per series, and each step picks the
+    candidate maximizing the triangle area via a correlated
+    ORDER-BY-LIMIT-1 subquery (ties → smallest rn, matching the
+    reference's strict ``>``).  All float ops mirror the Python
+    reference's operation order exactly — see the module docstring."""
+    ev = f"(({id_col}_n - 2) / {float(n_out - 2)!r})"
+    return f"""
+WITH RECURSIVE
+lttb_base AS (
+  SELECT {id_col}, {ts_col}, {val_col}, epoch_us({ts_col}) AS tus,
+         row_number() OVER (PARTITION BY {id_col} ORDER BY {ts_col}, {tiebreak_col}) - 1 AS rn,
+         count(*) OVER (PARTITION BY {id_col}) AS {id_col}_n
+  FROM {table}
+),
+lttb_big AS (SELECT DISTINCT {id_col}, {id_col}_n FROM lttb_base WHERE {id_col}_n > {n_out}),
+lttb_buckets AS (
+  SELECT b.{id_col}, b.{id_col}_n, t.i,
+         CAST(floor(t.i * {ev}) AS BIGINT) + 1 AS lo,
+         least(CAST(floor((t.i + 1) * {ev}) AS BIGINT) + 1, b.{id_col}_n - 1) AS hi,
+         least(CAST(floor((t.i + 1) * {ev}) AS BIGINT) + 1, b.{id_col}_n - 1) AS avg_lo,
+         least(CAST(floor((t.i + 2) * {ev}) AS BIGINT) + 1, b.{id_col}_n) AS avg_hi
+  FROM lttb_big b, range(0, {n_out - 2}) t(i)
+),
+lttb_avgs AS (
+  SELECT b.{id_col}, b.i, b.lo, b.hi,
+         CASE WHEN b.avg_hi > b.avg_lo
+              THEN CAST(list_reduce(list(p.tus ORDER BY p.rn), (acc, x) -> acc + x) AS DOUBLE)
+                   / (b.avg_hi - b.avg_lo)
+              ELSE CAST(lastp.tus AS DOUBLE) END AS avg_t,
+         CASE WHEN b.avg_hi > b.avg_lo
+              THEN list_reduce(list(p.{val_col} ORDER BY p.rn), (acc, x) -> acc + x)
+                   / (b.avg_hi - b.avg_lo)
+              ELSE lastp.{val_col} END AS avg_v
+  FROM lttb_buckets b
+  LEFT JOIN lttb_base p
+    ON p.{id_col} = b.{id_col} AND p.rn >= b.avg_lo AND p.rn < b.avg_hi
+  JOIN lttb_base lastp
+    ON lastp.{id_col} = b.{id_col} AND lastp.rn = b.{id_col}_n - 1
+  GROUP BY b.{id_col}, b.i, b.lo, b.hi, b.avg_hi, b.avg_lo, lastp.tus, lastp.{val_col}
+),
+lttb_sel AS (
+  SELECT {id_col}, -1 AS i, CAST(0 AS BIGINT) AS a_rn FROM lttb_big
+  UNION ALL
+  SELECT s.{id_col}, s.i + 1 AS i,
+         (SELECT c.rn
+          FROM lttb_base c, lttb_avgs v, lttb_base a
+          WHERE v.{id_col} = s.{id_col} AND v.i = s.i + 1
+            AND a.{id_col} = s.{id_col} AND a.rn = s.a_rn
+            AND c.{id_col} = s.{id_col} AND c.rn >= v.lo AND c.rn < v.hi
+          ORDER BY abs((a.tus - v.avg_t) * (c.{val_col} - a.{val_col})
+                     - (a.tus - c.tus) * (v.avg_v - a.{val_col})) DESC, c.rn ASC
+          LIMIT 1) AS a_rn
+  FROM lttb_sel s
+  WHERE s.i + 1 <= {n_out - 3}
+),
+lttb_keep AS (
+  SELECT {id_col}, a_rn AS rn FROM lttb_sel
+  UNION ALL SELECT {id_col}, {id_col}_n - 1 AS rn FROM lttb_big
+  UNION ALL SELECT {id_col}, rn FROM lttb_base WHERE {id_col}_n <= {n_out}
+)
+SELECT b.{id_col}, b.{ts_col}, b.{val_col}
+FROM lttb_base b JOIN lttb_keep k ON b.{id_col} = k.{id_col} AND b.rn = k.rn
+"""

@@ -808,12 +808,20 @@ FROM events GROUP BY user_id
 def q_lttb_downsample(spark, sf):
     """Per-series LTTB perceptual downsampling to 20 points (the
     dashboard-serving reduction; sequential per series, hence
-    applyInPandas and a rows-only driver check — exact selection is
-    pinned against the pure-Python reference in
-    tests/test_scalars.py::TestLttb)."""
+    applyInPandas).  The sequential recurrence has an exact DuckDB
+    oracle — a recursive CTE over precomputed buckets with the same
+    float-op order (operators/timeseries.py::lttb_oracle_sql) — and is
+    additionally pinned against the pure-Python reference in
+    tests/test_scalars.py::TestLttb."""
     from aprs2influxdb_spark.operators.timeseries import lttb_downsample
 
     return lttb_downsample(_t(spark, sf, "events"), n_out=20)
+
+
+def _sql_lttb_downsample() -> str:
+    from aprs2influxdb_spark.operators.timeseries import lttb_oracle_sql
+
+    return lttb_oracle_sql(n_out=20)
 
 
 def q_rank_family(spark, sf):
@@ -3966,7 +3974,7 @@ def registry() -> dict[str, tuple]:
         "ship_latency": (q_ship_latency, SQL_SHIP_LATENCY),
         "rank_family": (q_rank_family, SQL_RANK_FAMILY),
         "user_event_sets": (q_user_event_sets, SQL_USER_EVENT_SETS),
-        "lttb_downsample": (q_lttb_downsample, None),
+        "lttb_downsample": (q_lttb_downsample, _sql_lttb_downsample()),
         "pivot_events": (q_pivot_events, SQL_PIVOT_EVENTS),
         "unpivot_lineitem": (q_unpivot_lineitem, SQL_UNPIVOT_LINEITEM),
         "lag_delta": (q_lag_delta, SQL_LAG_DELTA),

@@ -162,9 +162,9 @@ class TestLttb:
         assert lttb_indices_py(ts[:5], vs[:5], 10) == [0, 1, 2, 3, 4]
 
     def test_spark_matches_reference_exactly(self, spark, sf_dir):
-        """applyInPandas LTTB (rows-only in the driver gate) pinned
-        against the reference selection computed on the same
-        Arrow-decoded values."""
+        """applyInPandas LTTB pinned against the reference selection
+        computed on the same Arrow-decoded values, with the same
+        (ts, event_id) tie-break sort the operator applies."""
         import pandas as pd
 
         from aprs2influxdb_spark.operators.timeseries import (
@@ -179,13 +179,12 @@ class TestLttb:
         }
         pdf = (
             _t(spark, sf_dir, "events")
-            .select("user_id", "ts", "value")
+            .select("user_id", "event_id", "ts", "value")
             .toPandas()
-            .sort_values(["user_id", "ts"])
         )
         exp = set()
         for uid, g in pdf.groupby("user_id"):
-            g = g.reset_index(drop=True)
+            g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
             ts_us = (g["ts"].astype("int64") // 1000).tolist()
             vs = g["value"].astype(float).tolist()
             for i in lttb_indices_py(ts_us, vs, 20):
