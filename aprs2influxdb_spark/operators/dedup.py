@@ -191,23 +191,37 @@ def minhash_lsh_pairs(
 
 def ngram_jaccard_pairs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    shingle_n: int = 3, threshold: float = 0.3,
+    shingle_n: int = 3, threshold: float = 0.3, max_doc_freq: int | None = 64,
 ) -> DataFrame:
-    """Exact all-pairs Jaccard over the shingle inverted index.
+    """N-gram Jaccard near-dup pairs; stop-shingle-capped BY DEFAULT.
 
-    ``|A ∩ B|`` is computed distributively: explode shingles, self-join
-    on the shingle, count per pair — partial aggregation happens map-
-    side, and only pairs that share ≥1 shingle ever materialize.  The
-    join key is the 8-byte :func:`hashed_shingles` hash, not the
-    shingle string.  Each doc's shingle-set size rides along the
-    exploded rows (2 extra ints per row) and comes out of the pair
-    aggregate via ``min`` — the alternative (separate size scans joined
-    back on each id) re-computes the shingles twice more and adds two
-    joins after the aggregate.  At 100 TB, stop-shingle removal (drop
-    shingles with doc-frequency above a cap) bounds the inverted-index
-    fanout; candidates here are already bounded by the synthetic
-    corpus' shingle sharing.
+    With ``max_doc_freq`` set (the default), this delegates to
+    :func:`ngram_jaccard_pairs_capped`: candidate pairs come only
+    through shingles whose document frequency is within the cap
+    (bounding inverted-index fanout at ``max_doc_freq²`` per shingle —
+    the only shape that survives 100 TB, where one boilerplate shingle
+    in 10⁶ docs would otherwise emit 10¹² candidate rows), and Jaccard
+    is then verified EXACTLY over the full shingle sets of surviving
+    pairs.  The default cap of 64 is far above the observed df at every
+    test scale (max 25 at sf0.1), so small-scale results are identical
+    to the uncapped baseline — pinned by
+    tests/test_robustness.py::test_ngram_cap_is_lossless_at_test_scale.
+
+    ``max_doc_freq=None`` selects the uncapped exact inverted-index
+    baseline (O(Σ df²) candidate fanout — test/oracle-baseline only,
+    never the registry path): explode shingles, self-join on the
+    shingle, count per pair — partial aggregation happens map-side, and
+    only pairs that share ≥1 shingle ever materialize.  The join key is
+    the 8-byte :func:`hashed_shingles` hash, not the shingle string.
+    Each doc's shingle-set size rides along the exploded rows (2 extra
+    ints per row) and comes out of the pair aggregate via ``min`` — the
+    alternative (separate size scans joined back on each id) re-computes
+    the shingles twice more and adds two joins after the aggregate.
     """
+    if max_doc_freq is not None:
+        return ngram_jaccard_pairs_capped(
+            docs, text_col, id_col, shingle_n, threshold, max_doc_freq
+        )
     # lazy checkpoint: the inverted index is consumed by BOTH sides of
     # the self-join — without it the tokenize+hash subtree runs twice
     arr = _spread_docs(docs, id_col, text_col).select(

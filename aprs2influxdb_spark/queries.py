@@ -1278,26 +1278,38 @@ _HSH_SQL = hashed_shingles_sql("h")
 
 
 def q_ngram_jaccard(spark, sf):
+    """Headline n-gram Jaccard near-dup pairs.  Candidate generation is
+    df-capped by default (cap 64 — lossless at every test scale where
+    max df is 25, but the only candidate shape that survives 100 TB;
+    the uncapped O(Σ df²) inverted index is reachable only as the
+    max_doc_freq=None test baseline, never from the registry)."""
     return dd.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.3)
 
 
-SQL_NGRAM_JACCARD = f"""
-WITH {_TOKH_CTE}, sh AS (
-  SELECT doc_id, unnest({_HSH_SQL}) AS shingle FROM tokh
-), sizes AS (
-  SELECT doc_id, len({_HSH_SQL}) AS n_sh FROM tokh
-), inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+def _sql_ngram_jaccard_capped(max_doc_freq: int) -> str:
+    """Capped-candidates + full-set-verification Jaccard oracle,
+    mirroring dedup.ngram_jaccard_pairs_capped at the given df cap."""
+    return f"""
+WITH {_TOKH_CTE}, arr AS (
+  SELECT doc_id, {_HSH_SQL} AS arr FROM tokh
+), sh AS (
+  SELECT doc_id, unnest(arr) AS shingle FROM arr
+), keep AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {max_doc_freq}
+), pruned AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b,
-       (floor((n_common / (sa.n_sh + sb.n_sh - n_common)) * 10000 + 0.5) / 10000.0) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.3
+       (floor((len(list_intersect(x.arr, y.arr)) / len(list_distinct(list_concat(x.arr, y.arr)))) * 10000 + 0.5) / 10000.0) AS jaccard
+FROM cand JOIN arr x ON x.doc_id = id_a JOIN arr y ON y.doc_id = id_b
+WHERE len(list_intersect(x.arr, y.arr)) / len(list_distinct(list_concat(x.arr, y.arr))) >= 0.3
 """
+
+
+SQL_NGRAM_JACCARD = _sql_ngram_jaccard_capped(64)
 
 
 def _minhash_sig_sql(num_hashes: int = 16) -> str:
@@ -1318,24 +1330,7 @@ def q_ngram_jaccard_capped(spark, sf):
     return dd.ngram_jaccard_pairs_capped(_t(spark, sf, "documents"), threshold=0.3, max_doc_freq=5)
 
 
-SQL_NGRAM_JACCARD_CAPPED = f"""
-WITH {_TOKH_CTE}, arr AS (
-  SELECT doc_id, {_HSH_SQL} AS arr FROM tokh
-), sh AS (
-  SELECT doc_id, unnest(arr) AS shingle FROM arr
-), keep AS (
-  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 5
-), pruned AS (
-  SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
-), cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-)
-SELECT id_a, id_b,
-       (floor((len(list_intersect(x.arr, y.arr)) / len(list_distinct(list_concat(x.arr, y.arr)))) * 10000 + 0.5) / 10000.0) AS jaccard
-FROM cand JOIN arr x ON x.doc_id = id_a JOIN arr y ON y.doc_id = id_b
-WHERE len(list_intersect(x.arr, y.arr)) / len(list_distinct(list_concat(x.arr, y.arr))) >= 0.3
-"""
+SQL_NGRAM_JACCARD_CAPPED = _sql_ngram_jaccard_capped(5)
 
 
 def q_minhash_signatures(spark, sf):

@@ -123,6 +123,25 @@ class TestJoinStrategy:
         assert audit(q_rank_family(spark, sf_dir)).shuffles == 1
         audit(q_cohort_retention(spark, sf_dir))  # no cartesian
 
+    def test_ngram_jaccard_candidates_are_df_capped(self, spark, sf_dir):
+        """No registry entry may run the uncapped O(Σ df²) inverted-
+        index self-join: the headline ngram_jaccard must default to the
+        df-capped candidate stage (one boilerplate shingle in 10⁶ docs
+        would otherwise emit 10¹² candidate rows at 100 TB), within the
+        same shuffle budget as the explicit capped variant."""
+        import inspect
+
+        from aprs2influxdb_spark.operators.dedup import ngram_jaccard_pairs
+        from aprs2influxdb_spark.queries import q_ngram_jaccard, q_ngram_jaccard_capped
+
+        assert inspect.signature(ngram_jaccard_pairs).parameters["max_doc_freq"].default is not None
+        # capped plan: df-cap agg + candidate self-join + 2 verification
+        # joins = 5 exchanges; the uncapped baseline would pass a lower
+        # budget but is pinned out by the signature check above and the
+        # lossless equality test in test_robustness.py
+        assert audit(q_ngram_jaccard(spark, sf_dir)).shuffles <= 5
+        assert audit(q_ngram_jaccard_capped(spark, sf_dir)).shuffles <= 5
+
     def test_runtime_bloom_filter_reduces_fact_scan(self, spark, sf_dir):
         """Runtime bloom-filter semi-join reduction: a selective filter
         on one join side injects a bloom filter (`might_contain`) into

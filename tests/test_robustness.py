@@ -131,3 +131,23 @@ class TestEmptyInputs:
         out = asof_join(e, od, "user_id", "ts", "ots", ["p"])
         assert out.count() == e.count()
         assert out.filter(F.col("p").isNotNull()).count() == 0
+
+
+def test_ngram_cap_is_lossless_at_test_scale(spark, sf_dir):
+    """The default df cap (64) on ngram_jaccard_pairs is far above the
+    observed max shingle df at every test scale, so the capped headline
+    path must reproduce the uncapped exact baseline verbatim — proving
+    the cap changes the candidate PLAN (bounded fanout), not the
+    answer, at this corpus."""
+    from aprs2influxdb_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    capped = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.3, max_doc_freq=None).collect()
+    }
+    assert capped == uncapped and len(capped) > 0
