@@ -77,6 +77,48 @@ def brute_force_topk(
     )
 
 
+def srp_planes_for(
+    n_rows: int, target_bucket_size: int = 8, lo: int = 2, hi: int = 16
+) -> int:
+    """Scale-derived SRP hyperplane count: enough planes that the mean
+    bucket holds ~``target_bucket_size`` vectors (``ceil(log2(n /
+    target))``, clamped).  A literal plane count is a toy-scale trap:
+    n_planes=4 gives 16 buckets → n²/16 candidate pairs at corpus
+    scale.  Integer-exact on purpose — ``bit_length`` not ``log2`` —
+    so the Python-derived Spark literal and the oracle's in-query
+    derivation (:func:`srp_planes_sql`) can never disagree on a float
+    boundary."""
+    ceil_div = (max(int(n_rows), 1) + target_bucket_size - 1) // target_bucket_size
+    k = (ceil_div - 1).bit_length() if ceil_div > 1 else 0
+    return max(lo, min(hi, k))
+
+
+def srp_planes_sql(
+    cnt_expr: str, target_bucket_size: int = 8, lo: int = 2, hi: int = 16
+) -> str:
+    """DuckDB twin of :func:`srp_planes_for` over a count expression
+    (``length(bin(m))`` is ``bit_length(m)`` for positive m)."""
+    cd = f"((({cnt_expr}) + {target_bucket_size - 1}) // {target_bucket_size})"
+    k = f"(CASE WHEN {cd} <= 1 THEN 0 ELSE length(bin({cd} - 1)) END)"
+    return f"least({hi}, greatest({lo}, {k}))"
+
+
+def ivf_centroids_for(n_rows: int, lo: int = 4, hi: int = 4096) -> int:
+    """Scale-derived IVF list count: the classic ``nlist ≈ sqrt(n)``
+    balance between list length (n/nlist) and probe cost (nlist),
+    clamped.  ``ceil(sqrt())`` is IEEE-correctly-rounded on both
+    engines (sqrt is a required correctly-rounded op), so the Python
+    literal and :func:`ivf_centroids_sql` always agree."""
+    import math
+
+    return max(lo, min(hi, math.ceil(math.sqrt(max(int(n_rows), 1)))))
+
+
+def ivf_centroids_sql(cnt_expr: str, lo: int = 4, hi: int = 4096) -> str:
+    """DuckDB twin of :func:`ivf_centroids_for`."""
+    return f"least({hi}, greatest({lo}, CAST(ceil(sqrt({cnt_expr})) AS BIGINT)))"
+
+
 def hyperplane_component(plane: int, dim: int, seed: int = 7) -> float:
     """Deterministic pseudo-random component in [-1, 1): derived from
     md5(plane||'_'||dim||'_'||seed) so DuckDB computes the identical
@@ -116,8 +158,9 @@ def srp_bucket(vec, n_planes: int = 8, seed: int = 7, dim: int = 64):
 
 
 def cosine_near_dup_pairs(
-    emb: DataFrame, threshold: float = 0.95, n_planes: int = 4,
+    emb: DataFrame, threshold: float = 0.95, n_planes: int | None = None,
     id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 7,
+    target_bucket_size: int = 32,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (north-star dedup ladder,
     top rung): candidate pairs share an SRP bucket, then exact cosine
@@ -125,11 +168,19 @@ def cosine_near_dup_pairs(
     probability 1 - theta/pi per plane, so a high threshold tolerates
     few planes.
 
+    ``n_planes`` defaults to :func:`srp_planes_for` over the corpus
+    count (one cheap metadata-backed count job), so the bucket count
+    GROWS with the corpus — mean bucket ~``target_bucket_size`` rows —
+    instead of a literal that silently degrades to n²/2^planes pairs
+    at 1000× the data.
+
     Scale shape: bucket narrow, self-join shuffles on the bucket id
     only, norms are computed once per row (not per pair), and no
     O(n^2) stage exists.  Recall loss is the documented LSH trade;
     the oracle mirrors the same bucketing, so parity is exact.
     """
+    if n_planes is None:
+        n_planes = srp_planes_for(emb.count(), target_bucket_size)
     # spread before the SRP folds (per-row HOF cost), checkpoint after:
     # both self-join sides consume the bucketed table, and a broadcast
     # build side would otherwise recompute the whole bucketing subtree
@@ -186,7 +237,7 @@ def quantize_embeddings(
 
 
 def ivf_assignments(
-    emb: DataFrame, n_centroids: int = 16,
+    emb: DataFrame, n_centroids: int | None = None,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantization: the ``n_centroids`` lowest-id vectors
@@ -194,13 +245,21 @@ def ivf_assignments(
     them, but the driver oracle needs a closed-form seed); every vector
     is assigned to its max-cosine centroid.
 
+    ``n_centroids`` defaults to :func:`ivf_centroids_for` (~sqrt(n),
+    from a corpus count) so list length and probe cost stay balanced
+    as the corpus grows — 16 literal centroids means 100 TB / 16
+    inverted lists.
+
     Returns (centroids, assignments).  Assignment is a broadcast
     cross-join against the tiny centroid set + per-vector top-1 window
     — the corpus shuffles once on ``vec_id`` for the window, and at
-    scale the centroid set stays broadcast-sized by construction.
+    scale the centroid set stays broadcast-sized by construction
+    (sqrt growth keeps it far under broadcast thresholds).
     """
     from pyspark.sql import Window
 
+    if n_centroids is None:
+        n_centroids = ivf_centroids_for(emb.count())
     cent = (
         emb.orderBy(F.col(id_col)).limit(n_centroids)
         .select(F.col(id_col).alias("c_id"), F.col(vec_col).cast("array<double>").alias("cv"))
@@ -224,7 +283,7 @@ def ivf_assignments(
 
 def ivf_topk(
     emb: DataFrame, query_ids: list[int], k: int = 10,
-    n_centroids: int = 16, n_probe: int = 4,
+    n_centroids: int | None = None, n_probe: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF ANN top-k: each query probes its ``n_probe`` nearest
@@ -265,7 +324,7 @@ def ivf_topk(
 
 
 def kmeans_refined_centroids(
-    emb: DataFrame, n_centroids: int = 16, n_iter: int = 1,
+    emb: DataFrame, n_centroids: int | None = None, n_iter: int = 1,
     id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
 ) -> list[tuple[int, list[float]]]:
     """Lloyd-refined IVF centroids: seed with the ``n_centroids``
@@ -284,6 +343,8 @@ def kmeans_refined_centroids(
     order ULP noise can't flip a component or an assignment between
     engines.  Empty clusters keep their previous centroid.
     """
+    if n_centroids is None:
+        n_centroids = ivf_centroids_for(emb.count())
     cents = [
         (int(r[0]), [float(x) for x in r[1]])
         for r in emb.orderBy(F.col(id_col)).limit(n_centroids)
@@ -325,7 +386,7 @@ def _assign_to_centroids(
 
 def ivf_kmeans_topk(
     emb: DataFrame, query_ids: list[int], k: int = 10,
-    n_centroids: int = 16, n_probe: int = 4, n_iter: int = 1,
+    n_centroids: int | None = None, n_probe: int = 4, n_iter: int = 1,
     id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
 ) -> DataFrame:
     """:func:`ivf_topk` with Lloyd-refined centroids: better-centered
@@ -367,17 +428,24 @@ def ivf_kmeans_topk(
 
 
 def lsh_bucketed_topk(
-    emb: DataFrame, query_ids: list[int], k: int = 10, n_planes: int = 6,
+    emb: DataFrame, query_ids: list[int], k: int = 10,
+    n_planes: int | None = None,
     id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 7,
+    target_bucket_size: int = 8,
 ) -> DataFrame:
     """ANN top-k: score only corpus vectors in the query's SRP bucket.
 
     The corpus is bucketed once (narrow), the join key is the bucket
-    id, and ranking stays per-query.  Recall < 1 by construction —
-    this is the 100 TB path where brute force is the wrong plan.
+    id, and ranking stays per-query.  ``n_planes`` defaults to
+    :func:`srp_planes_for` over the corpus count so each cohort stays
+    ~``target_bucket_size`` vectors as the corpus grows.  Recall < 1
+    by construction — this is the 100 TB path where brute force is
+    the wrong plan.
     """
     from pyspark.sql import Window
 
+    if n_planes is None:
+        n_planes = srp_planes_for(emb.count(), target_bucket_size)
     bucketed = _spread_vecs(emb, id_col, vec_col).select(
         F.col(id_col), F.col(vec_col), srp_bucket(F.col(vec_col), n_planes, seed).alias("bucket")
     ).localCheckpoint(eager=False)  # consumed by the query AND corpus sides

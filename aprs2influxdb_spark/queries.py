@@ -1584,30 +1584,61 @@ SELECT query_id, neighbor_id, cos_sim, rk FROM (
 def q_srp_buckets(spark, sf):
     """ANN scale path: sign-random-projection LSH bucket per vector
     (deterministic md5-derived hyperplanes — the bucketing DuckDB can
-    recompute exactly)."""
+    recompute exactly).  Plane count is scale-derived from the corpus
+    count (srp_planes_for: ~8 vectors per bucket), so the bucket space
+    grows with the corpus instead of freezing at a toy literal; the
+    oracle derives the identical count in-query (integer-exact
+    bit_length on both sides)."""
     e = _t(spark, sf, "embeddings")
-    return e.select("vec_id", sim.srp_bucket(F.col("embedding"), n_planes=6).alias("bucket"))
+    np_ = sim.srp_planes_for(e.count(), target_bucket_size=8)
+    return e.select("vec_id", sim.srp_bucket(F.col("embedding"), n_planes=np_).alias("bucket"))
 
 
-def _srp_bucket_expr(vec_expr: str, n_planes: int, seed: int = 7) -> str:
+def _srp_bucket_expr(
+    vec_expr: str, n_planes: int, seed: int = 7, np_expr: str | None = None
+) -> str:
     """DuckDB twin of similarity.srp_bucket over a DOUBLE[] expression.
     The sign test rounds the projection to 8 decimals, mirroring the
     Spark side — near-zero projections must not flip buckets on
-    summation-order ULP noise."""
+    summation-order ULP noise.
+
+    With ``np_expr`` (a SQL expression for the data-derived plane
+    count, e.g. ``srp_params.np``), ``n_planes`` becomes the static
+    upper bound (the helper's ``hi`` clamp) and each plane term is
+    gated by ``p < np_expr`` — the static SQL then matches a Spark
+    plan whose literal plane count was derived from the same corpus
+    count, at any scale factor."""
     comps = []
     for p in range(n_planes):
         h = f"(('0x' || substr(md5(concat_ws('_', {p}, (i - 1)::VARCHAR, {seed})), 1, 15))::BIGINT)"
         comp = f"((({h}) % 2000000) - 1000000) / 1000000.0"
         proj = f"list_sum(list_transform({vec_expr}, (x, i) -> x * ({comp})))"
         proj_r = f"(floor(({proj}) * 100000000 + 0.5) / 100000000.0)"
-        comps.append(f"(CASE WHEN ({proj_r}) > 0 THEN {2 ** p} ELSE 0 END)")
+        term = f"(CASE WHEN ({proj_r}) > 0 THEN {2 ** p} ELSE 0 END)"
+        if np_expr is not None:
+            term = f"(CASE WHEN {p} < ({np_expr}) THEN {term} ELSE 0 END)"
+        comps.append(term)
     return f"({' + '.join(comps)})::BIGINT"
 
 
-def _srp_sql(n_planes: int = 6, seed: int = 7) -> str:
+def _srp_params_cte(target_bucket_size: int) -> str:
+    """CTE computing the data-derived SRP plane count for the
+    embeddings corpus (DuckDB twin of srp_planes_for over count(*))."""
     return (
-        f"SELECT vec_id, {_srp_bucket_expr('embedding::DOUBLE[]', n_planes, seed)}"
-        " AS bucket FROM embeddings"
+        "srp_params AS (SELECT "
+        + sim.srp_planes_sql("count(*)", target_bucket_size)
+        + " AS np FROM embeddings)"
+    )
+
+
+_SRP_MAX_PLANES = 16  # = srp_planes_for's hi clamp
+
+
+def _srp_sql(seed: int = 7) -> str:
+    return (
+        f"WITH {_srp_params_cte(8)} "
+        f"SELECT vec_id, {_srp_bucket_expr('embedding::DOUBLE[]', _SRP_MAX_PLANES, seed, 'srp_params.np')}"
+        " AS bucket FROM embeddings, srp_params"
     )
 
 
@@ -1616,16 +1647,17 @@ def q_cosine_near_dup(spark, sf):
     cosine verify (the top rung of the dedup ladder).  The synthetic
     embeddings are near-orthogonal (max pairwise cos ~0.51), so the
     threshold sits at the p99.9 of the pair distribution to exercise
-    the operator with non-empty output."""
-    return sim.cosine_near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.35, n_planes=4)
+    the operator with non-empty output.  Plane count scale-derives
+    from the corpus count (~32 vectors per bucket)."""
+    return sim.cosine_near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.35)
 
 
-def _cosine_near_dup_sql(threshold: float = 0.35, n_planes: int = 4, seed: int = 7) -> str:
+def _cosine_near_dup_sql(threshold: float = 0.35, seed: int = 7) -> str:
     return f"""
-WITH b AS (
+WITH {_srp_params_cte(32)}, b AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
-         {_srp_bucket_expr('embedding::DOUBLE[]', n_planes, seed)} AS bucket
-  FROM embeddings
+         {_srp_bucket_expr('embedding::DOUBLE[]', _SRP_MAX_PLANES, seed, 'srp_params.np')} AS bucket
+  FROM embeddings, srp_params
 )
 SELECT a.vec_id AS id_a, c.vec_id AS id_b,
        (floor((list_dot_product(a.v, c.v) /
@@ -1637,12 +1669,18 @@ WHERE list_dot_product(a.v, c.v) /
 
 
 def q_ivf_topk(spark, sf):
-    """IVF ANN: deterministic coarse centroids, probe top-4 of 16,
-    score only the probed inverted lists."""
-    return sim.ivf_topk(_t(spark, sf, "embeddings"), QUERY_VEC_IDS, k=10, n_centroids=16, n_probe=4)
+    """IVF ANN: deterministic coarse centroids (~sqrt(n) of them,
+    scale-derived from the corpus count), probe top-4, score only the
+    probed inverted lists."""
+    return sim.ivf_topk(_t(spark, sf, "embeddings"), QUERY_VEC_IDS, k=10, n_probe=4)
 
 
-def _ivf_sql(k: int = 10, n_centroids: int = 16, n_probe: int = 4) -> str:
+_IVF_NC_LIMIT = (
+    "(SELECT " + sim.ivf_centroids_sql("count(*)") + " FROM embeddings)"
+)
+
+
+def _ivf_sql(k: int = 10, n_probe: int = 4) -> str:
     qids = ", ".join(str(i) for i in QUERY_VEC_IDS)
     cos = "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
     cos_vc = cos.format(a="e.v", b="c.cv")
@@ -1650,7 +1688,7 @@ def _ivf_sql(k: int = 10, n_centroids: int = 16, n_probe: int = 4) -> str:
     cos_qn = cos.format(a="p.qv", b="a.v")
     return f"""
 WITH cent AS (
-  SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
+  SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings ORDER BY vec_id LIMIT {_IVF_NC_LIMIT}
 ), e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), assign AS (
@@ -1689,11 +1727,11 @@ def q_ivf_kmeans_topk(spark, sf):
     cosines at 8, so the oracle recomputes identical centroids."""
     return sim.ivf_kmeans_topk(
         _t(spark, sf, "embeddings"), QUERY_VEC_IDS, k=10,
-        n_centroids=16, n_probe=4, n_iter=1,
+        n_probe=4, n_iter=1,
     )
 
 
-def _ivf_kmeans_sql(k: int = 10, n_centroids: int = 16, n_probe: int = 4, dim: int = 64) -> str:
+def _ivf_kmeans_sql(k: int = 10, n_probe: int = 4, dim: int = 64) -> str:
     qids = ", ".join(str(i) for i in QUERY_VEC_IDS)
     cos = "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
     r8 = "(floor(({x}) * 100000000 + 0.5) / 100000000.0)"
@@ -1705,7 +1743,7 @@ def _ivf_kmeans_sql(k: int = 10, n_centroids: int = 16, n_probe: int = 4, dim: i
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), cent0 AS (
-  SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT {n_centroids}
+  SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT {_IVF_NC_LIMIT}
 ), assign0 AS (
   SELECT vec_id, v, c_id FROM (
     SELECT e.vec_id, e.v, c.c_id,
@@ -1753,16 +1791,16 @@ def q_lsh_bucketed_topk(spark, sf):
     sharing the query's bucket — the 100 TB path where brute force is
     the wrong plan (recall < 1 by construction; cosine_topk is the
     exactness baseline)."""
-    return sim.lsh_bucketed_topk(_t(spark, sf, "embeddings"), QUERY_VEC_IDS, k=10, n_planes=6)
+    return sim.lsh_bucketed_topk(_t(spark, sf, "embeddings"), QUERY_VEC_IDS, k=10)
 
 
-def _lsh_bucketed_sql(k: int = 10, n_planes: int = 6, seed: int = 7) -> str:
+def _lsh_bucketed_sql(k: int = 10, seed: int = 7) -> str:
     qids = ", ".join(str(i) for i in QUERY_VEC_IDS)
     return f"""
-WITH b AS (
+WITH {_srp_params_cte(8)}, b AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
-         {_srp_bucket_expr('embedding::DOUBLE[]', n_planes, seed)} AS bucket
-  FROM embeddings
+         {_srp_bucket_expr('embedding::DOUBLE[]', _SRP_MAX_PLANES, seed, 'srp_params.np')} AS bucket
+  FROM embeddings, srp_params
 ), q AS (
   SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id IN ({qids})
 ), scored AS (

@@ -193,6 +193,32 @@ class TestJoinStrategy:
         )
         assert audit(df).shuffles <= 2  # distinct + window; groupBy reuses
 
+    def test_srp_ivf_params_scale_with_corpus(self, spark, sf_dir):
+        """LSH/IVF knobs must grow with the corpus, not freeze at toy
+        literals: derived plane/centroid counts strictly increase from
+        the sf0.001 corpus (500 vectors) to sf0.1 (2000), and the
+        realized distinct SRP bucket count grows with them — n_planes=4
+        at 100 TB would mean n²/16 candidate pairs."""
+        from aprs2influxdb_spark.operators.similarity import (
+            ivf_centroids_for,
+            srp_planes_for,
+        )
+        from aprs2influxdb_spark.queries import q_srp_buckets
+
+        small, large = 500, 2000  # embeddings rows at sf0.001 / sf0.1
+        assert srp_planes_for(small, 8) < srp_planes_for(large, 8)
+        assert srp_planes_for(small, 32) < srp_planes_for(large, 32)
+        assert ivf_centroids_for(small) < ivf_centroids_for(large)
+        # monotone + clamped at the extremes
+        assert srp_planes_for(1) == 2 and srp_planes_for(10**12) == 16
+        assert ivf_centroids_for(1) == 4 and ivf_centroids_for(10**9) == 4096
+        buckets_small = q_srp_buckets(spark, sf_dir).select("bucket").distinct().count()
+        buckets_large = (
+            q_srp_buckets(spark, "/root/testdata/sf0.1")
+            .select("bucket").distinct().count()
+        )
+        assert buckets_small < buckets_large
+
     def test_topk_broadcasts_queries_not_corpus(self, spark, sf_dir):
         # the corpus is never shuffled for scoring; queries ride broadcast
         plan = executed_plan(q_cosine_topk(spark, sf_dir))
