@@ -1543,14 +1543,73 @@ def hourly_profiles(spark, sf):
 
 def q_ts_dtw_topk(spark, sf):
     """Dynamic-time-warping top-3 per query user over the hourly
-    profiles — Pandas-UDF custom operator (DTW's sequential DP has no
-    SQL form, hence no oracle: the driver records the rows-only check;
-    `tests/test_scalars.py` pins the distances against the pure-Python
-    reference implementation exactly)."""
+    profiles — Pandas-UDF custom operator behind an EXACT lower/upper-
+    bound candidate cascade (similarity.dtw_topk).  The DP recurrence
+    IS oracle-expressible: a DuckDB recursive CTE advances the DP one
+    row per iteration with the within-row scan as a list fold
+    (`_ts_dtw_sql`), every float op in the same order as the Python
+    reference — so this entry is value-checked end-to-end, which also
+    re-proves the cascade prunes nothing it shouldn't.
+    `tests/test_scalars.py` additionally pins the distances against
+    dtw_distance_py."""
     return sim.dtw_topk(
         hourly_profiles(spark, sf), [0, 1, 2, 3, 4], k=3,
         id_col="user_id", vec_col="profile",
     )
+
+
+def _ts_dtw_sql(k: int = 3, dim: int = 24) -> str:
+    """DuckDB twin of q_ts_dtw_topk: FULL DTW over all (query, corpus)
+    pairs via a recursive CTE — one DP row per iteration, the within-
+    row dependency (cur[j-1]) handled by a left list-fold whose
+    accumulator is the row built so far (2-arg list_reduce: the
+    seeded ``[[Infinity]]`` head is the initial accumulator, matching
+    the reference's cur[0]=∞; prev[j] / prev[j-1] index into the
+    carried previous row).  Computing the full matrix (no cascade)
+    makes the oracle independently verify the Spark-side pruning."""
+    d1 = dim + 1
+    return f"""
+WITH RECURSIVE prof AS (
+  SELECT user_id, hour(ts) AS h,
+         (floor((avg(value)) * 1000000 + 0.5) / 1000000.0) AS v
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT user_id, map_from_entries(list({{'k': h, 'v': v}})) AS hm
+  FROM prof GROUP BY user_id
+), pv AS (
+  SELECT user_id,
+         list_transform(range(0, {dim}), i -> coalesce(hm[i][1], 0.0)) AS profile
+  FROM m
+),
+dtw_pairs AS (
+  SELECT q.user_id AS query_id, c.user_id AS neighbor_id, q.profile AS a, c.profile AS b
+  FROM pv q JOIN pv c ON c.user_id != q.user_id
+  WHERE q.user_id IN (0, 1, 2, 3, 4)
+),
+dtw_dp AS (
+  SELECT query_id, neighbor_id, a, b, 0 AS i,
+         [0.0] || list_transform(range(1, {d1}), x -> 'Infinity'::DOUBLE) AS prev
+  FROM dtw_pairs
+  UNION ALL
+  SELECT query_id, neighbor_id, a, b, i + 1,
+         list_reduce(
+           [['Infinity'::DOUBLE]] || list_transform(range(1, {d1}), j -> [j::DOUBLE]),
+           (acc, x) -> list_append(acc,
+              abs(a[i + 1] - b[x[1]::INT]) +
+              least(prev[x[1]::INT + 1], acc[-1], prev[x[1]::INT]))
+         ) AS prev
+  FROM dtw_dp WHERE i < {dim}
+),
+dtw_fin AS (
+  SELECT query_id, neighbor_id,
+         (floor(prev[{d1}] * 1000000 + 0.5) / 1000000.0) AS dtw_dist
+  FROM dtw_dp WHERE i = {dim}
+)
+SELECT query_id, neighbor_id, dtw_dist, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dtw_dist ASC, neighbor_id) AS rk
+  FROM dtw_fin
+) WHERE rk <= {k}
+"""
 
 
 SQL_TS_SIMILARITY = """
@@ -4053,7 +4112,7 @@ def registry() -> dict[str, tuple]:
         # similarity
         "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
         "ts_similarity": (q_ts_similarity, SQL_TS_SIMILARITY),
-        "ts_dtw_topk": (q_ts_dtw_topk, None),
+        "ts_dtw_topk": (q_ts_dtw_topk, _ts_dtw_sql()),
         "cosine_near_dup": (q_cosine_near_dup, _cosine_near_dup_sql()),
         "ivf_topk": (q_ivf_topk, _ivf_sql()),
         "ivf_kmeans_topk": (q_ivf_kmeans_topk, _ivf_kmeans_sql()),

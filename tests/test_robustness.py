@@ -151,3 +151,72 @@ def test_ngram_cap_is_lossless_at_test_scale(spark, sf_dir):
         for r in dd.ngram_jaccard_pairs(docs, threshold=0.3, max_doc_freq=None).collect()
     }
     assert capped == uncapped and len(capped) > 0
+
+
+def test_dtw_cascade_is_lossless(spark, sf_dir):
+    """The LB/UB candidate cascade in dtw_topk must be exact: the
+    prefiltered top-k equals the full-scan top-k on the real corpus
+    (where near-uniform random profiles make the bound maximally
+    unhelpful — worst case for pruning, best case for catching a
+    wrongly-pruned pair)."""
+    from aprs2influxdb_spark.operators import similarity as sim
+    from aprs2influxdb_spark.queries import hourly_profiles
+
+    prof = hourly_profiles(spark, f"{sf_dir}")
+    fast = sorted(
+        map(tuple, sim.dtw_topk(prof, [0, 1, 2, 3, 4], k=3).collect())
+    )
+    full = sorted(
+        map(tuple, sim.dtw_topk(prof, [0, 1, 2, 3, 4], k=3, prefilter=False).collect())
+    )
+    assert fast == full and len(fast) == 15
+
+
+def test_dtw_cascade_prunes_clustered_series(spark):
+    """On series with distinct levels (the real-world shape: clustered
+    series families), the envelope lower bound must eliminate most
+    cross-cluster pairs before the Python DTW UDF — the property the
+    100 TB cost model relies on.  60 deterministic series in 3 level-
+    separated clusters; queries sit in cluster 0, so ~2/3 of pairs are
+    cross-cluster and prunable."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aprs2influxdb_spark.operators import similarity as sim
+
+    rows = []
+    for uid in range(60):
+        level = float(4 * (uid % 3))  # clusters at levels 0 / 4 / 8
+        # deterministic within-cluster jitter, amplitude << cluster gap
+        prof = [level + ((uid * 31 + h * 7) % 10) / 10.0 for h in range(24)]
+        rows.append((uid, prof))
+    prof_df = spark.createDataFrame(rows, "user_id long, profile array<double>")
+    qids = [0, 3, 6, 9, 12]  # all in cluster 0
+
+    fast = sorted(map(tuple, sim.dtw_topk(prof_df, qids, k=3).collect()))
+    full = sorted(map(tuple, sim.dtw_topk(prof_df, qids, k=3, prefilter=False).collect()))
+    assert fast == full and len(fast) == 15
+
+    # rebuild the bound stage to count what survives into the UDF
+    q = prof_df.filter(F.col("user_id").isin(qids)).select(
+        F.col("user_id").alias("query_id"), F.col("profile").alias("qv")
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(prof_df.select(F.col("user_id").alias("neighbor_id"), F.col("profile").alias("nv")))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("ub", sim._l1(F.col("qv"), F.col("nv")))
+        .withColumn("lb", F.greatest(
+            sim._lb_envelope(F.col("nv"), F.col("qv")),
+            sim._lb_envelope(F.col("qv"), F.col("nv")),
+        ))
+    )
+    wub = Window.partitionBy("query_id").orderBy(F.col("ub").asc())
+    tau = (
+        pairs.withColumn("rn", F.row_number().over(wub))
+        .filter(F.col("rn") <= 3)
+        .groupBy("query_id").agg(F.max("ub").alias("tau"))
+    )
+    n_all = pairs.count()
+    n_cand = pairs.join(tau, "query_id").filter(F.col("lb") <= F.col("tau") + 2e-6).count()
+    assert n_cand <= n_all / 2, f"cascade barely pruned: {n_cand}/{n_all}"
