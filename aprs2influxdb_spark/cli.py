@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 from logging.handlers import TimedRotatingFileHandler
 
@@ -62,8 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--query", help="Run a named analytics query and exit", default=None)
     p.add_argument(
         "--sf-dir",
-        help="Table directory for --query (parquet tables)",
-        default="/root/testdata/sf0.01",
+        help=(
+            "Table directory for --query (parquet tables); defaults to "
+            "$SPARK_GRAFT_SF_DIR, else the current directory"
+        ),
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "."),
     )
     p.add_argument(
         "--list-queries", help="List available query names and exit", action="store_true"

@@ -116,7 +116,22 @@ def asof_join(
     bounded by the hottest key's combined row count (same profile as
     any window; salting does not apply because the window is the
     semantics).  Right rows should be pre-compacted to one per
-    (key, ts) so equal-timestamp winners are deterministic."""
+    (key, ts) so equal-timestamp winners are deterministic.
+
+    Preconditions enforced below: ``payload`` names must not collide
+    with left's columns — the union would merge them and
+    ``last(... ignore nulls)`` would silently treat left's own values
+    as right-side payload — and neither side may already carry the
+    ``_is_left`` tag."""
+    collisions = set(payload) & set(left.columns)
+    if collisions:
+        raise ValueError(
+            f"asof_join payload columns {sorted(collisions)} already exist "
+            "on the left frame; rename them before joining (the union-"
+            "window fill would silently read left's values as payload)"
+        )
+    if "_is_left" in left.columns or "_is_left" in right.columns:
+        raise ValueError("asof_join inputs must not contain a column named '_is_left'")
     l_tag = left.withColumn("_is_left", F.lit(0 if strict else 1))
     r_tag = right.select(
         F.col(key), F.col(right_ts).alias(left_ts), *payload

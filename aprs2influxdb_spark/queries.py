@@ -43,11 +43,11 @@ from aprs2influxdb_spark.operators import textanalysis as ta
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The driver runs queries in ITS session, not ours: pin the session
     # timezone so hour/day/week bucketing matches DuckDB's naive-UTC
-    # arithmetic even if the host session defaults elsewhere.
-    try:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-    except Exception:
-        pass
+    # arithmetic even if the host session defaults elsewhere.  No
+    # try/except: session.timeZone is a runtime conf that cannot be
+    # rejected, and swallowing a failure here would silently reintroduce
+    # the host-timezone dependence this pin exists to prevent.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet INT64 TIMESTAMP(NANOS): Spark rejects it
         # unless read as raw long; truncate ns -> us with exact integer

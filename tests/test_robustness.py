@@ -220,3 +220,23 @@ def test_dtw_cascade_prunes_clustered_series(spark):
     n_all = pairs.count()
     n_cand = pairs.join(tau, "query_id").filter(F.col("lb") <= F.col("tau") + 2e-6).count()
     assert n_cand <= n_all / 2, f"cascade barely pruned: {n_cand}/{n_all}"
+
+
+def test_asof_join_rejects_payload_collision(spark):
+    """A left frame already carrying a payload-named column must be
+    rejected loudly: the union-window fill would otherwise read left's
+    own values as right-side payload (silent mis-enrichment)."""
+    import datetime as dt
+
+    import pytest
+
+    from aprs2influxdb_spark.operators.calibration import asof_join
+
+    t = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, t, 5.0)], "user_id long, ts timestamp, p double")
+    right = spark.createDataFrame([(1, t, 7.0)], "user_id long, ots timestamp, p double")
+    with pytest.raises(ValueError, match="payload columns \\['p'\\]"):
+        asof_join(left, right, "user_id", "ts", "ots", ["p"])
+    tagged = spark.createDataFrame([(1, t, 1)], "user_id long, ts timestamp, _is_left int")
+    with pytest.raises(ValueError, match="_is_left"):
+        asof_join(tagged, right, "user_id", "ts", "ots", ["p"])
