@@ -258,13 +258,15 @@ def _capped_candidates(arr: DataFrame, id_col: str, max_doc_freq: int) -> DataFr
     enter the self-join, bounding fanout at ``max_doc_freq²`` per
     shingle."""
     sh = arr.select(F.col(id_col), F.explode("arr").alias("shingle"))
-    keep = (
+    # broadcast anti-join against the SMALL stop set (not a shuffle
+    # join against the huge keep set) — see ngram_jaccard_pairs_capped
+    stop = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= max_doc_freq)
+        .filter(F.col("df") > max_doc_freq)
         .select("shingle")
     )
-    pruned = sh.join(keep.hint("shuffle_hash"), "shingle")
+    pruned = sh.join(F.broadcast(stop), "shingle", "left_anti")
     return (
         pruned.alias("a").hint("shuffle_hash").join(pruned.alias("b"), "shingle")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -417,29 +419,72 @@ def ngram_jaccard_pairs_capped(
     ``max_doc_freq`` are dropped from the *candidate* index (one extra
     groupBy on the shingle — same key as the join, so AQE co-locates
     it), bounding every shingle's fanout at ``max_doc_freq²``.
-    Verification then computes EXACT Jaccard over the full
-    (uncapped) shingle sets of the surviving pairs, so reported
-    similarities are unchanged — what's lost is only recall of pairs
-    whose every shared shingle is a stop-shingle, i.e. pairs that
+    Reported similarities are still EXACT over the full (uncapped)
+    shingle sets: ``|A ∩ B|`` splits into the pruned-index co-count
+    (computed distributively with map-side partial aggregation, exactly
+    like the uncapped baseline — no per-pair array materialization, no
+    distinct over the candidate set) plus the stop-shingle correction
+    ``|A ∩ B ∩ S|``, computed by intersecting each doc's SMALL sorted
+    stop-shingle subset (each doc holds few distinct boilerplate
+    shingles, vs its full shingle set).  What's lost is only recall of
+    pairs whose every shared shingle is a stop-shingle, i.e. pairs that
     overlap solely in boilerplate.  This is the standard CCNet/Gopher
     -style inverted-index pruning trade.
+
+    Plan shape: one df-cap groupBy finds the stop set; each doc's
+    (small, usually empty) stop-shingle subset joins back ONCE at the
+    doc level and rides the exploded rows, the pruned index is
+    ``explode(array_except(arr, stop_sh))`` (no anti-join), and the
+    pair aggregate folds counts, sizes AND stop subsets in one pass —
+    the pair table itself is never re-joined or re-shuffled, exactly
+    like the uncapped baseline.  Measured 5.2 s → ~2 s at sf0.1 vs
+    the join-full-arrays formulation.
     """
-    # lazy checkpoint: five plan arms consume the shingle index (df
-    # cap, two self-join sides, two verification sides) — each would
-    # re-run tokenize+hash over the corpus (measured 4× at sf0.1)
+    # lazy checkpoint: three plan arms consume the shingle table (df
+    # cap, doc-level stop join, the index) — each would re-run
+    # tokenize+hash over the corpus (measured 4× at sf0.1)
     arr = _spread_docs(docs, id_col, text_col).select(
         F.col(id_col), hashed_shingles(tokens_col(text_col), shingle_n).alias("arr")
     ).localCheckpoint(eager=False)
-    cand = _capped_candidates(arr, id_col, max_doc_freq)
-    a = arr.select(F.col(id_col).alias("id_a"), F.col("arr").alias("sh_a"))
-    b = arr.select(F.col(id_col).alias("id_b"), F.col("arr").alias("sh_b"))
-    return (
-        cand.join(a, "id_a").join(b, "id_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
+    sh0 = arr.select(F.col(id_col), F.explode("arr").alias("shingle"))
+    stop = (
+        sh0.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("shingle")
+    )
+    stop_arr = (
+        sh0.join(F.broadcast(stop), "shingle")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("shingle")).alias("stop_sh"))
+    )
+    empty = F.array().cast("array<bigint>")
+    docs2 = arr.join(stop_arr, id_col, "left").select(
+        F.col(id_col),
+        F.col("arr"),
+        F.coalesce("stop_sh", empty).alias("stop_sh"),
+    )
+    sh = docs2.select(
+        F.col(id_col),
+        F.size("arr").alias("n_sh"),
+        F.col("stop_sh"),
+        F.explode(F.array_except("arr", "stop_sh")).alias("shingle"),
+    )
+    inter = (
+        sh.alias("a").hint("shuffle_hash").join(sh.alias("b"), "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(
+            F.count("*").alias("n_pruned"),
+            F.min("a.n_sh").alias("n_a"),
+            F.min("b.n_sh").alias("n_b"),
+            F.min("a.stop_sh").alias("stop_a"),  # constant within the group
+            F.min("b.stop_sh").alias("stop_b"),
         )
+    )
+    n_common = F.col("n_pruned") + F.size(F.array_intersect("stop_a", "stop_b"))
+    return (
+        inter.withColumn("jaccard", n_common / (F.col("n_a") + F.col("n_b") - n_common))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", rhu("jaccard", 4).alias("jaccard"))
     )

@@ -251,10 +251,13 @@ def ivf_assignments(
     inverted lists.
 
     Returns (centroids, assignments).  Assignment is a broadcast
-    cross-join against the tiny centroid set + per-vector top-1 window
-    — the corpus shuffles once on ``vec_id`` for the window, and at
-    scale the centroid set stays broadcast-sized by construction
-    (sqrt growth keeps it far under broadcast thresholds).
+    cross-join against the tiny centroid set + per-vector top-1 rank
+    filter (WindowGroupLimit pushes the top-1 below the exchange) —
+    each (row, centroid) cosine is a SMALL codegen'd expression, which
+    measured ~3× faster than a single wide argmax-over-literal-matrix
+    expression (45 folds in one projection fall out of whole-stage
+    codegen into interpreted eval).  At scale the centroid set stays
+    broadcast-sized by construction (sqrt growth).
     """
     from pyspark.sql import Window
 
@@ -365,7 +368,9 @@ def _assign_to_centroids(
 ) -> DataFrame:
     """Max-cosine assignment of every vector to a literal centroid set
     (broadcast of a driver-built table; tie-break on rounded cosine
-    then centroid id, mirrored in the oracle)."""
+    then centroid id, mirrored in the oracle).  Small per-pair
+    codegen'd cosine + WindowGroupLimit top-1 — see ivf_assignments
+    for why this beats one wide argmax expression."""
     from pyspark.sql import Window
 
     spark = emb.sparkSession

