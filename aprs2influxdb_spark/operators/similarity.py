@@ -204,6 +204,61 @@ def cosine_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame, threshold: float = 0.95,
+    n_centroids: int | None = None, n_planes: int | None = None,
+    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 7,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space coarsely, then drop
+    near-duplicate vectors WITHIN each cluster, keeping one
+    representative per ε-neighborhood.
+
+    The paper's greedy order (distance to centroid) is replaced by id
+    order for engine determinism: a vector is dropped iff some
+    lower-id vector in the same (cluster, SRP bucket) has rounded
+    cosine ≥ ``threshold`` with it — set-based and oracle-expressible,
+    where the paper's sequential greedy is not.
+
+    Scale shape: candidate pairs must share BOTH the IVF cluster
+    (~sqrt(n) lists via :func:`ivf_centroids_for`) and an SRP bucket
+    (:func:`srp_planes_for`, ~32 per bucket), so the per-cluster
+    pairwise stage — the paper's O(cluster²) step — is further cut by
+    the bucket count; no global pairwise stage exists.  Output: every
+    vector with its cluster and a ``kept`` flag (kept = survives
+    dedup), so downstream joins can filter or audit.
+    """
+    if n_planes is None:
+        n_planes = srp_planes_for(emb.count(), target_bucket_size=32)
+    cent, assign = ivf_assignments(emb, n_centroids, id_col, vec_col)
+    bucketed = assign.withColumn(
+        "bucket", srp_bucket(F.col("v"), n_planes, seed)
+    ).withColumn("nrm", _norm(F.col("v"))).localCheckpoint(eager=False)
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col("c_id"), "bucket",
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col("c_id"), "bucket",
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    dropped = (
+        a.join(b, ["c_id", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", rhu(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 8))
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        bucketed.join(dropped.withColumn("_dropped", F.lit(1)), id_col, "left")
+        .select(
+            F.col(id_col), F.col("c_id"),
+            F.col("_dropped").isNull().alias("kept"),
+        )
+    )
+
+
 def quantize_embeddings(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:

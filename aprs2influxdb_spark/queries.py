@@ -1875,6 +1875,45 @@ SELECT query_id, neighbor_id, cos_sim, rk FROM (
 """
 
 
+def q_semantic_dedup(spark, sf):
+    """SemDeDup-style semantic deduplication: IVF-cluster the
+    embeddings (~sqrt(n) centroids), then within each (cluster, SRP
+    bucket) drop vectors whose rounded cosine to a lower-id vector
+    meets the threshold — every vector labeled kept/dropped.  The
+    0.35 threshold sits at the synthetic corpus' p99.9 pair cosine
+    (near-orthogonal vectors), matching cosine_near_dup."""
+    return sim.semantic_dedup(_t(spark, sf, "embeddings"), threshold=0.35)
+
+
+def _semantic_dedup_sql(threshold: float = 0.35, seed: int = 7) -> str:
+    cos = "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    cos_vc = f"(floor(({cos.format(a='e.v', b='c.cv')}) * 100000000 + 0.5) / 100000000.0)"
+    cos_ab = f"(floor(({cos.format(a='a.v', b='b.v')}) * 100000000 + 0.5) / 100000000.0)"
+    return f"""
+WITH {_srp_params_cte(32)}, cent AS (
+  SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings ORDER BY vec_id LIMIT {_IVF_NC_LIMIT}
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), assign AS (
+  SELECT vec_id, v, c_id FROM (
+    SELECT e.vec_id, e.v, c.c_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_vc} DESC, c.c_id) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+), bkt AS (
+  SELECT vec_id, v, c_id,
+         {_srp_bucket_expr('v', _SRP_MAX_PLANES, seed, 'srp_params.np')} AS bucket
+  FROM assign, srp_params
+), dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM bkt a JOIN bkt b ON a.c_id = b.c_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {cos_ab} >= {threshold}
+)
+SELECT k.vec_id, k.c_id, d.vec_id IS NULL AS kept
+FROM bkt k LEFT JOIN dropped d USING (vec_id)
+"""
+
+
 def q_embedding_norms(spark, sf):
     """Vector aggregate per label: count + mean L2 norm."""
     e = _t(spark, sf, "embeddings")
@@ -4114,6 +4153,7 @@ def registry() -> dict[str, tuple]:
         "ts_similarity": (q_ts_similarity, SQL_TS_SIMILARITY),
         "ts_dtw_topk": (q_ts_dtw_topk, _ts_dtw_sql()),
         "cosine_near_dup": (q_cosine_near_dup, _cosine_near_dup_sql()),
+        "semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
         "ivf_topk": (q_ivf_topk, _ivf_sql()),
         "ivf_kmeans_topk": (q_ivf_kmeans_topk, _ivf_kmeans_sql()),
         "srp_buckets": (q_srp_buckets, _srp_sql()),

@@ -87,6 +87,7 @@ class TestEmptyInputs:
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(0)
         assert sim.brute_force_topk(emb, [0, 1]).count() == 0
+        assert sim.semantic_dedup(emb).count() == 0
 
     def test_asof_join_strict_boundary(self, spark):
         """strict=True excludes a right row at EXACTLY the left
