@@ -543,6 +543,31 @@ def dtw_distance_py(a: list, b: list) -> float:
     return prev[m]
 
 
+def _dtw_batch_np(qs: "np.ndarray", ns: "np.ndarray") -> "np.ndarray":
+    """Batched DTW over the PAIR axis: one DP cell per (i, j) loop
+    step, vectorized across all N pairs at once — each cell is the
+    identical elementwise IEEE ops as :func:`dtw_distance_py`
+    (``cost + min(prev[j], cur[j-1], prev[j-1])``; min of three is
+    order-independent and exact), so distances are bit-identical to
+    the scalar reference (pinned in tests).  ~30× fewer Python-level
+    operations than a per-pair DP loop."""
+    import numpy as np
+
+    N, n = qs.shape
+    m = ns.shape[1]
+    prev = np.full((N, m + 1), np.inf)
+    prev[:, 0] = 0.0
+    for i in range(1, n + 1):
+        cur = np.full((N, m + 1), np.inf)
+        cost_i = np.abs(qs[:, i - 1][:, None] - ns)
+        for j in range(1, m + 1):
+            cur[:, j] = cost_i[:, j - 1] + np.minimum(
+                np.minimum(prev[:, j], cur[:, j - 1]), prev[:, j - 1]
+            )
+        prev = cur
+    return prev[:, m]
+
+
 def _l1(a, b):
     """Identity-alignment L1 distance — a valid DTW *upper* bound (the
     diagonal path is one admissible warping path)."""
@@ -606,18 +631,41 @@ def dtw_topk(
 
     @pandas_udf("double")
     def dtw_udf(qv: pd.Series, nv: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(qv) == 0:
+            return pd.Series([], dtype="float64")
+        q_lens = {len(x) for x in qv}
+        n_lens = {len(x) for x in nv}
+        if len(q_lens) == 1 and len(n_lens) == 1:
+            # fixed-length batch (the hourly-profile case): batched DP,
+            # bit-identical to the scalar reference
+            out = _dtw_batch_np(
+                np.stack([np.asarray(x, dtype="float64") for x in qv]),
+                np.stack([np.asarray(x, dtype="float64") for x in nv]),
+            )
+            return pd.Series(out, dtype="float64")
         return pd.Series(
             [dtw_distance_py(list(q), list(n)) for q, n in zip(qv, nv)],
             dtype="float64",
         )
 
+    # lazy checkpoint: the profile subtree (often an aggregation over
+    # the raw events) feeds the query side, the corpus side AND the
+    # bound/τ stages — uncheckpointed it recomputes per branch
+    profiles = profiles.localCheckpoint(eager=False)
     q = profiles.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
+    # spread the corpus side: profiles usually arrive from an
+    # AQE-coalesced aggregate (1-2 byte-small partitions), which would
+    # run every bound fold and DTW batch on one core
     pairs = (
         F.broadcast(q)
         .crossJoin(
-            profiles.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+            spread_for_compute(
+                profiles.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+            )
         )
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )

@@ -67,6 +67,13 @@ HEADLINE = [
     "mad_outliers",
     "asof_join_orders",
     "ts_similarity",
+    # round-2 additions: SemDeDup-style embedding dedup, the
+    # oracle-ized approximate-distinct sketch, LTTB downsampling and
+    # the cascade-pruned DTW top-k (all newly value-checked paths)
+    "semantic_dedup",
+    "approx_distinct",
+    "lttb_downsample",
+    "ts_dtw_topk",
 ]
 
 
