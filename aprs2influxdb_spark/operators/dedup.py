@@ -689,3 +689,62 @@ def minhash_estimate_error(
             rhu(F.abs(est - F.col("jac_raw")), 4).alias("abs_err"),
         )
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame, window: int = 16, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide duplicate-span removal with document reassembly
+    (RefinedWeb/MassiveText-style paragraph dedup, adapted to the
+    synthetic corpus: the driver's documents carry no paragraph
+    delimiters, so spans are fixed ``window``-word chunks).
+
+    Every document is split into consecutive ``window``-word chunks;
+    a chunk survives only at its FIRST corpus occurrence (ordered by
+    ``(doc_id, chunk_idx)`` — deterministic), and each document is
+    reassembled from its surviving chunks in order.  Documents whose
+    every chunk is elsewhere-first are kept with empty text — the
+    caller decides the drop policy.
+
+    Plan shape at 100 TB: chunking is a narrow generator (no
+    shuffle); first-occurrence selection is ONE shuffle on the
+    16-byte chunk digest (window `row_number`, no self-join);
+    reassembly is ONE shuffle back on ``doc_id``.  No stage holds
+    more than the exploded chunk rows (~corpus token count /
+    ``window``), and the digest key is uniform — no skew.  This is
+    the linear-cost member of the dedup ladder: exact span-level
+    dedup without pairwise comparison.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = ((F.size(toks) - 1) / window).cast("int") + 1
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * window + 1, window), " "),
+    )
+    exploded = (
+        spread_for_compute(docs.select(id_col, text_col))
+        .select(id_col, F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .withColumn("digest", F.md5("chunk"))
+    )
+    from pyspark.sql import Window as W
+
+    first = W.partitionBy("digest").orderBy(id_col, "chunk_idx")
+    kept = exploded.withColumn("keep", F.row_number().over(first) == 1)
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("chunk_idx", "chunk"))
+                        )
+                    ),
+                    lambda s: s.chunk,
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+    )

@@ -429,3 +429,63 @@ def source_mixture(
         "n_tokens",
         rhu(F.col("n_tokens") / F.col("total_tokens"), 6).alias("token_share"),
     )
+
+
+def perplexity_bands(
+    docs: DataFrame,
+    t_head_micro: int = 3_400_000,
+    t_mid_micro: int = 3_404_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style perplexity banding: score every document under the
+    corpus unigram LM (see :func:`unigram_logprob`) and split the
+    corpus into head / middle / tail quality bands, reporting per
+    (source, band) document counts, token counts, and mean score —
+    the report a curation pipeline uses to pick its keep-band and
+    per-source mixture.
+
+    Cross-engine determinism: banding compares the exact INTEGER
+    micro-nat sum ``s`` against ``threshold · n_tokens`` (no float
+    division before the comparison), and the per-band mean is a sum
+    of per-doc integer micro-nat means — order-independent integer
+    arithmetic end-to-end, divided and rounded once at the end.
+
+    Scale shape: adds to :func:`unigram_logprob`'s plan only a
+    doc_id join for the source column (fact-to-fact co-shuffle) and
+    a tiny (source × 3)-row final aggregate."""
+    from pyspark.sql import Window
+
+    tf = (
+        _spread_docs(docs, id_col, text_col)
+        .select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    wt = Window.partitionBy("term")
+    total = tf.agg(F.sum("tf").alias("total_tokens"))
+    inlp = F.floor(
+        F.log(F.col("total_tokens").cast("double") / F.col("cf")) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    per_doc = (
+        tf.withColumn("cf", F.sum("tf").over(wt))
+        .crossJoin(F.broadcast(total))
+        .withColumn("inlp", inlp)
+        .groupBy(id_col)
+        .agg(F.sum("tf").alias("n_tokens"), F.sum(F.col("tf") * F.col("inlp")).alias("s"))
+    )
+    banded = per_doc.join(docs.select(id_col, "source"), id_col).select(
+        "source",
+        F.when(F.col("s") < F.lit(t_head_micro) * F.col("n_tokens"), "head")
+        .when(F.col("s") < F.lit(t_mid_micro) * F.col("n_tokens"), "middle")
+        .otherwise("tail")
+        .alias("band"),
+        "n_tokens",
+        # exact integer micro-nat mean: floor(s/n + 0.5) = (2s + n) div 2n
+        F.expr("(2 * s + n_tokens) div (2 * n_tokens)").alias("m"),
+    )
+    return banded.groupBy("source", "band").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("band_tokens"),
+        rhu(F.sum("m") / (F.count("*") * F.lit(1e6)), 4).alias("mean_nll"),
+    )

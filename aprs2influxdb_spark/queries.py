@@ -2391,6 +2391,46 @@ FROM scored GROUP BY doc_id
 """
 
 
+def q_perplexity_bands(spark, sf):
+    """CCNet-style head/middle/tail perplexity banding per source —
+    see operators.textanalysis.perplexity_bands (integer micro-nat
+    comparisons end-to-end; the curation keep-band report)."""
+    return ta.perplexity_bands(_t(spark, sf, "documents"))
+
+
+SQL_PERPLEXITY_BANDS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), wtf AS (
+  SELECT doc_id, tf, sum(tf) OVER (PARTITION BY term) AS cf FROM tf
+), tot AS (
+  SELECT sum(tf) AS total_tokens FROM tf
+), scored AS (
+  SELECT doc_id, tf,
+         CAST(floor(ln(CAST(total_tokens AS DOUBLE) / cf) * 1000000 + 0.5) AS BIGINT) AS inlp
+  FROM wtf, tot
+), per_doc AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         CAST(sum(tf * inlp) AS BIGINT) AS s
+  FROM scored GROUP BY doc_id
+), banded AS (
+  SELECT d.source,
+         CASE WHEN s < 3400000 * n_tokens THEN 'head'
+              WHEN s < 3404000 * n_tokens THEN 'middle'
+              ELSE 'tail' END AS band,
+         n_tokens,
+         (2 * s + n_tokens) // (2 * n_tokens) AS m
+  FROM per_doc JOIN documents d USING (doc_id)
+)
+SELECT source, band, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS band_tokens,
+       (floor((CAST(sum(m) AS DOUBLE) / (count(*) * 1000000.0)) * 10000 + 0.5) / 10000.0) AS mean_nll
+FROM banded GROUP BY source, band
+"""
+
+
 def q_dup_ngram_coverage(spark, sf):
     """Per-document duplicated-n-gram fraction (Lee et al. ExactSubstr
     diagnostic at shingle granularity) — linear-in-corpus, no pair
@@ -3433,6 +3473,83 @@ GROUP BY c_nationkey
 """
 
 
+def q_returned_items(spark, sf):
+    """TPC-H Q10-style returned-item reporting: top-20 customers by
+    lost revenue on returned lines in one quarter.
+
+    Plan shape: the quarter filter prunes orders at the scan (pushed
+    predicate), lineitem is cut to ``l_returnflag = 'R'`` before the
+    join, and the two facts co-shuffle once on the order key; the
+    customer dim joins the (already-aggregated-size) result and nation
+    is a broadcast.  Customer is joined AFTER the per-custkey
+    aggregate — at 100 TB the fact⋈fact intermediate is orders of
+    magnitude larger than the distinct-customer aggregate, so
+    aggregating first keeps the customer join's probe side minimal
+    (classic group-then-join decorrelation; completes the engine's
+    22/22 TPC-H sweep)."""
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(rhu(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    return (
+        rev.join(c, rev.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", "c_name", "revenue", rhu("c_acctbal", 2).alias("acctbal"), "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+SQL_RETURNED_ITEMS = """
+SELECT c_custkey, c_name,
+       (floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100.0) AS revenue,
+       (floor((c_acctbal) * 100 + 0.5) / 100.0) AS acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q_paragraph_dedup(spark, sf):
+    """Corpus-wide duplicate-span removal + reassembly — see
+    operators.dedup.paragraph_dedup for the plan shape (one shuffle on
+    the chunk digest, one on doc_id; the linear-cost dedup rung)."""
+    return dd.paragraph_dedup(_t(spark, sf, "documents"))
+
+
+SQL_PARAGRAPH_DEDUP = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), idx AS (
+  SELECT doc_id, toks, unnest(range(0, ((len(toks) - 1) // 16) + 1)) AS chunk_idx FROM t
+), ch AS (
+  SELECT doc_id, chunk_idx,
+         array_to_string(toks[chunk_idx * 16 + 1 : chunk_idx * 16 + 16], ' ') AS chunk
+  FROM idx
+), k AS (
+  SELECT doc_id, chunk_idx, chunk,
+         row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx) = 1 AS keep
+  FROM ch
+)
+SELECT doc_id, count(*) AS n_chunks,
+       count(*) FILTER (WHERE keep) AS n_kept,
+       coalesce(array_to_string(list(chunk ORDER BY chunk_idx) FILTER (WHERE keep), ' '), '') AS text_clean
+FROM k GROUP BY doc_id
+"""
+
+
 def q_repetition_stats(spark, sf):
     """Gopher-style repetition quality signals (top-bigram fraction +
     distinct-token ratio) — see operators.textanalysis.repetition_stats
@@ -4133,6 +4250,9 @@ def registry() -> dict[str, tuple]:
         "small_qty_revenue": (q_small_qty_revenue, SQL_SMALL_QTY_REVENUE),
         "waiting_supplier": (q_waiting_supplier, SQL_WAITING_SUPPLIER),
         "idle_rich_customers": (q_idle_rich_customers, SQL_IDLE_RICH_CUSTOMERS),
+        "returned_items": (q_returned_items, SQL_RETURNED_ITEMS),
+        "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
+        "perplexity_bands": (q_perplexity_bands, SQL_PERPLEXITY_BANDS),
         "approx_distinct": (q_approx_distinct, _sql_approx_distinct()),
         "distinct_daily_users": (q_distinct_daily_users, SQL_DISTINCT_DAILY),
         "time_bucket_agg": (q_time_bucket_agg, SQL_TIME_BUCKET),
