@@ -695,3 +695,44 @@ def dtw_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "dtw_dist", "rk")
     )
+
+
+def knn_graph(
+    emb: DataFrame, k: int = 5, n_planes: int | None = None,
+    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 7,
+    target_bucket_size: int = 32,
+) -> DataFrame:
+    """Approximate k-nearest-neighbor graph over the embedding corpus:
+    every vector's top-``k`` same-SRP-bucket neighbors by exact cosine
+    — the substrate for SemDeDup clustering, graph-based label prop,
+    and connectivity-style curation (each node's adjacency list, as
+    ``(src, dst, cos_sim, rk)`` edge rows).
+
+    Scale shape: identical to :func:`cosine_near_dup_pairs` — bucket
+    narrow (plane count scale-derived so mean bucket stays
+    ~``target_bucket_size``), self-join shuffles on the bucket id
+    only, then per-source top-k is one window over the candidate
+    rows (partitioned by src — no global sort).  Recall loss is the
+    documented LSH trade; the oracle mirrors the same bucketing.
+    Ranking compares the 8-dp-rounded cosine with dst-id tie-break,
+    so edge sets are deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    if n_planes is None:
+        n_planes = srp_planes_for(emb.count(), target_bucket_size)
+    bucketed = _spread_vecs(emb, id_col, vec_col).select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        srp_bucket(F.col(vec_col), n_planes, seed).alias("bucket"),
+    ).withColumn("nrm", _norm(F.col("v"))).localCheckpoint(eager=False)
+    a = bucketed.select(F.col(id_col).alias("src"), F.col("v").alias("va"), F.col("nrm").alias("na"), "bucket")
+    b = bucketed.select(F.col(id_col).alias("dst"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "bucket")
+    w = Window.partitionBy("src").orderBy(F.col("cos8").desc(), F.col("dst").asc())
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn("cos8", rhu(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 8))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("src", "dst", rhu("cos8", 4).alias("cos_sim"), "rk")
+    )

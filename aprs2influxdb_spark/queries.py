@@ -1727,6 +1727,32 @@ WHERE list_dot_product(a.v, c.v) /
 """
 
 
+def q_knn_graph(spark, sf):
+    """Approximate kNN graph (per-vector top-5 same-SRP-bucket
+    neighbors by exact cosine) — see operators.similarity.knn_graph."""
+    return sim.knn_graph(_t(spark, sf, "embeddings"), k=5)
+
+
+def _knn_graph_sql(k: int = 5, seed: int = 7) -> str:
+    return f"""
+WITH {_srp_params_cte(32)}, b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_srp_bucket_expr('embedding::DOUBLE[]', _SRP_MAX_PLANES, seed, 'srp_params.np')} AS bucket
+  FROM embeddings, srp_params
+), p AS (
+  SELECT a.vec_id AS src, c.vec_id AS dst,
+         (floor((list_dot_product(a.v, c.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)))) * 100000000 + 0.5)
+          / 100000000.0) AS cos8
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id != c.vec_id
+)
+SELECT src, dst, (floor((cos8) * 10000 + 0.5) / 10000.0) AS cos_sim, rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos8 DESC, dst) AS rk FROM p
+) WHERE rk <= {k}
+"""
+
+
 def q_ivf_topk(spark, sf):
     """IVF ANN: deterministic coarse centroids (~sqrt(n) of them,
     scale-derived from the corpus count), probe top-4, score only the
@@ -2184,6 +2210,24 @@ def q_streaming_time_bucket(spark, sf):
     from aprs2influxdb_spark.streaming.bounded import streaming_time_bucket
 
     return streaming_time_bucket(spark, sf)
+
+
+def q_streaming_topk(spark, sf):
+    from aprs2influxdb_spark.streaming.bounded import streaming_topk
+
+    return streaming_topk(spark, sf)
+
+
+SQL_STREAMING_TOPK = """
+WITH c AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT bucket, event_type, n, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY n DESC, event_type) AS rk
+  FROM c
+) WHERE rk <= 3
+"""
 
 
 def q_streaming_distinct_keys(spark, sf):
@@ -3762,6 +3806,60 @@ FROM d
 """
 
 
+def q_ewma_smooth(spark, sf):
+    """Flux/Kapacitor ``exponentialMovingAverage`` per series:
+    y_1 = x_1, y_t = 0.3·x_t + 0.7·y_{t-1} over each user's
+    time-ordered values — the recursive smoother InfluxQL exposes
+    that no plain window frame can express.
+
+    Plan shape: ONE shuffle on the series key, the series collected
+    sorted in-partition, and the recursion run as a single O(n)
+    array fold (``F.aggregate``) — JVM-side higher-order functions,
+    no Python.  Per-series state is the series itself; at 100 TB the
+    partition count scales with #series and the fold never crosses
+    rows.  Cross-engine exactness: DuckDB re-runs the identical fold
+    (same literal coefficients, same (ts, event_id) order) via
+    ``list_reduce`` over each prefix, so every float op sequence is
+    bit-identical before the final 6 dp rounding."""
+    ev = _t(spark, sf, "events")
+    g = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))).alias("arr")
+    )
+    vals = F.transform(F.col("arr"), lambda s: s.value)
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.array(F.element_at(vals, 1)),
+        lambda acc, x: F.concat(
+            acc, F.array(F.lit(0.3) * x + F.lit(0.7) * F.element_at(acc, -1))
+        ),
+    )
+    zipped = F.arrays_zip(
+        F.transform(F.col("arr"), lambda s: s.event_id).alias("eid"),
+        ewma.alias("ew"),
+    )
+    return (
+        g.select("user_id", F.explode(zipped).alias("z"))
+        .select("user_id", F.col("z.eid").alias("event_id"), rhu(F.col("z.ew"), 6).alias("ewma"))
+    )
+
+
+SQL_EWMA_SMOOTH = f"""
+WITH s AS (
+  SELECT user_id,
+         list(value ORDER BY ts, event_id) AS vals,
+         list(event_id ORDER BY ts, event_id) AS eids
+  FROM events GROUP BY user_id
+), e AS (
+  SELECT user_id, eids,
+         list_transform(range(1, len(vals) + 1),
+                        p -> list_reduce(vals[1:p], (acc, x) -> 0.3 * x + 0.7 * acc)) AS ew
+  FROM s
+)
+SELECT user_id, unnest(eids) AS event_id, {rhu_sql('unnest(ew)', 6)} AS ewma
+FROM e
+"""
+
+
 def q_weekday_seasonality(spark, sf):
     """Seasonality profile: mean value per (ISO weekday, series type)
     — the day-of-week shape a capacity planner reads off a dashboard.
@@ -4253,6 +4351,7 @@ def registry() -> dict[str, tuple]:
         "returned_items": (q_returned_items, SQL_RETURNED_ITEMS),
         "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
         "perplexity_bands": (q_perplexity_bands, SQL_PERPLEXITY_BANDS),
+        "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
         "approx_distinct": (q_approx_distinct, _sql_approx_distinct()),
         "distinct_daily_users": (q_distinct_daily_users, SQL_DISTINCT_DAILY),
         "time_bucket_agg": (q_time_bucket_agg, SQL_TIME_BUCKET),
@@ -4273,6 +4372,7 @@ def registry() -> dict[str, tuple]:
         "ts_similarity": (q_ts_similarity, SQL_TS_SIMILARITY),
         "ts_dtw_topk": (q_ts_dtw_topk, _ts_dtw_sql()),
         "cosine_near_dup": (q_cosine_near_dup, _cosine_near_dup_sql()),
+        "knn_graph": (q_knn_graph, _knn_graph_sql()),
         "semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
         "ivf_topk": (q_ivf_topk, _ivf_sql()),
         "ivf_kmeans_topk": (q_ivf_kmeans_topk, _ivf_kmeans_sql()),
@@ -4322,6 +4422,7 @@ def registry() -> dict[str, tuple]:
         # streaming (bounded-stream execution of the streaming plans)
         "streaming_time_bucket": (q_streaming_time_bucket, SQL_TIME_BUCKET),
         "streaming_distinct_keys": (q_streaming_distinct_keys, SQL_STREAMING_DISTINCT),
+        "streaming_topk": (q_streaming_topk, SQL_STREAMING_TOPK),
         "streaming_asof_calibration": (q_streaming_asof_calibration, SQL_ASOF_CALIBRATION),
         "streaming_dedup_exact": (q_streaming_dedup_exact, SQL_DEDUP_EXACT),
         "streaming_static_join": (q_streaming_static_join, SQL_STREAMING_STATIC_JOIN),

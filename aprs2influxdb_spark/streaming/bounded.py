@@ -303,6 +303,33 @@ def streaming_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-window top-k: hourly event-type leaderboard (the
+    "top measurements this hour" dashboard query).  The watermarked
+    windowed count runs on the stream (complete mode; state = one
+    counter per (window, type), the same cardinality the batch
+    shuffle carries); the rank-and-cut is a batch projection of the
+    sink table — streaming plans cannot host a ranking window, and
+    the leaderboard read is a sink-side query in production too.
+    Deterministic tie-break: (n DESC, event_type)."""
+    counts = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("bucket"), "event_type", "n")
+    )
+    sink = run_bounded(spark, counts, "complete", "stream_topk")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    return (
+        sink.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("bucket", "event_type", "n", "rk")
+    )
+
+
 ALERT_OUTPUT = StructType(
     [
         StructField("user_id", LongType()),
