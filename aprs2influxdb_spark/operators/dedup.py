@@ -416,75 +416,85 @@ def ngram_jaccard_pairs_capped(
     The uncapped inverted-index self-join emits ``df²`` rows per
     shingle; one boilerplate shingle appearing in 1M documents emits
     10¹² pairs.  Here shingles with document frequency above
-    ``max_doc_freq`` are dropped from the *candidate* index (one extra
-    groupBy on the shingle — same key as the join, so AQE co-locates
-    it), bounding every shingle's fanout at ``max_doc_freq²``.
-    Reported similarities are still EXACT over the full (uncapped)
-    shingle sets: ``|A ∩ B|`` splits into the pruned-index co-count
-    (computed distributively with map-side partial aggregation, exactly
-    like the uncapped baseline — no per-pair array materialization, no
-    distinct over the candidate set) plus the stop-shingle correction
-    ``|A ∩ B ∩ S|``, computed by intersecting each doc's SMALL sorted
-    stop-shingle subset (each doc holds few distinct boilerplate
-    shingles, vs its full shingle set).  What's lost is only recall of
-    pairs whose every shared shingle is a stop-shingle, i.e. pairs that
-    overlap solely in boilerplate.  This is the standard CCNet/Gopher
-    -style inverted-index pruning trade.
+    ``max_doc_freq`` are dropped from the *candidate* index, bounding
+    every shingle's fanout at ``max_doc_freq²``.  Reported
+    similarities are still EXACT over the full (uncapped) shingle
+    sets: ``|A ∩ B|`` splits into the pruned-index co-count plus the
+    stop-shingle correction ``|A ∩ B ∩ S|``, computed by intersecting
+    each doc's SMALL sorted stop-shingle subset.  What's lost is only
+    recall of pairs whose every shared shingle is a stop-shingle —
+    the standard CCNet/Gopher-style inverted-index pruning trade.
 
-    Plan shape: one df-cap groupBy finds the stop set; each doc's
-    (small, usually empty) stop-shingle subset joins back ONCE at the
-    doc level and rides the exploded rows, the pruned index is
-    ``explode(array_except(arr, stop_sh))`` (no anti-join), and the
-    pair aggregate folds counts, sizes AND stop subsets in one pass —
-    the pair table itself is never re-joined or re-shuffled, exactly
-    like the uncapped baseline.  Measured 5.2 s → ~2 s at sf0.1 vs
-    the join-full-arrays formulation.
+    Plan shape (v3 — measured ~3.0 s → ~1.9 s at sf0.1 vs the
+    self-join formulation): candidate pairs come from WITHIN-LIST
+    combinations, not a self-join.  Stage 1 finds stop shingles with
+    a count groupBy (map-side partials: the hot shingle's reducer
+    receives one partial per mapper, never per row — skew-safe).
+    Stage 2 groups the PRUNED index by shingle into sorted doc-id
+    lists; because pruning already ran, every list is ≤ the cap by
+    construction, so reducer memory is bounded where a pre-pruning
+    ``collect_list`` would not be.  Stage 3 emits each list's
+    C(df, 2) ordered pairs JVM-side (``transform``/``flatten``) and
+    counts them per pair — replacing the two index-probe exchanges
+    and the join with one narrow generator.  Per-doc set sizes and
+    stop subsets join the post-aggregate PAIR table (orders of
+    magnitude smaller than the index), so wide columns never ride
+    the big shuffle.
     """
-    # lazy checkpoint: three plan arms consume the shingle table (df
-    # cap, doc-level stop join, the index) — each would re-run
-    # tokenize+hash over the corpus (measured 4× at sf0.1)
+    # lazy checkpoint: the shingle arrays feed the df count, the
+    # pruned index, and the doc-info join — one materialization
     arr = _spread_docs(docs, id_col, text_col).select(
         F.col(id_col), hashed_shingles(tokens_col(text_col), shingle_n).alias("arr")
     ).localCheckpoint(eager=False)
-    sh0 = arr.select(F.col(id_col), F.explode("arr").alias("shingle"))
     stop = (
-        sh0.groupBy("shingle")
+        arr.select(F.explode("arr").alias("shingle"))
+        .groupBy("shingle")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > max_doc_freq)
         .select("shingle")
     )
-    stop_arr = (
-        sh0.join(F.broadcast(stop), "shingle")
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_set("shingle")).alias("stop_sh"))
+    stop_list = F.broadcast(
+        stop.agg(F.sort_array(F.collect_list("shingle")).alias("stop_all"))
     )
     empty = F.array().cast("array<bigint>")
-    docs2 = arr.join(stop_arr, id_col, "left").select(
-        F.col(id_col),
-        F.col("arr"),
-        F.coalesce("stop_sh", empty).alias("stop_sh"),
-    )
-    sh = docs2.select(
-        F.col(id_col),
-        F.size("arr").alias("n_sh"),
-        F.col("stop_sh"),
-        F.explode(F.array_except("arr", "stop_sh")).alias("shingle"),
-    )
-    inter = (
-        sh.alias("a").hint("shuffle_hash").join(sh.alias("b"), "shingle")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(
-            F.count("*").alias("n_pruned"),
-            F.min("a.n_sh").alias("n_a"),
-            F.min("b.n_sh").alias("n_b"),
-            F.min("a.stop_sh").alias("stop_a"),  # constant within the group
-            F.min("b.stop_sh").alias("stop_b"),
+    docinfo = (
+        arr.crossJoin(stop_list)
+        .select(
+            F.col(id_col),
+            F.size("arr").alias("n_sh"),
+            F.coalesce(F.array_intersect("arr", "stop_all"), empty).alias("stop_sh"),
+            F.array_except("arr", F.coalesce("stop_all", empty)).alias("kept"),
         )
+        .localCheckpoint(eager=False)
+    )
+    ids = F.col("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda a, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
+    pairs = (
+        docinfo.select(F.col(id_col), F.explode("kept").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count("*").alias("n_pruned"))
+    )
+    ia = docinfo.select(
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), F.col("stop_sh").alias("stop_a")
+    )
+    ib = docinfo.select(
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), F.col("stop_sh").alias("stop_b")
     )
     n_common = F.col("n_pruned") + F.size(F.array_intersect("stop_a", "stop_b"))
     return (
-        inter.withColumn("jaccard", n_common / (F.col("n_a") + F.col("n_b") - n_common))
+        pairs.join(ia, "id_a").join(ib, "id_b")
+        .withColumn("jaccard", n_common / (F.col("n_a") + F.col("n_b") - n_common))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", rhu("jaccard", 4).alias("jaccard"))
     )

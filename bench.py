@@ -74,6 +74,14 @@ HEADLINE = [
     "approx_distinct",
     "lttb_downsample",
     "ts_dtw_topk",
+    # round-2b additions: Q10 (group-then-join), span-level dedup with
+    # reassembly, CCNet perplexity banding, per-series EWMA fold, and
+    # the SRP-bucketed kNN graph
+    "returned_items",
+    "paragraph_dedup",
+    "perplexity_bands",
+    "ewma_smooth",
+    "knn_graph",
 ]
 
 
