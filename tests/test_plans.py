@@ -135,14 +135,34 @@ class TestJoinStrategy:
         from aprs2influxdb_spark.queries import q_ngram_jaccard, q_ngram_jaccard_capped
 
         assert inspect.signature(ngram_jaccard_pairs).parameters["max_doc_freq"].default is not None
-        # capped plan: df-cap agg (1) + stop-subset agg (1) + doc-level
-        # stop join (2, rows = n_docs) + bounded self-join (2) + pair
-        # agg (1) = 7 exchanges — crucially the PAIR table itself is
-        # aggregated once and never re-joined/re-shuffled (the scale-
-        # dominant set); the extra exchanges vs the uncapped baseline
-        # are all doc- or shingle-level
+        # capped v3 plan: df-cap count agg (skew-safe partials) +
+        # pruned-index list agg (every list ≤ cap by construction) +
+        # pair agg + the two small post-aggregate doc-info joins —
+        # no index self-join, and the PAIR table is aggregated once
         assert audit(q_ngram_jaccard(spark, sf_dir)).shuffles <= 7
         assert audit(q_ngram_jaccard_capped(spark, sf_dir)).shuffles <= 7
+
+    def test_round2b_shuffle_budgets(self, spark, sf_dir):
+        """Plan budgets for the round-2b additions: Q10 keeps nation on
+        a broadcast and aggregates before the customer join;
+        paragraph_dedup is exactly digest-window + doc-id re-agg;
+        ewma_smooth is ONE series-key exchange (the fold is in-row);
+        knn_graph shuffles on the bucket only; perplexity_bands adds
+        one doc_id join to the unigram-LM plan.  Budgets are set with
+        headroom for broadcasts degrading to shuffles at larger SFs."""
+        from aprs2influxdb_spark.queries import (
+            q_returned_items,
+            q_paragraph_dedup,
+            q_perplexity_bands,
+            q_ewma_smooth,
+            q_knn_graph,
+        )
+
+        assert audit(q_returned_items(spark, sf_dir)).shuffles <= 6
+        assert audit(q_paragraph_dedup(spark, sf_dir)).shuffles <= 3
+        assert audit(q_ewma_smooth(spark, sf_dir)).shuffles <= 2
+        assert audit(q_knn_graph(spark, sf_dir)).shuffles <= 3
+        assert audit(q_perplexity_bands(spark, sf_dir)).shuffles <= 7
 
     def test_runtime_bloom_filter_reduces_fact_scan(self, spark, sf_dir):
         """Runtime bloom-filter semi-join reduction: a selective filter
