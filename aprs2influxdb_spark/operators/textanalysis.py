@@ -489,3 +489,82 @@ def perplexity_bands(
         F.sum("n_tokens").alias("band_tokens"),
         rhu(F.sum("m") / (F.count("*") * F.lit(1e6)), 4).alias("mean_nll"),
     )
+
+
+BM25_QUERIES = [
+    ("q1", ["spark", "join"]),
+    ("q2", ["stream", "window", "batch"]),
+    ("q3", ["hash", "table", "scan"]),
+]
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame, queries: list | None = None, k: int = 10,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval over the corpus: top-``k`` documents per query —
+    the ranked-retrieval surface a curation pipeline uses for
+    quality-proximity selection and targeted decontamination audits
+    (Okapi BM25, Robertson et al.; k1=1.2, b=0.75).
+
+    Cross-engine determinism: each (term, doc) partial score is
+    INTEGERIZED (micro-units: ``floor(idf·tfnorm·1e6 + .5)`` as
+    int64) before the per-(query, doc) sum — exact integer arithmetic
+    in any order, same discipline as :func:`unigram_logprob` — and
+    ranking compares the integer score with doc-id tie-break.
+
+    Scale shape: the corpus moves ONCE — explode → (doc, term) tf
+    partial-agg (doc length rides the rows, no second scan); the
+    query term list is a literal broadcast, so only matching posting
+    rows survive the semi-filter; per-term df aggregates over those
+    posting rows only; N and avgdl come from one tiny scalar
+    aggregate cross-joined as a broadcast.  Final score/rank shuffles
+    only (query, doc) pairs that matched ≥1 term."""
+    from pyspark.sql import Window
+
+    queries = queries if queries is not None else BM25_QUERIES
+    qrows = [(qid, t) for qid, terms in queries for t in terms]
+    qdf = F.broadcast(
+        docs.sparkSession.createDataFrame(qrows, ["query_id", "term"])
+    )
+    toks = tokens_col(text_col)
+    tf = (
+        _spread_docs(docs, id_col, text_col)
+        .select(F.col(id_col), F.size(toks).alias("dl"), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"), F.min("dl").alias("dl"))
+    )
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(toks)).alias("total_len"),
+    )
+    # df over DISTINCT query terms (a term shared by two queries must
+    # not double-count); tf is already distinct per (doc, term), so
+    # the posting-row count IS the document frequency
+    posting = tf.join(F.broadcast(qdf.select("term").distinct()), "term")
+    dfreq = posting.groupBy("term").agg(F.count("*").alias("df"))
+    matched = posting.join(qdf, "term")
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tfnorm = F.col("tf") / (
+        F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / avgdl)
+    )
+    part = F.floor(idf * tfnorm * 1e6 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy("query_id").orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
+    return (
+        matched.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("part", part)
+        .groupBy("query_id", id_col)
+        .agg(F.sum("part").alias("score_micro"), F.count("*").alias("n_terms"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id", F.col(id_col), "rk", "n_terms",
+            rhu(F.col("score_micro") / 1e6, 4).alias("bm25"),
+        )
+    )

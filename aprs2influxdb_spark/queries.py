@@ -2230,6 +2230,30 @@ SELECT bucket, event_type, n, rk FROM (
 """
 
 
+def q_streaming_ewma(spark, sf):
+    from aprs2influxdb_spark.streaming.bounded import streaming_ewma
+
+    return streaming_ewma(spark, sf)
+
+
+SQL_STREAMING_EWMA = """
+WITH s AS (
+  SELECT user_id,
+         list(value ORDER BY ts, event_id) AS vals,
+         list(event_id ORDER BY ts, event_id) AS eids
+  FROM events GROUP BY user_id
+), e AS (
+  SELECT user_id, eids,
+         list_transform(range(1, len(vals) + 1),
+                        p -> list_reduce(vals[1:p], (acc, x) -> 0.3 * x + 0.7 * acc)) AS ew
+  FROM s
+)
+SELECT user_id, unnest(eids) AS event_id,
+       (floor((unnest(ew)) * 1000000 + 0.5) / 1000000.0) AS ewma
+FROM e
+"""
+
+
 def q_streaming_distinct_keys(spark, sf):
     from aprs2influxdb_spark.streaming.bounded import streaming_distinct_keys
 
@@ -2432,6 +2456,58 @@ SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
        (floor((CAST(sum(tf * inlp) AS DOUBLE) / (CAST(sum(tf) AS DOUBLE) * 1000000.0))
         * 10000 + 0.5) / 10000.0) AS avg_nll
 FROM scored GROUP BY doc_id
+"""
+
+
+def q_bm25_topk(spark, sf):
+    """Okapi BM25 ranked retrieval (top-10 docs per fixed query) —
+    see operators.textanalysis.bm25_topk (corpus moves once;
+    integerized micro-unit partial scores for cross-engine
+    exactness)."""
+    return ta.bm25_topk(_t(spark, sf, "documents"))
+
+
+def _bm25_sql(k: int = 10) -> str:
+    from aprs2influxdb_spark.operators.textanalysis import BM25_QUERIES, BM25_B, BM25_K1
+
+    qvals = ", ".join(
+        f"('{qid}', '{t}')" for qid, terms in BM25_QUERIES for t in terms
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split(lower(text), ' ')) AS dl,
+         unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf, min(dl) AS dl FROM toks GROUP BY 1, 2
+), q(query_id, term) AS (VALUES {qvals}),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS total_len
+  FROM documents
+), posting AS (
+  SELECT tf.* FROM tf JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+), dfreq AS (
+  SELECT term, count(*) AS df FROM posting GROUP BY term
+), scored AS (
+  SELECT q.query_id, p.doc_id,
+         CAST(floor(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / (CAST(total_len AS DOUBLE) / n_docs))))
+           * 1000000.0 + 0.5) AS BIGINT) AS part
+  FROM posting p JOIN q USING (term) JOIN dfreq USING (term), stats
+), agg AS (
+  SELECT query_id, doc_id, CAST(sum(part) AS BIGINT) AS score_micro,
+         count(*) AS n_terms
+  FROM scored GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, rk, n_terms,
+       {rhu_sql('score_micro / 1000000.0', 4)} AS bm25
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score_micro DESC, doc_id) AS rk
+  FROM agg
+) WHERE rk <= {k}
 """
 
 
@@ -3860,6 +3936,81 @@ FROM e
 """
 
 
+def q_holt_linear(spark, sf):
+    """Holt double exponential smoothing per series (the trend-aware
+    InfluxQL/Flux ``holtWinters`` family, seasonal term omitted):
+    l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1}),
+    b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}, with l_1 = x_1, b_1 = 0.
+
+    Same plan shape as ``ewma_smooth`` — ONE series-key shuffle, the
+    two-variable recursion as a single O(n) JVM-side fold with a
+    struct accumulator (level, trend, emitted array).  The DuckDB
+    oracle runs the identical recursion as a recursive CTE (one row
+    per iteration per series; ``l_new`` recomputed where referenced
+    twice — the double ops are identical either way), so every float
+    matches bit-for-bit before the 6 dp rounding."""
+    alpha, beta = 0.5, 0.3
+    ev = _t(spark, sf, "events")
+    g = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))).alias("arr")
+    )
+    vals = F.transform(F.col("arr"), lambda s: s.value)
+
+    def step(acc, x):
+        l_new = F.lit(alpha) * x + F.lit(1 - alpha) * (acc.l + acc.b)
+        b_new = F.lit(beta) * (l_new - acc.l) + F.lit(1 - beta) * acc.b
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            F.concat(acc.out, F.array(F.struct(l_new.alias("l"), b_new.alias("b")))).alias("out"),
+        )
+
+    x1 = F.element_at(vals, 1)
+    zero = F.struct(
+        x1.alias("l"),
+        F.lit(0.0).alias("b"),
+        F.array(F.struct(x1.alias("l"), F.lit(0.0).alias("b"))).alias("out"),
+    )
+    folded = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))), zero, step
+    ).out
+    zipped = F.arrays_zip(
+        F.transform(F.col("arr"), lambda s: s.event_id).alias("eid"),
+        folded.alias("lb"),
+    )
+    return (
+        g.select("user_id", F.explode(zipped).alias("z"))
+        .select(
+            "user_id",
+            F.col("z.eid").alias("event_id"),
+            rhu(F.col("z.lb.l"), 6).alias("level"),
+            rhu(F.col("z.lb.b"), 6).alias("trend"),
+        )
+    )
+
+
+SQL_HOLT_LINEAR = f"""
+WITH RECURSIVE s AS (
+  SELECT user_id,
+         list(value ORDER BY ts, event_id) AS vals,
+         list(event_id ORDER BY ts, event_id) AS eids
+  FROM events GROUP BY user_id
+), it AS (
+  SELECT user_id, vals, eids, 1 AS p,
+         CAST(vals[1] AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM s
+  UNION ALL
+  SELECT user_id, vals, eids, p + 1,
+         0.5 * vals[p + 1] + 0.5 * (l + b) AS l2,
+         0.3 * ((0.5 * vals[p + 1] + 0.5 * (l + b)) - l) + 0.7 * b
+  FROM it WHERE p < len(vals)
+)
+SELECT user_id, eids[p] AS event_id,
+       {rhu_sql('l', 6)} AS level, {rhu_sql('b', 6)} AS trend
+FROM it
+"""
+
+
 def q_weekday_seasonality(spark, sf):
     """Seasonality profile: mean value per (ISO weekday, series type)
     — the day-of-week shape a capacity planner reads off a dashboard.
@@ -4351,7 +4502,9 @@ def registry() -> dict[str, tuple]:
         "returned_items": (q_returned_items, SQL_RETURNED_ITEMS),
         "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
         "perplexity_bands": (q_perplexity_bands, SQL_PERPLEXITY_BANDS),
+        "bm25_topk": (q_bm25_topk, _bm25_sql()),
         "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
+        "holt_linear": (q_holt_linear, SQL_HOLT_LINEAR),
         "approx_distinct": (q_approx_distinct, _sql_approx_distinct()),
         "distinct_daily_users": (q_distinct_daily_users, SQL_DISTINCT_DAILY),
         "time_bucket_agg": (q_time_bucket_agg, SQL_TIME_BUCKET),
@@ -4423,6 +4576,7 @@ def registry() -> dict[str, tuple]:
         "streaming_time_bucket": (q_streaming_time_bucket, SQL_TIME_BUCKET),
         "streaming_distinct_keys": (q_streaming_distinct_keys, SQL_STREAMING_DISTINCT),
         "streaming_topk": (q_streaming_topk, SQL_STREAMING_TOPK),
+        "streaming_ewma": (q_streaming_ewma, SQL_STREAMING_EWMA),
         "streaming_asof_calibration": (q_streaming_asof_calibration, SQL_ASOF_CALIBRATION),
         "streaming_dedup_exact": (q_streaming_dedup_exact, SQL_DEDUP_EXACT),
         "streaming_static_join": (q_streaming_static_join, SQL_STREAMING_STATIC_JOIN),

@@ -453,6 +453,70 @@ def _asof_group(
         yield pd.DataFrame(out, columns=["event_id", "user_id", "calibrated"])
 
 
+EWMA_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+
+def _ewma_group(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user EWMA (y = 0.3·x + 0.7·y_prev) with ONE double of
+    state — the canonical recursive streaming smoother.  The float op
+    sequence (multiply, multiply, add in that order) is identical to
+    the batch fold in ``queries.q_ewma_smooth`` and its DuckDB
+    ``list_reduce`` oracle, so all three agree bit-for-bit before the
+    6 dp rounding.  Chunks are concatenated before the
+    (ts, event_id) sort — per-chunk sorting would let a later sample
+    smooth before an earlier one."""
+    prev = state.get[0] if state.exists else None
+    chunks = list(pdfs)
+    if not chunks:
+        state.update((prev,))
+        return
+    pdf = pd.concat(chunks, ignore_index=True).sort_values(
+        ["ts", "event_id"], kind="stable"
+    )
+    out: list[dict] = []
+    for row in pdf.itertuples():
+        x = float(row.value)
+        prev = x if prev is None else 0.3 * x + 0.7 * prev
+        out.append(
+            {
+                "user_id": int(row.user_id),
+                "event_id": int(row.event_id),
+                "ewma": math.floor(prev * 1000000 + 0.5) / 1000000.0,
+            }
+        )
+    state.update((prev,))
+    yield pd.DataFrame(out, columns=["user_id", "event_id", "ewma"])
+
+
+def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the batch EWMA fold: keyed
+    ``applyInPandasWithState`` over the events stream, state = the
+    last smoothed value per user (one double — the minimal-state
+    deployment shape of every recursive InfluxQL/Flux smoother).
+    Shares the batch entry's oracle: same series order, same float
+    op sequence, same rounding."""
+    ewma = (
+        stream_events(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _ewma_group,
+            EWMA_OUTPUT,
+            StructType([StructField("last", DoubleType(), True)]),
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_bounded(spark, ewma, "append", "stream_ewma")
+
+
 def tws_available() -> bool:
     """``transformWithStateInPandas`` talks to the JVM state store over
     protobuf; without ``google.protobuf`` installed the TWS driver
