@@ -72,3 +72,100 @@ def test_quantize_zero_vector_parity(spark, tmp_path):
     by_id = {r[0]: r for r in out}
     assert by_id[2][1] is None and by_id[2][2] is None
     assert by_id[1][2] == "32_-64_127_16"
+
+
+def _write_events(tmp_path, rows):
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}" for _ in rows]),
+        }),
+        tmp_path / "events.parquet",
+    )
+
+
+def test_ewma_single_sample_and_ts_ties(spark, tmp_path):
+    """A one-sample series must emit its own value (the fold's zero
+    element), and duplicate timestamps must order by event_id on both
+    engines — the recursion makes any order divergence compound."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 10, "view", 4.0),
+        (3, t0, 11, "view", 1.0),   # same ts as event 2: event_id breaks the tie
+        (2, t0, 11, "view", 7.0),
+        (4, t0 + dt.timedelta(minutes=1), 11, "view", 3.0),
+    ]
+    _write_events(tmp_path, rows)
+    out = _run_both(spark, tmp_path, "ewma_smooth", ["events"])
+    by_eid = {r[1]: r[2] for r in out}
+    assert by_eid[1] == 4.0
+    assert by_eid[2] == 7.0                       # first in (ts, event_id) order
+    assert by_eid[3] == round(0.3 * 1.0 + 0.7 * 7.0, 6)
+    out2 = _run_both(spark, tmp_path, "holt_linear", ["events"])
+    lvl = {r[1]: r[2] for r in out2}
+    assert lvl[1] == 4.0 and lvl[2] == 7.0
+
+
+def test_paragraph_dedup_full_and_short_docs(spark, tmp_path):
+    """A document whose every chunk appeared earlier must survive as a
+    row with empty text_clean (the caller owns the drop policy); a
+    short (< window words) doc is a single chunk."""
+    w16 = " ".join(f"w{i}" for i in range(16))
+    w16b = " ".join(f"x{i}" for i in range(16))
+    rows = [
+        (1, f"{w16} {w16b}", "en", "s0", 0),
+        (2, f"{w16} {w16b}", "en", "s0", 0),   # exact dup of doc 1 -> empty
+        (3, "short doc only", "en", "s0", 0),
+        (4, f"{w16b} fresh tail words", "en", "s0", 0),  # chunk 1 dup, tail new
+    ]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array([r[2] for r in rows]),
+            "source": pa.array([r[3] for r in rows]),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }),
+        tmp_path / "documents.parquet",
+    )
+    out = _run_both(spark, tmp_path, "paragraph_dedup", ["documents"])
+    by_id = {r[0]: r for r in out}
+    assert by_id[2][2] == 0 and by_id[2][3] == ""          # all chunks elsewhere-first
+    assert by_id[1][1] == 2 and by_id[1][2] == 2           # both kept
+    assert by_id[3][3] == "short doc only"                 # single short chunk
+    assert by_id[4][2] == 1 and by_id[4][3] == "fresh tail words"
+
+
+def test_bm25_absent_query_terms(spark, tmp_path):
+    """Query terms absent from the corpus contribute no posting rows;
+    a query whose EVERY term is absent yields no rows at all — on
+    both engines (df=0 never reaches the idf formula)."""
+    rows = [
+        (1, "spark join spark join spark", "en", "s0", 0),
+        (2, "join once here", "en", "s0", 0),
+        (3, "nothing relevant at all", "en", "s0", 0),
+    ]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array([r[2] for r in rows]),
+            "source": pa.array([r[3] for r in rows]),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }),
+        tmp_path / "documents.parquet",
+    )
+    out = _run_both(spark, tmp_path, "bm25_topk", ["documents"])
+    qids = {r[0] for r in out}
+    # only q1's terms (spark/join) exist in the corpus; q2 and q3
+    # match nothing and are absent entirely
+    assert qids == {"q1"}
+    # doc 1 (tf-heavy) outranks doc 2 for q1
+    q1 = sorted([r for r in out if r[0] == "q1"], key=lambda r: r[2])
+    assert [r[1] for r in q1][:2] == [1, 2]
