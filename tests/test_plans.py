@@ -340,3 +340,58 @@ class TestRegistrySweep:
             if builder(spark, sf_dir).limit(1).count() == 0:
                 empty.append(name)
         assert not empty, f"vacuous (0-row) queries at {sf_dir}: {empty}"
+
+
+class TestZOrderLayout:
+    def test_zorder_tightens_file_envelopes_on_both_dims(self, spark, sf_dir, tmp_path):
+        """Z-order clustering must make point/range predicates on
+        EITHER dimension prunable by parquet min/max stats: for a
+        two-dim filter, strictly fewer files' (min, max) envelopes
+        admit the predicate than under a one-dim linear sort — the
+        data-skipping win OPTIMIZE ZORDER exists for, reproduced from
+        file footers alone (no reader cooperation)."""
+        import glob
+
+        import pyarrow.parquet as papq
+
+        from aprs2influxdb_spark.storage import write_zordered
+
+        # two 6-bit dimensions of comparable cardinality — the layout
+        # caller's job (quantize + clamp), per the zorder_key docstring
+        ev = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select(
+                (F.col("event_id") % 32).alias("dim_a"),
+                ((F.col("event_id") / 32).cast("long") % 32).alias("dim_b"),
+            )
+        )
+        zpath, lpath = str(tmp_path / "z"), str(tmp_path / "linear")
+        write_zordered(ev, zpath, "dim_a", "dim_b", n_files=16, bits=5)
+        # linear baseline: same file count, sorted by dim_a only
+        (
+            ev.repartitionByRange(16, "dim_a")
+            .sortWithinPartitions("dim_a")
+            .write.mode("overwrite").parquet(lpath)
+        )
+
+        def files_admitting(path, col, lo, hi):
+            n = 0
+            for f in glob.glob(f"{path}/*.parquet"):
+                md = papq.ParquetFile(f).metadata
+                idx = md.schema.names.index(col)
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st.min <= hi and st.max >= lo:
+                        n += 1
+                        break
+            return n
+
+        # secondary-dimension predicate (a quarter of the domain):
+        # linear layout can't skip at all — every file spans the full
+        # dim_b range; z-order files cover compact cells on BOTH dims
+        z_hits = files_admitting(zpath, "dim_b", 0, 7)
+        l_hits = files_admitting(lpath, "dim_b", 0, 7)
+        assert l_hits >= 12, f"baseline unexpectedly clustered: {l_hits}"
+        assert z_hits < l_hits / 2, (z_hits, l_hits)
+        # the same quarter-domain predicate on dim_a stays prunable
+        assert files_admitting(zpath, "dim_a", 0, 7) <= 8
