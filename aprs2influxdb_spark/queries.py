@@ -2230,6 +2230,12 @@ SELECT bucket, event_type, n, rk FROM (
 """
 
 
+def q_streaming_sliding_window(spark, sf):
+    from aprs2influxdb_spark.streaming.bounded import streaming_sliding_window
+
+    return streaming_sliding_window(spark, sf)
+
+
 def q_streaming_ewma(spark, sf):
     from aprs2influxdb_spark.streaming.bounded import streaming_ewma
 
@@ -3936,6 +3942,35 @@ FROM e
 """
 
 
+def q_sliding_window_agg(spark, sf):
+    """Sliding (hopping) event-time windows: 2-hour windows advancing
+    hourly, per event type — the overlapping-window aggregate
+    (InfluxQL GROUP BY time() with overlap / Flux aggregateWindow
+    every<period).  Each event lands in exactly two windows; Spark's
+    ``window(ts, '2 hours', '1 hour')`` replicates rows window-side
+    before ONE shuffle on (window, type).  The oracle unnests the
+    same two aligned window starts per event."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), rhu(F.avg("value"), 4).alias("avg_value"))
+        .select(F.col("win.start").alias("bucket"), "event_type", "n", "avg_value")
+    )
+
+
+SQL_SLIDING_WINDOW = """
+WITH w AS (
+  SELECT event_type, value,
+         unnest([time_bucket(INTERVAL '1 hour', ts),
+                 time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour']) AS bucket
+  FROM events
+)
+SELECT bucket, event_type, count(*) AS n,
+       (floor((avg(value)) * 10000 + 0.5) / 10000.0) AS avg_value
+FROM w GROUP BY bucket, event_type
+"""
+
+
 def q_holt_linear(spark, sf):
     """Holt double exponential smoothing per series (the trend-aware
     InfluxQL/Flux ``holtWinters`` family, seasonal term omitted):
@@ -4577,6 +4612,8 @@ def registry() -> dict[str, tuple]:
         "streaming_distinct_keys": (q_streaming_distinct_keys, SQL_STREAMING_DISTINCT),
         "streaming_topk": (q_streaming_topk, SQL_STREAMING_TOPK),
         "streaming_ewma": (q_streaming_ewma, SQL_STREAMING_EWMA),
+        "sliding_window_agg": (q_sliding_window_agg, SQL_SLIDING_WINDOW),
+        "streaming_sliding_window": (q_streaming_sliding_window, SQL_SLIDING_WINDOW),
         "streaming_asof_calibration": (q_streaming_asof_calibration, SQL_ASOF_CALIBRATION),
         "streaming_dedup_exact": (q_streaming_dedup_exact, SQL_DEDUP_EXACT),
         "streaming_static_join": (q_streaming_static_join, SQL_STREAMING_STATIC_JOIN),

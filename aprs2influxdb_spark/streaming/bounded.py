@@ -120,6 +120,21 @@ def streaming_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_bounded(spark, dedup, "append", "stream_distinct")
 
 
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the sliding-window aggregate: 2-hour hopping
+    windows advancing hourly with a watermark — each event updates two
+    window states; state stays bounded by the watermark horizon (the
+    production shape of every overlapping-window dashboard query)."""
+    agg = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), rhu(F.avg("value"), 4).alias("avg_value"))
+        .select(F.col("win.start").alias("bucket"), "event_type", "n", "avg_value")
+    )
+    return run_bounded(spark, agg, "complete", "stream_sliding")
+
+
 def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of the dedup ladder's first rung: content-digest
     aggregation (canonical = min id, duplicate count) over the
