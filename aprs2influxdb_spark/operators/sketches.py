@@ -107,3 +107,76 @@ def hll_distinct(
         df.groupBy(*group_cols)
         .agg(F.approx_count_distinct(key_col, rsd).alias(out_col))
     )
+
+
+def sampled_percentiles(
+    df: DataFrame,
+    value_col: str = "value",
+    key_col: str = "event_id",
+    group_cols: Sequence[str] = ("event_type",),
+    k: int = 256,
+    probs: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Approximate per-group percentiles from a DETERMINISTIC uniform
+    sample: the bottom-``k`` rows by portable hash of the (unique) row
+    key form the sample — reproducible across runs, engines, and
+    retries, unlike ``rand()``- or t-digest-based sketches — and each
+    requested quantile is the exact lower-rank order statistic of the
+    sampled values (no interpolation arithmetic, so the emitted value
+    is a REAL data point both engines select identically).
+
+    Scale shape: identical to :func:`kmv_distinct` — the rank filter
+    triggers WindowGroupLimit partial bottom-k per map task, so at
+    most k rows per group per input partition cross the wire; the
+    per-group sample (≤ k doubles) then aggregates in one pass.
+    Sampling error ~ O(1/sqrt(k)) on quantile rank."""
+    groups = list(group_cols)
+    h = portable_hash64(F.col(key_col).cast("string"))
+    w = Window.partitionBy(*groups).orderBy(F.col("h").asc())
+    sampled = (
+        df.select(*groups, F.col(value_col).alias("v"), h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )
+    agg = sampled.groupBy(*groups).agg(
+        F.sort_array(F.collect_list("v")).alias("vals"),
+        F.count("*").alias("n_sample"),
+    )
+    cols = [F.col(c) for c in groups] + [F.col("n_sample")]
+    for p in probs:
+        idx = (F.floor((F.col("n_sample") - 1) * F.lit(p)).cast("int") + 1)
+        cols.append(F.element_at("vals", idx).alias(f"p{int(p * 100)}"))
+    return agg.select(*cols)
+
+
+def sampled_percentiles_sql(
+    table: str = "events",
+    value_col: str = "value",
+    key_expr: str = "event_id::VARCHAR",
+    group_cols: Sequence[str] = ("event_type",),
+    k: int = 256,
+    probs: Sequence[float] = (0.5, 0.9, 0.99),
+) -> str:
+    """DuckDB twin of :func:`sampled_percentiles` (same hash-sample,
+    same order statistics)."""
+    groups = ", ".join(group_cols)
+    picks = ",\n       ".join(
+        f"vals[CAST(floor((n_sample - 1) * {p}) AS INT) + 1] AS p{int(p * 100)}"
+        for p in probs
+    )
+    return f"""
+WITH hashed AS (
+  SELECT {groups}, {value_col} AS v, {portable_hash64_sql(key_expr)} AS h
+  FROM {table}
+), ranked AS (
+  SELECT {groups}, v,
+         row_number() OVER (PARTITION BY {groups} ORDER BY h) AS rn
+  FROM hashed
+), agg AS (
+  SELECT {groups}, list(v ORDER BY v) AS vals, count(*) AS n_sample
+  FROM ranked WHERE rn <= {k} GROUP BY {groups}
+)
+SELECT {groups}, n_sample,
+       {picks}
+FROM agg
+"""

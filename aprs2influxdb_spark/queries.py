@@ -1222,6 +1222,22 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))
 """
 
 
+def q_sampled_percentiles(spark, sf):
+    """Deterministic hash-sample quantile sketch per event type — see
+    operators.sketches.sampled_percentiles (partial bottom-k pushdown,
+    emitted quantiles are real data points both engines select
+    identically)."""
+    from aprs2influxdb_spark.operators.sketches import sampled_percentiles
+
+    return sampled_percentiles(_t(spark, sf, "events"))
+
+
+def _sql_sampled_percentiles() -> str:
+    from aprs2influxdb_spark.operators.sketches import sampled_percentiles_sql
+
+    return sampled_percentiles_sql()
+
+
 def q_approx_distinct(spark, sf):
     """Approximate distinct-user sketch per event type via the portable
     KMV (bottom-k) sketch: both engines hash through the shared md5
@@ -4541,6 +4557,7 @@ def registry() -> dict[str, tuple]:
         "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
         "holt_linear": (q_holt_linear, SQL_HOLT_LINEAR),
         "approx_distinct": (q_approx_distinct, _sql_approx_distinct()),
+        "sampled_percentiles": (q_sampled_percentiles, _sql_sampled_percentiles()),
         "distinct_daily_users": (q_distinct_daily_users, SQL_DISTINCT_DAILY),
         "time_bucket_agg": (q_time_bucket_agg, SQL_TIME_BUCKET),
         "sessionize": (q_sessionize, SQL_SESSIONIZE),

@@ -214,6 +214,14 @@ class TestJoinStrategy:
             "no partial (pre-shuffle) WindowGroupLimit in KMV plan"
         )
         assert audit(df).shuffles <= 2  # distinct + window; groupBy reuses
+        # the hash-sample quantile sketch rides the same pushdown
+        from aprs2influxdb_spark.operators.sketches import sampled_percentiles
+
+        splan = executed_plan(sampled_percentiles(e))
+        fx = splan.find("Exchange")
+        assert fx != -1 and "WindowGroupLimit" in splan[fx:], (
+            "no partial bottom-k in sampled_percentiles plan"
+        )
 
     def test_srp_ivf_params_scale_with_corpus(self, spark, sf_dir):
         """LSH/IVF knobs must grow with the corpus, not freeze at toy
