@@ -1769,6 +1769,48 @@ FROM (
 """
 
 
+def q_pq_quantize(spark, sf):
+    """Product quantization codes + reconstruction error — see
+    operators.similarity.pq_quantize (integerized subspace distances,
+    broadcast codebook, WindowGroupLimit argmin)."""
+    return sim.pq_quantize(_t(spark, sf, "embeddings"))
+
+
+def _pq_sql(n_sub: int = 8, n_centroids: int = 16, dim: int = 64) -> str:
+    sub_d = dim // n_sub
+    l2 = (
+        "((list_dot_product(sv, sv) - 2.0 * list_dot_product(sv, csv))"
+        " + list_dot_product(csv, csv))"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cent AS (
+  SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT {n_centroids}
+), es AS (
+  SELECT vec_id, v, unnest(range(0, {n_sub})) AS s FROM e
+), subs AS (
+  SELECT vec_id, s, v[s * {sub_d} + 1 : s * {sub_d} + {sub_d}] AS sv FROM es
+), cs AS (
+  SELECT c_id, cv, unnest(range(0, {n_sub})) AS s FROM cent
+), csubs AS (
+  SELECT c_id, s, cv[s * {sub_d} + 1 : s * {sub_d} + {sub_d}] AS csv FROM cs
+), scored AS (
+  SELECT vec_id, s, c_id,
+         CAST(floor({l2} * 100000000.0 + 0.5) AS BIGINT) AS d2i
+  FROM subs JOIN csubs USING (s)
+), best AS (
+  SELECT vec_id, s, c_id, d2i FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2i, c_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT vec_id, list(c_id ORDER BY s) AS codes,
+       (floor((CAST(sum(d2i) AS DOUBLE) / 100000000.0) * 1000000 + 0.5) / 1000000.0) AS recon_err
+FROM best GROUP BY vec_id
+"""
+
+
 def q_ivf_topk(spark, sf):
     """IVF ANN: deterministic coarse centroids (~sqrt(n) of them,
     scale-derived from the corpus count), probe top-4, score only the
@@ -4602,6 +4644,7 @@ def registry() -> dict[str, tuple]:
         "cluster_keep_best": (q_cluster_keep_best, _cluster_keep_best_sql()),
         "edit_distance_pairs": (q_edit_distance_pairs, SQL_EDIT_DISTANCE_PAIRS),
         "quantize_embeddings": (q_quantize_embeddings, SQL_QUANTIZE_EMBEDDINGS),
+        "pq_quantize": (q_pq_quantize, _pq_sql()),
         "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
         "blocklist_filter": (q_blocklist_filter, SQL_BLOCKLIST_FILTER),
         "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),

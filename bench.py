@@ -82,6 +82,9 @@ HEADLINE = [
     "perplexity_bands",
     "ewma_smooth",
     "knn_graph",
+    # round-2c additions: BM25 retrieval and product quantization
+    "bm25_topk",
+    "pq_quantize",
 ]
 
 
