@@ -228,8 +228,12 @@ def semantic_dedup(
     vector with its cluster and a ``kept`` flag (kept = survives
     dedup), so downstream joins can filter or audit.
     """
-    if n_planes is None:
-        n_planes = srp_planes_for(emb.count(), target_bucket_size=32)
+    if n_planes is None or n_centroids is None:
+        n = emb.count()  # one metadata-backed count job for BOTH knobs
+        if n_planes is None:
+            n_planes = srp_planes_for(n, target_bucket_size=32)
+        if n_centroids is None:
+            n_centroids = ivf_centroids_for(n)
     cent, assign = ivf_assignments(emb, n_centroids, id_col, vec_col)
     bucketed = assign.withColumn(
         "bucket", srp_bucket(F.col("v"), n_planes, seed)
