@@ -164,6 +164,24 @@ class TestJoinStrategy:
         assert audit(q_knn_graph(spark, sf_dir)).shuffles <= 3
         assert audit(q_perplexity_bands(spark, sf_dir)).shuffles <= 7
 
+        # round-2c: PQ keeps the codebook broadcast (corpus shuffles
+        # only on the id re-assembly); the series folds are one
+        # exchange; BM25's corpus-side moves are tf + posting stages
+        from aprs2influxdb_spark.queries import (
+            q_pq_quantize,
+            q_holt_linear,
+            q_sampled_percentiles,
+            q_sliding_window_agg,
+            q_bm25_topk,
+        )
+
+        pq = audit(q_pq_quantize(spark, sf_dir))
+        assert pq.shuffles <= 3 and pq.broadcasts >= 1
+        assert audit(q_holt_linear(spark, sf_dir)).shuffles <= 2
+        assert audit(q_sampled_percentiles(spark, sf_dir)).shuffles <= 2
+        assert audit(q_sliding_window_agg(spark, sf_dir)).shuffles <= 2
+        assert audit(q_bm25_topk(spark, sf_dir)).shuffles <= 9
+
     def test_runtime_bloom_filter_reduces_fact_scan(self, spark, sf_dir):
         """Runtime bloom-filter semi-join reduction: a selective filter
         on one join side injects a bloom filter (`might_contain`) into
