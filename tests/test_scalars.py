@@ -190,3 +190,73 @@ class TestLttb:
             for i in lttb_indices_py(ts_us, vs, 20):
                 exp.add((uid, g["ts"][i].to_pydatetime(), float(g["value"][i])))
         assert got == exp
+
+
+class TestZOrderKey:
+    def test_interleave_matches_python_mirror(self, spark):
+        """zorder_key must equal the textbook bit-interleave for every
+        (a, b) — pinned against a pure-Python mirror over a grid +
+        hypothesis-style randoms."""
+        import random
+
+        from aprs2influxdb_spark.storage import zorder_key
+
+        def mirror(a, b, bits):
+            z = 0
+            for i in range(bits):
+                z |= ((a >> i) & 1) << (2 * i)
+                z |= ((b >> i) & 1) << (2 * i + 1)
+            return z
+
+        rng = random.Random(7)
+        pts = [(a, b) for a in range(0, 8) for b in range(0, 8)]
+        pts += [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(50)]
+        df = spark.createDataFrame(pts, "a long, b long")
+        got = {
+            (r["a"], r["b"]): r["z"]
+            for r in df.select("a", "b", zorder_key("a", "b", 16).alias("z")).collect()
+        }
+        for a, b in pts:
+            assert got[(a, b)] == mirror(a, b, 16), (a, b)
+
+    def test_locality_monotone_blocks(self, spark):
+        """Aligned power-of-two blocks are CONTIGUOUS z-ranges: every
+        key in block (a_hi, b_hi) of size 2^k × 2^k lies in one
+        [lo, lo + 4^k) interval — the property file-level min/max
+        pruning relies on."""
+        from aprs2influxdb_spark.storage import zorder_key
+
+        pts = [(a, b) for a in range(16) for b in range(16)]
+        df = spark.createDataFrame(pts, "a long, b long")
+        keys = {
+            (r["a"], r["b"]): r["z"]
+            for r in df.select("a", "b", zorder_key("a", "b", 4).alias("z")).collect()
+        }
+        k = 2  # 4x4 blocks
+        for ba in range(4):
+            for bb in range(4):
+                block = [keys[(a, b)] for a in range(ba * 4, ba * 4 + 4)
+                         for b in range(bb * 4, bb * 4 + 4)]
+                assert max(block) - min(block) == 4 ** k - 1
+                assert min(block) % (4 ** k) == 0
+
+
+class TestSampledPercentiles:
+    def test_quantiles_are_real_sample_points_and_ordered(self, spark, sf_dir):
+        """Each emitted quantile must be an actual data value of its
+        group, and p50 <= p90 <= p99."""
+        from aprs2influxdb_spark.operators.sketches import sampled_percentiles
+
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = sampled_percentiles(e).collect()
+        assert out
+        vals = {
+            r["event_type"]: {float(x["value"]) for x in
+                              e.filter(F.col("event_type") == r["event_type"])
+                              .select("value").collect()}
+            for r in out
+        }
+        for r in out:
+            assert r["p50"] <= r["p90"] <= r["p99"]
+            for p in ("p50", "p90", "p99"):
+                assert float(r[p]) in vals[r["event_type"]]
