@@ -2089,6 +2089,96 @@ SELECT doc_id, pred_lang, quality_score, n_dups FROM (
 """
 
 
+def q_curate_corpus(spark, sf):
+    """The full pretraining-curation pipeline as ONE composed plan —
+    the flagship of the north-star surface: quality gate + language
+    gate (column expressions, zero joins), exact dedup (canonical =
+    min-id per content digest), then corpus-wide paragraph/span dedup
+    over the SURVIVORS with document reassembly, emitting per-doc
+    provenance (dups absorbed, chunks dropped) and clean-text stats.
+
+    Plan shape at 100 TB: one narrow projection computes digest +
+    score + language; the gates filter BEFORE any shuffle; the dedup
+    window keys the 16-byte digest; the chunk window keys the chunk
+    digest; reassembly and the final doc-level join shuffle only
+    gate-surviving doc ids.  Five logical pipeline stages, four
+    shuffles, no fact-sized join anywhere."""
+    from aprs2influxdb_spark.operators.textanalysis import _lang_parts, _quality_parts
+
+    docs = _t(spark, sf, "documents")
+    p = _quality_parts("text")
+    pred, _best = _lang_parts("text")
+    feats = ta._spread_docs(docs, "doc_id", "text").select(
+        F.col("doc_id"), F.col("text"),
+        F.md5("text").alias("text_md5"),
+        rhu(p["score"], 4).alias("quality_score"),
+        pred.alias("pred_lang"),
+    )
+    kept = feats.filter((F.col("quality_score") >= 0.6) & (F.col("pred_lang") == "en"))
+    wdup = Window.partitionBy("text_md5")
+    surv = (
+        kept.withColumn("rn", F.row_number().over(wdup.orderBy("doc_id")))
+        .withColumn("n_dups", F.count("*").over(wdup))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text", "pred_lang", "quality_score", "n_dups")
+    )
+    clean = dd.paragraph_dedup(surv.select("doc_id", "text"))
+    toks_clean = F.when(
+        F.length("text_clean") > 0, F.size(F.split("text_clean", " "))
+    ).otherwise(F.lit(0))
+    return (
+        surv.drop("text").join(clean, "doc_id")
+        .select(
+            "doc_id", "pred_lang", "quality_score", "n_dups",
+            "n_chunks", "n_kept",
+            toks_clean.alias("clean_tokens"),
+            F.md5("text_clean").alias("clean_md5"),
+        )
+    )
+
+
+SQL_CURATE_CORPUS = f"""
+WITH feats AS (
+  SELECT doc_id, text, md5(text) AS text_md5,
+         {_SCORE} AS quality_score,
+         CASE WHEN greatest({_HIT['en']}, {_HIT['de']}, {_HIT['fr']}) <= 0 THEN 'und'
+              WHEN {_HIT['en']} = greatest({_HIT['en']}, {_HIT['de']}, {_HIT['fr']}) THEN 'en'
+              WHEN {_HIT['de']} = greatest({_HIT['en']}, {_HIT['de']}, {_HIT['fr']}) THEN 'de'
+              ELSE 'fr' END AS pred_lang
+  FROM documents
+), kept AS (
+  SELECT * FROM feats WHERE quality_score >= 0.6 AND pred_lang = 'en'
+), surv AS (
+  SELECT doc_id, text, pred_lang, quality_score, n_dups FROM (
+    SELECT *, row_number() OVER (PARTITION BY text_md5 ORDER BY doc_id) AS rn,
+           count(*) OVER (PARTITION BY text_md5) AS n_dups
+    FROM kept
+  ) WHERE rn = 1
+), t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM surv
+), idx AS (
+  SELECT doc_id, toks, unnest(range(0, ((len(toks) - 1) // 16) + 1)) AS chunk_idx FROM t
+), ch AS (
+  SELECT doc_id, chunk_idx,
+         array_to_string(toks[chunk_idx * 16 + 1 : chunk_idx * 16 + 16], ' ') AS chunk
+  FROM idx
+), k AS (
+  SELECT doc_id, chunk_idx, chunk,
+         row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx) = 1 AS keep
+  FROM ch
+), clean AS (
+  SELECT doc_id, count(*) AS n_chunks,
+         count(*) FILTER (WHERE keep) AS n_kept,
+         coalesce(array_to_string(list(chunk ORDER BY chunk_idx) FILTER (WHERE keep), ' '), '') AS text_clean
+  FROM k GROUP BY doc_id
+)
+SELECT s.doc_id, pred_lang, quality_score, n_dups, n_chunks, n_kept,
+       CASE WHEN length(text_clean) > 0 THEN len(string_split(text_clean, ' ')) ELSE 0 END AS clean_tokens,
+       md5(text_clean) AS clean_md5
+FROM surv s JOIN clean USING (doc_id)
+"""
+
+
 def q_token_counts(spark, sf):
     return ta.token_counts(_t(spark, sf, "documents"))
 
@@ -4634,6 +4724,7 @@ def registry() -> dict[str, tuple]:
         "lang_id": (q_lang_id, SQL_LANG_ID),
         "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
         "training_data_prep": (q_training_data_prep, SQL_TRAINING_DATA_PREP),
+        "curate_corpus": (q_curate_corpus, SQL_CURATE_CORPUS),
         "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
         "uniform_sample": (q_uniform_sample, SQL_UNIFORM_SAMPLE),
         "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),

@@ -82,9 +82,11 @@ HEADLINE = [
     "perplexity_bands",
     "ewma_smooth",
     "knn_graph",
-    # round-2c additions: BM25 retrieval and product quantization
+    # round-2c additions: BM25 retrieval, product quantization, and the
+    # composed curation flagship (gates + exact dedup + span dedup)
     "bm25_topk",
     "pq_quantize",
+    "curate_corpus",
 ]
 
 
