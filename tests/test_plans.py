@@ -181,6 +181,11 @@ class TestJoinStrategy:
         assert audit(q_sampled_percentiles(spark, sf_dir)).shuffles <= 2
         assert audit(q_sliding_window_agg(spark, sf_dir)).shuffles <= 2
         assert audit(q_bm25_topk(spark, sf_dir)).shuffles <= 9
+        from aprs2influxdb_spark.queries import q_curate_corpus
+
+        # gates before any shuffle; md5-dup window + chunk window +
+        # doc reassembly + final doc-level join
+        assert audit(q_curate_corpus(spark, sf_dir)).shuffles <= 5
 
     def test_runtime_bloom_filter_reduces_fact_scan(self, spark, sf_dir):
         """Runtime bloom-filter semi-join reduction: a selective filter
