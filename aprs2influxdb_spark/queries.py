@@ -2384,6 +2384,18 @@ def q_streaming_sliding_window(spark, sf):
     return streaming_sliding_window(spark, sf)
 
 
+def q_streaming_kmv_distinct(spark, sf):
+    from aprs2influxdb_spark.streaming.bounded import streaming_kmv_distinct
+
+    return streaming_kmv_distinct(spark, sf)
+
+
+def q_streaming_sampled_percentiles(spark, sf):
+    from aprs2influxdb_spark.streaming.bounded import streaming_sampled_percentiles
+
+    return streaming_sampled_percentiles(spark, sf)
+
+
 def q_streaming_ewma(spark, sf):
     from aprs2influxdb_spark.streaming.bounded import streaming_ewma
 
@@ -4763,6 +4775,8 @@ def registry() -> dict[str, tuple]:
         "streaming_distinct_keys": (q_streaming_distinct_keys, SQL_STREAMING_DISTINCT),
         "streaming_topk": (q_streaming_topk, SQL_STREAMING_TOPK),
         "streaming_ewma": (q_streaming_ewma, SQL_STREAMING_EWMA),
+        "streaming_kmv_distinct": (q_streaming_kmv_distinct, _sql_approx_distinct()),
+        "streaming_sampled_percentiles": (q_streaming_sampled_percentiles, _sql_sampled_percentiles()),
         "sliding_window_agg": (q_sliding_window_agg, SQL_SLIDING_WINDOW),
         "streaming_sliding_window": (q_streaming_sliding_window, SQL_SLIDING_WINDOW),
         "streaming_asof_calibration": (q_streaming_asof_calibration, SQL_ASOF_CALIBRATION),

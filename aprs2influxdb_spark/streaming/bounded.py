@@ -44,8 +44,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -530,6 +532,126 @@ def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_bounded(spark, ewma, "append", "stream_ewma")
+
+
+KMV_K = 64
+KMV_SPACE = float(1 << 60)
+KMV_OUTPUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("approx_users", LongType()),
+    ]
+)
+SAMPLE_K = 256
+SAMPLE_OUTPUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_sample", LongType()),
+        StructField("p50", DoubleType()),
+        StructField("p90", DoubleType()),
+        StructField("p99", DoubleType()),
+    ]
+)
+
+
+def _phash(x) -> int:
+    """Python replica of functions.hashing.portable_hash64 (md5-based,
+    60-bit) so streaming sketch state matches the batch/oracle hashes
+    exactly."""
+    import hashlib
+
+    return int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16)
+
+
+def _kmv_group(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming KMV distinct sketch: state = the k smallest distinct
+    key hashes per group (a MERGEABLE sketch — union new hashes, keep
+    bottom-k; state is bounded at k longs however many keys stream
+    by).  Same estimator floats as the batch kmv_distinct, so the
+    bounded run equals the batch/oracle answer exactly."""
+    hashes = set(state.get[0]) if state.exists else set()
+    for pdf in pdfs:
+        for uid in pdf["user_id"]:
+            hashes.add(_phash(int(uid)))
+    bottom = sorted(hashes)[:KMV_K]
+    state.update((list(bottom),))
+    if len(bottom) < KMV_K:
+        est = len(bottom)
+    else:
+        est = math.floor(float(KMV_K - 1) * KMV_SPACE / float(bottom[-1]))
+    yield pd.DataFrame(
+        [{"event_type": key[0], "approx_users": int(est)}],
+        columns=["event_type", "approx_users"],
+    )
+
+
+def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``approx_distinct``: keyed
+    ``applyInPandasWithState`` holding a bottom-k hash sketch per
+    event type — approximate distinct users on an unbounded stream
+    with O(k) state, sharing the batch entry's oracle."""
+    est = (
+        stream_events(spark, sf_dir)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _kmv_group,
+            KMV_OUTPUT,
+            StructType([StructField("hashes", ArrayType(LongType()), True)]),
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_bounded(spark, est, "append", "stream_kmv")
+
+
+def _sample_group(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming hash-sample quantile sketch: state = the k rows with
+    the smallest key hashes (mergeable bottom-k reservoir, bounded at
+    k (hash, value) pairs); quantiles are the same lower-rank order
+    statistics the batch sampled_percentiles emits."""
+    pairs = list(zip(state.get[0], state.get[1])) if state.exists else []
+    for pdf in pdfs:
+        for eid, v in zip(pdf["event_id"], pdf["value"]):
+            pairs.append((_phash(int(eid)), float(v)))
+    pairs.sort(key=lambda t: t[0])
+    pairs = pairs[:SAMPLE_K]
+    state.update(([h for h, _ in pairs], [v for _, v in pairs]))
+    vals = sorted(v for _, v in pairs)
+    n = len(vals)
+    row = {"event_type": key[0], "n_sample": n}
+    for p in (0.5, 0.9, 0.99):
+        row[f"p{int(p * 100)}"] = vals[math.floor((n - 1) * p)]
+    yield pd.DataFrame(
+        [row], columns=["event_type", "n_sample", "p50", "p90", "p99"]
+    )
+
+
+def streaming_sampled_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``sampled_percentiles``: a bounded bottom-k
+    hash reservoir per event type, quantiles read off the sample —
+    the streaming quantile sketch with deterministic cross-engine
+    results (state is content-addressed, not arrival-ordered)."""
+    est = (
+        stream_events(spark, sf_dir)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _sample_group,
+            SAMPLE_OUTPUT,
+            StructType(
+                [
+                    StructField("hashes", ArrayType(LongType()), True),
+                    StructField("vals", ArrayType(DoubleType()), True),
+                ]
+            ),
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_bounded(spark, est, "append", "stream_sampled_pct")
 
 
 def tws_available() -> bool:
