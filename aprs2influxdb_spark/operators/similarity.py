@@ -812,3 +812,57 @@ def pq_quantize(
         codes.alias("codes"),
         rhu(F.sum("d2i").cast("double") / F.lit(1e8), 6).alias("recon_err"),
     )
+
+
+PR_SCALE = 10**12
+
+
+def pagerank_knn(
+    emb: DataFrame, k: int = 5, iters: int = 3, damping_pct: int = 85,
+    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 7,
+) -> DataFrame:
+    """PageRank over the approximate kNN graph — graph-based centrality
+    for curation (highly-referenced vectors are cluster cores;
+    low-rank isolates are outlier candidates).  The iterative
+    Pregel-style computation expressed in the DataFrame API: per
+    round, one join of the rank vector against the (checkpointed)
+    edge list + one groupBy on the destination — ``iters`` unrolled
+    rounds, no driver-side loop state beyond the plan.
+
+    Cross-engine exactness: ranks are INTEGER micro-units
+    (PR_SCALE-scaled), per-edge contributions are integer division by
+    out-degree, and damping is ``(85 · Σ) div 100`` — integer
+    arithmetic end-to-end, zero float ops, so any summation order
+    agrees.  Mass from dangling nodes (empty SRP bucket → no
+    out-edges) is dropped, not redistributed — documented divergence
+    from the classical formulation, mirrored exactly by the oracle.
+
+    Scale shape: the edge list comes from :func:`knn_graph` (bucketed,
+    never O(n²)); each round shuffles edges on src (join) and dst
+    (aggregate) — the canonical distributed PageRank cost — and the
+    node-sized rank vector is the only state between rounds."""
+    n = emb.count()
+    base = (15 * PR_SCALE) // (100 * n)
+    init = PR_SCALE // n
+    edges = knn_graph(
+        emb, k=k, id_col=id_col, vec_col=vec_col, seed=seed
+    ).select("src", "dst").localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    e2 = edges.join(deg, "src").localCheckpoint(eager=False)
+    nodes = emb.select(F.col(id_col))
+    pr = nodes.withColumn("pr", F.lit(init))
+    for _ in range(iters):
+        contrib = (
+            e2.join(pr.withColumnRenamed(id_col, "src"), "src")
+            .select(F.col("dst"), F.expr("pr div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("m"))
+        )
+        pr = (
+            nodes.join(contrib.withColumnRenamed("dst", id_col), id_col, "left")
+            .select(
+                F.col(id_col),
+                (F.lit(base) + F.expr(f"({damping_pct} * coalesce(m, 0)) div 100")).alias("pr"),
+            )
+        )
+    return pr

@@ -1811,6 +1811,56 @@ FROM best GROUP BY vec_id
 """
 
 
+def q_pagerank_knn(spark, sf):
+    """PageRank over the approximate kNN graph (3 unrolled rounds,
+    integer micro-unit arithmetic end-to-end) — see
+    operators.similarity.pagerank_knn."""
+    return sim.pagerank_knn(_t(spark, sf, "embeddings"))
+
+
+def _pagerank_sql(k: int = 5, iters: int = 3, damping_pct: int = 85, seed: int = 7) -> str:
+    scale = 10**12
+    its = []
+    for i in range(1, iters + 1):
+        its.append(f"""it{i} AS (
+  SELECT e.vec_id,
+         CAST((SELECT base FROM consts) + ({damping_pct} * coalesce(s.m, 0)) // 100 AS BIGINT) AS pr
+  FROM embeddings e LEFT JOIN (
+    SELECT ed.dst, CAST(sum(it.pr // deg.deg) AS BIGINT) AS m
+    FROM edges ed JOIN deg USING (src) JOIN it{i - 1} it ON it.vec_id = ed.src
+    GROUP BY ed.dst
+  ) s ON e.vec_id = s.dst
+)""")
+    its_sql = ",\n".join(its)
+    return f"""
+WITH {_srp_params_cte(32)}, b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_srp_bucket_expr('embedding::DOUBLE[]', _SRP_MAX_PLANES, seed, 'srp_params.np')} AS bucket
+  FROM embeddings, srp_params
+), p AS (
+  SELECT a.vec_id AS src, c.vec_id AS dst,
+         (floor((list_dot_product(a.v, c.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)))) * 100000000 + 0.5)
+          / 100000000.0) AS cos8
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id != c.vec_id
+), edges AS (
+  SELECT src, dst FROM (
+    SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos8 DESC, dst) AS rk FROM p
+  ) WHERE rk <= {k}
+), deg AS (
+  SELECT src, count(*) AS deg FROM edges GROUP BY src
+), consts AS (
+  SELECT CAST((15 * {scale}) // (100 * count(*)) AS BIGINT) AS base,
+         CAST({scale} // count(*) AS BIGINT) AS init
+  FROM embeddings
+), it0 AS (
+  SELECT vec_id, (SELECT init FROM consts) AS pr FROM embeddings
+),
+{its_sql}
+SELECT vec_id, pr FROM it{iters}
+"""
+
+
 def q_ivf_topk(spark, sf):
     """IVF ANN: deterministic coarse centroids (~sqrt(n) of them,
     scale-derived from the corpus count), probe top-4, score only the
@@ -4722,6 +4772,7 @@ def registry() -> dict[str, tuple]:
         "ts_dtw_topk": (q_ts_dtw_topk, _ts_dtw_sql()),
         "cosine_near_dup": (q_cosine_near_dup, _cosine_near_dup_sql()),
         "knn_graph": (q_knn_graph, _knn_graph_sql()),
+        "pagerank_knn": (q_pagerank_knn, _pagerank_sql()),
         "semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
         "ivf_topk": (q_ivf_topk, _ivf_sql()),
         "ivf_kmeans_topk": (q_ivf_kmeans_topk, _ivf_kmeans_sql()),
