@@ -87,6 +87,7 @@ HEADLINE = [
     "bm25_topk",
     "pq_quantize",
     "curate_corpus",
+    "pagerank_knn",
 ]
 
 
