@@ -13,6 +13,13 @@ round-over-round regressions.  Queries cover every operator family:
 scan+agg, multi-join, window, as-of, dedup ladder, similarity (exact +
 ANN), text analysis, serialization.
 
+NOTE on round-over-round totals: the HEADLINE list GROWS each round
+(33 queries in r1 -> 46 in r2), so the summed total is NOT comparable
+across rounds — compare per-query times.  Known intentional r2 cost:
+ngram_jaccard/edit_distance_pairs now run the df-capped candidate
+stage by default (the only 100 TB-safe shape; ~+1 s at sf0.1 vs the
+uncapped baseline they previously benched with).
+
 Leftover ``localCheckpoint`` blocks from PRIOR queries are unpersisted
 before each timed run (measured: they inflate later queries up to 2×
 via storage-memory pressure — cosine_topk 1.19 s → 0.61 s once the
