@@ -2229,6 +2229,74 @@ FROM surv s JOIN clean USING (doc_id)
 """
 
 
+def q_incremental_dedup(spark, sf):
+    """Incremental (snapshot-over-snapshot) dedup — the daily-crawl
+    production shape: the NEW batch (odd doc_ids here) is deduped
+    against the HISTORICAL corpus (even doc_ids) by content digest
+    with a LEFT ANTI join, then within-batch exact dedup keeps the
+    min-id copy.  At 100 TB the anti join probes a digest-bucketed
+    historical table (16-byte keys, never documents); the batch side
+    is the only data that moves."""
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.md5("text").alias("text_md5")
+    )
+    hist = docs.filter(F.col("doc_id") % 2 == 0).select("text_md5")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    survivors = new.join(hist, "text_md5", "left_anti")
+    return (
+        survivors.groupBy("text_md5")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_in_batch"))
+    )
+
+
+SQL_INCREMENTAL_DEDUP = """
+WITH d AS (
+  SELECT doc_id, md5(text) AS text_md5 FROM documents
+), hist AS (
+  SELECT text_md5 FROM d WHERE doc_id % 2 = 0
+), new AS (
+  SELECT * FROM d WHERE doc_id % 2 = 1
+)
+SELECT text_md5, min(doc_id) AS canonical_id, count(*) AS n_in_batch
+FROM new WHERE text_md5 NOT IN (SELECT text_md5 FROM hist)
+GROUP BY text_md5
+"""
+
+
+def q_importance_sample(spark, sf):
+    """Deterministic quality-weighted (importance) sampling: each doc
+    survives with probability proportional to its quality score via a
+    salted-hash Bernoulli test — ``hash(doc) % 1e6 < score·1e6`` —
+    reproducible across runs/engines/retries and stable under corpus
+    growth, unlike ``rand()``-thinning.  The curation step between
+    hard filtering and uniform sampling: keep good data more often
+    without a cliff.  Zero shuffles (pure projection + filter)."""
+    from aprs2influxdb_spark.operators.textanalysis import _quality_parts
+
+    p = _quality_parts("text")
+    docs = ta._spread_docs(_t(spark, sf, "documents"), "doc_id", "text")
+    scored = docs.select(
+        F.col("doc_id"),
+        rhu(p["score"], 4).alias("quality_score"),
+        F.pmod(portable_hash64(F.concat(F.lit("imp_"), F.col("doc_id").cast("string"))), F.lit(1000000)).alias("h"),
+    )
+    return (
+        scored.filter(F.col("h") < F.floor(F.col("quality_score") * 1000000).cast("long"))
+        .select("doc_id", "quality_score")
+    )
+
+
+SQL_IMPORTANCE_SAMPLE = f"""
+WITH scored AS (
+  SELECT doc_id, {_SCORE} AS quality_score,
+         ({portable_hash64_sql("'imp_' || doc_id::VARCHAR")}) % 1000000 AS h
+  FROM documents
+)
+SELECT doc_id, quality_score FROM scored
+WHERE h < CAST(floor(quality_score * 1000000) AS BIGINT)
+"""
+
+
 def q_token_counts(spark, sf):
     return ta.token_counts(_t(spark, sf, "documents"))
 
@@ -4787,6 +4855,8 @@ def registry() -> dict[str, tuple]:
         "lang_id": (q_lang_id, SQL_LANG_ID),
         "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
         "training_data_prep": (q_training_data_prep, SQL_TRAINING_DATA_PREP),
+        "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+        "importance_sample": (q_importance_sample, SQL_IMPORTANCE_SAMPLE),
         "curate_corpus": (q_curate_corpus, SQL_CURATE_CORPUS),
         "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
         "uniform_sample": (q_uniform_sample, SQL_UNIFORM_SAMPLE),
