@@ -792,9 +792,18 @@ def pq_quantize(
     csubs = cent.select(
         F.col("c_id"), sub_slices(F.col("cv"), "csv").alias("x")
     ).select("c_id", "x.s", "x.csv")
+    # the cross term pads length mismatches to 0 (a vector shorter
+    # than ``dim`` slices short; a null-poisoned fold would otherwise
+    # sort NULLS FIRST on Spark but NULLS LAST on DuckDB and pick
+    # different codes for malformed rows)
+    dot_pad = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("csv"), lambda x, y: F.coalesce(x * y, F.lit(0.0))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     l2sq = (
         _dot(F.col("sv"), F.col("sv"))
-        - F.lit(2.0) * _dot(F.col("sv"), F.col("csv"))
+        - F.lit(2.0) * dot_pad
         + _dot(F.col("csv"), F.col("csv"))
     )
     d2i = F.floor(l2sq * F.lit(1e8) + F.lit(0.5)).cast("long")
