@@ -2229,6 +2229,97 @@ FROM surv s JOIN clean USING (doc_id)
 """
 
 
+def q_merge_upsert(spark, sf):
+    """MERGE INTO / CDC upsert without a table format: an updates
+    batch (every 10th order arrives re-priced at +10%) is applied
+    onto the target with last-write-wins by version.  Plan: UNION +
+    one key-partitioned window (rn = 1 on version desc) — ONE
+    shuffle on the merge key, no join; at 100 TB this is the
+    compaction shape a lakehouse MERGE compiles to when the update
+    batch is fact-sized (a broadcast-join merge only works while
+    updates stay small)."""
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice", F.lit(0).alias("version")
+    )
+    upd = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+            F.lit(1).alias("version"),
+        )
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
+    return (
+        o.unionByName(upd)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            rhu("o_totalprice", 2).alias("price"),
+            (F.col("version") == 1).alias("was_updated"),
+        )
+    )
+
+
+SQL_MERGE_UPSERT = """
+WITH merged AS (
+  SELECT o_orderkey, o_totalprice, 0 AS version FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_totalprice * 1.1, 1 AS version
+  FROM orders WHERE o_orderkey % 10 = 0
+)
+SELECT o_orderkey,
+       (floor((o_totalprice) * 100 + 0.5) / 100.0) AS price,
+       version = 1 AS was_updated
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+  FROM merged
+) WHERE rn = 1
+"""
+
+
+def q_scd2_intervals(spark, sf):
+    """Slowly-changing-dimension type 2 from a change stream: each
+    user's event-type transitions become validity intervals
+    [valid_from, valid_to) with repeat states collapsed — the
+    warehouse history-table build.  Plan: ONE shuffle on the user
+    key serves both windows (change suppression via lag, interval
+    close via lead) — the sort amortizes across them."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    changes = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+    )
+
+
+SQL_SCD2_INTERVALS = """
+WITH c AS (
+  SELECT * FROM (
+    SELECT user_id, event_type, ts, event_id,
+           lag(event_type) OVER w AS prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  ) WHERE prev IS NULL OR prev != event_type
+)
+SELECT user_id, event_type AS status, ts AS valid_from,
+       lead(ts) OVER w2 AS valid_to,
+       row_number() OVER w2 AS version
+FROM c
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q_incremental_dedup(spark, sf):
     """Incremental (snapshot-over-snapshot) dedup — the daily-crawl
     production shape: the NEW batch (odd doc_ids here) is deduped
@@ -4855,6 +4946,8 @@ def registry() -> dict[str, tuple]:
         "lang_id": (q_lang_id, SQL_LANG_ID),
         "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
         "training_data_prep": (q_training_data_prep, SQL_TRAINING_DATA_PREP),
+        "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
+        "scd2_intervals": (q_scd2_intervals, SQL_SCD2_INTERVALS),
         "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
         "importance_sample": (q_importance_sample, SQL_IMPORTANCE_SAMPLE),
         "curate_corpus": (q_curate_corpus, SQL_CURATE_CORPUS),
