@@ -199,3 +199,73 @@ class TestTransformWithState:
         legacy = {tuple(r) for r in streaming_asof_calibration(spark, sf_dir).collect()}
         tws = {tuple(r) for r in streaming_asof_tws(spark, sf_dir).collect()}
         assert tws == legacy
+
+
+class _StateStub:
+    """Minimal GroupState double for driving the per-group functions
+    across MULTIPLE batches — the path the single-AvailableNow-batch
+    bounded gate never executes."""
+
+    def __init__(self):
+        self.exists = False
+        self._tuple = None
+
+    @property
+    def get(self):
+        return self._tuple
+
+    def update(self, t):
+        self._tuple = tuple(t)
+        self.exists = True
+
+
+class TestSketchStateMerge:
+    """Mergeability of the streaming sketch state: feeding the same
+    rows in one batch or split across two batches must produce the
+    same final answer (bottom-k state is a true sketch union)."""
+
+    def test_kmv_two_batches_equals_one(self):
+        import pandas as pd
+
+        from aprs2influxdb_spark.streaming.bounded import _kmv_group
+
+        rows = list(range(500))
+        one, two = _StateStub(), _StateStub()
+        [full] = list(_kmv_group(("click",), iter([pd.DataFrame({"user_id": rows})]), one))
+        list(_kmv_group(("click",), iter([pd.DataFrame({"user_id": rows[:250]})]), two))
+        [split] = list(_kmv_group(("click",), iter([pd.DataFrame({"user_id": rows[250:]})]), two))
+        assert full.iloc[0]["approx_users"] == split.iloc[0]["approx_users"]
+        assert len(two.get[0]) <= 64  # state stays bounded
+
+    def test_sample_two_batches_equals_one(self):
+        import pandas as pd
+
+        from aprs2influxdb_spark.streaming.bounded import _sample_group
+
+        eids = list(range(1000))
+        vals = [float((i * 37) % 199) for i in eids]
+        one, two = _StateStub(), _StateStub()
+        [full] = list(_sample_group(
+            ("view",), iter([pd.DataFrame({"event_id": eids, "value": vals})]), one))
+        list(_sample_group(
+            ("view",), iter([pd.DataFrame({"event_id": eids[:500], "value": vals[:500]})]), two))
+        [split] = list(_sample_group(
+            ("view",), iter([pd.DataFrame({"event_id": eids[500:], "value": vals[500:]})]), two))
+        for c in ("n_sample", "p50", "p90", "p99"):
+            assert full.iloc[0][c] == split.iloc[0][c], c
+        assert len(two.get[0]) <= 256
+
+    def test_ewma_state_carries_across_batches(self):
+        import pandas as pd
+
+        from aprs2influxdb_spark.streaming.bounded import _ewma_group
+
+        t = pd.Timestamp("2024-01-01")
+        b1 = pd.DataFrame({"ts": [t], "event_id": [1], "user_id": [7], "value": [10.0]})
+        b2 = pd.DataFrame({"ts": [t + pd.Timedelta(minutes=1)], "event_id": [2],
+                           "user_id": [7], "value": [20.0]})
+        st = _StateStub()
+        [o1] = list(_ewma_group((7,), iter([b1]), st))
+        [o2] = list(_ewma_group((7,), iter([b2]), st))
+        assert o1.iloc[0]["ewma"] == 10.0
+        assert o2.iloc[0]["ewma"] == round(0.3 * 20.0 + 0.7 * 10.0, 6)
