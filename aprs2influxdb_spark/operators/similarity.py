@@ -767,6 +767,22 @@ def pq_quantize(
     WindowGroupLimit top-1 per (vector, subspace) pushes below the
     exchange; one final groupBy on the id re-assembles code words.
     The corpus is never shuffled except by that id groupBy."""
+    best, _ = _pq_best(emb, n_sub, n_centroids, id_col, vec_col, dim)
+    codes = F.transform(
+        F.array_sort(F.collect_list(F.struct("s", "c_id"))), lambda x: x.c_id
+    )
+    return best.groupBy(id_col).agg(
+        codes.alias("codes"),
+        rhu(F.sum("d2i").cast("double") / F.lit(1e8), 6).alias("recon_err"),
+    )
+
+
+def _pq_best(emb, n_sub, n_centroids, id_col, vec_col, dim):
+    """Shared PQ core: per-(vector, subspace) nearest-codebook-entry
+    rows ``(id, s, c_id, d2i)`` plus the codebook subvector frame —
+    consumed by :func:`pq_quantize` (code assembly) and
+    :func:`pq_adc_topk` (ADC scan).  See :func:`pq_quantize` for the
+    integerization and broadcast rationale."""
     from pyspark.sql import Window
 
     sub_d = dim // n_sub
@@ -813,13 +829,83 @@ def pq_quantize(
         .withColumn("d2i", d2i)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
+        .select(id_col, "s", "c_id", "d2i")
     )
-    codes = F.transform(
-        F.array_sort(F.collect_list(F.struct("s", "c_id"))), lambda x: x.c_id
+    return best, csubs
+
+
+def pq_adc_topk(
+    emb: DataFrame, k: int = 5, n_queries: int = 10, n_sub: int = 8,
+    n_centroids: int = 16, id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (Jégou et al., PAMI 2011 §IV):
+    approximate nearest neighbors computed AGAINST THE CODES ONLY —
+    the query path that makes :func:`pq_quantize`'s 8-byte-per-vector
+    index useful.  Per query, a lookup table of squared distances from
+    each query subvector to every codebook entry is built once
+    (n_sub × n_centroids entries); a corpus vector's approximate
+    distance is then the sum of n_sub table lookups — no original
+    vectors are touched after quantization.
+
+    Queries are the ``n_queries`` lowest-id vectors (deterministic;
+    self-matches excluded).  Distances stay in the integer 1e8 grid of
+    :func:`pq_quantize` end-to-end — the per-subspace LUT entries are
+    integerized BEFORE the per-vector sum, so ranking (ties broken by
+    ``vec_id``) is bit-identical cross-engine.
+
+    Scale shape: the LUT is n_queries × n_sub × n_centroids rows —
+    broadcast; the corpus code rows join it map-side on
+    ``(s, c_id)``, partial-aggregate to (query, vector) partial sums
+    before the one shuffle, and the per-query top-k runs as a
+    WindowGroupLimit (rank pushed below the exchange).  The corpus
+    moves once; nothing is O(n²)."""
+    from pyspark.sql import Window
+
+    best, csubs = _pq_best(emb, n_sub, n_centroids, id_col, vec_col, dim)
+    sub_d = dim // n_sub
+    q = emb.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).orderBy("query_id").limit(n_queries)
+    qsubs = q.select(
+        "query_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice(F.col("qv"), s * sub_d + 1, sub_d).alias("qsv"),
+            )
+            for s in range(n_sub)
+        ])).alias("x"),
+    ).select("query_id", "x.s", "x.qsv")
+    # same padded cross-dot as _pq_best: short vectors must not
+    # null-poison the LUT
+    dot_pad = F.aggregate(
+        F.zip_with(F.col("qsv"), F.col("csv"), lambda x, y: F.coalesce(x * y, F.lit(0.0))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
-    return best.groupBy(id_col).agg(
-        codes.alias("codes"),
-        rhu(F.sum("d2i").cast("double") / F.lit(1e8), 6).alias("recon_err"),
+    l2sq = (
+        _dot(F.col("qsv"), F.col("qsv"))
+        - F.lit(2.0) * dot_pad
+        + _dot(F.col("csv"), F.col("csv"))
+    )
+    lut = (
+        qsubs.join(csubs, "s")
+        .select(
+            "query_id", "s", "c_id",
+            F.floor(l2sq * F.lit(1e8) + F.lit(0.5)).cast("long").alias("qd2i"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_i").asc(), F.col(id_col).asc())
+    return (
+        best.join(F.broadcast(lut), ["s", "c_id"])
+        .filter(F.col("query_id") != F.col(id_col))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("qd2i").alias("adc_i"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", F.col(id_col), "rk", rhu(F.col("adc_i") / F.lit(1e8), 6).alias("adc_dist"))
     )
 
 

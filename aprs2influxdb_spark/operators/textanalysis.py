@@ -568,3 +568,97 @@ def bm25_topk(
             rhu(F.col("score_micro") / 1e6, 4).alias("bm25"),
         )
     )
+
+
+def char_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document character Shannon entropy — the classic low-entropy
+    quality rule (Gopher/C4 lineage): keyboard-mash and repeated-char
+    spam score near 0 nats, natural prose lands ~3-4.5 nats; filters
+    drop both tails.
+
+    Cross-engine determinism follows the :func:`unigram_logprob`
+    discipline: the per-character term ``ln(n/cnt)`` is INTEGERIZED
+    (micro-nats, half-up) *before* the per-doc sum, so aggregation is
+    exact integer arithmetic in any order; the single final division
+    is rounded half-up to 4 dp.
+
+    Scale shape: chars explode to (doc, char) rows but the groupBy
+    partial-aggregates map-side down to ≤ |alphabet| rows per doc
+    before the shuffle on ``(id, char)``; the final per-doc sum
+    shuffles id-sized rows.  Documents with NULL/empty text produce no
+    char rows and drop out (documented; both engines agree)."""
+    chars = (
+        _spread_docs(docs, id_col, text_col)
+        # zero-width split "(?!$)" = one element per character with no
+        # trailing empty; DuckDB's string_split(text, '') is the twin
+        .select(F.col(id_col), F.explode(F.split(F.col(text_col), "(?!$)")).alias("ch"))
+        .groupBy(id_col, "ch")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ent_term = F.floor(
+        F.log(F.col("n").cast("double") / F.col("cnt")) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy(id_col)
+    return (
+        chars.withColumn("n", F.sum("cnt").over(wd))
+        .withColumn("t", F.col("cnt") * ent_term)
+        .groupBy(id_col)
+        .agg(
+            F.max("n").alias("n_chars"),
+            F.count("*").alias("n_distinct_chars"),
+            F.sum("t").alias("s"),
+        )
+        .select(
+            F.col(id_col),
+            "n_chars",
+            "n_distinct_chars",
+            rhu(F.col("s") / (F.col("n_chars") * F.lit(1e6)), 4).alias("entropy_nats"),
+        )
+    )
+
+
+# hashed-classifier constants, shared with the oracle SQL
+QC_BUCKETS = 4096
+QC_WEIGHT_RANGE = 2001  # weights in [-1000, +1000] integer micro-units
+
+
+def quality_classifier(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """fastText-style hashed linear text classifier: each token hashes
+    into one of ``QC_BUCKETS`` feature buckets, every bucket carries a
+    fixed integer weight, and the document score is the sum of its
+    tokens' weights — the shape of production quality/toxicity
+    filters (a learned weight table would replace the hash-derived
+    one; the plan is identical).
+
+    The weight table is DERIVED, not stored: ``w(b) =
+    portable_hash64('qw#' || b) % 2001 - 1000`` — both engines
+    recompute it bit-identically, so the entry needs no side table
+    and stays exact (pure integer arithmetic end-to-end).
+
+    Scale shape: ZERO shuffles — tokenize, hash, weight-sum are all
+    per-row array-fold expressions inside one codegen'd projection;
+    at 100 TB this is a pure map over the corpus scan, the cheapest
+    plan shape there is."""
+    from aprs2influxdb_spark.functions.hashing import portable_hash64
+
+    def _w(tok):
+        b = F.pmod(portable_hash64(tok), F.lit(QC_BUCKETS))
+        return F.pmod(
+            portable_hash64(F.concat(F.lit("qw#"), b.cast("string"))),
+            F.lit(QC_WEIGHT_RANGE),
+        ) - F.lit(1000)
+
+    toks = tokens_col(text_col)
+    score = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + _w(t))
+    return _spread_docs(docs, id_col, text_col).select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        score.alias("score_micro"),
+        (score > 0).alias("keep"),
+    )

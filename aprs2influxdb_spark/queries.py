@@ -1776,14 +1776,15 @@ def q_pq_quantize(spark, sf):
     return sim.pq_quantize(_t(spark, sf, "embeddings"))
 
 
-def _pq_sql(n_sub: int = 8, n_centroids: int = 16, dim: int = 64) -> str:
+def _pq_core_cte(n_sub: int = 8, n_centroids: int = 16, dim: int = 64) -> str:
+    """Shared PQ CTE chain ending in ``best(vec_id, s, c_id, d2i)`` +
+    ``csubs`` — the oracle twin of ``similarity._pq_best``."""
     sub_d = dim // n_sub
     l2 = (
         "((list_dot_product(sv, sv) - 2.0 * list_dot_product(sv, csv))"
         " + list_dot_product(csv, csv))"
     )
-    return f"""
-WITH e AS (
+    return f"""e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), cent AS (
   SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT {n_centroids}
@@ -1804,10 +1805,57 @@ WITH e AS (
     SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2i, c_id) AS rn
     FROM scored
   ) WHERE rn = 1
-)
+)"""
+
+
+def _pq_sql(n_sub: int = 8, n_centroids: int = 16, dim: int = 64) -> str:
+    return f"""
+WITH {_pq_core_cte(n_sub, n_centroids, dim)}
 SELECT vec_id, list(c_id ORDER BY s) AS codes,
        (floor((CAST(sum(d2i) AS DOUBLE) / 100000000.0) * 1000000 + 0.5) / 1000000.0) AS recon_err
 FROM best GROUP BY vec_id
+"""
+
+
+def q_pq_adc_topk(spark, sf):
+    """PQ asymmetric-distance top-k search against the code index —
+    see operators.similarity.pq_adc_topk (broadcast LUT, corpus codes
+    move once, WindowGroupLimit per-query top-k)."""
+    return sim.pq_adc_topk(_t(spark, sf, "embeddings"))
+
+
+def _pq_adc_sql(
+    k: int = 5, n_queries: int = 10, n_sub: int = 8, n_centroids: int = 16,
+    dim: int = 64,
+) -> str:
+    sub_d = dim // n_sub
+    l2q = (
+        "((list_dot_product(qsv, qsv) - 2.0 * list_dot_product(qsv, csv))"
+        " + list_dot_product(csv, csv))"
+    )
+    return f"""
+WITH {_pq_core_cte(n_sub, n_centroids, dim)}, q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e ORDER BY query_id LIMIT {n_queries}
+), qs AS (
+  SELECT query_id, qv, unnest(range(0, {n_sub})) AS s FROM q
+), qsubs AS (
+  SELECT query_id, s, qv[s * {sub_d} + 1 : s * {sub_d} + {sub_d}] AS qsv FROM qs
+), lut AS (
+  SELECT query_id, s, c_id,
+         CAST(floor({l2q} * 100000000.0 + 0.5) AS BIGINT) AS qd2i
+  FROM qsubs JOIN csubs USING (s)
+), adc AS (
+  SELECT query_id, vec_id, CAST(sum(qd2i) AS BIGINT) AS adc_i
+  FROM best JOIN lut USING (s, c_id)
+  WHERE query_id <> vec_id
+  GROUP BY query_id, vec_id
+)
+SELECT query_id, vec_id, rk,
+       (floor((adc_i / 100000000.0) * 1000000 + 0.5) / 1000000.0) AS adc_dist
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_i, vec_id) AS rk
+  FROM adc
+) WHERE rk <= {k}
 """
 
 
@@ -2883,6 +2931,58 @@ FROM (
             ORDER BY score_micro DESC, doc_id) AS rk
   FROM agg
 ) WHERE rk <= {k}
+"""
+
+
+def q_char_entropy(spark, sf):
+    """Per-document character Shannon entropy (low-entropy spam
+    filter) — see operators.textanalysis.char_entropy (integer
+    micro-nat terms before the sum, unigram_logprob discipline)."""
+    return ta.char_entropy(_t(spark, sf, "documents"))
+
+
+SQL_CHAR_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+), cc AS (
+  SELECT doc_id, ch, count(*) AS cnt FROM ch GROUP BY 1, 2
+), wc AS (
+  SELECT doc_id, cnt, CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM cc
+), scored AS (
+  SELECT doc_id, cnt, n,
+         CAST(floor(ln(CAST(n AS DOUBLE) / cnt) * 1000000 + 0.5) AS BIGINT) AS m
+  FROM wc
+)
+SELECT doc_id, max(n) AS n_chars, count(*) AS n_distinct_chars,
+       (floor((CAST(sum(cnt * m) AS DOUBLE) / (CAST(max(n) AS DOUBLE) * 1000000.0))
+        * 10000 + 0.5) / 10000.0) AS entropy_nats
+FROM scored GROUP BY doc_id
+"""
+
+
+def q_quality_classifier(spark, sf):
+    """Hashed linear quality classifier (fastText-shape, zero-shuffle
+    pure-projection plan) — see
+    operators.textanalysis.quality_classifier."""
+    return ta.quality_classifier(_t(spark, sf, "documents"))
+
+
+def _quality_classifier_sql() -> str:
+    from aprs2influxdb_spark.functions.hashing import portable_hash64_sql
+    from aprs2influxdb_spark.operators.textanalysis import QC_BUCKETS, QC_WEIGHT_RANGE
+
+    bucket = f"({portable_hash64_sql('t')} % {QC_BUCKETS})"
+    winput = "'qw#' || " + bucket + "::VARCHAR"
+    weight = f"({portable_hash64_sql(winput)} % {QC_WEIGHT_RANGE} - 1000)"
+    return f"""
+SELECT doc_id, n_tokens, score_micro, (score_micro > 0) AS keep
+FROM (
+  SELECT doc_id,
+         len(string_split(lower(text), ' ')) AS n_tokens,
+         CAST(list_sum(list_transform(string_split(lower(text), ' '),
+              t -> {weight})) AS BIGINT) AS score_micro
+  FROM documents
+)
 """
 
 
@@ -4907,6 +5007,8 @@ def registry() -> dict[str, tuple]:
         "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
         "perplexity_bands": (q_perplexity_bands, SQL_PERPLEXITY_BANDS),
         "bm25_topk": (q_bm25_topk, _bm25_sql()),
+        "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
+        "quality_classifier": (q_quality_classifier, _quality_classifier_sql()),
         "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
         "holt_linear": (q_holt_linear, SQL_HOLT_LINEAR),
         "approx_distinct": (q_approx_distinct, _sql_approx_distinct()),
@@ -4962,6 +5064,7 @@ def registry() -> dict[str, tuple]:
         "edit_distance_pairs": (q_edit_distance_pairs, SQL_EDIT_DISTANCE_PAIRS),
         "quantize_embeddings": (q_quantize_embeddings, SQL_QUANTIZE_EMBEDDINGS),
         "pq_quantize": (q_pq_quantize, _pq_sql()),
+        "pq_adc_topk": (q_pq_adc_topk, _pq_adc_sql()),
         "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
         "blocklist_filter": (q_blocklist_filter, SQL_BLOCKLIST_FILTER),
         "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),

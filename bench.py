@@ -95,6 +95,11 @@ HEADLINE = [
     "pq_quantize",
     "curate_corpus",
     "pagerank_knn",
+    # round-2d additions: the PQ code-index query path, the zero-shuffle
+    # hashed classifier, and the char-entropy quality gate
+    "pq_adc_topk",
+    "quality_classifier",
+    "char_entropy",
 ]
 
 

@@ -187,6 +187,25 @@ class TestJoinStrategy:
         # doc reassembly + final doc-level join
         assert audit(q_curate_corpus(spark, sf_dir)).shuffles <= 5
 
+    def test_round2d_shuffle_budgets(self, spark, sf_dir):
+        """quality_classifier must stay a pure projection (ZERO
+        exchanges — tokenize/hash/weight-sum all in one codegen'd map);
+        char_entropy is the (doc,char) partial-agg + doc window/agg;
+        pq_adc_topk rides pq_quantize's plan plus a broadcast LUT join
+        and one (query, vec) aggregation — the LUT must never be the
+        shuffled side."""
+        from aprs2influxdb_spark.queries import (
+            q_char_entropy,
+            q_pq_adc_topk,
+            q_quality_classifier,
+        )
+
+        qc = audit(q_quality_classifier(spark, sf_dir))
+        assert qc.shuffles == 0
+        assert audit(q_char_entropy(spark, sf_dir)).shuffles <= 3
+        adc = audit(q_pq_adc_topk(spark, sf_dir))
+        assert adc.shuffles <= 5 and adc.broadcasts >= 2
+
     def test_runtime_bloom_filter_reduces_fact_scan(self, spark, sf_dir):
         """Runtime bloom-filter semi-join reduction: a selective filter
         on one join side injects a bloom filter (`might_contain`) into

@@ -1,0 +1,112 @@
+"""Full-registry oracle sweep at an arbitrary scale factor.
+
+Runs EVERY ``queries()`` entry side-by-side with its DuckDB
+``oracle_sql()`` twin at the given sf directory and reports row-count /
+column / order-insensitive value mismatches — the same comparison the
+driver's correctness gate performs, but over the whole registry instead
+of a sample, and at any scale::
+
+    python tools/sweep.py /root/testdata/sf0.01
+    python tools/sweep.py /root/testdata/sf0.1 --only merge_upsert scd2_intervals
+
+Exit status 0 iff zero mismatches.  This is the script behind the
+"three-scale value-exact sweep" recorded in COVERAGE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9) + 0.0)
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    return repr(v)
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir")
+    ap.add_argument("--only", nargs="*", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from aprs2influxdb_spark.queries import registry
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("oracle-sweep")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")
+
+    reg = registry()
+    names = args.only if args.only else sorted(reg)
+    bad = []
+    for name in names:
+        builder, sql = reg[name]
+        t0 = time.time()
+        try:
+            sdf = builder(spark, args.sf_dir)
+            s_cols = [c.lower() for c in sdf.columns]
+            s_rows = [tuple(r) for r in sdf.collect()]
+            if sql is None:
+                print(f"{name:34s} rows-only  n={len(s_rows)}  {time.time()-t0:.1f}s")
+                continue
+            res = con.execute(sql)
+            d_cols = [c[0].lower() for c in res.description]
+            d_rows = res.fetchall()
+            if sorted(s_cols) != sorted(d_cols):
+                bad.append((name, f"columns {s_cols} vs {d_cols}"))
+            elif len(s_rows) != len(d_rows):
+                bad.append((name, f"rowcount {len(s_rows)} vs {len(d_rows)}"))
+            else:
+                sc, dc = _canon(s_rows, s_cols), _canon(d_rows, d_cols)
+                if sc != dc:
+                    mism = [(a, b) for a, b in zip(sc, dc) if a != b][:3]
+                    bad.append((name, f"values {mism}"))
+            status = "FAIL" if bad and bad[-1][0] == name else "ok"
+            print(f"{name:34s} {status}  n={len(s_rows)}  {time.time()-t0:.1f}s")
+        except Exception as exc:  # noqa: BLE001 — sweep must report, not die
+            bad.append((name, f"error {exc!r}"))
+            print(f"{name:34s} ERROR {exc!r}")
+    print(f"\nswept {len(names)} entries, {len(bad)} mismatches")
+    for name, why in bad:
+        print(f"  {name}: {why[:300]}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
