@@ -48,6 +48,16 @@ def hashed_shingles(tokens: Column, n: int = 3) -> Column:
     slowdown of the whole pipeline at sf0.1.  The lambda variable ``h``
     is evaluated once per row.
     """
+    return F.array_distinct(positional_shingles(tokens, n))
+
+
+def positional_shingles(tokens: Column, n: int = 3) -> Column:
+    """Per-position word-n-gram shingle hashes (array<long>, one entry
+    per start position, duplicates KEPT in document order) — the
+    positional substrate :func:`hashed_shingles` distincts away, needed
+    by winnowing (fingerprints are (position, hash) pairs).  Same
+    Horner combination, let-binding trick, and coalesce-to-0 tail
+    semantics — see :func:`hashed_shingles`."""
     th = F.transform(tokens, lambda t: F.pmod(portable_hash64(t), F.lit(SHINGLE_P)))
 
     def _over(h: Column) -> Column:
@@ -58,7 +68,7 @@ def hashed_shingles(tokens: Column, n: int = 3) -> Column:
             return acc
 
         idx = F.sequence(F.lit(0), F.greatest(F.size(h) - n, F.lit(0)))
-        return F.array_distinct(F.transform(idx, _shingle))
+        return F.transform(idx, _shingle)
 
     return F.get(F.transform(F.array(th), _over), 0)
 
@@ -73,13 +83,19 @@ def token_hashes_sql(tokens_expr: str) -> str:
 def hashed_shingles_sql(h: str = "h", n: int = 3) -> str:
     """DuckDB twin of :func:`hashed_shingles` over a precomputed token-
     hash list column ``h`` (1-based list indexing)."""
+    return f"list_distinct({positional_shingles_sql(h, n)})"
+
+
+def positional_shingles_sql(h: str = "h", n: int = 3) -> str:
+    """DuckDB twin of :func:`positional_shingles` (duplicates kept,
+    document order)."""
     acc = f"coalesce({h}[i + 1], 0)"
     for k in range(1, n):
         acc = f"(({acc}) * {SHINGLE_BASE} + coalesce({h}[i + 1 + {k}], 0)) % {SHINGLE_P}"
     return (
-        f"list_distinct(list_transform("
+        f"list_transform("
         f"range(0, greatest(len({h}) - {n}, 0) + 1), "
-        f"i -> {acc}))"
+        f"i -> {acc})"
     )
 
 

@@ -758,3 +758,66 @@ def paragraph_dedup(
             ).alias("text_clean"),
         )
     )
+
+
+# winnowing parameters, shared with the oracle SQL: window of W
+# consecutive shingle hashes; fingerprints encode (hash, position) in
+# one int64 (hash < 2^33 shifted past a 2^20 position field)
+WINNOW_W = 4
+WINNOW_POS_BITS = 20
+
+
+def winnowing(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, w: int = WINNOW_W,
+) -> DataFrame:
+    """Robust winnowing fingerprints (Schleimer, Wilkerson, Aiken —
+    SIGMOD'03, the MOSS algorithm): slide a window of ``w`` consecutive
+    shingle hashes over the document and select each window's minimum
+    (rightmost occurrence on ties).  The guarantee: any match of
+    ``w + n - 1`` tokens or longer between two documents shares at
+    least one selected fingerprint — positional near-dup detection
+    with a density bound of 2/(w+1), unlike MinHash (global, set-
+    based) or :func:`rolling_fingerprint` (single whole-doc hash).
+
+    Emits per doc the distinct fingerprint count and an exact integer
+    checksum of the selected (hash, position) set.  Winner codes pack
+    ``hash * 2^20 + position`` into one int64 (positions < 2^20 per
+    doc documented; hash < SHINGLE_P < 2^33, so codes < 2^53 — exact
+    even through a double), and the checksum is their plain integer
+    sum — order-independent, bit-identical cross-engine.
+
+    Scale shape: ZERO shuffles — token hashing, shingling, window
+    minima, tie-break, and checksum are all per-row array expressions
+    in one codegen'd projection (the :func:`~aprs2influxdb_spark.operators.textanalysis.quality_classifier`
+    plan shape).  Per-row cost is O(shingles · w²) long comparisons —
+    w = 4 keeps the constant trivial."""
+    from aprs2influxdb_spark.functions.hashing import positional_shingles
+
+    hs = positional_shingles(tokens_col(text_col), n)
+
+    def _winners(h):
+        starts = F.sequence(F.lit(0), F.greatest(F.size(h) - w, F.lit(0)))
+
+        def _code(j):
+            sl = F.slice(h, j + 1, w)
+            m = F.array_min(sl)
+            rel = F.array_max(
+                F.filter(
+                    F.sequence(F.lit(0), F.lit(w - 1)),
+                    lambda i: F.get(sl, i) == m,
+                )
+            )
+            return m * F.lit(2 ** WINNOW_POS_BITS) + (j + rel)
+
+        return F.array_distinct(F.transform(starts, _code))
+
+    # let-bind the shingle array (one element outer transform) so the
+    # per-window lambdas reference it as a variable, not re-evaluate
+    # the whole Horner chain per window — see hashed_shingles
+    winners = F.get(F.transform(F.array(hs), _winners), 0)
+    return _spread_docs(docs, id_col, text_col).select(
+        F.col(id_col),
+        F.size(winners).alias("n_fps"),
+        F.aggregate(winners, F.lit(0).cast("long"), lambda a, x: a + x).alias("fp_checksum"),
+    )

@@ -4932,6 +4932,74 @@ SELECT cluster_id, doc_id AS keep_doc_id, quality_score FROM (
 """
 
 
+def q_winnowing(spark, sf):
+    """Robust winnowing fingerprints (MOSS, SIGMOD'03) — see
+    operators.dedup.winnowing (zero-shuffle array-expression plan;
+    rightmost-min-per-window selection, packed (hash, pos) codes)."""
+    return dd.winnowing(_t(spark, sf, "documents"))
+
+
+def _winnowing_sql(n: int = 3) -> str:
+    from aprs2influxdb_spark.functions.hashing import positional_shingles_sql
+    from aprs2influxdb_spark.operators.dedup import WINNOW_POS_BITS, WINNOW_W
+
+    w = WINNOW_W
+    pow2 = 2 ** WINNOW_POS_BITS
+    m = f"list_min(hs[j + 1 : j + {w}])"
+    rel = f"list_max(list_filter(range(0, {w}), i -> hs[j + 1 + i] = {m}))"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {token_hashes_sql(_TOKS)} AS h FROM documents
+), p AS (
+  SELECT doc_id, {positional_shingles_sql('h', n)} AS hs FROM t
+), wn AS (
+  SELECT doc_id, list_distinct(list_transform(
+      range(0, greatest(len(hs) - {w}, 0) + 1),
+      j -> {m} * {pow2} + (j + {rel})
+  )) AS winners FROM p
+)
+SELECT doc_id, len(winners) AS n_fps,
+       CAST(list_sum(winners) AS BIGINT) AS fp_checksum
+FROM wn
+"""
+
+
+def q_partition_skew(spark, sf):
+    """Hash-partition skew diagnostic over events.user_id: rows and
+    distinct keys per bucket (32 buckets via the portable hash) plus
+    each bucket's share of total — the report that drives the
+    salt-vs-AQE-skew-join decision before a big keyed shuffle.  The
+    plan is one partial-aggregating groupBy on a 32-value key and a
+    32-row whole-frame window — at 100 TB the shuffle carries 32
+    pre-combined rows per map task, nothing more."""
+    e = _t(spark, sf, "events")
+    b = F.pmod(portable_hash64(F.col("user_id").cast("string")), F.lit(32))
+    per = (
+        e.select(b.alias("bucket"), "user_id")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_rows"), F.countDistinct("user_id").alias("n_keys"))
+    )
+    wall = Window.partitionBy()
+    return per.select(
+        "bucket", "n_rows", "n_keys",
+        rhu(F.col("n_rows") / F.sum("n_rows").over(wall), 6).alias("share"),
+    )
+
+
+def _partition_skew_sql() -> str:
+    h = portable_hash64_sql("user_id::VARCHAR")
+    return f"""
+WITH per AS (
+  SELECT ({h}) % 32 AS bucket, count(*) AS n_rows,
+         count(DISTINCT user_id) AS n_keys
+  FROM events GROUP BY 1
+)
+SELECT bucket, n_rows, n_keys,
+       {rhu_sql('n_rows / CAST(sum(n_rows) OVER () AS DOUBLE)', 6)} AS share
+FROM per
+"""
+
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -5009,6 +5077,8 @@ def registry() -> dict[str, tuple]:
         "bm25_topk": (q_bm25_topk, _bm25_sql()),
         "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
         "quality_classifier": (q_quality_classifier, _quality_classifier_sql()),
+        "winnowing": (q_winnowing, _winnowing_sql()),
+        "partition_skew": (q_partition_skew, _partition_skew_sql()),
         "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
         "holt_linear": (q_holt_linear, SQL_HOLT_LINEAR),
         "approx_distinct": (q_approx_distinct, _sql_approx_distinct()),

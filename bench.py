@@ -100,6 +100,7 @@ HEADLINE = [
     "pq_adc_topk",
     "quality_classifier",
     "char_entropy",
+    "winnowing",
 ]
 
 

@@ -169,3 +169,40 @@ def test_bm25_absent_query_terms(spark, tmp_path):
     # doc 1 (tf-heavy) outranks doc 2 for q1
     q1 = sorted([r for r in out if r[0] == "q1"], key=lambda r: r[2])
     assert [r[1] for r in q1][:2] == [1, 2]
+
+
+def _write_docs(tmp_path, rows):
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array(["s0"] * len(rows)),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }),
+        tmp_path / "documents.parquet",
+    )
+
+
+def test_winnowing_guarantee_and_sensitivity(spark, tmp_path):
+    """The winnowing contract (SIGMOD'03 §2): identical documents select
+    identical fingerprint sets; a single-token perturbation changes the
+    selection; short docs (fewer shingles than the window) still emit
+    at least one fingerprint; and the density bound caps n_fps at the
+    number of windows."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base),                                   # exact dup
+        (3, base.replace("lazy", "sleepy")),         # 1-token edit
+        (4, "tiny doc"),                             # < w shingles
+    ]
+    _write_docs(tmp_path, rows)
+    out = _run_both(spark, tmp_path, "winnowing", ["documents"])
+    by_id = {r[0]: (r[1], r[2]) for r in out}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+    assert by_id[4][0] >= 1
+    n_tokens = len(base.split())
+    n_windows = max(n_tokens - 3 + 1 - 4, 0) + 1  # shingles - w + 1
+    assert by_id[1][0] <= n_windows

@@ -205,6 +205,12 @@ class TestJoinStrategy:
         assert audit(q_char_entropy(spark, sf_dir)).shuffles <= 3
         adc = audit(q_pq_adc_topk(spark, sf_dir))
         assert adc.shuffles <= 5 and adc.broadcasts >= 2
+        # winnowing is the other zero-shuffle pure projection; the skew
+        # report shuffles 32 pre-combined rows + a 32-row window
+        from aprs2influxdb_spark.queries import q_partition_skew, q_winnowing
+
+        assert audit(q_winnowing(spark, sf_dir)).shuffles == 0
+        assert audit(q_partition_skew(spark, sf_dir)).shuffles <= 3
 
     def test_runtime_bloom_filter_reduces_fact_scan(self, spark, sf_dir):
         """Runtime bloom-filter semi-join reduction: a selective filter
