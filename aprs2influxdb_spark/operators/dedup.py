@@ -409,6 +409,7 @@ def dup_ngram_coverage(
 def ngram_jaccard_pairs_capped(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     shingle_n: int = 3, threshold: float = 0.3, max_doc_freq: int = 5,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """:func:`ngram_jaccard_pairs` with stop-shingle candidate pruning
     — the shape that survives 100 TB.
@@ -492,11 +493,45 @@ def ngram_jaccard_pairs_capped(
         F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), F.col("stop_sh").alias("stop_b")
     )
     n_common = F.col("n_pruned") + F.size(F.array_intersect("stop_a", "stop_b"))
-    return (
+    counts = (
         pairs.join(ia, "id_a").join(ib, "id_b")
-        .withColumn("jaccard", n_common / (F.col("n_a") + F.col("n_b") - n_common))
+        .withColumn("n_common", n_common)
+    )
+    if metric == "containment":
+        # Broder containment C(A,B) = |A∩B| / |A| — asymmetric, so both
+        # directions are reported; a pair survives if EITHER direction
+        # clears the threshold (near-subset duplication: quotes,
+        # boilerplate wrappers, doc-in-doc)
+        c_a = F.col("n_common") / F.col("n_a")
+        c_b = F.col("n_common") / F.col("n_b")
+        return (
+            counts.withColumn("c_a", c_a).withColumn("c_b", c_b)
+            .filter(F.greatest("c_a", "c_b") >= threshold)
+            .select("id_a", "id_b", rhu("c_a", 4).alias("containment_a"), rhu("c_b", 4).alias("containment_b"))
+        )
+    return (
+        counts
+        .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", rhu("jaccard", 4).alias("jaccard"))
+    )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 3, threshold: float = 0.6, max_doc_freq: int = 5,
+) -> DataFrame:
+    """Capped-candidate n-gram CONTAINMENT pairs (Broder 1997's
+    asymmetric resemblance twin): ``C(A,B) = |A∩B| / |A|`` — catches
+    near-subset duplication that Jaccard misses (a short doc quoted
+    whole inside a long one has high containment but low Jaccard,
+    because the union is dominated by the long doc).  Same pruned
+    candidate machinery and exact full-set verification as
+    :func:`ngram_jaccard_pairs_capped`; both directions reported, pair
+    kept when either clears ``threshold``."""
+    return ngram_jaccard_pairs_capped(
+        docs, text_col=text_col, id_col=id_col, shingle_n=shingle_n,
+        threshold=threshold, max_doc_freq=max_doc_freq, metric="containment",
     )
 
 

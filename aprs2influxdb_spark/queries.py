@@ -1349,6 +1349,38 @@ def q_ngram_jaccard_capped(spark, sf):
 SQL_NGRAM_JACCARD_CAPPED = _sql_ngram_jaccard_capped(5)
 
 
+def q_ngram_containment(spark, sf):
+    """Broder containment near-subset pairs (|A∩B|/|A|, both
+    directions, keep when either >= 0.6) — see
+    operators.dedup.ngram_containment_pairs (same capped candidate
+    machinery as the Jaccard variants, exact full-set verification)."""
+    return dd.ngram_containment_pairs(_t(spark, sf, "documents"), threshold=0.6, max_doc_freq=5)
+
+
+def _sql_ngram_containment(max_doc_freq: int = 5, threshold: float = 0.6) -> str:
+    inter = "len(list_intersect(x.arr, y.arr))"
+    return f"""
+WITH {_TOKH_CTE}, arr AS (
+  SELECT doc_id, {_HSH_SQL} AS arr FROM tokh
+), sh AS (
+  SELECT doc_id, unnest(arr) AS shingle FROM arr
+), keep AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {max_doc_freq}
+), pruned AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       {rhu_sql(f'{inter} / CAST(len(x.arr) AS DOUBLE)', 4)} AS containment_a,
+       {rhu_sql(f'{inter} / CAST(len(y.arr) AS DOUBLE)', 4)} AS containment_b
+FROM cand JOIN arr x ON x.doc_id = id_a JOIN arr y ON y.doc_id = id_b
+WHERE greatest({inter} / CAST(len(x.arr) AS DOUBLE),
+               {inter} / CAST(len(y.arr) AS DOUBLE)) >= {threshold}
+"""
+
+
 def q_minhash_signatures(spark, sf):
     sigs = dd.minhash_signatures(_t(spark, sf, "documents"), num_hashes=16)
     # string-encode the signature so the driver's value hash treats it
@@ -4537,6 +4569,54 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_seasonal_anomaly(spark, sf):
+    """Seasonality-adjusted anomaly detection: each event's z-score
+    against its (ISO weekday, hour-of-day) cell's profile; events
+    beyond |z| >= 2.5 are flagged — the calendar-aware variant of
+    ``mad_outliers`` (a 3 AM traffic spike is anomalous even when the
+    value would be normal at noon).
+
+    Cross-engine determinism: cell moments are snapshot-rounded to 2
+    decimals BEFORE standardizing (the ``zscore_prices`` discipline);
+    the |z| cut compares the 4-dp-rounded z on both engines.
+    Zero-variance cells are excluded by the sd > 0 guard (division
+    semantics at 0 differ across engines).
+
+    Scale shape: one window over a 7×24-cell key — the shuffle
+    carries (dow, hr)-partitioned events once; at 100 TB the profile
+    would be a tiny precomputed broadcast table, and this plan
+    degrades to exactly that under AQE when the window becomes a
+    groupBy + broadcast join."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("iso_dow", "hr")
+    base = e.select(
+        "event_id",
+        (F.weekday("ts") + 1).alias("iso_dow"),
+        F.hour("ts").alias("hr"),
+        "value",
+    )
+    mu = rhu(F.avg("value").over(w), 2)
+    sd = rhu(F.stddev("value").over(w), 2)
+    return (
+        base.withColumn("mu", mu).withColumn("sd", sd)
+        .filter(F.col("sd") > 0)
+        .select("event_id", "iso_dow", "hr", rhu((F.col("value") - F.col("mu")) / F.col("sd"), 4).alias("z"))
+        .filter(F.abs(F.col("z")) >= 2.5)
+    )
+
+
+SQL_SEASONAL_ANOMALY = f"""
+SELECT event_id, iso_dow, hr, {rhu_sql('(value - mu) / sd', 4)} AS z
+FROM (
+  SELECT event_id, CAST(isodow(ts) AS INT) AS iso_dow, CAST(hour(ts) AS INT) AS hr, value,
+         (floor((avg(value) OVER (PARTITION BY isodow(ts), hour(ts))) * 100 + 0.5) / 100.0) AS mu,
+         (floor((stddev(value) OVER (PARTITION BY isodow(ts), hour(ts))) * 100 + 0.5) / 100.0) AS sd
+  FROM events
+)
+WHERE sd > 0 AND abs({rhu_sql('(value - mu) / sd', 4)}) >= 2.5
+"""
+
+
 def q_autocorr_series(spark, sf):
     """Lag-1 autocorrelation per series type: Pearson correlation of
     each sample with its predecessor (ordered by event time with an id
@@ -5092,6 +5172,7 @@ def registry() -> dict[str, tuple]:
         "dedup_fingerprint": (q_dedup_fingerprint, SQL_DEDUP_FINGERPRINT),
         "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
         "ngram_jaccard_capped": (q_ngram_jaccard_capped, SQL_NGRAM_JACCARD_CAPPED),
+        "ngram_containment": (q_ngram_containment, _sql_ngram_containment()),
         "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
         "minhash_lsh_pairs": (q_minhash_lsh_pairs, _minhash_lsh_sql()),
         "minhash_est_error": (q_minhash_est_error, _minhash_est_error_sql()),
@@ -5148,6 +5229,7 @@ def registry() -> dict[str, tuple]:
         "bucket_first_last": (q_bucket_first_last, SQL_BUCKET_FIRST_LAST),
         "autocorr_series": (q_autocorr_series, SQL_AUTOCORR_SERIES),
         "weekday_seasonality": (q_weekday_seasonality, SQL_WEEKDAY_SEASONALITY),
+        "seasonal_anomaly": (q_seasonal_anomaly, SQL_SEASONAL_ANOMALY),
         "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
         "source_mixture": (q_source_mixture, SQL_SOURCE_MIXTURE),
         "histogram_prices": (q_histogram_prices, SQL_HISTOGRAM_PRICES),

@@ -101,6 +101,7 @@ HEADLINE = [
     "quality_classifier",
     "char_entropy",
     "winnowing",
+    "ngram_containment",
 ]
 
 

@@ -211,6 +211,15 @@ class TestJoinStrategy:
 
         assert audit(q_winnowing(spark, sf_dir)).shuffles == 0
         assert audit(q_partition_skew(spark, sf_dir)).shuffles <= 3
+        # containment rides the capped-candidate machinery (same budget
+        # as the jaccard twins); seasonal anomaly is one cell-key window
+        from aprs2influxdb_spark.queries import (
+            q_ngram_containment,
+            q_seasonal_anomaly,
+        )
+
+        assert audit(q_ngram_containment(spark, sf_dir)).shuffles <= 7
+        assert audit(q_seasonal_anomaly(spark, sf_dir)).shuffles <= 1
 
     def test_runtime_bloom_filter_reduces_fact_scan(self, spark, sf_dir):
         """Runtime bloom-filter semi-join reduction: a selective filter
