@@ -180,3 +180,121 @@ SELECT {groups}, n_sample,
        {picks}
 FROM agg
 """
+
+
+# count-min sketch geometry, shared with the oracle SQL
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str = "user_id",
+    top_n: int = 20,
+) -> DataFrame:
+    """Count-min-sketch frequency estimates (Cormode & Muthukrishnan,
+    J.Alg 2005) for the exact top-``top_n`` heavy-hitter keys, reported
+    beside their true counts — the sketch-accuracy report that sizes a
+    production CMS (est >= exact always; inflation = collision mass at
+    this depth×width).
+
+    Cross-engine exactness: bucket hashes go through the shared
+    md5-based :func:`portable_hash64` (row-salted ``'cms<d>#' || key``)
+    and every counter is integer addition — both engines build the
+    bit-identical sketch, so even the *approximation* is value-exact
+    under the driver's gate while remaining a genuine CMS (collisions
+    and all).
+
+    Scale shape: counters aggregate from the per-key count table, NOT
+    raw rows (CMS is additive, so pre-combining by key first is
+    lossless); the sketch is depth×width = 4096 cells — broadcast to
+    the candidates join.  Two shuffles total: the per-key count
+    groupBy, then the 4096-cell aggregate; candidate ranking reuses
+    the per-key table with a WindowGroupLimit top-n."""
+    per_key = (
+        df.select(F.col(key_col).cast("string").alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("exact_n"))
+        .localCheckpoint(eager=False)
+    )
+
+    def bucket(d: int) -> Column:
+        return F.pmod(
+            portable_hash64(F.concat(F.lit(f"cms{d}#"), F.col("k"))), F.lit(CMS_WIDTH)
+        )
+
+    cells = (
+        per_key.select(
+            F.col("exact_n"),
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(d).alias("d"), bucket(d).alias("b"))
+                    for d in range(CMS_DEPTH)
+                ])
+            ).alias("x"),
+        )
+        .groupBy("x.d", "x.b")
+        .agg(F.sum("exact_n").alias("counter"))
+    )
+    w = Window.orderBy(F.col("exact_n").desc(), F.col("k").asc())
+    cand = (
+        per_key.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_n)
+        .select("k", "exact_n", "rk")
+    )
+    probes = cand.select(
+        "k", "exact_n", "rk",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(d).alias("d"), bucket(d).alias("b"))
+                for d in range(CMS_DEPTH)
+            ])
+        ).alias("x"),
+    ).select("k", "exact_n", "rk", "x.d", "x.b")
+    return (
+        probes.join(cells, ["d", "b"])
+        .groupBy("k", "exact_n", "rk")
+        .agg(F.min("counter").alias("cms_est"))
+        .select(
+            F.col("k").alias(key_col), "rk", "exact_n", "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("inflation"),
+        )
+    )
+
+
+def cms_heavy_hitters_sql(
+    table: str = "events", key_col: str = "user_id", top_n: int = 20,
+) -> str:
+    """DuckDB twin of :func:`cms_heavy_hitters`."""
+    bsql = [
+        "(" + portable_hash64_sql("'cms%d#' || k" % d) + ") %% %d" % CMS_WIDTH
+        for d in range(CMS_DEPTH)
+    ]
+    bsql = [s.replace("%%", "%") for s in bsql]
+    probes = " UNION ALL ".join(
+        f"SELECT k, exact_n, rk, {d} AS d, {bsql[d]} AS b FROM cand"
+        for d in range(CMS_DEPTH)
+    )
+    cells = " UNION ALL ".join(
+        f"SELECT {d} AS d, {bsql[d]} AS b, exact_n FROM per_key"
+        for d in range(CMS_DEPTH)
+    )
+    return f"""
+WITH per_key AS (
+  SELECT {key_col}::VARCHAR AS k, count(*) AS exact_n FROM {table} GROUP BY 1
+), cellrows AS (
+  {cells}
+), cells AS (
+  SELECT d, b, CAST(sum(exact_n) AS BIGINT) AS counter FROM cellrows GROUP BY d, b
+), cand AS (
+  SELECT k, exact_n, rk FROM (
+    SELECT k, exact_n, row_number() OVER (ORDER BY exact_n DESC, k) AS rk FROM per_key
+  ) WHERE rk <= {top_n}
+), probes AS (
+  {probes}
+)
+SELECT k AS {key_col}, rk, exact_n, CAST(min(counter) AS BIGINT) AS cms_est,
+       CAST(min(counter) - exact_n AS BIGINT) AS inflation
+FROM probes JOIN cells USING (d, b)
+GROUP BY k, rk, exact_n
+"""

@@ -1257,6 +1257,22 @@ def _sql_approx_distinct() -> str:
     return kmv_distinct_sql("events", "user_id::VARCHAR", ("event_type",), k=64)
 
 
+def q_cms_heavy_hitters(spark, sf):
+    """Count-min-sketch frequency estimates beside exact counts for the
+    top-20 heavy-hitter users — see operators.sketches.cms_heavy_hitters
+    (bit-identical sketch on both engines: portable row-salted hashes +
+    integer counters, so even the approximation is value-exact)."""
+    from aprs2influxdb_spark.operators.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(_t(spark, sf, "events"), key_col="user_id", top_n=20)
+
+
+def _sql_cms_heavy_hitters() -> str:
+    from aprs2influxdb_spark.operators.sketches import cms_heavy_hitters_sql
+
+    return cms_heavy_hitters_sql("events", "user_id", top_n=20)
+
+
 # --------------------------------------------------------------------
 # North star: dedup
 # --------------------------------------------------------------------
@@ -5162,6 +5178,7 @@ def registry() -> dict[str, tuple]:
         "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
         "holt_linear": (q_holt_linear, SQL_HOLT_LINEAR),
         "approx_distinct": (q_approx_distinct, _sql_approx_distinct()),
+        "cms_heavy_hitters": (q_cms_heavy_hitters, _sql_cms_heavy_hitters()),
         "sampled_percentiles": (q_sampled_percentiles, _sql_sampled_percentiles()),
         "distinct_daily_users": (q_distinct_daily_users, SQL_DISTINCT_DAILY),
         "time_bucket_agg": (q_time_bucket_agg, SQL_TIME_BUCKET),

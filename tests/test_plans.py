@@ -220,6 +220,11 @@ class TestJoinStrategy:
 
         assert audit(q_ngram_containment(spark, sf_dir)).shuffles <= 7
         assert audit(q_seasonal_anomaly(spark, sf_dir)).shuffles <= 1
+        # CMS builds from the per-key count table (one keyed shuffle),
+        # then a 4096-cell aggregate + top-n window + probe join
+        from aprs2influxdb_spark.queries import q_cms_heavy_hitters
+
+        assert audit(q_cms_heavy_hitters(spark, sf_dir)).shuffles <= 6
 
     def test_runtime_bloom_filter_reduces_fact_scan(self, spark, sf_dir):
         """Runtime bloom-filter semi-join reduction: a selective filter
