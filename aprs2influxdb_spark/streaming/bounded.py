@@ -759,3 +759,116 @@ def streaming_asof_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_bounded(spark, calibrated, "append", "stream_asof")
+
+
+CMS_OUTPUT = StructType(
+    [
+        StructField("d", LongType(), True),
+        StructField("counters", ArrayType(LongType()), True),
+        StructField("n_seen", LongType(), True),
+    ]
+)
+CMS_STATE = StructType(
+    [
+        StructField("counters", ArrayType(LongType()), True),
+        StructField("n_seen", LongType(), True),
+    ]
+)
+
+
+def _cms_group(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming count-min row: state = this depth's width counters
+    plus the cumulative row count (bounded at CMS_WIDTH longs however
+    many keys stream by — the mergeable-sketch property: counters from
+    any batch split sum to the batch-whole's counters).  Hashes are the
+    same row-salted portable md5 as the batch sketch, so the final
+    counters equal operators.sketches.cms_heavy_hitters' exactly."""
+    from aprs2influxdb_spark.operators.sketches import CMS_WIDTH
+
+    d = int(key[0])
+    counters = list(state.get[0]) if state.exists else [0] * CMS_WIDTH
+    n_seen = int(state.get[1]) if state.exists else 0
+    for pdf in pdfs:
+        for uid in pdf["user_id"]:
+            counters[_phash(f"cms{d}#{int(uid)}") % CMS_WIDTH] += 1
+            n_seen += 1
+    state.update((counters, n_seen))
+    yield pd.DataFrame(
+        [{"d": d, "counters": counters, "n_seen": n_seen}],
+        columns=["d", "counters", "n_seen"],
+    )
+
+
+def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``cms_heavy_hitters``: the event stream fans
+    out to one row per sketch depth, ``applyInPandasWithState`` keyed
+    by depth holds that row's width counters (O(depth × width) state
+    total, independent of stream length), and the final snapshot is
+    probed batch-side for the exact top-20 keys — identical output to
+    the batch entry, so it shares the oracle."""
+    from aprs2influxdb_spark.operators.sketches import CMS_DEPTH, CMS_WIDTH
+    from aprs2influxdb_spark.queries import _t
+
+    fan = (
+        stream_events(spark, sf_dir)
+        .select(
+            F.col("user_id"),
+            F.explode(F.array(*[F.lit(d) for d in range(CMS_DEPTH)])).alias("d"),
+        )
+        .groupBy("d")
+        .applyInPandasWithState(
+            _cms_group, CMS_OUTPUT, CMS_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+    sink = run_bounded(spark, fan, "append", "stream_cms")
+    from pyspark.sql import Window
+
+    # latest snapshot per depth (single batch under availableNow; the
+    # n_seen cumulative count disambiguates if the source ever splits)
+    w = Window.partitionBy("d").orderBy(F.col("n_seen").desc())
+    latest = (
+        sink.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        .select("d", "counters")
+    )
+    # exact top-20 candidates in batch from the same source, probed
+    # against the streamed counters
+    from aprs2influxdb_spark.functions.hashing import portable_hash64
+
+    per_key = (
+        _t(spark, sf_dir, "events")
+        .select(F.col("user_id").cast("string").alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("exact_n"))
+    )
+    wk = Window.orderBy(F.col("exact_n").desc(), F.col("k").asc())
+    cand = (
+        per_key.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 20)
+    )
+    probes = cand.select(
+        "k", "exact_n", "rk",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).cast("long").alias("d"),
+                    F.pmod(
+                        portable_hash64(F.concat(F.lit(f"cms{d}#"), F.col("k"))),
+                        F.lit(CMS_WIDTH),
+                    ).alias("b"),
+                )
+                for d in range(CMS_DEPTH)
+            ])
+        ).alias("x"),
+    ).select("k", "exact_n", "rk", "x.d", "x.b")
+    return (
+        probes.join(F.broadcast(latest), "d")
+        .select("k", "exact_n", "rk", F.expr("counters[b]").alias("counter"))
+        .groupBy("k", "exact_n", "rk")
+        .agg(F.min("counter").alias("cms_est"))
+        .select(
+            F.col("k").alias("user_id"), "rk", "exact_n", "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("inflation"),
+        )
+    )

@@ -269,3 +269,22 @@ class TestSketchStateMerge:
         [o2] = list(_ewma_group((7,), iter([b2]), st))
         assert o1.iloc[0]["ewma"] == 10.0
         assert o2.iloc[0]["ewma"] == round(0.3 * 20.0 + 0.7 * 10.0, 6)
+
+
+def test_cms_two_batches_equals_one():
+    """CMS counters are additive (a true mergeable sketch): one batch
+    vs two half-batches land on identical counters, and state stays
+    bounded at CMS_WIDTH longs."""
+    import pandas as pd
+
+    from aprs2influxdb_spark.operators.sketches import CMS_WIDTH
+    from aprs2influxdb_spark.streaming.bounded import _cms_group
+
+    rows = [i % 40 for i in range(800)]
+    one, two = _StateStub(), _StateStub()
+    [full] = list(_cms_group((0,), iter([pd.DataFrame({"user_id": rows})]), one))
+    list(_cms_group((0,), iter([pd.DataFrame({"user_id": rows[:400]})]), two))
+    [split] = list(_cms_group((0,), iter([pd.DataFrame({"user_id": rows[400:]})]), two))
+    assert full.iloc[0]["counters"] == split.iloc[0]["counters"]
+    assert full.iloc[0]["n_seen"] == split.iloc[0]["n_seen"] == 800
+    assert len(two.get[0]) == CMS_WIDTH
