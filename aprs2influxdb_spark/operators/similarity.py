@@ -863,11 +863,29 @@ def pq_adc_topk(
     from pyspark.sql import Window
 
     best, csubs = _pq_best(emb, n_sub, n_centroids, id_col, vec_col, dim)
-    sub_d = dim // n_sub
     q = emb.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     ).orderBy("query_id").limit(n_queries)
+    lut = _adc_lut(q, csubs, n_sub, dim // n_sub)
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_i").asc(), F.col(id_col).asc())
+    return (
+        best.join(F.broadcast(lut), ["s", "c_id"])
+        .filter(F.col("query_id") != F.col(id_col))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("qd2i").alias("adc_i"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", F.col(id_col), "rk", rhu(F.col("adc_i") / F.lit(1e8), 6).alias("adc_dist"))
+    )
+
+
+def _adc_lut(q: DataFrame, csubs: DataFrame, n_sub: int, sub_d: int) -> DataFrame:
+    """Per-query ADC lookup table ``(query_id, s, c_id, qd2i)``:
+    integerized squared L2 from each query subvector to every PQ
+    codebook entry.  ``q`` must carry ``(query_id, qv)``.  Shared by
+    :func:`pq_adc_topk` and :func:`ivfpq_topk`; same padded cross-dot
+    as :func:`_pq_best` so short vectors can't null-poison the LUT."""
     qsubs = q.select(
         "query_id",
         F.explode(F.array(*[
@@ -878,8 +896,6 @@ def pq_adc_topk(
             for s in range(n_sub)
         ])).alias("x"),
     ).select("query_id", "x.s", "x.qsv")
-    # same padded cross-dot as _pq_best: short vectors must not
-    # null-poison the LUT
     dot_pad = F.aggregate(
         F.zip_with(F.col("qsv"), F.col("csv"), lambda x, y: F.coalesce(x * y, F.lit(0.0))),
         F.lit(0.0),
@@ -890,22 +906,69 @@ def pq_adc_topk(
         - F.lit(2.0) * dot_pad
         + _dot(F.col("csv"), F.col("csv"))
     )
-    lut = (
-        qsubs.join(csubs, "s")
-        .select(
-            "query_id", "s", "c_id",
-            F.floor(l2sq * F.lit(1e8) + F.lit(0.5)).cast("long").alias("qd2i"),
-        )
+    return qsubs.join(csubs, "s").select(
+        "query_id", "s", "c_id",
+        F.floor(l2sq * F.lit(1e8) + F.lit(0.5)).cast("long").alias("qd2i"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("adc_i").asc(), F.col(id_col).asc())
+
+
+def ivfpq_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 10, n_probe: int = 4,
+    n_sub: int = 8, pq_centroids: int = 16, n_centroids: int | None = None,
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
+) -> DataFrame:
+    """IVF+PQ composed ANN search (the FAISS ``IVFPQ`` index, Jégou et
+    al. PAMI 2011 §V): the coarse IVF quantizer prunes COMPUTE (each
+    query scores only its ``n_probe`` nearest inverted lists) while
+    the product quantizer prunes MEMORY (candidates are scored against
+    8-byte codes via the ADC lookup table, never the raw vectors) —
+    the production shape for billion-vector search, here as one
+    DataFrame plan.
+
+    List selection ranks by the 8-dp-rounded cosine (the
+    :func:`ivf_assignments` convention); candidate scoring is the
+    integerized ADC squared-L2 of :func:`pq_adc_topk` with vec-id
+    tie-breaks — deterministic cross-engine at every stage.
+
+    Scale shape: centroids and the per-query LUT stay broadcast; the
+    corpus moves exactly twice, once into inverted lists (IVF
+    assignment groupBy) and once through the PQ code assignment — both
+    one-time index builds in production.  Per query the scored
+    candidate set is |probed lists| × 8 code rows joined map-side to
+    the broadcast LUT, partial-aggregated before the single (query,
+    neighbor) shuffle, and the top-k is a WindowGroupLimit."""
+    from pyspark.sql import Window
+
+    cent, assign = ivf_assignments(emb, n_centroids, id_col, vec_col)
+    best, csubs = _pq_best(emb, n_sub, pq_centroids, id_col, vec_col, dim)
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cos_c").desc(), F.col("c_id").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cos_c", rhu(cosine(F.col("qv"), F.col("cv")), 8))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "c_id")
+    )
+    lut = _adc_lut(q, csubs, n_sub, dim // n_sub)
+    cands = (
+        F.broadcast(probes)
+        .join(assign.select(F.col(id_col).alias("neighbor_id"), "c_id"), "c_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_i").asc(), F.col("neighbor_id").asc())
     return (
-        best.join(F.broadcast(lut), ["s", "c_id"])
-        .filter(F.col("query_id") != F.col(id_col))
-        .groupBy("query_id", id_col)
+        cands.join(best.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "s", "c_id"])
+        .groupBy("query_id", "neighbor_id")
         .agg(F.sum("qd2i").alias("adc_i"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("query_id", F.col(id_col), "rk", rhu(F.col("adc_i") / F.lit(1e8), 6).alias("adc_dist"))
+        .select("query_id", "neighbor_id", "rk", rhu(F.col("adc_i") / F.lit(1e8), 6).alias("adc_dist"))
     )
 
 

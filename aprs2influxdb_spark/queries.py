@@ -2009,6 +2009,72 @@ SELECT query_id, neighbor_id, cos_sim, rk FROM (
 """
 
 
+def q_ivfpq_topk(spark, sf):
+    """IVF+PQ composed ANN (the FAISS IVFPQ shape): coarse lists prune
+    compute, PQ codes + broadcast ADC lookup tables prune memory —
+    see operators.similarity.ivfpq_topk."""
+    return sim.ivfpq_topk(_t(spark, sf, "embeddings"), QUERY_VEC_IDS, k=10, n_probe=4)
+
+
+def _ivfpq_sql(
+    k: int = 10, n_probe: int = 4, n_sub: int = 8, pq_cent: int = 16,
+    dim: int = 64,
+) -> str:
+    qids = ", ".join(str(i) for i in QUERY_VEC_IDS)
+    sub_d = dim // n_sub
+    cos = "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    r8 = "(floor(({x}) * 100000000 + 0.5) / 100000000.0)"
+    cos_vc = r8.format(x=cos.format(a="e.v", b="ic.icv"))
+    cos_qc = r8.format(x=cos.format(a="q.qv", b="ic.icv"))
+    l2q = (
+        "((list_dot_product(qsv, qsv) - 2.0 * list_dot_product(qsv, csv))"
+        " + list_dot_product(csv, csv))"
+    )
+    return f"""
+WITH {_pq_core_cte(n_sub, pq_cent, dim)}, icent AS (
+  SELECT vec_id AS ic_id, embedding::DOUBLE[] AS icv FROM embeddings ORDER BY vec_id LIMIT {_IVF_NC_LIMIT}
+), iassign AS (
+  SELECT vec_id, ic_id FROM (
+    SELECT e.vec_id, ic.ic_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_vc} DESC, ic.ic_id) AS rn
+    FROM e CROSS JOIN icent ic
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({qids})
+), probes AS (
+  SELECT query_id, ic_id FROM (
+    SELECT q.query_id, ic.ic_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY {cos_qc} DESC, ic.ic_id) AS rn
+    FROM q CROSS JOIN icent ic
+  ) WHERE rn <= {n_probe}
+), qs AS (
+  SELECT query_id, qv, unnest(range(0, {n_sub})) AS s FROM q
+), qsubs AS (
+  SELECT query_id, s, qv[s * {sub_d} + 1 : s * {sub_d} + {sub_d}] AS qsv FROM qs
+), lut AS (
+  SELECT query_id, s, c_id,
+         CAST(floor({l2q} * 100000000.0 + 0.5) AS BIGINT) AS qd2i
+  FROM qsubs JOIN csubs USING (s)
+), cands AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN iassign a ON a.ic_id = p.ic_id
+  WHERE a.vec_id != p.query_id
+), adc AS (
+  SELECT c.query_id, c.neighbor_id, CAST(sum(l.qd2i) AS BIGINT) AS adc_i
+  FROM cands c
+  JOIN best b ON b.vec_id = c.neighbor_id
+  JOIN lut l ON l.query_id = c.query_id AND l.s = b.s AND l.c_id = b.c_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rk,
+       (floor((adc_i / 100000000.0) * 1000000 + 0.5) / 1000000.0) AS adc_dist
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_i, neighbor_id) AS rk
+  FROM adc
+) WHERE rk <= {k}
+"""
+
+
 def q_ivf_kmeans_topk(spark, sf):
     """IVF ANN with one Lloyd refinement round over the deterministic
     seed centroids — better-centered inverted lists at the same probe
@@ -5210,6 +5276,7 @@ def registry() -> dict[str, tuple]:
         "pagerank_knn": (q_pagerank_knn, _pagerank_sql()),
         "semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
         "ivf_topk": (q_ivf_topk, _ivf_sql()),
+        "ivfpq_topk": (q_ivfpq_topk, _ivfpq_sql()),
         "ivf_kmeans_topk": (q_ivf_kmeans_topk, _ivf_kmeans_sql()),
         "srp_buckets": (q_srp_buckets, _srp_sql()),
         "lsh_bucketed_topk": (q_lsh_bucketed_topk, _lsh_bucketed_sql()),

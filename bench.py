@@ -102,6 +102,7 @@ HEADLINE = [
     "char_entropy",
     "winnowing",
     "ngram_containment",
+    "ivfpq_topk",
 ]
 
 

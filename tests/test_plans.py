@@ -225,6 +225,13 @@ class TestJoinStrategy:
         from aprs2influxdb_spark.queries import q_cms_heavy_hitters
 
         assert audit(q_cms_heavy_hitters(spark, sf_dir)).shuffles <= 6
+        # IVFPQ: centroids + LUT broadcast; corpus moves through the
+        # one-time IVF assignment and PQ code builds, candidates
+        # partial-aggregate before the (query, neighbor) shuffle
+        from aprs2influxdb_spark.queries import q_ivfpq_topk
+
+        ivfpq = audit(q_ivfpq_topk(spark, sf_dir))
+        assert ivfpq.shuffles <= 8 and ivfpq.broadcasts >= 3
 
     def test_runtime_bloom_filter_reduces_fact_scan(self, spark, sf_dir):
         """Runtime bloom-filter semi-join reduction: a selective filter
