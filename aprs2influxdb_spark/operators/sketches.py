@@ -298,3 +298,117 @@ SELECT k AS {key_col}, rk, exact_n, CAST(min(counter) AS BIGINT) AS cms_est,
 FROM probes JOIN cells USING (d, b)
 GROUP BY k, rk, exact_n
 """
+
+
+def cms_join_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "k",
+) -> DataFrame:
+    """Join-cardinality estimation from count-min sketches (Cormode &
+    Muthukrishnan 2005 §4.2): ``|A ⋈ B|`` is upper-bounded by
+    ``min_d Σ_b cmsA[d][b] · cmsB[d][b]`` — the sketch inner product.
+    Reported beside the exact join size, this is the optimizer
+    statistic that decides broadcast-vs-shuffle or flags a blow-up
+    join BEFORE running it at 100 TB: two 4 KB sketches answer what
+    would otherwise need the join itself.
+
+    Both inputs must expose ``key_col``; output is one row with the
+    exact size, the CMS estimate (>= exact always), and the relative
+    inflation.  Same portable row-salted hashing and integer counters
+    as :func:`cms_heavy_hitters`, so both engines build identical
+    sketches and the entry is value-exact.
+
+    Scale shape: each side aggregates per key (the shuffle a join
+    would do anyway, but emitting one row per key), then to
+    depth×width cells; the inner product joins two 4096-cell tables —
+    driver-free and O(sketch), not O(data)."""
+
+    def per_key(df: DataFrame) -> DataFrame:
+        # one keyed aggregate per side feeds BOTH the sketch cells and
+        # the exact join — lazily checkpointed so the two consumers
+        # share the shuffle instead of recomputing it
+        return (
+            df.select(F.col(key_col).cast("string").alias("k"))
+            .groupBy("k")
+            .agg(F.count("*").alias("n"))
+            .localCheckpoint(eager=False)
+        )
+
+    def cells(pk: DataFrame, n_col: str) -> DataFrame:
+        return (
+            pk.select(
+                F.col("n"),
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            F.pmod(
+                                portable_hash64(F.concat(F.lit(f"cms{d}#"), F.col("k"))),
+                                F.lit(CMS_WIDTH),
+                            ).alias("b"),
+                        )
+                        for d in range(CMS_DEPTH)
+                    ])
+                ).alias("x"),
+            )
+            .groupBy("x.d", "x.b")
+            .agg(F.sum("n").alias(n_col))
+        )
+    la, rb = per_key(left), per_key(right)
+    ca = cells(la, "na")
+    cb = cells(rb, "nb")
+    inner = (
+        ca.join(cb, ["d", "b"])
+        .groupBy("d")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("ip"))
+        .agg(F.min("ip").alias("cms_join_est"))
+    )
+    exact = (
+        la.withColumnRenamed("n", "na")
+        .join(rb.withColumnRenamed("n", "nb"), "k")
+        .agg(F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0)).alias("exact_join_n"))
+    )
+    from aprs2influxdb_spark.functions.rounding import rhu
+
+    return exact.crossJoin(inner).select(
+        "exact_join_n", "cms_join_est",
+        rhu(F.col("cms_join_est") / F.col("exact_join_n"), 6).alias("inflation_ratio"),
+    )
+
+
+def cms_join_estimate_sql(left_sql: str, right_sql: str, key_col: str = "k") -> str:
+    """DuckDB twin of :func:`cms_join_estimate`; ``left_sql`` /
+    ``right_sql`` are subqueries exposing ``key_col``."""
+    bsql = [
+        "(" + portable_hash64_sql("'cms%d#' || k" % d) + ") %% %d" % CMS_WIDTH
+        for d in range(CMS_DEPTH)
+    ]
+    bsql = [s.replace("%%", "%") for s in bsql]
+
+    def cell_rows(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {d} AS d, {bsql[d]} AS b, n FROM {src}" for d in range(CMS_DEPTH)
+        )
+
+    return f"""
+WITH la AS (
+  SELECT {key_col}::VARCHAR AS k, count(*) AS n FROM ({left_sql}) GROUP BY 1
+), rb AS (
+  SELECT {key_col}::VARCHAR AS k, count(*) AS n FROM ({right_sql}) GROUP BY 1
+), ca AS (
+  SELECT d, b, CAST(sum(n) AS BIGINT) AS na FROM ({cell_rows('la')}) GROUP BY d, b
+), cb AS (
+  SELECT d, b, CAST(sum(n) AS BIGINT) AS nb FROM ({cell_rows('rb')}) GROUP BY d, b
+), inner_p AS (
+  SELECT CAST(min(ip) AS BIGINT) AS cms_join_est FROM (
+    SELECT d, sum(na * nb) AS ip FROM ca JOIN cb USING (d, b) GROUP BY d
+  )
+), exact AS (
+  SELECT CAST(coalesce(sum(la.n * rb.n), 0) AS BIGINT) AS exact_join_n
+  FROM la JOIN rb USING (k)
+)
+SELECT exact_join_n, cms_join_est,
+       (floor((cms_join_est / CAST(exact_join_n AS DOUBLE)) * 1000000 + 0.5) / 1000000.0) AS inflation_ratio
+FROM exact CROSS JOIN inner_p
+"""

@@ -1257,6 +1257,29 @@ def _sql_approx_distinct() -> str:
     return kmv_distinct_sql("events", "user_id::VARCHAR", ("event_type",), k=64)
 
 
+def q_cms_join_estimate(spark, sf):
+    """Join-cardinality estimation from two CMS sketches (inner-product
+    upper bound vs the exact join size) — the optimizer statistic that
+    flags a blow-up join from two 4 KB sketches before running it; see
+    operators.sketches.cms_join_estimate.  Inputs: the even/odd
+    event-id halves of the events table joined on user_id."""
+    from aprs2influxdb_spark.operators.sketches import cms_join_estimate
+
+    e = _t(spark, sf, "events")
+    left = e.filter(F.col("event_id") % 2 == 0).select(F.col("user_id").alias("k"))
+    right = e.filter(F.col("event_id") % 2 == 1).select(F.col("user_id").alias("k"))
+    return cms_join_estimate(left, right, key_col="k")
+
+
+def _sql_cms_join_estimate() -> str:
+    from aprs2influxdb_spark.operators.sketches import cms_join_estimate_sql
+
+    return cms_join_estimate_sql(
+        "SELECT user_id AS k FROM events WHERE event_id % 2 = 0",
+        "SELECT user_id AS k FROM events WHERE event_id % 2 = 1",
+    )
+
+
 def q_cms_heavy_hitters(spark, sf):
     """Count-min-sketch frequency estimates beside exact counts for the
     top-20 heavy-hitter users — see operators.sketches.cms_heavy_hitters
@@ -5251,6 +5274,7 @@ def registry() -> dict[str, tuple]:
         "holt_linear": (q_holt_linear, SQL_HOLT_LINEAR),
         "approx_distinct": (q_approx_distinct, _sql_approx_distinct()),
         "cms_heavy_hitters": (q_cms_heavy_hitters, _sql_cms_heavy_hitters()),
+        "cms_join_estimate": (q_cms_join_estimate, _sql_cms_join_estimate()),
         "sampled_percentiles": (q_sampled_percentiles, _sql_sampled_percentiles()),
         "distinct_daily_users": (q_distinct_daily_users, SQL_DISTINCT_DAILY),
         "time_bucket_agg": (q_time_bucket_agg, SQL_TIME_BUCKET),

@@ -232,6 +232,11 @@ class TestJoinStrategy:
 
         ivfpq = audit(q_ivfpq_topk(spark, sf_dir))
         assert ivfpq.shuffles <= 8 and ivfpq.broadcasts >= 3
+        # join-size estimate: two per-key aggs + two 4096-cell aggs +
+        # the sketch inner product and exact join — all sketch-sized
+        from aprs2influxdb_spark.queries import q_cms_join_estimate
+
+        assert audit(q_cms_join_estimate(spark, sf_dir)).shuffles <= 8
 
     def test_runtime_bloom_filter_reduces_fact_scan(self, spark, sf_dir):
         """Runtime bloom-filter semi-join reduction: a selective filter
