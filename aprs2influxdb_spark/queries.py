@@ -3240,6 +3240,79 @@ FROM minute GROUP BY 1, 2
 """
 
 
+def q_psi_drift(spark, sf):
+    """Population Stability Index between two sources' document-length
+    distributions — the banded drift score model-monitoring stacks
+    alert on (PSI < 0.1 stable, > 0.25 shifted), complementing
+    ``ks_drift``'s max-deviation view with a per-band breakdown.
+
+    Ten equal-width bands over the REFERENCE side's [min, max]; band
+    assignment is pure integer arithmetic (``(v - mn) * 10 div
+    (mx - mn + 1)``, clamped) so banding is exact cross-engine.  Empty
+    bands take the standard 1e-4 floor before the log.  Per-band
+    terms are integerized (micro-units, the ``unigram_logprob``
+    discipline) before summation.
+
+    Scale shape: one partial-agg groupBy on a 10-value band key after
+    a broadcast of the 1-row reference stats; the 10-row total window
+    is free.  At 100 TB this is a scan + 10-cell aggregate."""
+    d = _t(spark, sf, "documents").filter(F.col("source").isin("src0", "src1"))
+    ref = d.filter(F.col("source") == "src0").agg(
+        F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx")
+    )
+    band = F.least(
+        F.greatest(
+            F.expr("((n_chars - mn) * 10) div (mx - mn + 1)"), F.lit(0)
+        ),
+        F.lit(9),
+    )
+    counts = (
+        d.crossJoin(F.broadcast(ref))
+        .select(band.alias("band"), "source")
+        .groupBy("band")
+        .agg(
+            F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("nb"),
+        )
+    )
+    wall = Window.partitionBy()
+    pa = F.greatest(F.col("na") / F.sum("na").over(wall), F.lit(1e-4))
+    pb = F.greatest(F.col("nb") / F.sum("nb").over(wall), F.lit(1e-4))
+    term = F.floor((pa - pb) * F.log(pa / pb) * 1e6 + F.lit(0.5)).cast("long")
+    return (
+        counts.withColumn("term_micro", term)
+        .withColumn("psi", rhu(F.sum("term_micro").over(wall) / F.lit(1e6), 6))
+        .select("band", "na", "nb", "term_micro", "psi")
+    )
+
+
+SQL_PSI_DRIFT = """
+WITH d AS (
+  SELECT n_chars, source FROM documents WHERE source IN ('src0', 'src1')
+), ref AS (
+  SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM d WHERE source = 'src0'
+), counts AS (
+  SELECT least(greatest(((n_chars - mn) * 10) // (mx - mn + 1), 0), 9) AS band,
+         CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM d CROSS JOIN ref
+  GROUP BY 1
+), terms AS (
+  SELECT band, na, nb,
+         CAST(floor(
+           (greatest(na / CAST(sum(na) OVER () AS DOUBLE), 0.0001)
+            - greatest(nb / CAST(sum(nb) OVER () AS DOUBLE), 0.0001))
+           * ln(greatest(na / CAST(sum(na) OVER () AS DOUBLE), 0.0001)
+                / greatest(nb / CAST(sum(nb) OVER () AS DOUBLE), 0.0001))
+           * 1000000 + 0.5) AS BIGINT) AS term_micro
+  FROM counts
+)
+SELECT band, na, nb, term_micro,
+       (floor((CAST(sum(term_micro) OVER () AS DOUBLE) / 1000000.0) * 1000000 + 0.5) / 1000000.0) AS psi
+FROM terms
+"""
+
+
 def q_ks_drift(spark, sf):
     """Two-sample Kolmogorov–Smirnov statistic between two sources'
     document-length distributions — the distribution-drift check a
@@ -5255,6 +5328,7 @@ def registry() -> dict[str, tuple]:
         "hier_rollup": (q_hier_rollup, SQL_HIER_ROLLUP),
         "profile_columns": (q_profile_columns, SQL_PROFILE_COLUMNS),
         "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
+        "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
         "product_profit": (q_product_profit, SQL_PRODUCT_PROFIT),
         "supplier_part_counts": (q_supplier_part_counts, SQL_SUPPLIER_PART_COUNTS),
         "excess_shippers": (q_excess_shippers, SQL_EXCESS_SHIPPERS),

@@ -237,6 +237,11 @@ class TestJoinStrategy:
         from aprs2influxdb_spark.queries import q_cms_join_estimate
 
         assert audit(q_cms_join_estimate(spark, sf_dir)).shuffles <= 8
+        # PSI: broadcast 1-row ref stats + a 10-band partial agg + the
+        # free 10-row total window
+        from aprs2influxdb_spark.queries import q_psi_drift
+
+        assert audit(q_psi_drift(spark, sf_dir)).shuffles <= 3
 
     def test_runtime_bloom_filter_reduces_fact_scan(self, spark, sf_dir):
         """Runtime bloom-filter semi-join reduction: a selective filter
