@@ -797,30 +797,42 @@ def paragraph_dedup(
 
 # winnowing parameters, shared with the oracle SQL: window of W
 # consecutive shingle hashes; fingerprints encode (hash, position) in
-# one int64 (hash < 2^33 shifted past a 2^20 position field)
+# one int64 (hash < 2^33 shifted past a 2^20 position field); the
+# checksum folds modulo a Mersenne prime so it can never overflow
+# int64 however many fingerprints a document selects
 WINNOW_W = 4
 WINNOW_POS_BITS = 20
+WINNOW_CHECKSUM_P = (1 << 61) - 1
 
 
 def winnowing(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n: int = 3, w: int = WINNOW_W,
 ) -> DataFrame:
-    """Robust winnowing fingerprints (Schleimer, Wilkerson, Aiken —
-    SIGMOD'03, the MOSS algorithm): slide a window of ``w`` consecutive
-    shingle hashes over the document and select each window's minimum
-    (rightmost occurrence on ties).  The guarantee: any match of
-    ``w + n - 1`` tokens or longer between two documents shares at
-    least one selected fingerprint — positional near-dup detection
-    with a density bound of 2/(w+1), unlike MinHash (global, set-
-    based) or :func:`rolling_fingerprint` (single whole-doc hash).
+    """Winnowing fingerprints (Schleimer, Wilkerson, Aiken —
+    SIGMOD'03, the MOSS fingerprinting scheme): slide a window of
+    ``w`` consecutive shingle hashes over the document and select each
+    window's minimum (rightmost occurrence on ties).  The guarantee:
+    any match of ``w + n - 1`` tokens or longer between two documents
+    shares at least one selected fingerprint — positional near-dup
+    detection with an expected density of 2/(w+1), unlike MinHash
+    (global, set-based) or :func:`rolling_fingerprint` (single
+    whole-doc hash).  NOTE: this is the paper's BASE algorithm; its
+    "robust winnowing" refinement additionally re-selects the previous
+    window's fingerprint on hash ties (relevant only under hash
+    collisions within a window) — a documented divergence, identical
+    on both engines.
 
-    Emits per doc the distinct fingerprint count and an exact integer
-    checksum of the selected (hash, position) set.  Winner codes pack
-    ``hash * 2^20 + position`` into one int64 (positions < 2^20 per
-    doc documented; hash < SHINGLE_P < 2^33, so codes < 2^53 — exact
-    even through a double), and the checksum is their plain integer
-    sum — order-independent, bit-identical cross-engine.
+    Emits per doc the distinct fingerprint count and a deterministic
+    integer checksum of the selected (hash, position) set.  Winner
+    codes pack ``hash * 2^20 + position`` into one int64 (positions
+    < 2^20 per doc documented; hash < SHINGLE_P < 2^33, so codes
+    < 2^53 — exact even through a double); the checksum folds them
+    modulo ``WINNOW_CHECKSUM_P`` (2^61 − 1: acc + code stays < 2^62,
+    no int64 overflow at ANY fingerprint count, where a plain sum
+    would wrap past ~2^11 fingerprints).  Modular addition is
+    commutative, so the fold equals ``sum(codes) mod P`` in any
+    order — bit-identical cross-engine.
 
     Scale shape: ZERO shuffles — token hashing, shingling, window
     minima, tie-break, and checksum are all per-row array expressions
@@ -854,5 +866,8 @@ def winnowing(
     return _spread_docs(docs, id_col, text_col).select(
         F.col(id_col),
         F.size(winners).alias("n_fps"),
-        F.aggregate(winners, F.lit(0).cast("long"), lambda a, x: a + x).alias("fp_checksum"),
+        F.aggregate(
+            winners, F.lit(0).cast("long"),
+            lambda a, x: F.pmod(a + x, F.lit(WINNOW_CHECKSUM_P)),
+        ).alias("fp_checksum"),
     )

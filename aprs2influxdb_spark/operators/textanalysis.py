@@ -587,13 +587,17 @@ def char_entropy(
     Scale shape: chars explode to (doc, char) rows but the groupBy
     partial-aggregates map-side down to ≤ |alphabet| rows per doc
     before the shuffle on ``(id, char)``; the final per-doc sum
-    shuffles id-sized rows.  Documents with NULL/empty text produce no
-    char rows and drop out (documented; both engines agree)."""
+    shuffles id-sized rows.  NULL text produces no char rows and drops
+    out; empty text yields one ``''`` char row (entropy 0) on BOTH
+    engines — split of '' is [''] in Spark and DuckDB alike."""
     chars = (
         _spread_docs(docs, id_col, text_col)
-        # zero-width split "(?!$)" = one element per character with no
-        # trailing empty; DuckDB's string_split(text, '') is the twin
-        .select(F.col(id_col), F.explode(F.split(F.col(text_col), "(?!$)")).alias("ch"))
+        # zero-width split "(?!\z)" = one element per character with no
+        # trailing empty; \z (absolute end), NOT $, because Java's $
+        # also matches before a trailing newline and would fuse the
+        # final char with it — diverging from DuckDB's
+        # string_split(text, '') twin on newline-terminated docs
+        .select(F.col(id_col), F.explode(F.split(F.col(text_col), r"(?!\z)")).alias("ch"))
         .groupBy(id_col, "ch")
         .agg(F.count("*").alias("cnt"))
     )

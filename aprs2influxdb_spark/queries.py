@@ -1847,12 +1847,25 @@ def q_pq_quantize(spark, sf):
     return sim.pq_quantize(_t(spark, sf, "embeddings"))
 
 
+def _padded_cross_dot(a: str, b: str) -> str:
+    """DuckDB twin of the Spark padded cross-dot (``zip_with`` +
+    ``coalesce(x*y, 0)``): pads the shorter list with zeros instead of
+    erroring — ``list_dot_product`` raises on length mismatch, so a
+    malformed short vector would crash the oracle while the Spark side
+    returns a padded result."""
+    return (
+        f"coalesce(list_sum(list_transform("
+        f"range(1, greatest(len({a}), len({b})) + 1), "
+        f"i -> coalesce({a}[i], 0.0) * coalesce({b}[i], 0.0))), 0.0)"
+    )
+
+
 def _pq_core_cte(n_sub: int = 8, n_centroids: int = 16, dim: int = 64) -> str:
     """Shared PQ CTE chain ending in ``best(vec_id, s, c_id, d2i)`` +
     ``csubs`` — the oracle twin of ``similarity._pq_best``."""
     sub_d = dim // n_sub
     l2 = (
-        "((list_dot_product(sv, sv) - 2.0 * list_dot_product(sv, csv))"
+        f"((list_dot_product(sv, sv) - 2.0 * {_padded_cross_dot('sv', 'csv')})"
         " + list_dot_product(csv, csv))"
     )
     return f"""e AS (
@@ -1901,7 +1914,7 @@ def _pq_adc_sql(
 ) -> str:
     sub_d = dim // n_sub
     l2q = (
-        "((list_dot_product(qsv, qsv) - 2.0 * list_dot_product(qsv, csv))"
+        f"((list_dot_product(qsv, qsv) - 2.0 * {_padded_cross_dot('qsv', 'csv')})"
         " + list_dot_product(csv, csv))"
     )
     return f"""
@@ -2050,7 +2063,7 @@ def _ivfpq_sql(
     cos_vc = r8.format(x=cos.format(a="e.v", b="ic.icv"))
     cos_qc = r8.format(x=cos.format(a="q.qv", b="ic.icv"))
     l2q = (
-        "((list_dot_product(qsv, qsv) - 2.0 * list_dot_product(qsv, csv))"
+        f"((list_dot_product(qsv, qsv) - 2.0 * {_padded_cross_dot('qsv', 'csv')})"
         " + list_dot_product(csv, csv))"
     )
     return f"""
@@ -4756,7 +4769,7 @@ FROM events GROUP BY 1, 2
 def q_seasonal_anomaly(spark, sf):
     """Seasonality-adjusted anomaly detection: each event's z-score
     against its (ISO weekday, hour-of-day) cell's profile; events
-    beyond |z| >= 2.5 are flagged — the calendar-aware variant of
+    beyond |z| >= 2.0 are flagged — the calendar-aware variant of
     ``mad_outliers`` (a 3 AM traffic spike is anomalous even when the
     value would be normal at noon).
 
@@ -4785,7 +4798,7 @@ def q_seasonal_anomaly(spark, sf):
         base.withColumn("mu", mu).withColumn("sd", sd)
         .filter(F.col("sd") > 0)
         .select("event_id", "iso_dow", "hr", rhu((F.col("value") - F.col("mu")) / F.col("sd"), 4).alias("z"))
-        .filter(F.abs(F.col("z")) >= 2.5)
+        .filter(F.abs(F.col("z")) >= 2.0)
     )
 
 
@@ -4797,7 +4810,7 @@ FROM (
          (floor((stddev(value) OVER (PARTITION BY isodow(ts), hour(ts))) * 100 + 0.5) / 100.0) AS sd
   FROM events
 )
-WHERE sd > 0 AND abs({rhu_sql('(value - mu) / sd', 4)}) >= 2.5
+WHERE sd > 0 AND abs({rhu_sql('(value - mu) / sd', 4)}) >= 2.0
 """
 
 
@@ -5205,7 +5218,11 @@ def q_winnowing(spark, sf):
 
 def _winnowing_sql(n: int = 3) -> str:
     from aprs2influxdb_spark.functions.hashing import positional_shingles_sql
-    from aprs2influxdb_spark.operators.dedup import WINNOW_POS_BITS, WINNOW_W
+    from aprs2influxdb_spark.operators.dedup import (
+        WINNOW_CHECKSUM_P,
+        WINNOW_POS_BITS,
+        WINNOW_W,
+    )
 
     w = WINNOW_W
     pow2 = 2 ** WINNOW_POS_BITS
@@ -5223,7 +5240,7 @@ WITH t AS (
   )) AS winners FROM p
 )
 SELECT doc_id, len(winners) AS n_fps,
-       CAST(list_sum(winners) AS BIGINT) AS fp_checksum
+       CAST(list_reduce(winners, (a, b) -> (a + b) % {WINNOW_CHECKSUM_P}) AS BIGINT) AS fp_checksum
 FROM wn
 """
 

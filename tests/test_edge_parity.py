@@ -206,3 +206,56 @@ def test_winnowing_guarantee_and_sensitivity(spark, tmp_path):
     n_tokens = len(base.split())
     n_windows = max(n_tokens - 3 + 1 - 4, 0) + 1  # shingles - w + 1
     assert by_id[1][0] <= n_windows
+
+
+def test_char_entropy_newline_and_empty_parity(spark, tmp_path):
+    """Newline-terminated text: Java's $ would fuse the final char with
+    a trailing newline ('abc\\n' -> 3 chars) while DuckDB splits 4 —
+    the split regex must use \\z.  Empty text yields one '' char row
+    (entropy 0) on both engines."""
+    rows = [
+        (1, "abc\n"),
+        (2, "line one\nline two\n"),
+        (3, ""),
+        (4, "normal text"),
+    ]
+    _write_docs(tmp_path, rows)
+    out = _run_both(spark, tmp_path, "char_entropy", ["documents"])
+    by_id = {r[0]: r for r in out}
+    assert by_id[1][1] == 4  # n_chars counts the newline separately
+    assert by_id[3][1] == 1 and by_id[3][3] == 0.0  # '' -> one char row
+
+
+def test_winnowing_checksum_no_overflow(spark, tmp_path):
+    """A ~30k-token document selects enough ~2^52 fingerprint codes
+    that a plain int64 sum would wrap on Spark and error in DuckDB's
+    CAST(list_sum(...)); the modular fold must agree cross-engine and
+    stay in [0, 2^61)."""
+    big = " ".join(str(i % 509) for i in range(30000))
+    _write_docs(tmp_path, [(1, big), (2, "small doc here")])
+    out = _run_both(spark, tmp_path, "winnowing", ["documents"])
+    by_id = {r[0]: r for r in out}
+    assert by_id[1][1] > 2000  # plenty of fingerprints selected
+    assert 0 <= by_id[1][2] < (1 << 61)
+
+
+def test_pq_short_vector_parity(spark, tmp_path):
+    """A malformed short vector (fewer than dim components) among both
+    the codebook seeds and the query set: Spark pads the cross-dot
+    with zeros, and the oracle must pad identically — an unpadded
+    list_dot_product raises 'list dimensions must be equal' in DuckDB
+    instead of matching."""
+    import random
+
+    rng = random.Random(7)
+    vecs = [(i, [round(rng.uniform(-1, 1), 3) for _ in range(64)]) for i in range(30)]
+    vecs[2] = (2, [0.5, -0.5, 0.25])          # short vector in codebook + queries
+    vecs[25] = (25, [1.0] * 10)               # short corpus vector
+    pq.write_table(
+        pa.table({"vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+                  "embedding": pa.array([v[1] for v in vecs], pa.list_(pa.float32()))}),
+        tmp_path / "embeddings.parquet",
+    )
+    for entry in ("pq_quantize", "pq_adc_topk"):
+        out = _run_both(spark, tmp_path, entry, ["embeddings"])
+        assert len(out) > 0, entry

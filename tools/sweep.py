@@ -16,8 +16,6 @@ Exit status 0 iff zero mismatches.  This is the script behind the
 from __future__ import annotations
 
 import argparse
-import datetime as dt
-import math
 import sys
 import time
 
@@ -25,27 +23,15 @@ import duckdb
 
 sys.path.insert(0, ".")
 
+# single source of truth for value canonicalization: the CI gate's own
+# comparator — a drift between sweep and gate rules would make the
+# sweep report clean results the real gate would flag
+from tests.test_oracle_parity import _canon  # noqa: E402
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
-
-
-def _norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(round(v, 9) + 0.0)
-    if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, dt.date):
-        return v.isoformat()
-    return repr(v)
-
-
-def _canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
 def main() -> int:
