@@ -5003,6 +5003,63 @@ WHERE ({portable_hash64_sql("'bal_' || doc_id::VARCHAR")}) % 1000000 < r.keep_pp
 """
 
 
+def q_bloom_decontaminate(spark, sf):
+    """Bloom-filter decontamination with measured false positives (8 KB
+    bitset from the eval slice's shingles, k=3 portable hashes; every
+    flagged training doc reports bloom hits vs exact overlap) — see
+    operators.dedup.bloom_decontaminate."""
+    return dd.bloom_decontaminate(_t(spark, sf, "documents"))
+
+
+def _sql_bloom_decontaminate() -> str:
+    from aprs2influxdb_spark.operators.dedup import BLOOM_BITS, BLOOM_K
+
+    pos = [
+        "(" + portable_hash64_sql(f"'bf{j}#' || sh::VARCHAR") + f") % {BLOOM_BITS}"
+        for j in range(BLOOM_K)
+    ]
+    ev_pos = " UNION ALL ".join(
+        f"SELECT {p} AS pos FROM eval_sh" for p in pos
+    )
+    tr_pos = " UNION ALL ".join(
+        f"SELECT doc_id, sh, {p} AS pos FROM train" for p in pos
+    )
+    return f"""
+WITH {_TOKH_CTE}, s AS (
+  SELECT doc_id, {_HSH_SQL} AS sh,
+         ({portable_hash64_sql("'eval_' || doc_id::VARCHAR")}) % 20 AS bucket
+  FROM tokh
+), eval_sh AS (
+  SELECT DISTINCT unnest(sh) AS sh FROM s WHERE bucket = 0
+), words AS (
+  SELECT pos // 32 AS word, bit_or(1::BIGINT << (pos % 32)) AS bits
+  FROM ({ev_pos}) GROUP BY 1
+), train AS (
+  SELECT doc_id, unnest(sh) AS sh FROM s WHERE bucket != 0
+), probes AS (
+  SELECT doc_id, sh, pos // 32 AS word, (1::BIGINT << (pos % 32)) AS bit
+  FROM ({tr_pos})
+), verdict AS (
+  SELECT doc_id, sh,
+         CASE WHEN sum(CASE WHEN (bits & bit) != 0 THEN 1 ELSE 0 END) = {BLOOM_K}
+              THEN 1 ELSE 0 END AS bloom_hit
+  FROM probes JOIN words USING (word)
+  GROUP BY doc_id, sh
+), flagged AS (
+  SELECT doc_id, CAST(sum(bloom_hit) AS BIGINT) AS bloom_hits
+  FROM verdict GROUP BY doc_id HAVING sum(bloom_hit) >= 1
+), exact AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS exact_hits
+  FROM train t JOIN eval_sh e USING (sh)
+  GROUP BY t.doc_id
+)
+SELECT f.doc_id, f.bloom_hits,
+       CAST(coalesce(x.exact_hits, 0) AS BIGINT) AS exact_hits,
+       CAST(f.bloom_hits - coalesce(x.exact_hits, 0) AS BIGINT) AS false_pos
+FROM flagged f LEFT JOIN exact x USING (doc_id)
+"""
+
+
 def q_decontaminate(spark, sf):
     """Benchmark decontamination: training docs sharing any 3-gram
     shingle with the held-out eval hash-slice, with distinct-overlap
@@ -5428,6 +5485,7 @@ def registry() -> dict[str, tuple]:
         "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
         "lang_balance_sample": (q_lang_balance_sample, SQL_LANG_BALANCE_SAMPLE),
         "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+        "bloom_decontaminate": (q_bloom_decontaminate, _sql_bloom_decontaminate()),
         "influx_derivative": (q_influx_derivative, SQL_INFLUX_DERIVATIVE),
         "influx_integral": (q_influx_integral, SQL_INFLUX_INTEGRAL),
         "alert_transitions": (q_alert_transitions, SQL_ALERT_TRANSITIONS),

@@ -242,6 +242,12 @@ class TestJoinStrategy:
         from aprs2influxdb_spark.queries import q_psi_drift
 
         assert audit(q_psi_drift(spark, sf_dir)).shuffles <= 3
+        # bloom: eval bitset words broadcast; training shingles fan out
+        # k probe rows then aggregate per (doc, shingle) and per doc
+        from aprs2influxdb_spark.queries import q_bloom_decontaminate
+
+        bd = audit(q_bloom_decontaminate(spark, sf_dir))
+        assert bd.shuffles <= 8 and bd.broadcasts >= 2
 
     def test_runtime_bloom_filter_reduces_fact_scan(self, spark, sf_dir):
         """Runtime bloom-filter semi-join reduction: a selective filter
