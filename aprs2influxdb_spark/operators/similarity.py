@@ -1024,3 +1024,58 @@ def pagerank_knn(
             )
         )
     return pr
+
+
+def knn_triangles(
+    emb: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 7,
+) -> DataFrame:
+    """Triangle census of the approximate kNN graph: undirected edge
+    count, wedge (open-triple) count, triangle count, and the global
+    clustering coefficient ``3·triangles / wedges`` — the
+    connectivity diagnostic that distinguishes a corpus of tight
+    near-dup clusters (high clustering) from one of diffuse chains
+    (low), sizing the expected cluster blow-up BEFORE running
+    label propagation or SemDeDup over the same edges.
+
+    The node-iterator join counts each triangle {x<y<z} exactly once:
+    canonical edges (a<b) joined as a-b, b-c (forcing a<b<c) then
+    closed against the (a,c) edge.  Everything is integer except the
+    final coefficient (rounded half-up at 6 dp).
+
+    Scale shape: edges come from :func:`knn_graph` (bucketed, k·n
+    rows); both triangle joins key on 8-byte node ids, so the worst
+    stage is O(Σ deg²) wedge rows — bounded by k²·n for a kNN graph,
+    never the corpus.  Degrees aggregate map-side."""
+    edges = knn_graph(emb, k=k, id_col=id_col, vec_col=vec_col, seed=seed)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_edges = und.agg(F.count("*").alias("n_edges"))
+    wedges = (
+        und.select(F.explode(F.array("a", "b")).alias("n"))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+        .agg(F.coalesce(F.sum(F.expr("deg * (deg - 1) div 2")), F.lit(0)).alias("n_wedges"))
+    )
+    tri = (
+        und.join(und.select(F.col("a").alias("b"), F.col("b").alias("c")), "b")
+        .join(
+            und.select(F.col("a").alias("a"), F.col("b").alias("c")),
+            ["a", "c"],
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    coeff = F.when(
+        F.col("n_wedges") > 0,
+        rhu(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6),
+    ).otherwise(F.lit(0.0))
+    return (
+        n_edges.crossJoin(wedges).crossJoin(tri)
+        .select("n_edges", "n_wedges", "n_triangles", coeff.alias("global_clustering"))
+    )

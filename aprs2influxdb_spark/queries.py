@@ -1840,6 +1840,52 @@ FROM (
 """
 
 
+def q_knn_triangles(spark, sf):
+    """Triangle census + global clustering coefficient of the kNN
+    graph — see operators.similarity.knn_triangles (node-iterator
+    joins on canonical a<b<c edges; O(k²·n) wedge bound)."""
+    return sim.knn_triangles(_t(spark, sf, "embeddings"), k=5)
+
+
+def _knn_triangles_sql(k: int = 5, seed: int = 7) -> str:
+    return f"""
+WITH {_srp_params_cte(32)}, b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_srp_bucket_expr('embedding::DOUBLE[]', _SRP_MAX_PLANES, seed, 'srp_params.np')} AS bucket
+  FROM embeddings, srp_params
+), p AS (
+  SELECT a.vec_id AS src, c.vec_id AS dst,
+         (floor((list_dot_product(a.v, c.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)))) * 100000000 + 0.5)
+          / 100000000.0) AS cos8
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id != c.vec_id
+), edges AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos8 DESC, dst) AS rk FROM p
+  ) WHERE rk <= {k}
+), und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src != dst
+), ne AS (
+  SELECT count(*) AS n_edges FROM und
+), nw AS (
+  SELECT CAST(coalesce(sum(deg * (deg - 1) // 2), 0) AS BIGINT) AS n_wedges FROM (
+    SELECT n, count(*) AS deg FROM (
+      SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und
+    ) GROUP BY n
+  )
+), nt AS (
+  SELECT count(*) AS n_triangles
+  FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN (floor((3.0 * n_triangles / n_wedges) * 1000000 + 0.5) / 1000000.0)
+            ELSE 0.0 END AS global_clustering
+FROM ne CROSS JOIN nw CROSS JOIN nt
+"""
+
+
 def q_pq_quantize(spark, sf):
     """Product quantization codes + reconstruction error — see
     operators.similarity.pq_quantize (integerized subspace distances,
@@ -5445,6 +5491,7 @@ def registry() -> dict[str, tuple]:
         "ts_dtw_topk": (q_ts_dtw_topk, _ts_dtw_sql()),
         "cosine_near_dup": (q_cosine_near_dup, _cosine_near_dup_sql()),
         "knn_graph": (q_knn_graph, _knn_graph_sql()),
+        "knn_triangles": (q_knn_triangles, _knn_triangles_sql()),
         "pagerank_knn": (q_pagerank_knn, _pagerank_sql()),
         "semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
         "ivf_topk": (q_ivf_topk, _ivf_sql()),

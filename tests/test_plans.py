@@ -248,6 +248,11 @@ class TestJoinStrategy:
 
         bd = audit(q_bloom_decontaminate(spark, sf_dir))
         assert bd.shuffles <= 8 and bd.broadcasts >= 2
+        # triangle census: kNN edge build + canonical distinct + two
+        # id-keyed joins + degree agg — no corpus-sized stage
+        from aprs2influxdb_spark.queries import q_knn_triangles
+
+        assert audit(q_knn_triangles(spark, sf_dir)).shuffles <= 9
 
     def test_runtime_bloom_filter_reduces_fact_scan(self, spark, sf_dir):
         """Runtime bloom-filter semi-join reduction: a selective filter
