@@ -1585,6 +1585,77 @@ SELECT query_id, neighbor_id, cos_sim, rk FROM (
 """
 
 
+# hybrid-retrieval fusion: lexical query qN pairs with semantic query
+# vector N-1 (the synthetic text↔embedding correspondence of the test
+# tables, where embedding i stands for document i)
+RRF_K = 60
+RRF_QUERY_MAP = [("q1", 0), ("q2", 1), ("q3", 2)]
+
+
+def q_rrf_fusion(spark, sf):
+    """Reciprocal-rank fusion of the lexical (BM25 over documents) and
+    semantic (cosine over embeddings) rankings — the standard hybrid-
+    retrieval combiner (Cormack et al., SIGIR'09): ``score = Σ
+    1/(60 + rank)`` across rankings, here in exact integer micro-units
+    (``1000000 div (60 + rk)``), so fusion is pure integer arithmetic
+    cross-engine.  Items ranked by only one side keep that side's
+    contribution (the full outer join).
+
+    Scale shape: both input rankings are top-k per query (k·|queries|
+    rows — broadcast-sized however big the corpus); the fusion join,
+    scoring, and per-query re-rank all happen on those tiny frames.
+    The heavy lifting stays inside the two underlying retrievers."""
+    bm = ta.bm25_topk(_t(spark, sf, "documents")).select(
+        "query_id", "doc_id", F.col("rk").alias("rk_lex")
+    )
+    qmap = spark.createDataFrame(RRF_QUERY_MAP, ["query_id", "qvec"])
+    sem = (
+        sim.brute_force_topk(
+            _t(spark, sf, "embeddings"), [v for _, v in RRF_QUERY_MAP], k=10
+        )
+        .select(
+            F.col("query_id").alias("qvec"),
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rk").alias("rk_sem"),
+        )
+        .join(F.broadcast(qmap), "qvec")
+        .select("query_id", "doc_id", "rk_sem")
+    )
+    contrib = F.coalesce(
+        F.expr(f"1000000 div ({RRF_K} + rk_lex)"), F.lit(0)
+    ) + F.coalesce(F.expr(f"1000000 div ({RRF_K} + rk_sem)"), F.lit(0))
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc())
+    return (
+        bm.join(sem, ["query_id", "doc_id"], "full")
+        .withColumn("rrf_micro", contrib)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "doc_id", "rrf_micro", "rk")
+    )
+
+
+def _rrf_fusion_sql() -> str:
+    qvals = ", ".join(f"('{q}', {v})" for q, v in RRF_QUERY_MAP)
+    return f"""
+WITH bm AS (
+  SELECT query_id, doc_id, rk AS rk_lex FROM ({_bm25_sql()})
+), qmap(query_id, qvec) AS (VALUES {qvals}),
+sem AS (
+  SELECT m.query_id, c.neighbor_id AS doc_id, c.rk AS rk_sem
+  FROM ({SQL_COSINE_TOPK}) c JOIN qmap m ON c.query_id = m.qvec
+), fused AS (
+  SELECT query_id, doc_id,
+         CAST(coalesce(1000000 // ({RRF_K} + rk_lex), 0)
+              + coalesce(1000000 // ({RRF_K} + rk_sem), 0) AS BIGINT) AS rrf_micro
+  FROM bm FULL JOIN sem USING (query_id, doc_id)
+)
+SELECT query_id, doc_id, rrf_micro, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS rk
+  FROM fused
+) WHERE rk <= 10
+"""
+
+
 def q_ts_similarity(spark, sf):
     """Time-series similarity search (the EDBT'19/REPOSE-style query
     surface on the events table): each user's activity is summarized
@@ -5460,6 +5531,7 @@ def registry() -> dict[str, tuple]:
         "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
         "perplexity_bands": (q_perplexity_bands, SQL_PERPLEXITY_BANDS),
         "bm25_topk": (q_bm25_topk, _bm25_sql()),
+        "rrf_fusion": (q_rrf_fusion, _rrf_fusion_sql()),
         "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
         "quality_classifier": (q_quality_classifier, _quality_classifier_sql()),
         "winnowing": (q_winnowing, _winnowing_sql()),

@@ -253,6 +253,11 @@ class TestJoinStrategy:
         from aprs2influxdb_spark.queries import q_knn_triangles
 
         assert audit(q_knn_triangles(spark, sf_dir)).shuffles <= 9
+        # RRF: fusion operates on two already-top-k (broadcast-sized)
+        # rankings; the budget is the two retrievers' own
+        from aprs2influxdb_spark.queries import q_rrf_fusion
+
+        assert audit(q_rrf_fusion(spark, sf_dir)).shuffles <= 12
 
     def test_runtime_bloom_filter_reduces_fact_scan(self, spark, sf_dir):
         """Runtime bloom-filter semi-join reduction: a selective filter
