@@ -573,10 +573,20 @@ def _dtw_batch_np(qs: "np.ndarray", ns: "np.ndarray") -> "np.ndarray":
 
 
 def _l1(a, b):
-    """Identity-alignment L1 distance — a valid DTW *upper* bound (the
-    diagonal path is one admissible warping path)."""
+    """DTW *upper* bound valid for ANY series lengths: the diagonal
+    path over the common prefix, then the shorter series' LAST element
+    absorbs the longer one's tail — an admissible warping path (repeat
+    the final index), so its cost bounds DTW from above.  For equal
+    lengths this is exactly the identity-alignment L1.  A plain
+    ``zip_with`` |x−y| null-pads the shorter array and poisons the
+    fold to NULL on unequal lengths — NULL upper bounds then sort
+    NULLS FIRST into the τ rank filter and break the cascade's
+    exactness guarantee (empty or wrongly-pruned top-k)."""
+    a_last, b_last = F.element_at(a, -1), F.element_at(b, -1)
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: F.abs(x - y)), F.lit(0.0), lambda acc, v: acc + v
+        F.zip_with(a, b, lambda x, y: F.abs(F.coalesce(x, a_last) - F.coalesce(y, b_last))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
 
 
@@ -1000,10 +1010,19 @@ def pagerank_knn(
     (aggregate) — the canonical distributed PageRank cost — and the
     node-sized rank vector is the only state between rounds."""
     n = emb.count()
-    base = (15 * PR_SCALE) // (100 * n)
+    if n == 0:
+        # empty-input stability (tests/test_robustness.py contract):
+        # no nodes -> empty rank frame, not a ZeroDivisionError
+        return emb.select(F.col(id_col), F.lit(0).cast("long").alias("pr")).limit(0)
+    # teleport mass derives from damping_pct (1 - d of the total), not
+    # a hardcoded 15% — at the default 85 the values are unchanged
+    base = ((100 - damping_pct) * PR_SCALE) // (100 * n)
     init = PR_SCALE // n
     edges = knn_graph(
-        emb, k=k, id_col=id_col, vec_col=vec_col, seed=seed
+        emb, k=k, id_col=id_col, vec_col=vec_col, seed=seed,
+        # reuse the count already paid above: knn_graph would otherwise
+        # run a second full count job for its plane derivation
+        n_planes=srp_planes_for(n, 32),
     ).select("src", "dst").localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     e2 = edges.join(deg, "src").localCheckpoint(eager=False)

@@ -525,7 +525,10 @@ def bm25_topk(
     from pyspark.sql import Window
 
     queries = queries if queries is not None else BM25_QUERIES
-    qrows = [(qid, t) for qid, terms in queries for t in terms]
+    # distinct per query: a term repeated in a query's list must not
+    # double its partial score (standard Okapi treats the query as a
+    # term SET; qtf weighting would be an explicit extension)
+    qrows = sorted({(qid, t) for qid, terms in queries for t in terms})
     qdf = F.broadcast(
         docs.sparkSession.createDataFrame(qrows, ["query_id", "term"])
     )

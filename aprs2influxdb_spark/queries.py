@@ -2099,7 +2099,7 @@ WITH {_srp_params_cte(32)}, b AS (
 ), deg AS (
   SELECT src, count(*) AS deg FROM edges GROUP BY src
 ), consts AS (
-  SELECT CAST((15 * {scale}) // (100 * count(*)) AS BIGINT) AS base,
+  SELECT CAST(((100 - {damping_pct}) * {scale}) // (100 * count(*)) AS BIGINT) AS base,
          CAST({scale} // count(*) AS BIGINT) AS init
   FROM embeddings
 ), it0 AS (
@@ -3166,8 +3166,10 @@ def q_bm25_topk(spark, sf):
 def _bm25_sql(k: int = 10) -> str:
     from aprs2influxdb_spark.operators.textanalysis import BM25_QUERIES, BM25_B, BM25_K1
 
+    # mirrors the operator's per-query term-SET semantics
     qvals = ", ".join(
-        f"('{qid}', '{t}')" for qid, terms in BM25_QUERIES for t in terms
+        f"('{qid}', '{t}')"
+        for qid, t in sorted({(q, t) for q, terms in BM25_QUERIES for t in terms})
     )
     return f"""
 WITH toks AS (

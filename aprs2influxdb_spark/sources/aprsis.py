@@ -610,7 +610,12 @@ def parse_frame(raw: str, now: _dt.datetime | None = None) -> dict | None:
             _parse_uncompressed(base, body, lead == "=")
             or _parse_compressed(base, body, lead == "=")
         )
-    if lead in "/@" and len(body) >= 8:
+    if lead in "/@":
+        # recognized-but-truncated timestamped position frames must
+        # dead-letter like their '!'/'=' twins, not fall through to
+        # the beacon catch-all as live rows
+        if len(body) < 8:
+            return None
         ts7, rest = body[:7], body[7:]
         out = _parse_uncompressed(base, rest, lead == "@") or _parse_compressed(
             base, rest, lead == "@"

@@ -534,8 +534,12 @@ def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_bounded(spark, ewma, "append", "stream_ewma")
 
 
+# shared with the batch sketch: the streaming twin's contract is
+# bit-identical agreement with kmv_distinct and its oracle, so the
+# hash-space constant must be the SAME object, not a restated literal
+from aprs2influxdb_spark.operators.sketches import HASH_SPACE as KMV_SPACE  # noqa: E402
+
 KMV_K = 64
-KMV_SPACE = float(1 << 60)
 KMV_OUTPUT = StructType(
     [
         StructField("event_type", StringType()),

@@ -201,3 +201,16 @@ class TestDecoderUnits:
         d = parse_frame("A1>APRS:=421 .  N/07148.38W-x", NOW)
         assert d["format"] == "uncompressed" and d["posambiguity"] == 3
         assert d["latitude"] == pytest.approx(42 + 10.0 / 60, abs=1e-6)
+
+
+def test_truncated_timestamped_position_dead_letters():
+    """A '/'- or '@'-lead body shorter than the 7-char timestamp + 1
+    must dead-letter (return None) like truncated '!'/'=' frames — not
+    fall through to the beacon catch-all as a live row."""
+    from aprs2influxdb_spark.sources.aprsis import parse_frame
+
+    assert parse_frame("N0CALL>APRS:/4903.5", NOW) is None
+    assert parse_frame("N0CALL>APRS:@12345", NOW) is None
+    # a well-formed timestamped position still decodes
+    ok = parse_frame("N0CALL>APRS:@092345z4903.50N/07201.75W>test", NOW)
+    assert ok is not None and ok["format"] == "uncompressed"

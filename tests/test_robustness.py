@@ -241,3 +241,46 @@ def test_asof_join_rejects_payload_collision(spark):
     tagged = spark.createDataFrame([(1, t, 1)], "user_id long, ts timestamp, _is_left int")
     with pytest.raises(ValueError, match="_is_left"):
         asof_join(tagged, right, "user_id", "ts", "ots", ["p"])
+
+
+def test_dtw_cascade_exact_on_unequal_lengths(spark):
+    """Unequal-length series through the default prefilter: the upper
+    bound must stay a finite valid bound (zip_with null-padding would
+    poison it to NULL, sort NULLS FIRST into the rank filter, and
+    return a wrong/empty top-k).  The prefiltered result must equal
+    the full scan exactly."""
+    from aprs2influxdb_spark.operators import similarity as sim
+
+    rows = []
+    for uid in range(30):
+        length = 24 if uid % 4 else 23  # every 4th series one short
+        level = float(3 * (uid % 3))
+        rows.append((uid, [level + ((uid * 13 + h * 5) % 7) / 10.0 for h in range(length)]))
+    prof_df = spark.createDataFrame(rows, "user_id long, profile array<double>")
+    qids = [0, 1, 2]  # uid 0 has length 23: short series as query too
+
+    fast = sorted(map(tuple, sim.dtw_topk(prof_df, qids, k=3).collect()))
+    full = sorted(map(tuple, sim.dtw_topk(prof_df, qids, k=3, prefilter=False).collect()))
+    assert fast == full and len(fast) == 9
+
+
+def test_bm25_duplicate_query_terms_are_a_set(spark):
+    """A term repeated in a query's term list must not double its
+    contribution (Okapi treats the query as a term set)."""
+    from aprs2influxdb_spark.operators import textanalysis as ta
+
+    docs = spark.createDataFrame(
+        [(1, "spark join spark"), (2, "join only here"), (3, "nothing")],
+        "doc_id long, text string",
+    )
+    once = sorted(map(tuple, ta.bm25_topk(docs, queries=[("q", ["spark"])]).collect()))
+    twice = sorted(map(tuple, ta.bm25_topk(docs, queries=[("q", ["spark", "spark"])]).collect()))
+    assert once == twice
+
+
+def test_pagerank_empty_input(spark):
+    from aprs2influxdb_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = sim.pagerank_knn(emb)
+    assert out.count() == 0 and set(out.columns) == {"vec_id", "pr"}
