@@ -669,3 +669,110 @@ def quality_classifier(
         score.alias("score_micro"),
         (score > 0).alias("keep"),
     )
+
+
+def bigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram language-model scoring with add-one backoff-free
+    smoothing: each document's mean negative log-probability of its
+    token stream under the corpus's own bigram counts,
+    ``P(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + V)`` —
+    the next rung above :func:`unigram_logprob` on the KenLM-style
+    quality ladder (captures local word order, so shuffled-token spam
+    scores far worse than under the unigram model).
+
+    Same integer discipline: per-bigram neg-logprobs are micro-nat
+    integers BEFORE the per-doc sum; Laplace smoothing keeps every
+    probability finite without float backoff weights.
+
+    Scale shape: one explode to (doc, prev, cur) bigram rows (narrow —
+    built by zipping the token array against its tail in-row), a
+    partial-agg groupBy per distinct bigram, corpus counts via one
+    window on the bigram's head token, and the per-doc sum shuffles
+    id-sized rows — the unigram plan plus one column."""
+    from pyspark.sql import Window
+
+    toks = tokens_col(text_col)
+    big = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+        ),
+        lambda s: s.cur.isNotNull(),
+    )
+    # lazy checkpoint: the bigram count table feeds the count windows
+    # AND the vocab branch — uncheckpointed, the vocab aggregate
+    # re-runs the whole tokenize/explode/groupBy subtree
+    tf = (
+        _spread_docs(docs, id_col, text_col)
+        .select(F.col(id_col), F.explode(big).alias("bg"))
+        .select(F.col(id_col), F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+        .groupBy(id_col, "prev", "cur")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    wb = Window.partitionBy("prev", "cur")
+    wp = Window.partitionBy("prev")
+    vocab = (
+        tf.select(F.explode(F.array("prev", "cur")).alias("t"))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    inlp = F.floor(
+        F.log(
+            (F.col("cp").cast("double") + F.col("v"))
+            / (F.col("cb").cast("double") + F.lit(1.0))
+        ) * 1e6
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        tf.withColumn("cb", F.sum("tf").over(wb))
+        .withColumn("cp", F.sum("tf").over(wp))
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("inlp", inlp)
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("inlp")).alias("s"),
+        )
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            rhu(F.col("s") / (F.col("n_bigrams") * F.lit(1e6)), 4).alias("avg_nll"),
+        )
+    )
+
+
+def top_ngrams(
+    docs: DataFrame, n: int = 2, top_k: int = 50,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level top-k n-gram table (readable strings, not hashes):
+    the n-gram count inventory that seeds LM smoothing tables,
+    boilerplate blocklists, and contamination probes.  One explode to
+    n-gram rows (built in-row by zipping the token array against its
+    shifted self), one partial-agg groupBy, and a WindowGroupLimit
+    global top-k — ties broken lexicographically."""
+    from pyspark.sql import Window
+
+    toks = tokens_col(text_col)
+    # guard: Spark's sequence(1, 0) DESCENDS instead of returning
+    # empty, so docs shorter than n must short-circuit to no grams
+    # (matching DuckDB's empty range)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+    return (
+        _spread_docs(docs, id_col, text_col)
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+    )

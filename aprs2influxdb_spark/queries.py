@@ -3209,6 +3209,116 @@ FROM (
 """
 
 
+def q_bigram_logprob(spark, sf):
+    """Bigram LM quality scoring (Laplace-smoothed, integer micro-nat
+    terms before the per-doc sum) — see
+    operators.textanalysis.bigram_logprob."""
+    return ta.bigram_logprob(_t(spark, sf, "documents"))
+
+
+SQL_BIGRAM_LOGPROB = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), bg AS (
+  SELECT doc_id, t[i] AS prev, t[i + 1] AS cur
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+), tf AS (
+  SELECT doc_id, prev, cur, count(*) AS tf FROM bg GROUP BY 1, 2, 3
+), wtf AS (
+  SELECT doc_id, tf,
+         sum(tf) OVER (PARTITION BY prev, cur) AS cb,
+         sum(tf) OVER (PARTITION BY prev) AS cp
+  FROM tf
+), vocab AS (
+  SELECT count(DISTINCT tkn) AS v FROM (
+    SELECT prev AS tkn FROM tf UNION ALL SELECT cur FROM tf
+  )
+), scored AS (
+  SELECT doc_id, tf,
+         CAST(floor(ln((CAST(cp AS DOUBLE) + v) / (CAST(cb AS DOUBLE) + 1.0))
+              * 1000000 + 0.5) AS BIGINT) AS inlp
+  FROM wtf, vocab
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       (floor((CAST(sum(tf * inlp) AS DOUBLE) / (CAST(sum(tf) AS DOUBLE) * 1000000.0))
+        * 10000 + 0.5) / 10000.0) AS avg_nll
+FROM scored GROUP BY doc_id
+"""
+
+
+def q_top_ngrams(spark, sf):
+    """Corpus top-50 bigram table (readable strings) — see
+    operators.textanalysis.top_ngrams."""
+    return ta.top_ngrams(_t(spark, sf, "documents"), n=2, top_k=50)
+
+
+def _top_ngrams_sql(n: int = 2, top_k: int = 50) -> str:
+    return f"""
+WITH toks AS (
+  SELECT string_split(lower(text), ' ') AS t FROM documents
+), g AS (
+  SELECT array_to_string(t[i : i + {n - 1}], ' ') AS ngram
+  FROM (SELECT t, unnest(range(1, greatest(len(t) - {n} + 1, 0) + 1)) AS i FROM toks)
+)
+SELECT ngram, n_occurrences, rk FROM (
+  SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences,
+         row_number() OVER (ORDER BY count(*) DESC, ngram) AS rk
+  FROM g GROUP BY ngram
+) WHERE rk <= {top_k}
+"""
+
+
+def q_token_budget_cut(spark, sf):
+    """Greedy token budgeting: rank documents by the hashed-classifier
+    quality score (integer, deterministic) and keep the best until the
+    cumulative whitespace-token count reaches 30% of the corpus — the
+    "best N tokens" selection step between scoring and tokenization in
+    a curation pipeline.  A doc is kept iff the budget is not yet
+    exhausted BEFORE it (so the cut admits the boundary doc).
+
+    All integer arithmetic: scores are micro-units, the budget is an
+    integer div of the exact corpus total, and the running sum is a
+    window over (score desc, id) — the single-partition global sort is
+    the honest price of a global order statistic (at 100 TB: bucket by
+    score range first, the same refinement as ``ks_drift``'s note)."""
+    scored = ta.quality_classifier(_t(spark, sf, "documents")).select(
+        "doc_id", "n_tokens", "score_micro"
+    )
+    total = scored.agg(F.sum("n_tokens").alias("total_tokens"))
+    w = (
+        Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.crossJoin(F.broadcast(total))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(
+            F.col("cum_tokens") - F.col("n_tokens")
+            < F.expr("(total_tokens * 30) div 100")
+        )
+        .select("doc_id", "n_tokens", "score_micro", "cum_tokens")
+    )
+
+
+def _token_budget_sql() -> str:
+    qc = _quality_classifier_sql()
+    return f"""
+WITH scored AS (
+  SELECT doc_id, n_tokens, score_micro FROM ({qc})
+), total AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM scored
+), run AS (
+  SELECT doc_id, n_tokens, score_micro,
+         CAST(sum(n_tokens) OVER (ORDER BY score_micro DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, n_tokens, score_micro, cum_tokens
+FROM run CROSS JOIN total
+WHERE cum_tokens - n_tokens < (total_tokens * 30) // 100
+"""
+
+
 def q_char_entropy(spark, sf):
     """Per-document character Shannon entropy (low-entropy spam
     filter) — see operators.textanalysis.char_entropy (integer
@@ -5534,6 +5644,9 @@ def registry() -> dict[str, tuple]:
         "perplexity_bands": (q_perplexity_bands, SQL_PERPLEXITY_BANDS),
         "bm25_topk": (q_bm25_topk, _bm25_sql()),
         "rrf_fusion": (q_rrf_fusion, _rrf_fusion_sql()),
+        "bigram_logprob": (q_bigram_logprob, SQL_BIGRAM_LOGPROB),
+        "top_ngrams": (q_top_ngrams, _top_ngrams_sql()),
+        "token_budget_cut": (q_token_budget_cut, _token_budget_sql()),
         "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
         "quality_classifier": (q_quality_classifier, _quality_classifier_sql()),
         "winnowing": (q_winnowing, _winnowing_sql()),

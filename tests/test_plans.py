@@ -258,6 +258,17 @@ class TestJoinStrategy:
         from aprs2influxdb_spark.queries import q_rrf_fusion
 
         assert audit(q_rrf_fusion(spark, sf_dir)).shuffles <= 12
+        # bigram LM = unigram plan + one window; top_ngrams is one
+        # partial-agg + global top-k; budget cut is one global window
+        from aprs2influxdb_spark.queries import (
+            q_bigram_logprob,
+            q_token_budget_cut,
+            q_top_ngrams,
+        )
+
+        assert audit(q_bigram_logprob(spark, sf_dir)).shuffles <= 5
+        assert audit(q_top_ngrams(spark, sf_dir)).shuffles <= 2
+        assert audit(q_token_budget_cut(spark, sf_dir)).shuffles <= 2
 
     def test_runtime_bloom_filter_reduces_fact_scan(self, spark, sf_dir):
         """Runtime bloom-filter semi-join reduction: a selective filter
