@@ -2926,6 +2926,12 @@ def q_streaming_cms_heavy_hitters(spark, sf):
     return streaming_cms_heavy_hitters(spark, sf)
 
 
+def q_streaming_merge_upsert(spark, sf):
+    from aprs2influxdb_spark.streaming.bounded import streaming_merge_upsert
+
+    return streaming_merge_upsert(spark, sf)
+
+
 def q_streaming_ewma(spark, sf):
     from aprs2influxdb_spark.streaming.bounded import streaming_ewma
 
@@ -5743,6 +5749,7 @@ def registry() -> dict[str, tuple]:
         "streaming_ewma": (q_streaming_ewma, SQL_STREAMING_EWMA),
         "streaming_kmv_distinct": (q_streaming_kmv_distinct, _sql_approx_distinct()),
         "streaming_cms_heavy_hitters": (q_streaming_cms_heavy_hitters, _sql_cms_heavy_hitters()),
+        "streaming_merge_upsert": (q_streaming_merge_upsert, SQL_MERGE_UPSERT),
         "streaming_sampled_percentiles": (q_streaming_sampled_percentiles, _sql_sampled_percentiles()),
         "sliding_window_agg": (q_sliding_window_agg, SQL_SLIDING_WINDOW),
         "streaming_sliding_window": (q_streaming_sliding_window, SQL_SLIDING_WINDOW),

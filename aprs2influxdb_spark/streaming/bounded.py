@@ -45,6 +45,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -876,3 +877,78 @@ def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") - F.col("exact_n")).alias("inflation"),
         )
     )
+
+
+MERGE_OUTPUT = StructType(
+    [
+        StructField("o_orderkey", LongType(), True),
+        StructField("price", DoubleType(), True),
+        StructField("was_updated", BooleanType(), True),
+    ]
+)
+MERGE_STATE = StructType(
+    [
+        StructField("version", LongType(), True),
+        StructField("price", DoubleType(), True),
+    ]
+)
+
+
+def _merge_group(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming MERGE/CDC apply: state = (highest version seen, its
+    price) per key — last-write-wins upsert as O(1) keyed state, the
+    continuous form of the batch union+window compaction.  Ties on
+    version keep the first-seen value (none exist in this feed: one
+    base row + at most one v1 update per key)."""
+    ver = int(state.get[0]) if state.exists else -1
+    price = float(state.get[1]) if state.exists else float("nan")
+    for pdf in pdfs:
+        for v, p in zip(pdf["version"], pdf["price"]):
+            if int(v) > ver:
+                ver, price = int(v), float(p)
+    state.update((ver, price))
+    yield pd.DataFrame(
+        [{
+            "o_orderkey": int(key[0]),
+            "price": math.floor(price * 100 + 0.5) / 100.0,
+            "was_updated": ver == 1,
+        }],
+        columns=["o_orderkey", "price", "was_updated"],
+    )
+
+
+def stream_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``orders.parquet`` as a file-source stream (same one-char-glob
+    trick as :func:`stream_events`; no ts normalization needed)."""
+    path = f"{sf_dir}/orders.parquet"
+    schema = spark.read.parquet(path).schema
+    glob = path[:-1] + "[" + path[-1] + "]"
+    return spark.readStream.schema(schema).parquet(glob)
+
+
+def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``merge_upsert``: the base table and the CDC
+    update feed arrive as one unioned stream; ``applyInPandasWithState``
+    keyed by the merge key holds (version, value) — bounded state per
+    key however many updates stream by — and the final snapshot equals
+    the batch MERGE exactly, so the entry shares its oracle."""
+    base = stream_orders(spark, sf_dir).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.lit(0).cast("long").alias("version"),
+    )
+    upd = stream_orders(spark, sf_dir).filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 1.1).alias("price"),
+        F.lit(1).cast("long").alias("version"),
+    )
+    merged = (
+        base.unionByName(upd)
+        .groupBy("o_orderkey")
+        .applyInPandasWithState(
+            _merge_group, MERGE_OUTPUT, MERGE_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+    return run_bounded(spark, merged, "append", "stream_merge")

@@ -288,3 +288,24 @@ def test_cms_two_batches_equals_one():
     assert full.iloc[0]["counters"] == split.iloc[0]["counters"]
     assert full.iloc[0]["n_seen"] == split.iloc[0]["n_seen"] == 800
     assert len(two.get[0]) == CMS_WIDTH
+
+
+def test_merge_state_last_write_wins_across_batches():
+    """CDC upsert state: an update arriving in a LATER batch than its
+    base row (and vice versa) must still resolve to the highest
+    version, and state stays at one (version, price) pair per key."""
+    import pandas as pd
+
+    from aprs2influxdb_spark.streaming.bounded import _merge_group
+
+    # base then update, split across batches
+    s = _StateStub()
+    list(_merge_group((7,), iter([pd.DataFrame({"version": [0], "price": [100.0]})]), s))
+    [out] = list(_merge_group((7,), iter([pd.DataFrame({"version": [1], "price": [110.0]})]), s))
+    assert out.iloc[0]["price"] == 110.0 and bool(out.iloc[0]["was_updated"])
+    # update BEFORE base: base must not clobber the newer version
+    s2 = _StateStub()
+    list(_merge_group((8,), iter([pd.DataFrame({"version": [1], "price": [220.0]})]), s2))
+    [out2] = list(_merge_group((8,), iter([pd.DataFrame({"version": [0], "price": [200.0]})]), s2))
+    assert out2.iloc[0]["price"] == 220.0 and bool(out2.iloc[0]["was_updated"])
+    assert len(s2.get) == 2
