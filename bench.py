@@ -103,6 +103,11 @@ HEADLINE = [
     "winnowing",
     "ngram_containment",
     "ivfpq_topk",
+    # round-2e additions: bloom decontamination, hybrid-retrieval
+    # fusion, and the bigram LM quality ladder rung
+    "bloom_decontaminate",
+    "rrf_fusion",
+    "bigram_logprob",
 ]
 
 
