@@ -284,3 +284,31 @@ def test_pagerank_empty_input(spark):
     emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
     out = sim.pagerank_knn(emb)
     assert out.count() == 0 and set(out.columns) == {"vec_id", "pr"}
+
+
+def test_bloom_never_false_negative(spark, sf_dir):
+    """The defining Bloom guarantee: membership tests can only
+    over-report.  Every exact eval-overlap shingle must also hit the
+    bitset, so per doc bloom_hits >= exact_hits and false_pos >= 0."""
+    from pyspark.sql import functions as F
+
+    from aprs2influxdb_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dd.bloom_decontaminate(docs)
+    bad = out.filter(
+        (F.col("bloom_hits") < F.col("exact_hits")) | (F.col("false_pos") < 0)
+    ).count()
+    assert bad == 0
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """Count-min estimates are upper bounds: min-over-depths of summed
+    counters can never fall below a key's true count."""
+    from pyspark.sql import functions as F
+
+    from aprs2influxdb_spark.operators.sketches import cms_heavy_hitters
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = cms_heavy_hitters(events, key_col="user_id", top_n=50)
+    assert out.filter(F.col("cms_est") < F.col("exact_n")).count() == 0
