@@ -2932,6 +2932,12 @@ def q_streaming_merge_upsert(spark, sf):
     return streaming_merge_upsert(spark, sf)
 
 
+def q_streaming_psi(spark, sf):
+    from aprs2influxdb_spark.streaming.bounded import streaming_psi
+
+    return streaming_psi(spark, sf)
+
+
 def q_streaming_ewma(spark, sf):
     from aprs2influxdb_spark.streaming.bounded import streaming_ewma
 
@@ -5750,6 +5756,7 @@ def registry() -> dict[str, tuple]:
         "streaming_kmv_distinct": (q_streaming_kmv_distinct, _sql_approx_distinct()),
         "streaming_cms_heavy_hitters": (q_streaming_cms_heavy_hitters, _sql_cms_heavy_hitters()),
         "streaming_merge_upsert": (q_streaming_merge_upsert, SQL_MERGE_UPSERT),
+        "streaming_psi": (q_streaming_psi, SQL_PSI_DRIFT),
         "streaming_sampled_percentiles": (q_streaming_sampled_percentiles, _sql_sampled_percentiles()),
         "sliding_window_agg": (q_sliding_window_agg, SQL_SLIDING_WINDOW),
         "streaming_sliding_window": (q_streaming_sliding_window, SQL_SLIDING_WINDOW),

@@ -952,3 +952,65 @@ def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_bounded(spark, merged, "append", "stream_merge")
+
+
+def streaming_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``psi_drift``: the reference side (src0) is a
+    STATIC broadcast — its banded counts and [min, max] are computed
+    once, as a deployed monitor would pin its training-time profile —
+    while the current side (src1) streams through a stream-static join
+    onto the reference stats and aggregates per band in complete mode.
+    The final banded counts equal the batch twin's, so the entry
+    shares its oracle; at 100 TB the streamed side's state is 10
+    band counters."""
+    from pyspark.sql import Window
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    glob = path[:-1] + "[" + path[-1] + "]"
+    static = spark.read.parquet(path)
+    ref_rows = (
+        static.filter(F.col("source") == "src0")
+        .agg(F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx"))
+        .withColumn("k", F.lit(1))
+    )
+    band = F.least(
+        F.greatest(F.expr("((n_chars - mn) * 10) div (mx - mn + 1)"), F.lit(0)),
+        F.lit(9),
+    )
+    cur = (
+        spark.readStream.schema(schema).parquet(glob)
+        .filter(F.col("source") == "src1")
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(ref_rows), "k")
+        .select(band.alias("band"))
+        .groupBy("band")
+        .agg(F.count("*").alias("nb"))
+    )
+    sink = run_bounded(spark, cur, "complete", "stream_psi")
+    # reference banded counts, batch-side (pinned profile)
+    ref_counts = (
+        static.filter(F.col("source") == "src0")
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(ref_rows), "k")
+        .select(band.alias("band"))
+        .groupBy("band")
+        .agg(F.count("*").alias("na"))
+    )
+    counts = (
+        ref_counts.join(sink, "band", "full")
+        .select(
+            "band",
+            F.coalesce("na", F.lit(0)).alias("na"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+        )
+    )
+    wall = Window.partitionBy()
+    pa = F.greatest(F.col("na") / F.sum("na").over(wall), F.lit(1e-4))
+    pb = F.greatest(F.col("nb") / F.sum("nb").over(wall), F.lit(1e-4))
+    term = F.floor((pa - pb) * F.log(pa / pb) * 1e6 + F.lit(0.5)).cast("long")
+    return (
+        counts.withColumn("term_micro", term)
+        .withColumn("psi", rhu(F.sum("term_micro").over(wall) / F.lit(1e6), 6))
+        .select("band", "na", "nb", "term_micro", "psi")
+    )
