@@ -3567,6 +3567,72 @@ FROM terms
 """
 
 
+def q_chi2_independence(spark, sf):
+    """Chi-squared independence test between event type and ISO
+    weekday — the association check a pipeline runs before trusting a
+    feature split (is traffic mix stable across days?).  Emits the
+    contingency cells with observed/expected counts and each cell's
+    integerized chi² contribution plus the total.
+
+    Determinism: O is an exact integer; E = row_total·col_total/N is
+    an exact small-integer ratio in double (products < 2^53); the
+    per-cell term ``(O-E)²/E`` is integerized (micro-units, half-up)
+    BEFORE the total sum — integer addition in any order.
+
+    Scale shape: one partial-agg groupBy on the (type, dow) cell key;
+    marginals via two windows over the tiny cell table; everything
+    after the first aggregate is O(cells)."""
+    e = _t(spark, sf, "events")
+    cells = (
+        e.groupBy(
+            F.col("event_type"), (F.weekday("ts") + 1).alias("iso_dow")
+        )
+        .agg(F.count("*").alias("o"))
+    )
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("iso_dow")
+    wall = Window.partitionBy()
+    expected = (
+        F.sum("o").over(wr).cast("double")
+        * F.sum("o").over(wc).cast("double")
+        / F.sum("o").over(wall).cast("double")
+    )
+    term = F.floor(
+        (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e") * 1e6
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        cells.withColumn("e", expected)
+        .withColumn("term_micro", term)
+        .withColumn("chi2", rhu(F.sum("term_micro").over(wall) / F.lit(1e6), 4))
+        .select(
+            "event_type", "iso_dow", "o", rhu("e", 4).alias("expected"),
+            "term_micro", "chi2",
+        )
+    )
+
+
+SQL_CHI2_INDEPENDENCE = f"""
+WITH cells AS (
+  SELECT event_type, CAST(isodow(ts) AS INT) AS iso_dow, count(*) AS o
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type, iso_dow, o,
+         (CAST(sum(o) OVER (PARTITION BY event_type) AS DOUBLE)
+          * CAST(sum(o) OVER (PARTITION BY iso_dow) AS DOUBLE)
+          / CAST(sum(o) OVER () AS DOUBLE)) AS e
+  FROM cells
+), t AS (
+  SELECT event_type, iso_dow, o, e,
+         CAST(floor((o - e) * (o - e) / e * 1000000 + 0.5) AS BIGINT) AS term_micro
+  FROM m
+)
+SELECT event_type, iso_dow, o, {rhu_sql('e', 4)} AS expected, term_micro,
+       (floor((CAST(sum(term_micro) OVER () AS DOUBLE) / 1000000.0) * 10000 + 0.5) / 10000.0) AS chi2
+FROM t
+"""
+
+
 def q_ks_drift(spark, sf):
     """Two-sample Kolmogorov–Smirnov statistic between two sources'
     document-length distributions — the distribution-drift check a
@@ -5644,6 +5710,7 @@ def registry() -> dict[str, tuple]:
         "profile_columns": (q_profile_columns, SQL_PROFILE_COLUMNS),
         "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
         "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
+        "chi2_independence": (q_chi2_independence, SQL_CHI2_INDEPENDENCE),
         "product_profit": (q_product_profit, SQL_PRODUCT_PROFIT),
         "supplier_part_counts": (q_supplier_part_counts, SQL_SUPPLIER_PART_COUNTS),
         "excess_shippers": (q_excess_shippers, SQL_EXCESS_SHIPPERS),

@@ -269,6 +269,10 @@ class TestJoinStrategy:
         assert audit(q_bigram_logprob(spark, sf_dir)).shuffles <= 5
         assert audit(q_top_ngrams(spark, sf_dir)).shuffles <= 2
         assert audit(q_token_budget_cut(spark, sf_dir)).shuffles <= 2
+        # chi²: one cell-key partial agg, then O(cells) windows
+        from aprs2influxdb_spark.queries import q_chi2_independence
+
+        assert audit(q_chi2_independence(spark, sf_dir)).shuffles <= 4
 
     def test_runtime_bloom_filter_reduces_fact_scan(self, spark, sf_dir):
         """Runtime bloom-filter semi-join reduction: a selective filter
