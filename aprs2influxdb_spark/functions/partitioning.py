@@ -95,6 +95,11 @@ def spread_for_compute(df: DataFrame) -> DataFrame:
     yields fewer partitions — call on the narrow projection feeding a
     per-row-expensive stage, after selecting only the columns that
     stage needs (the shuffle then carries the minimum bytes)."""
+    if df.isStreaming:
+        # no-op on streams: inputFiles()/rdd are batch-only, and
+        # micro-batch parallelism is the source's concern — this keeps
+        # every pure-projection operator streaming-transparent
+        return df
     par = df.sparkSession.sparkContext.defaultParallelism
     try:
         est = _estimated_scan_partitions(df)

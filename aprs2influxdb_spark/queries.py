@@ -2938,6 +2938,18 @@ def q_streaming_psi(spark, sf):
     return streaming_psi(spark, sf)
 
 
+def q_streaming_quality_gate(spark, sf):
+    from aprs2influxdb_spark.streaming.bounded import streaming_quality_gate
+
+    return streaming_quality_gate(spark, sf)
+
+
+def _sql_streaming_quality_gate() -> str:
+    return (
+        "SELECT * FROM (" + _quality_classifier_sql() + ") WHERE keep"
+    )
+
+
 def q_streaming_ewma(spark, sf):
     from aprs2influxdb_spark.streaming.bounded import streaming_ewma
 
@@ -3629,6 +3641,70 @@ WITH cells AS (
 )
 SELECT event_type, iso_dow, o, {rhu_sql('e', 4)} AS expected, term_micro,
        (floor((CAST(sum(term_micro) OVER () AS DOUBLE) / 1000000.0) * 10000 + 0.5) / 10000.0) AS chi2
+FROM t
+"""
+
+
+def q_mutual_information(spark, sf):
+    """Mutual information between document source and language — the
+    leakage/association check a curation pipeline runs before
+    stratifying on either (high MI means source already determines
+    language, so a per-source split leaks label information).
+
+    MI = Σ p(x,y)·ln(p(x,y)·N² / (n_x·n_y·N)) over the contingency
+    cells; the log argument is an exact small-integer ratio and each
+    cell's term is integerized in micro-nats weighted by the integer
+    cell count before the order-independent total — the
+    ``unigram_logprob`` discipline on a 2-D table.
+
+    Scale shape: identical to ``chi2_independence`` — one cell-key
+    partial agg, then O(cells) windows."""
+    d = _t(spark, sf, "documents")
+    cells = d.groupBy("source", "lang").agg(F.count("*").alias("o"))
+    wr = Window.partitionBy("source")
+    wc = Window.partitionBy("lang")
+    wall = Window.partitionBy()
+    # ln(p(x,y)/(p(x)p(y))) = ln(o*N / (n_x*n_y)) — exact integer ratio
+    ratio = (
+        F.col("o").cast("double") * F.col("n").cast("double")
+        / (F.col("nx").cast("double") * F.col("ny").cast("double"))
+    )
+    term = F.floor(F.log(ratio) * 1e6 + F.lit(0.5)).cast("long")
+    return (
+        cells.withColumn("nx", F.sum("o").over(wr))
+        .withColumn("ny", F.sum("o").over(wc))
+        .withColumn("n", F.sum("o").over(wall))
+        .withColumn("pmi_micro", term)
+        .withColumn(
+            "mi",
+            rhu(
+                F.sum(F.col("o") * F.col("pmi_micro")).over(wall)
+                / (F.col("n") * F.lit(1e6)),
+                6,
+            ),
+        )
+        .select("source", "lang", "o", "pmi_micro", "mi")
+    )
+
+
+SQL_MUTUAL_INFORMATION = """
+WITH cells AS (
+  SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2
+), m AS (
+  SELECT source, lang, o,
+         CAST(sum(o) OVER (PARTITION BY source) AS BIGINT) AS nx,
+         CAST(sum(o) OVER (PARTITION BY lang) AS BIGINT) AS ny,
+         CAST(sum(o) OVER () AS BIGINT) AS n
+  FROM cells
+), t AS (
+  SELECT source, lang, o, n,
+         CAST(floor(ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+              / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS pmi_micro
+  FROM m
+)
+SELECT source, lang, o, pmi_micro,
+       (floor((CAST(sum(o * pmi_micro) OVER () AS DOUBLE)
+        / (CAST(n AS DOUBLE) * 1000000.0)) * 1000000 + 0.5) / 1000000.0) AS mi
 FROM t
 """
 
@@ -5711,6 +5787,7 @@ def registry() -> dict[str, tuple]:
         "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
         "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
         "chi2_independence": (q_chi2_independence, SQL_CHI2_INDEPENDENCE),
+        "mutual_information": (q_mutual_information, SQL_MUTUAL_INFORMATION),
         "product_profit": (q_product_profit, SQL_PRODUCT_PROFIT),
         "supplier_part_counts": (q_supplier_part_counts, SQL_SUPPLIER_PART_COUNTS),
         "excess_shippers": (q_excess_shippers, SQL_EXCESS_SHIPPERS),
@@ -5824,6 +5901,7 @@ def registry() -> dict[str, tuple]:
         "streaming_cms_heavy_hitters": (q_streaming_cms_heavy_hitters, _sql_cms_heavy_hitters()),
         "streaming_merge_upsert": (q_streaming_merge_upsert, SQL_MERGE_UPSERT),
         "streaming_psi": (q_streaming_psi, SQL_PSI_DRIFT),
+        "streaming_quality_gate": (q_streaming_quality_gate, _sql_streaming_quality_gate()),
         "streaming_sampled_percentiles": (q_streaming_sampled_percentiles, _sql_sampled_percentiles()),
         "sliding_window_agg": (q_sliding_window_agg, SQL_SLIDING_WINDOW),
         "streaming_sliding_window": (q_streaming_sliding_window, SQL_SLIDING_WINDOW),

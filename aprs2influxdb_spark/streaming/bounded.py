@@ -1014,3 +1014,22 @@ def streaming_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("psi", rhu(F.sum("term_micro").over(wall) / F.lit(1e6), 6))
         .select("band", "na", "nb", "term_micro", "psi")
     )
+
+
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashed quality classifier applied to the documents STREAM —
+    unchanged: ``quality_classifier`` is a pure zero-shuffle
+    projection, so the exact same operator runs on a streaming
+    DataFrame with no state, no watermark, and append mode (the
+    streaming-transparency property every stateless operator in this
+    engine shares).  Kept docs only; shares the batch oracle filtered
+    the same way."""
+    from aprs2influxdb_spark.operators.textanalysis import quality_classifier
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    glob = path[:-1] + "[" + path[-1] + "]"
+    gated = quality_classifier(
+        spark.readStream.schema(schema).parquet(glob)
+    ).filter(F.col("keep"))
+    return run_bounded(spark, gated, "append", "stream_quality_gate")
