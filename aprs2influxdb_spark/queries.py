@@ -2422,6 +2422,44 @@ FROM documents
 """
 
 
+def q_langid_confusion(spark, sf):
+    """Confusion matrix of the heuristic language classifier against
+    the table's ground-truth ``lang`` column — the evaluation report
+    that gates rolling a classifier into the curation pipeline: per
+    (actual, predicted) cell count plus each cell's share of its
+    actual class (recall on the diagonal).
+
+    Scale shape: the classifier is a pure projection fused into the
+    scan; ONE partial-agg groupBy on the tiny (lang, pred) key and an
+    O(cells) window for the shares."""
+    d = _t(spark, sf, "documents")
+    pred, _best = ta._lang_parts("text")
+    wr = Window.partitionBy("lang")
+    return (
+        d.select(F.col("lang"), pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+        .withColumn("share_of_actual", rhu(F.col("n") / F.sum("n").over(wr), 4))
+    )
+
+
+SQL_LANGID_CONFUSION = f"""
+WITH p AS (
+  SELECT lang,
+         CASE WHEN greatest({_HIT['en']}, {_HIT['de']}, {_HIT['fr']}) <= 0 THEN 'und'
+              WHEN {_HIT['en']} = greatest({_HIT['en']}, {_HIT['de']}, {_HIT['fr']}) THEN 'en'
+              WHEN {_HIT['de']} = greatest({_HIT['en']}, {_HIT['de']}, {_HIT['fr']}) THEN 'de'
+              ELSE 'fr' END AS pred_lang
+  FROM documents
+), cells AS (
+  SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2
+)
+SELECT lang, pred_lang, n,
+       {rhu_sql('n / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE)', 4)} AS share_of_actual
+FROM cells
+"""
+
+
 def q_training_data_prep(spark, sf):
     """Composed end-to-end training-data selection: quality gate +
     language gate + exact dedup in one narrow projection + one window
@@ -3642,6 +3680,73 @@ WITH cells AS (
 SELECT event_type, iso_dow, o, {rhu_sql('e', 4)} AS expected, term_micro,
        (floor((CAST(sum(term_micro) OVER () AS DOUBLE) / 1000000.0) * 10000 + 0.5) / 10000.0) AS chi2
 FROM t
+"""
+
+
+def q_robust_scale_prices(spark, sf):
+    """Robust (median/IQR) standardization of l_extendedprice within
+    l_returnflag — the outlier-insensitive twin of ``zscore_prices``
+    (one inflated price shifts a mean/std scaler but not this one).
+
+    The median and quartiles are LOWER order statistics — real data
+    points selected at integer ranks ``floor(k·(n-1)/4)+1`` over a
+    deterministic (value, orderkey, linenumber) order — so both
+    engines pick the identical rows with zero interpolation
+    arithmetic; the final scale division is rhu'd at 4 dp.
+    Zero-IQR groups are excluded (division semantics guard).
+
+    Scale shape: one per-group sort window for ranks, a 3-row-output
+    groupBy picking the statistics, and a broadcast join back — the
+    facts move once through the group sort."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = (
+        li.withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count("*").over(Window.partitionBy("l_returnflag")))
+    )
+
+    def pick(k):
+        idx = F.floor((F.col("cnt") - 1) * k / 4).cast("long") + 1
+        return F.min(F.when(F.col("rn") == idx, F.col("l_extendedprice")))
+
+    stats = ranked.groupBy("l_returnflag").agg(
+        pick(1).alias("q1"), pick(2).alias("med"), pick(3).alias("q3")
+    )
+    return (
+        li.join(F.broadcast(stats), "l_returnflag")
+        .filter(F.col("q3") > F.col("q1"))
+        .select(
+            "l_orderkey", "l_linenumber", "l_returnflag",
+            rhu(
+                (F.col("l_extendedprice") - F.col("med")) / (F.col("q3") - F.col("q1")),
+                4,
+            ).alias("robust_z"),
+        )
+    )
+
+
+SQL_ROBUST_SCALE_PRICES = f"""
+WITH ranked AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS cnt
+  FROM lineitem
+), stats AS (
+  SELECT l_returnflag,
+         min(CASE WHEN rn = CAST(floor((cnt - 1) * 1 / 4) AS BIGINT) + 1 THEN l_extendedprice END) AS q1,
+         min(CASE WHEN rn = CAST(floor((cnt - 1) * 2 / 4) AS BIGINT) + 1 THEN l_extendedprice END) AS med,
+         min(CASE WHEN rn = CAST(floor((cnt - 1) * 3 / 4) AS BIGINT) + 1 THEN l_extendedprice END) AS q3
+  FROM ranked GROUP BY l_returnflag
+)
+SELECT l_orderkey, l_linenumber, l.l_returnflag,
+       {rhu_sql('(l_extendedprice - med) / (q3 - q1)', 4)} AS robust_z
+FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag
+WHERE q3 > q1
 """
 
 
@@ -5788,6 +5893,7 @@ def registry() -> dict[str, tuple]:
         "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
         "chi2_independence": (q_chi2_independence, SQL_CHI2_INDEPENDENCE),
         "mutual_information": (q_mutual_information, SQL_MUTUAL_INFORMATION),
+        "robust_scale_prices": (q_robust_scale_prices, SQL_ROBUST_SCALE_PRICES),
         "product_profit": (q_product_profit, SQL_PRODUCT_PROFIT),
         "supplier_part_counts": (q_supplier_part_counts, SQL_SUPPLIER_PART_COUNTS),
         "excess_shippers": (q_excess_shippers, SQL_EXCESS_SHIPPERS),
@@ -5849,6 +5955,7 @@ def registry() -> dict[str, tuple]:
         # text analysis
         "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
         "lang_id": (q_lang_id, SQL_LANG_ID),
+        "langid_confusion": (q_langid_confusion, SQL_LANGID_CONFUSION),
         "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
         "training_data_prep": (q_training_data_prep, SQL_TRAINING_DATA_PREP),
         "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),

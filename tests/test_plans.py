@@ -273,6 +273,19 @@ class TestJoinStrategy:
         from aprs2influxdb_spark.queries import q_chi2_independence
 
         assert audit(q_chi2_independence(spark, sf_dir)).shuffles <= 4
+        # confusion matrix / MI / robust scaler: classifier fused into
+        # the scan + cell-key aggs; the scaler adds one group sort and
+        # a broadcast join back
+        from aprs2influxdb_spark.queries import (
+            q_langid_confusion,
+            q_mutual_information,
+            q_robust_scale_prices,
+        )
+
+        assert audit(q_langid_confusion(spark, sf_dir)).shuffles <= 3
+        assert audit(q_mutual_information(spark, sf_dir)).shuffles <= 4
+        rs = audit(q_robust_scale_prices(spark, sf_dir))
+        assert rs.shuffles <= 3 and rs.broadcasts >= 1
 
     def test_runtime_bloom_filter_reduces_fact_scan(self, spark, sf_dir):
         """Runtime bloom-filter semi-join reduction: a selective filter
