@@ -3683,6 +3683,44 @@ FROM t
 """
 
 
+def q_revenue_growth(spark, sf):
+    """Month-over-month revenue growth: monthly order totals with the
+    previous month's total and the percentage change — the classic
+    trend dashboard (lag window over a pre-aggregated month table, so
+    the window input is O(months), not O(orders)).
+
+    The pct change divides the 2-dp-rounded month totals (the figures
+    a dashboard shows) so both engines divide identical doubles;
+    months without a predecessor emit NULL growth on both."""
+    o = _t(spark, sf, "orders")
+    monthly = (
+        # cast to date: Spark's date_trunc returns timestamp while
+        # DuckDB's returns DATE for a DATE input
+        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"))
+        .agg(rhu(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month", "revenue",
+        prev.alias("prev_revenue"),
+        rhu((F.col("revenue") - prev) * 100.0 / prev, 4).alias("pct_growth"),
+    )
+
+
+SQL_REVENUE_GROWTH = f"""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         {rhu_sql('sum(o_totalprice)', 2)} AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+       lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+       {rhu_sql("(revenue - lag(revenue) OVER (ORDER BY month)) * 100.0 / lag(revenue) OVER (ORDER BY month)", 4)} AS pct_growth
+FROM monthly
+"""
+
+
 def q_robust_scale_prices(spark, sf):
     """Robust (median/IQR) standardization of l_extendedprice within
     l_returnflag — the outlier-insensitive twin of ``zscore_prices``
@@ -5894,6 +5932,7 @@ def registry() -> dict[str, tuple]:
         "chi2_independence": (q_chi2_independence, SQL_CHI2_INDEPENDENCE),
         "mutual_information": (q_mutual_information, SQL_MUTUAL_INFORMATION),
         "robust_scale_prices": (q_robust_scale_prices, SQL_ROBUST_SCALE_PRICES),
+        "revenue_growth": (q_revenue_growth, SQL_REVENUE_GROWTH),
         "product_profit": (q_product_profit, SQL_PRODUCT_PROFIT),
         "supplier_part_counts": (q_supplier_part_counts, SQL_SUPPLIER_PART_COUNTS),
         "excess_shippers": (q_excess_shippers, SQL_EXCESS_SHIPPERS),
