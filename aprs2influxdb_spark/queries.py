@@ -3683,6 +3683,98 @@ FROM t
 """
 
 
+def q_customer_rfm(spark, sf):
+    """RFM segmentation: per customer the recency (days since last
+    order, against the corpus max date), frequency (order count), and
+    monetary (total spend), each scored into quintiles — the classic
+    customer-value segmentation, here with fully deterministic
+    quintile boundaries (ntile over an explicit (metric, custkey)
+    order, so ties split identically on both engines).
+
+    Scale shape: one customer-key aggregate, then three O(customers)
+    ntile windows; the 1-row max-date aggregate broadcasts."""
+    o = _t(spark, sf, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        rhu(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    mx = o.agg(F.max("o_orderdate").alias("max_date"))
+    base = per.crossJoin(F.broadcast(mx)).withColumn(
+        "recency_days", F.datediff("max_date", "last_order")
+    )
+    r = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
+    f = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+    m = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc())
+    return base.select(
+        "o_custkey", "recency_days", "frequency", "monetary",
+        F.ntile(5).over(r).alias("r_score"),
+        F.ntile(5).over(f).alias("f_score"),
+        F.ntile(5).over(m).alias("m_score"),
+    )
+
+
+SQL_CUSTOMER_RFM = f"""
+WITH per AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order, count(*) AS frequency,
+         {rhu_sql('sum(o_totalprice)', 2)} AS monetary
+  FROM orders GROUP BY 1
+), mx AS (
+  SELECT max(o_orderdate) AS max_date FROM orders
+)
+SELECT o_custkey,
+       CAST(date_diff('day', last_order, max_date) AS INT) AS recency_days,
+       frequency, monetary,
+       ntile(5) OVER (ORDER BY date_diff('day', last_order, max_date), o_custkey) AS r_score,
+       ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+       ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+FROM per CROSS JOIN mx
+"""
+
+
+def q_event_transitions(spark, sf):
+    """First-order Markov transition matrix over the event stream: per
+    user, each event's type paired with the NEXT event's type (ordered
+    by time with an id tie-break), aggregated to (from, to) counts and
+    row-conditional probabilities — the product-analytics "what do
+    users do next" report and the input to behavior-model priors.
+
+    One per-user lead window + one partial-agg groupBy on the tiny
+    (from, to) key; probabilities are ratios of exact integers,
+    rounded half-up at 4 dp."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    wr = Window.partitionBy("from_type")
+    return (
+        pairs.groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+        .withColumn("p", rhu(F.col("n") / F.sum("n").over(wr), 4))
+    )
+
+
+SQL_EVENT_TRANSITIONS = f"""
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+), cells AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       {rhu_sql('n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)', 4)} AS p
+FROM cells
+"""
+
+
 def q_revenue_growth(spark, sf):
     """Month-over-month revenue growth: monthly order totals with the
     previous month's total and the percentage change — the classic
@@ -5933,6 +6025,8 @@ def registry() -> dict[str, tuple]:
         "mutual_information": (q_mutual_information, SQL_MUTUAL_INFORMATION),
         "robust_scale_prices": (q_robust_scale_prices, SQL_ROBUST_SCALE_PRICES),
         "revenue_growth": (q_revenue_growth, SQL_REVENUE_GROWTH),
+        "customer_rfm": (q_customer_rfm, SQL_CUSTOMER_RFM),
+        "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
         "product_profit": (q_product_profit, SQL_PRODUCT_PROFIT),
         "supplier_part_counts": (q_supplier_part_counts, SQL_SUPPLIER_PART_COUNTS),
         "excess_shippers": (q_excess_shippers, SQL_EXCESS_SHIPPERS),

@@ -286,6 +286,17 @@ class TestJoinStrategy:
         assert audit(q_mutual_information(spark, sf_dir)).shuffles <= 4
         rs = audit(q_robust_scale_prices(spark, sf_dir))
         assert rs.shuffles <= 3 and rs.broadcasts >= 1
+        # RFM: one customer agg + three O(customers) ntile windows;
+        # transitions: one per-user lead window + tiny cell agg
+        from aprs2influxdb_spark.queries import (
+            q_customer_rfm,
+            q_event_transitions,
+            q_revenue_growth,
+        )
+
+        assert audit(q_customer_rfm(spark, sf_dir)).shuffles <= 5
+        assert audit(q_event_transitions(spark, sf_dir)).shuffles <= 3
+        assert audit(q_revenue_growth(spark, sf_dir)).shuffles <= 2
 
     def test_runtime_bloom_filter_reduces_fact_scan(self, spark, sf_dir):
         """Runtime bloom-filter semi-join reduction: a selective filter
