@@ -3683,6 +3683,77 @@ FROM t
 """
 
 
+def q_histogram_equi_depth(spark, sf):
+    """Equi-depth (quantile-bin) histogram of l_extendedprice: 8 bins
+    holding ~equal row counts — the optimizer-statistics histogram
+    (fixed-width ``histogram_prices``' skew-robust twin: one hot price
+    band can't swallow the whole distribution into two bars).
+
+    Bin boundaries are EXACT lower order statistics at deterministic
+    integer ranks (the ``robust_scale_prices`` technique), so both
+    engines cut at identical real data points; bin assignment counts
+    ranks, not values, making the depths exact integers."""
+    li = _t(spark, sf, "lineitem").select("l_extendedprice", "l_orderkey", "l_linenumber")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    ranked = li.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cnt", F.count("*").over(Window.partitionBy())
+    )
+    # bin = which of the 8 equal-rank slices this row falls in
+    b = F.least(F.expr("((rn - 1) * 8) div cnt"), F.lit(7))
+    return (
+        ranked.withColumn("bin", b)
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("depth"),
+            rhu(F.min("l_extendedprice"), 2).alias("lo"),
+            rhu(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+    )
+
+
+SQL_HISTOGRAM_EQUI_DEPTH = f"""
+WITH ranked AS (
+  SELECT l_extendedprice,
+         row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+         count(*) OVER () AS cnt
+  FROM lineitem
+)
+SELECT least(((rn - 1) * 8) // cnt, 7) AS bin,
+       count(*) AS depth,
+       {rhu_sql('min(l_extendedprice)', 2)} AS lo,
+       {rhu_sql('max(l_extendedprice)', 2)} AS hi
+FROM ranked GROUP BY 1
+"""
+
+
+def q_dedup_rate_by_source(spark, sf):
+    """Per-source duplication report: document count, distinct-content
+    count, and the duplicate rate — the ingest-quality scoreboard that
+    decides which crawl sources earn a deeper (near-dup) pass.  One
+    aggregate over (source, digest) partials; rates are ratios of
+    exact integers."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select("source", F.md5("text").alias("digest"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("digest").alias("n_unique"),
+        )
+        .withColumn(
+            "dup_rate",
+            rhu((F.col("n_docs") - F.col("n_unique")) / F.col("n_docs"), 4),
+        )
+    )
+
+
+SQL_DEDUP_RATE_BY_SOURCE = f"""
+SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
+       {rhu_sql('(count(*) - count(DISTINCT md5(text))) / CAST(count(*) AS DOUBLE)', 4)} AS dup_rate
+FROM documents GROUP BY source
+"""
+
+
 def q_customer_rfm(spark, sf):
     """RFM segmentation: per customer the recency (days since last
     order, against the corpus max date), frequency (order count), and
@@ -6026,6 +6097,8 @@ def registry() -> dict[str, tuple]:
         "robust_scale_prices": (q_robust_scale_prices, SQL_ROBUST_SCALE_PRICES),
         "revenue_growth": (q_revenue_growth, SQL_REVENUE_GROWTH),
         "customer_rfm": (q_customer_rfm, SQL_CUSTOMER_RFM),
+        "histogram_equi_depth": (q_histogram_equi_depth, SQL_HISTOGRAM_EQUI_DEPTH),
+        "dedup_rate_by_source": (q_dedup_rate_by_source, SQL_DEDUP_RATE_BY_SOURCE),
         "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
         "product_profit": (q_product_profit, SQL_PRODUCT_PROFIT),
         "supplier_part_counts": (q_supplier_part_counts, SQL_SUPPLIER_PART_COUNTS),

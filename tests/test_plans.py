@@ -297,6 +297,13 @@ class TestJoinStrategy:
         assert audit(q_customer_rfm(spark, sf_dir)).shuffles <= 5
         assert audit(q_event_transitions(spark, sf_dir)).shuffles <= 3
         assert audit(q_revenue_growth(spark, sf_dir)).shuffles <= 2
+        from aprs2influxdb_spark.queries import (
+            q_dedup_rate_by_source,
+            q_histogram_equi_depth,
+        )
+
+        assert audit(q_histogram_equi_depth(spark, sf_dir)).shuffles <= 3
+        assert audit(q_dedup_rate_by_source(spark, sf_dir)).shuffles <= 2
 
     def test_runtime_bloom_filter_reduces_fact_scan(self, spark, sf_dir):
         """Runtime bloom-filter semi-join reduction: a selective filter
