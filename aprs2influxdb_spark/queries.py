@@ -3564,21 +3564,35 @@ def q_psi_drift(spark, sf):
     ref = d.filter(F.col("source") == "src0").agg(
         F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx")
     )
-    band = F.least(
-        F.greatest(
-            F.expr("((n_chars - mn) * 10) div (mx - mn + 1)"), F.lit(0)
-        ),
-        F.lit(9),
-    )
     counts = (
         d.crossJoin(F.broadcast(ref))
-        .select(band.alias("band"), "source")
+        .select(psi_band_expr().alias("band"), "source")
         .groupBy("band")
         .agg(
             F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("na"),
             F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("nb"),
         )
     )
+    return psi_from_band_counts(counts)
+
+
+def psi_band_expr():
+    """Band assignment shared by the batch and streaming PSI twins —
+    pure integer arithmetic over (n_chars, mn, mx) columns.  Single
+    definition: a drift between the twins silently breaks the shared
+    oracle (the KMV_SPACE lesson)."""
+    return F.least(
+        F.greatest(
+            F.expr("((n_chars - mn) * 10) div (mx - mn + 1)"), F.lit(0)
+        ),
+        F.lit(9),
+    )
+
+
+def psi_from_band_counts(counts: DataFrame) -> DataFrame:
+    """(band, na, nb) -> the PSI report — epsilon floor, micro-nat
+    terms, 6-dp total; shared by ``q_psi_drift`` and the streaming
+    twin so both stay oracle-identical by construction."""
     wall = Window.partitionBy()
     pa = F.greatest(F.col("na") / F.sum("na").over(wall), F.lit(1e-4))
     pb = F.greatest(F.col("nb") / F.sum("nb").over(wall), F.lit(1e-4))
@@ -3698,8 +3712,11 @@ def q_histogram_equi_depth(spark, sf):
     ranked = li.withColumn("rn", F.row_number().over(w)).withColumn(
         "cnt", F.count("*").over(Window.partitionBy())
     )
-    # bin = which of the 8 equal-rank slices this row falls in
-    b = F.least(F.expr("((rn - 1) * 8) div cnt"), F.lit(7))
+    # bin = which of the 8 equal-rank slices this row falls in; rn is
+    # IntegerType (row_number), so cast before the multiply — (rn-1)*8
+    # as int overflows past ~268M rows (ANSI error / wrapped negative
+    # bins) while the DuckDB twin's BIGINT row_number stays correct
+    b = F.least(F.expr("((cast(rn as bigint) - 1) * 8) div cnt"), F.lit(7))
     return (
         ranked.withColumn("bin", b)
         .groupBy("bin")

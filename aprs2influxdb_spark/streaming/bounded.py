@@ -77,6 +77,17 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_ts(spark.readStream.schema(schema).parquet(glob))
 
 
+def stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``documents.parquet`` as a file-source stream (same one-char-
+    glob trick as :func:`stream_events`; no ts normalization needed).
+    Single helper for every documents-stream entry so a future fix to
+    the glob/schema handling lands once."""
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    glob = path[:-1] + "[" + path[-1] + "]"
+    return spark.readStream.schema(schema).parquet(glob)
+
+
 def run_bounded(
     spark: SparkSession, stream_df: DataFrame, mode: str, name: str
 ) -> DataFrame:
@@ -150,11 +161,8 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape is update mode into a keyed store (the InfluxDB sink's
     upsert path, or RocksDB state store with changelog checkpointing),
     not complete-mode re-emission."""
-    path = f"{sf_dir}/documents.parquet"
-    schema = spark.read.parquet(path).schema
-    glob = path[:-1] + "[" + path[-1] + "]"
     agg = (
-        spark.readStream.schema(schema).parquet(glob)
+        stream_docs(spark, sf_dir)
         .select(F.md5(F.col("text")).alias("text_md5"), "doc_id")
         .groupBy("text_md5")
         .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_dups"))
@@ -884,6 +892,10 @@ MERGE_OUTPUT = StructType(
         StructField("o_orderkey", LongType(), True),
         StructField("price", DoubleType(), True),
         StructField("was_updated", BooleanType(), True),
+        # state version rides along so the sink can keep only each
+        # key's LATEST snapshot when the source splits into multiple
+        # micro-batches (append mode re-emits per batch)
+        StructField("version", LongType(), True),
     ]
 )
 MERGE_STATE = StructType(
@@ -914,8 +926,9 @@ def _merge_group(
             "o_orderkey": int(key[0]),
             "price": math.floor(price * 100 + 0.5) / 100.0,
             "was_updated": ver == 1,
+            "version": ver,
         }],
-        columns=["o_orderkey", "price", "was_updated"],
+        columns=["o_orderkey", "price", "was_updated", "version"],
     )
 
 
@@ -951,7 +964,18 @@ def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             _merge_group, MERGE_OUTPUT, MERGE_STATE, "append", GroupStateTimeout.NoTimeout
         )
     )
-    return run_bounded(spark, merged, "append", "stream_merge")
+    sink = run_bounded(spark, merged, "append", "stream_merge")
+    # append mode emits one snapshot per key PER MICRO-BATCH; under
+    # AvailableNow on one file that is a single batch, but the entry
+    # must not silently depend on it — keep each key's latest snapshot
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "price", "was_updated")
+    )
 
 
 def streaming_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -963,23 +987,17 @@ def streaming_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     The final banded counts equal the batch twin's, so the entry
     shares its oracle; at 100 TB the streamed side's state is 10
     band counters."""
-    from pyspark.sql import Window
+    from aprs2influxdb_spark.queries import psi_band_expr, psi_from_band_counts
 
-    path = f"{sf_dir}/documents.parquet"
-    schema = spark.read.parquet(path).schema
-    glob = path[:-1] + "[" + path[-1] + "]"
-    static = spark.read.parquet(path)
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
     ref_rows = (
         static.filter(F.col("source") == "src0")
         .agg(F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx"))
         .withColumn("k", F.lit(1))
     )
-    band = F.least(
-        F.greatest(F.expr("((n_chars - mn) * 10) div (mx - mn + 1)"), F.lit(0)),
-        F.lit(9),
-    )
+    band = psi_band_expr()
     cur = (
-        spark.readStream.schema(schema).parquet(glob)
+        stream_docs(spark, sf_dir)
         .filter(F.col("source") == "src1")
         .withColumn("k", F.lit(1))
         .join(F.broadcast(ref_rows), "k")
@@ -1005,15 +1023,7 @@ def streaming_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("nb", F.lit(0)).alias("nb"),
         )
     )
-    wall = Window.partitionBy()
-    pa = F.greatest(F.col("na") / F.sum("na").over(wall), F.lit(1e-4))
-    pb = F.greatest(F.col("nb") / F.sum("nb").over(wall), F.lit(1e-4))
-    term = F.floor((pa - pb) * F.log(pa / pb) * 1e6 + F.lit(0.5)).cast("long")
-    return (
-        counts.withColumn("term_micro", term)
-        .withColumn("psi", rhu(F.sum("term_micro").over(wall) / F.lit(1e6), 6))
-        .select("band", "na", "nb", "term_micro", "psi")
-    )
+    return psi_from_band_counts(counts)
 
 
 def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1026,10 +1036,5 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same way."""
     from aprs2influxdb_spark.operators.textanalysis import quality_classifier
 
-    path = f"{sf_dir}/documents.parquet"
-    schema = spark.read.parquet(path).schema
-    glob = path[:-1] + "[" + path[-1] + "]"
-    gated = quality_classifier(
-        spark.readStream.schema(schema).parquet(glob)
-    ).filter(F.col("keep"))
+    gated = quality_classifier(stream_docs(spark, sf_dir)).filter(F.col("keep"))
     return run_bounded(spark, gated, "append", "stream_quality_gate")
