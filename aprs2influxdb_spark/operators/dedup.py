@@ -977,3 +977,55 @@ def bloom_decontaminate(
             (F.col("bloom_hits") - F.coalesce("exact_hits", F.lit(0))).alias("false_pos"),
         )
     )
+
+
+def boilerplate_chunks(
+    docs: DataFrame, window: int = 16, min_docs: int = 2,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Frequency-threshold boilerplate detection (the CCNet/RefinedWeb
+    rule `paragraph_dedup` is the removal twin of): a span is
+    BOILERPLATE when it occurs in at least ``min_docs`` DISTINCT
+    documents — headers, footers, cookie banners.  Emits per document
+    the chunk count, boilerplate-chunk count, and boilerplate
+    fraction; a downstream filter drops high-fraction docs or strips
+    the flagged spans.
+
+    Differs from ``paragraph_dedup`` (first-occurrence keep: every
+    later copy goes) in that the FIRST copy of a repeated span is
+    flagged too — the frequency rule is symmetric, the dedup rule is
+    ordered.
+
+    Plan shape at 100 TB: chunking is the same narrow generator as
+    ``paragraph_dedup``; the distinct-doc frequency is ONE shuffle on
+    the uniform 16-byte digest (partial distinct on (digest, doc)
+    first — map-side combine keeps within-doc repeats local); the
+    flag-back is a join on that same digest key (co-partitioned, AQE
+    picks shuffle-hash); per-doc rollup is one shuffle on the id.  No
+    pairwise stage anywhere."""
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = ((F.size(toks) - 1) / window).cast("int") + 1
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * window + 1, window), " "),
+    )
+    exploded = (
+        spread_for_compute(docs.select(id_col, text_col))
+        .select(id_col, F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .select(id_col, "chunk_idx", F.md5("chunk").alias("digest"))
+    )
+    dfreq = (
+        exploded.select("digest", id_col)
+        .distinct()
+        .groupBy("digest")
+        .agg(F.count("*").alias("df"))
+    )
+    return (
+        exploded.join(dfreq, "digest")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("df") >= min_docs, 1).otherwise(0)).alias("n_boiler"),
+        )
+        .withColumn("boiler_frac", rhu(F.col("n_boiler") / F.col("n_chunks"), 4))
+    )

@@ -1098,3 +1098,90 @@ def knn_triangles(
         n_edges.crossJoin(wedges).crossJoin(tri)
         .select("n_edges", "n_wedges", "n_triangles", coeff.alias("global_clustering"))
     )
+
+
+def rp_sign_matrix(out_dim: int = 16, in_dim: int = 64, seed: str = "rp") -> list:
+    """Deterministic {-1,+1} Johnson-Lindenstrauss sign matrix, derived
+    from md5 at PLAN-BUILD time (not per row) so the Spark expression
+    and the DuckDB oracle inline the identical literals.  Achlioptas
+    (2003) shows +-1 entries satisfy the JL lemma — no Gaussian draw
+    needed, which is what makes the projection expressible as exact
+    integer-free arithmetic on both engines."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[:15], 16) % 2 == 0
+            else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def rp_project(
+    emb: DataFrame, out_dim: int = 16, in_dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: 64-dim float vectors
+    down to ``out_dim`` doubles via a fixed sign matrix — the
+    dimensionality-reduction front of an ANN/dedup pipeline (project
+    once, then bucket/search in the small space: at 100 TB this cuts
+    every downstream distance computation 4x and the shuffled bytes
+    with it).
+
+    Each output component is a fixed-order chain of 64 fused
+    multiply-free adds/subtracts (sign matrix is +-1), codegen'd
+    JVM-side — a narrow map with NO shuffle, no UDF, no hashing per
+    row.  Cross-engine determinism: float32 -> float64 widening is
+    exact, the add chain is written in the same index order in both
+    engines, and outputs are half-up rounded to 6dp.
+
+    Returns (id, p00..p{out_dim-1}) — columns, not an array, so the
+    result is directly hash-comparable and column-prunable.
+
+    Implementation note: each output column is ONE ``F.expr`` string
+    (not a Python-composed Column tree) — composing the 64-term chain
+    from Column objects costs ~4 py4j driver round-trips per term
+    (measured 8-14 s of pure DataFrame-build time for 16x64); the
+    string form parses JVM-side in milliseconds and yields the
+    identical plan."""
+    signs = rp_sign_matrix(out_dim, in_dim)
+    cols = [F.col(id_col)]
+    for j in range(out_dim):
+        parts = []
+        for i in range(in_dim):
+            s = "+" if signs[j][i] > 0 else "-"
+            parts.append(f"{s} (CAST({vec_col}[{i}] AS DOUBLE))")
+        chain = " ".join(parts)
+        chain = chain[2:] if chain.startswith("+ ") else "0.0 " + chain
+        cols.append(
+            # 0.5D / 1000000D: SQL literals with a decimal point parse
+            # as DECIMAL in Spark — the D suffix keeps this a pure
+            # double chain like rhu()'s F.lit(0.5)
+            F.expr(f"floor(({chain}) * 1000000D + 0.5D) / 1000000D").alias(f"p{j:02d}")
+        )
+    return emb.select(*cols)
+
+
+def rp_project_sql(out_dim: int = 16, in_dim: int = 64) -> str:
+    """DuckDB twin of :func:`rp_project` — identical sign literals,
+    identical add order (left fold over ascending i)."""
+    from aprs2influxdb_spark.functions.rounding import rhu_sql
+
+    signs = rp_sign_matrix(out_dim, in_dim)
+    outs = []
+    for j in range(out_dim):
+        parts = []
+        for i in range(in_dim):
+            s = "+" if signs[j][i] > 0 else "-"
+            parts.append(f"{s} (embedding[{i + 1}]::DOUBLE)")
+        # left-fold order: SQL +/- is left-associative, matching the
+        # Spark chain built in the same ascending-i order
+        chain = " ".join(parts)
+        if chain.startswith("+ "):
+            chain = chain[2:]
+        else:
+            chain = "0.0 " + chain  # leading minus: seed the fold explicitly
+        outs.append(f"{rhu_sql(chain, 6)} AS p{j:02d}")
+    return "SELECT vec_id, " + ", ".join(outs) + " FROM embeddings"

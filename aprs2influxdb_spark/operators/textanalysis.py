@@ -776,3 +776,116 @@ def top_ngrams(
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= top_k)
     )
+
+
+def temperature_mixture(
+    docs: DataFrame, text_col: str = "text", source_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled source sampling weights — the multilingual-LM
+    mixture rule (alpha-smoothing, here alpha = 0.5): sample source
+    ``s`` with probability proportional to ``n_tokens(s)^0.5`` instead
+    of its natural share, up-weighting low-resource sources.  Emits,
+    per source, the natural token share, the temperature weight, the
+    boost factor (weight / natural share), and the effective epoch
+    count if the full corpus token budget were drawn under the
+    temperature weights (epochs > 1 on small sources = repeated data).
+
+    Cross-engine determinism: ``n^0.5`` is IEEE ``sqrt`` (correctly
+    rounded everywhere) of an exact integer, INTEGERIZED to micro-units
+    before the denominator sum, so every ratio divides identical exact
+    integers; the remaining float ops are order-fixed single
+    expressions over already-identical doubles.
+
+    Scale shape: one map-side-combined aggregate over the (few-valued)
+    source key, then a broadcast of the single-row totals — the same
+    two-stage shape as ``source_mixture``; no per-row work beyond the
+    token count."""
+    per = (
+        spread_for_compute(docs.select(text_col, source_col))
+        .select(source_col, F.size(tokens_col(text_col)).alias("n_t"))
+        .groupBy(source_col)
+        .agg(F.count("*").alias("n_docs"), F.sum("n_t").alias("n_tokens"))
+        .withColumn(
+            "msqrt",
+            F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1e6 + F.lit(0.5)).cast("long"),
+        )
+    )
+    totals = per.agg(
+        F.sum("n_tokens").alias("total_tokens"), F.sum("msqrt").alias("total_msqrt")
+    )
+    w = rhu(F.col("msqrt") / F.col("total_msqrt"), 6)
+    nat = rhu(F.col("n_tokens") / F.col("total_tokens"), 6)
+    return per.crossJoin(F.broadcast(totals)).select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        nat.alias("natural_share"),
+        w.alias("temp_weight"),
+        rhu(w / nat, 4).alias("boost"),
+        rhu(
+            w * F.col("total_tokens").cast("double") / F.col("n_tokens").cast("double"), 4
+        ).alias("epochs_at_budget"),
+    )
+
+
+def zipf_fit(
+    docs: DataFrame, top_k: int = 1000, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Zipf-law fit over the corpus vocabulary: least-squares slope and
+    intercept of ``ln(frequency)`` against ``ln(rank)`` for the top-k
+    terms — the classic corpus-health diagnostic (natural text fits
+    slope ~ -1; template/boilerplate corpora flatten, gibberish
+    steepens).  Fitting the HEAD of the distribution (top_k ranks) is
+    the standard practice and, with k fixed, keeps every sum bounded
+    independent of corpus size.
+
+    Cross-engine determinism: rank is a deterministic ``row_number``
+    (frequency desc, term asc); ``ln`` values are integerized to
+    micro-nats BEFORE summation so all five regression sums are exact
+    int64 (max |sum(x*y)| ~ k * ln(k)e6 * ln(cf)e6 ~ 1e17 at k = 1000
+    even for a 100 T-token corpus); the closed-form slope's final
+    products are computed in DECIMAL(38,0)/HUGEINT (n*sum(xy) and
+    sum(x)*sum(y) overflow int64) and only the two identical exact
+    integers are converted to double for the one division.
+
+    Scale shape: one groupBy on the term (map-side combined), a
+    WindowGroupLimit top-k (partial bottom-k per map task — no global
+    sort materialization), and a single-row final aggregate."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cf").desc(), F.col("term").asc())
+    ranked = (
+        _spread_docs(docs, id_col, text_col)
+        .select(F.explode(tokens_col(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cf"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.floor(F.log(F.col("rank").cast("double")) * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("x"),
+            F.floor(F.log(F.col("cf").cast("double")) * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    sums = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = (dec("n") * dec("sxy") - dec("sx") * dec("sy")).cast("double")
+    den = (dec("n") * dec("sxx") - dec("sx") * dec("sx")).cast("double")
+    slope = rhu(num / den, 6)
+    intercept = rhu(
+        (F.col("sy").cast("double") / 1e6 - slope * (F.col("sx").cast("double") / 1e6))
+        / F.col("n").cast("double"),
+        6,
+    )
+    return sums.select(
+        F.col("n").alias("n_terms"), slope.alias("slope"), intercept.alias("intercept")
+    )

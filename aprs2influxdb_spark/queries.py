@@ -6044,6 +6044,121 @@ FROM per
 """
 
 
+def q_temperature_mixture(spark, sf):
+    """Temperature-scaled (alpha = 0.5) source sampling weights — see
+    operators.textanalysis.temperature_mixture (integer micro-sqrt
+    denominator; one small-key aggregate + broadcast totals)."""
+    return ta.temperature_mixture(_t(spark, sf, "documents"))
+
+
+SQL_TEMPERATURE_MIXTURE = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), m AS (
+  SELECT *, CAST(floor(sqrt(n_tokens::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS msqrt
+  FROM per
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(sum(msqrt) AS BIGINT) AS total_msqrt
+  FROM m
+)
+SELECT source, n_docs, n_tokens,
+       {rhu_sql('n_tokens / CAST(total_tokens AS DOUBLE)', 6)} AS natural_share,
+       {rhu_sql('msqrt / CAST(total_msqrt AS DOUBLE)', 6)} AS temp_weight,
+       {rhu_sql(
+           rhu_sql('msqrt / CAST(total_msqrt AS DOUBLE)', 6)
+           + ' / ' + rhu_sql('n_tokens / CAST(total_tokens AS DOUBLE)', 6),
+           4,
+       )} AS boost,
+       {rhu_sql(
+           rhu_sql('msqrt / CAST(total_msqrt AS DOUBLE)', 6)
+           + ' * CAST(total_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)',
+           4,
+       )} AS epochs_at_budget
+FROM m, tot
+"""
+
+
+def q_zipf_fit(spark, sf):
+    """Zipf-law regression over the top-1000 vocabulary ranks — see
+    operators.textanalysis.zipf_fit (micro-nat integer sums; closed
+    form in DECIMAL(38,0)/HUGEINT)."""
+    return ta.zipf_fit(_t(spark, sf, "documents"))
+
+
+SQL_ZIPF_FIT = f"""
+WITH tf AS (
+  SELECT term, count(*) AS cf FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+  ) GROUP BY term
+), ranked AS (
+  SELECT CAST(floor(ln(rank::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(cf::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS y
+  FROM (SELECT cf, term, row_number() OVER (ORDER BY cf DESC, term ASC) AS rank FROM tf)
+  WHERE rank <= 1000
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM ranked
+), sl AS (
+  SELECT n, sx, sy,
+         {rhu_sql(
+             '((n::HUGEINT * sxy::HUGEINT - sx::HUGEINT * sy::HUGEINT)::DOUBLE)'
+             ' / ((n::HUGEINT * sxx::HUGEINT - sx::HUGEINT * sx::HUGEINT)::DOUBLE)',
+             6,
+         )} AS slope
+  FROM s
+)
+SELECT n AS n_terms, slope,
+       {rhu_sql(
+           '(sy::DOUBLE / 1000000.0 - slope * (sx::DOUBLE / 1000000.0)) / n::DOUBLE', 6
+       )} AS intercept
+FROM sl
+"""
+
+
+def q_boilerplate_chunks(spark, sf):
+    """Frequency-threshold boilerplate spans (>= 2 distinct docs) with
+    per-document boilerplate fraction — see
+    operators.dedup.boilerplate_chunks (digest-keyed distinct + join,
+    no pairwise stage)."""
+    return dd.boilerplate_chunks(_t(spark, sf, "documents"))
+
+
+SQL_BOILERPLATE_CHUNKS = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), idx AS (
+  SELECT doc_id, toks, unnest(range(0, ((len(toks) - 1) // 16) + 1)) AS chunk_idx FROM t
+), ch AS (
+  SELECT doc_id, chunk_idx,
+         md5(array_to_string(toks[chunk_idx * 16 + 1 : chunk_idx * 16 + 16], ' ')) AS digest
+  FROM idx
+), dfq AS (
+  SELECT digest, count(*) AS df
+  FROM (SELECT DISTINCT digest, doc_id FROM ch) GROUP BY digest
+), per AS (
+  SELECT doc_id, count(*) AS n_chunks,
+         sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_boiler
+  FROM ch JOIN dfq USING (digest) GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+       CAST(n_boiler AS BIGINT) AS n_boiler,
+       {rhu_sql('n_boiler / CAST(n_chunks AS DOUBLE)', 4)} AS boiler_frac
+FROM per
+"""
+
+
+def q_rp_project(spark, sf):
+    """Johnson-Lindenstrauss sign projection 64 -> 16 dims — see
+    operators.similarity.rp_project (plan-time sign literals, narrow
+    codegen'd map, zero shuffle)."""
+    return sim.rp_project(_t(spark, sf, "embeddings"))
+
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -6242,6 +6357,12 @@ def registry() -> dict[str, tuple]:
         "streaming_alert_transitions": (q_streaming_alert_transitions, SQL_ALERT_TRANSITIONS),
         "streaming_cumulative_users": (q_streaming_cumulative_users, SQL_CUMULATIVE_USERS),
         "streaming_sessionize": (q_streaming_sessionize, _streaming_sessionize_sql()),
+        # round-2f: mixture temperature weights, Zipf corpus-health fit,
+        # frequency-threshold boilerplate, and JL sign projection
+        "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
+        "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
+        "boilerplate_chunks": (q_boilerplate_chunks, SQL_BOILERPLATE_CHUNKS),
+        "rp_project": (q_rp_project, sim.rp_project_sql()),
         # transformWithState twin registers only where its protobuf
         # dependency exists (absent in this container; the operator and
         # its skipping test remain — see streaming.bounded.tws_available)

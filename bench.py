@@ -108,6 +108,12 @@ HEADLINE = [
     "bloom_decontaminate",
     "rrf_fusion",
     "bigram_logprob",
+    # round-2f additions: temperature mixture weights, Zipf corpus fit,
+    # frequency-threshold boilerplate, and the JL sign projection
+    "temperature_mixture",
+    "zipf_fit",
+    "boilerplate_chunks",
+    "rp_project",
 ]
 
 
