@@ -6159,6 +6159,14 @@ def q_rp_project(spark, sf):
     return sim.rp_project(_t(spark, sf, "embeddings"))
 
 
+def q_rp_rerank_topk(spark, sf):
+    """Two-stage retrieval: JL-space candidate generation + exact
+    cosine re-rank — see operators.similarity.rp_rerank_topk (the
+    corpus-wide pass runs in the 16-dim space; full vectors touched
+    only for the broadcast candidate list)."""
+    return sim.rp_rerank_topk(_t(spark, sf, "embeddings"), QUERY_VEC_IDS, k=10, m=200)
+
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -6363,6 +6371,7 @@ def registry() -> dict[str, tuple]:
         "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
         "boilerplate_chunks": (q_boilerplate_chunks, SQL_BOILERPLATE_CHUNKS),
         "rp_project": (q_rp_project, sim.rp_project_sql()),
+        "rp_rerank_topk": (q_rp_rerank_topk, sim.rp_rerank_sql([0, 1, 2, 3, 4], k=10, m=200)),
         # transformWithState twin registers only where its protobuf
         # dependency exists (absent in this container; the operator and
         # its skipping test remain — see streaming.bounded.tws_available)

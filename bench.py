@@ -114,6 +114,7 @@ HEADLINE = [
     "zipf_fit",
     "boilerplate_chunks",
     "rp_project",
+    "rp_rerank_topk",
 ]
 
 

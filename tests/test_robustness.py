@@ -312,3 +312,27 @@ def test_cms_never_underestimates(spark, sf_dir):
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     out = cms_heavy_hitters(events, key_col="user_id", top_n=50)
     assert out.filter(F.col("cms_est") < F.col("exact_n")).count() == 0
+
+
+def test_rp_rerank_recall_floor(spark, sf_dir):
+    """The JL candidate-generation stage must keep most true cosine
+    neighbors even on this near-random corpus (the hardest case for a
+    16-dim projection: true-neighbor gaps are tiny relative to the
+    distortion).  Measured 0.84 at sf0.01 and sf0.001; pin a 0.7
+    floor so a silent metric/ordering regression in either stage
+    (e.g. the L2-vs-cosine mismatch that scored 0.38) fails fast."""
+    from aprs2influxdb_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.brute_force_topk(emb, qids, k=10).collect()
+    }
+    ann = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.rp_rerank_topk(emb, qids, k=10, m=200).collect()
+    }
+    assert len(exact) == 50
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.7, f"rp_rerank recall@10 regressed: {recall}"
