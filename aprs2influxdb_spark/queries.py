@@ -6159,6 +6159,15 @@ def q_rp_project(spark, sf):
     return sim.rp_project(_t(spark, sf, "embeddings"))
 
 
+def q_streaming_rp_project(spark, sf):
+    """Stateless streaming twin of ``rp_project`` (append mode, no
+    state — see streaming.bounded.streaming_rp_project); shares the
+    batch oracle verbatim."""
+    from aprs2influxdb_spark.streaming.bounded import streaming_rp_project
+
+    return streaming_rp_project(spark, sf)
+
+
 def q_rp_rerank_topk(spark, sf):
     """Two-stage retrieval: JL-space candidate generation + exact
     cosine re-rank — see operators.similarity.rp_rerank_topk (the
@@ -6372,6 +6381,7 @@ def registry() -> dict[str, tuple]:
         "boilerplate_chunks": (q_boilerplate_chunks, SQL_BOILERPLATE_CHUNKS),
         "rp_project": (q_rp_project, sim.rp_project_sql()),
         "rp_rerank_topk": (q_rp_rerank_topk, sim.rp_rerank_sql([0, 1, 2, 3, 4], k=10, m=200)),
+        "streaming_rp_project": (q_streaming_rp_project, sim.rp_project_sql()),
         # transformWithState twin registers only where its protobuf
         # dependency exists (absent in this container; the operator and
         # its skipping test remain — see streaming.bounded.tws_available)

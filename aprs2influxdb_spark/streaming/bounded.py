@@ -1038,3 +1038,27 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     gated = quality_classifier(stream_docs(spark, sf_dir)).filter(F.col("keep"))
     return run_bounded(spark, gated, "append", "stream_quality_gate")
+
+
+def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``embeddings.parquet`` as a file-source stream (same one-char-
+    glob trick as :func:`stream_docs`)."""
+    path = f"{sf_dir}/embeddings.parquet"
+    schema = spark.read.parquet(path).schema
+    glob = path[:-1] + "[" + path[-1] + "]"
+    return spark.readStream.schema(schema).parquet(glob)
+
+
+def streaming_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Johnson-Lindenstrauss sign projection applied to the
+    embeddings STREAM — unchanged: ``rp_project`` is a pure
+    zero-shuffle narrow map (plan-time literal sign matrix, no state,
+    no watermark, append mode), so the identical operator object
+    serves batch backfill and live ingest — the
+    streaming-transparency property every stateless operator in this
+    engine shares.  Shares the batch entry's oracle verbatim."""
+    from aprs2influxdb_spark.operators.similarity import rp_project
+
+    return run_bounded(
+        spark, rp_project(stream_embeddings(spark, sf_dir)), "append", "stream_rp"
+    )
