@@ -1230,7 +1230,14 @@ def rp_rerank_topk(
     from pyspark.sql import Window
 
     pcols = [f"p{j:02d}" for j in range(out_dim)]
-    proj = rp_project(emb, out_dim, in_dim, id_col, vec_col)
+    # localCheckpoint: materialize the projected table ONCE (what a
+    # real pipeline does — write the projected corpus, then serve
+    # queries from it) and cut the 1024-node projection trees out of
+    # the join plan.  Without the barrier CollapseProject inlines the
+    # 64-term chains into the scorer 2-3x per pair and Catalyst spends
+    # ~1 s/run re-canonicalizing them (measured: stage 1 2.9 s -> 1.9 s
+    # at sf0.1); the checkpointed frame is out_dim+1 doubles per vector.
+    proj = rp_project(emb, out_dim, in_dim, id_col, vec_col).localCheckpoint()
     qp = proj.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), *[F.col(c).alias(f"q{c}") for c in pcols]
     )
