@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from aprs2influxdb_spark.functions.counts import corpus_count
 from aprs2influxdb_spark.functions.rounding import rhu, rhu_sql
 from aprs2influxdb_spark.functions.hashing import (
     MINHASH_P,
@@ -1807,7 +1808,7 @@ def q_srp_buckets(spark, sf):
     oracle derives the identical count in-query (integer-exact
     bit_length on both sides)."""
     e = _t(spark, sf, "embeddings")
-    np_ = sim.srp_planes_for(e.count(), target_bucket_size=8)
+    np_ = sim.srp_planes_for(corpus_count(e), target_bucket_size=8)
     return e.select("vec_id", sim.srp_bucket(F.col("embedding"), n_planes=np_).alias("bucket"))
 
 

@@ -412,6 +412,43 @@ class TestJoinStrategy:
             audit(df, max_shuffles=0)
 
 
+class TestCountMemo:
+    def test_derived_knob_entries_share_one_count_job(self, spark, sf_dir):
+        """Composed ANN pipelines must pay at most ONE corpus count for
+        knob derivation (round-2 verdict #1): cosine_near_dup,
+        knn_graph, semantic_dedup and srp_buckets all scale-derive
+        their knobs from the same embeddings corpus — building all four
+        must record exactly one cache miss and reuse it thereafter."""
+        from aprs2influxdb_spark.functions import counts
+        from aprs2influxdb_spark.queries import (
+            q_cosine_near_dup,
+            q_knn_graph,
+            q_semantic_dedup,
+            q_srp_buckets,
+        )
+
+        counts.clear_count_cache()
+        for b in (q_cosine_near_dup, q_knn_graph, q_semantic_dedup, q_srp_buckets):
+            b(spark, sf_dir)  # knobs derive at plan-build time
+        assert counts.stats["misses"] == 1, counts.stats
+        assert counts.stats["hits"] >= 3, counts.stats
+        assert counts.stats["uncached"] == 0, counts.stats
+
+    def test_corpus_count_semantics(self, spark, sf_dir):
+        """Explicit n short-circuits (no job); filtered plans don't
+        share cache entries with the unfiltered scan."""
+        from aprs2influxdb_spark.functions import counts
+
+        counts.clear_count_cache()
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        assert counts.corpus_count(emb, n=42) == 42
+        assert counts.stats == {"hits": 0, "misses": 0, "uncached": 0}
+        full = counts.corpus_count(emb)
+        part = counts.corpus_count(emb.filter(F.col("vec_id") < 10))
+        assert part == 10 and full > part
+        assert counts.stats["misses"] == 2
+
+
 class TestPacketTableLayout:
     @pytest.fixture(scope="class")
     def packet_path(self, spark, tmp_path_factory):
