@@ -825,9 +825,13 @@ def winnowing(
 
     Emits per doc the distinct fingerprint count and a deterministic
     integer checksum of the selected (hash, position) set.  Winner
-    codes pack ``hash * 2^20 + position`` into one int64 (positions
-    < 2^20 per doc documented; hash < SHINGLE_P < 2^33, so codes
-    < 2^53 — exact even through a double); the checksum folds them
+    codes pack ``hash * 2^20 + (position mod 2^20)`` into one int64
+    (hash < SHINGLE_P < 2^33, so codes < 2^53 — exact even through a
+    double); the pmod ENFORCES the 20-bit position field — a >1M-
+    shingle document wraps positions rather than bleeding into the
+    hash field, at worst collapsing two same-hash fingerprints 2^20
+    positions apart into one (identical on both engines); the
+    checksum folds them
     modulo ``WINNOW_CHECKSUM_P`` (2^61 − 1: acc + code stays < 2^62,
     no int64 overflow at ANY fingerprint count, where a plain sum
     would wrap past ~2^11 fingerprints).  Modular addition is
@@ -855,7 +859,14 @@ def winnowing(
                     lambda i: F.get(sl, i) == m,
                 )
             )
-            return m * F.lit(2 ** WINNOW_POS_BITS) + (j + rel)
+            # pmod keeps the position inside its 2^20 field: a doc
+            # with >1M shingles wraps positions instead of silently
+            # corrupting the hash field (wrap collisions merely drop
+            # a fingerprint from the distinct set — identically on
+            # both engines, and only for ~4 MB+ single documents)
+            return m * F.lit(2 ** WINNOW_POS_BITS) + F.pmod(
+                j + rel, F.lit(2 ** WINNOW_POS_BITS)
+            )
 
         return F.array_distinct(F.transform(starts, _code))
 

@@ -586,8 +586,14 @@ def _l1(a, b):
     ``zip_with`` |x−y| null-pads the shorter array and poisons the
     fold to NULL on unequal lengths — NULL upper bounds then sort
     NULLS FIRST into the τ rank filter and break the cascade's
-    exactness guarantee (empty or wrongly-pruned top-k)."""
-    a_last, b_last = F.element_at(a, -1), F.element_at(b, -1)
+    exactness guarantee (empty or wrongly-pruned top-k).  A zero-
+    length series has no last element either (``element_at`` NULL →
+    the same poisoning one level down), so the tail-absorber falls
+    back to 0.0: the bound then degrades to the other series' L1 mass
+    — still an upper bound for DTW against an empty alignment target,
+    and never NULL."""
+    a_last = F.coalesce(F.element_at(a, -1), F.lit(0.0))
+    b_last = F.coalesce(F.element_at(b, -1), F.lit(0.0))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: F.abs(F.coalesce(x, a_last) - F.coalesce(y, b_last))),
         F.lit(0.0),

@@ -5974,9 +5974,11 @@ SELECT cluster_id, doc_id AS keep_doc_id, quality_score FROM (
 
 
 def q_winnowing(spark, sf):
-    """Robust winnowing fingerprints (MOSS, SIGMOD'03) — see
+    """Winnowing fingerprints, base algorithm (MOSS, SIGMOD'03) — see
     operators.dedup.winnowing (zero-shuffle array-expression plan;
-    rightmost-min-per-window selection, packed (hash, pos) codes)."""
+    rightmost-min-per-window selection, packed (hash, pos) codes; the
+    paper's *robust* refinement is documented there as not
+    implemented)."""
     return dd.winnowing(_t(spark, sf, "documents"))
 
 
@@ -6000,7 +6002,7 @@ WITH t AS (
 ), wn AS (
   SELECT doc_id, list_distinct(list_transform(
       range(0, greatest(len(hs) - {w}, 0) + 1),
-      j -> {m} * {pow2} + (j + {rel})
+      j -> {m} * {pow2} + ((j + {rel}) % {pow2})
   )) AS winners FROM p
 )
 SELECT doc_id, len(winners) AS n_fps,

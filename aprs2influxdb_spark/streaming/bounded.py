@@ -57,35 +57,38 @@ from aprs2influxdb_spark.functions.rounding import rhu
 from aprs2influxdb_spark.queries import normalize_ts
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``events.parquet`` as a file-source stream with the same ts
-    normalization as the batch reader (INT64 nanos -> microsecond
-    timestamp; see ``queries._t``).
+def _stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """A testdata parquet table as a file-source stream — THE shared
+    glob/schema helper behind every ``stream_*`` reader, so a future
+    fix to this handling lands once (round-2 advice).
 
     The path is wrapped as a one-character glob (``...parque[t]``)
     because the file source accepts glob paths but rejects a bare file
-    path ("basePath must be a directory").
+    path ("basePath must be a directory"); the schema comes from a
+    zero-job batch read of the same file (streams cannot infer it).
     """
+    path = f"{sf_dir}/{name}.parquet"
+    schema = spark.read.parquet(path).schema
+    glob = path[:-1] + "[" + path[-1] + "]"
+    return spark.readStream.schema(schema).parquet(glob)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events.parquet`` as a file-source stream with the same ts
+    normalization as the batch reader (INT64 nanos -> microsecond
+    timestamp; see ``queries._t``)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the NTZ->LTZ normalization and event-time windows are only
     # oracle-exact under UTC; pin it (the gate runs in the DRIVER's
     # session, whose default we don't control)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-    glob = path[:-1] + "[" + path[-1] + "]"
-    return normalize_ts(spark.readStream.schema(schema).parquet(glob))
+    return normalize_ts(_stream_table(spark, sf_dir, "events"))
 
 
 def stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``documents.parquet`` as a file-source stream (same one-char-
-    glob trick as :func:`stream_events`; no ts normalization needed).
-    Single helper for every documents-stream entry so a future fix to
-    the glob/schema handling lands once."""
-    path = f"{sf_dir}/documents.parquet"
-    schema = spark.read.parquet(path).schema
-    glob = path[:-1] + "[" + path[-1] + "]"
-    return spark.readStream.schema(schema).parquet(glob)
+    """``documents.parquet`` as a file-source stream (no ts
+    normalization needed)."""
+    return _stream_table(spark, sf_dir, "documents")
 
 
 def run_bounded(
@@ -933,12 +936,8 @@ def _merge_group(
 
 
 def stream_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``orders.parquet`` as a file-source stream (same one-char-glob
-    trick as :func:`stream_events`; no ts normalization needed)."""
-    path = f"{sf_dir}/orders.parquet"
-    schema = spark.read.parquet(path).schema
-    glob = path[:-1] + "[" + path[-1] + "]"
-    return spark.readStream.schema(schema).parquet(glob)
+    """``orders.parquet`` as a file-source stream."""
+    return _stream_table(spark, sf_dir, "orders")
 
 
 def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1041,12 +1040,8 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``embeddings.parquet`` as a file-source stream (same one-char-
-    glob trick as :func:`stream_docs`)."""
-    path = f"{sf_dir}/embeddings.parquet"
-    schema = spark.read.parquet(path).schema
-    glob = path[:-1] + "[" + path[-1] + "]"
-    return spark.readStream.schema(schema).parquet(glob)
+    """``embeddings.parquet`` as a file-source stream."""
+    return _stream_table(spark, sf_dir, "embeddings")
 
 
 def streaming_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:

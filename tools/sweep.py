@@ -74,7 +74,12 @@ def main() -> int:
             res = con.execute(sql)
             d_cols = [c[0].lower() for c in res.description]
             d_rows = res.fetchall()
-            if sorted(s_cols) != sorted(d_cols):
+            # POSITIONAL comparison — stricter than the driver's gate
+            # (which sorts columns by name before hashing): a column-
+            # order drift between the Spark query and its oracle is
+            # authoring sloppiness this sweep should surface even
+            # though the gate itself would forgive it
+            if s_cols != d_cols:
                 bad.append((name, f"columns {s_cols} vs {d_cols}"))
             elif len(s_rows) != len(d_rows):
                 bad.append((name, f"rowcount {len(s_rows)} vs {len(d_rows)}"))
