@@ -1717,6 +1717,92 @@ def q_ts_dtw_topk(spark, sf):
     )
 
 
+def q_ts_dtw_lsh_topk(spark, sf):
+    """Approximate DTW top-3: SRP cohorts bound the candidate set (no
+    corpus-wide pair stage — the 100 TB regime), then the same exact
+    bound cascade + DP run within each cohort.  The oracle mirrors
+    the md5-derived bucketing, so the entry is value-exact even
+    though recall vs the exact entry is < 1 by construction (pinned
+    separately on the clustered fixture in tests/test_robustness.py)."""
+    return sim.dtw_lsh_topk(
+        hourly_profiles(spark, sf), [0, 1, 2, 3, 4], k=3,
+        id_col="user_id", vec_col="profile",
+    )
+
+
+def _ts_dtw_lsh_sql(k: int = 3, dim: int = 24) -> str:
+    """DuckDB twin of q_ts_dtw_lsh_topk: the full-DTW recursive CTE of
+    :func:`_ts_dtw_sql`, with candidate pairs restricted to shared
+    PAA band codes (segment means 6dp-rounded before the band
+    floor-divide, mirroring similarity.paa_bucket exactly)."""
+    from aprs2influxdb_spark.operators.similarity import (
+        PAA_BAND_WIDTH,
+        PAA_CARD,
+        PAA_SEGMENTS,
+    )
+
+    d1 = dim + 1
+    seg_len = dim // PAA_SEGMENTS
+    half = PAA_CARD // 2
+    terms = []
+    for s in range(PAA_SEGMENTS):
+        mean = (
+            f"(floor((list_sum(profile[{s * seg_len + 1}:{(s + 1) * seg_len}])"
+            f" / {float(seg_len)}) * 1000000 + 0.5) / 1000000.0)"
+        )
+        band = (
+            f"greatest(0, least({PAA_CARD - 1},"
+            f" CAST(floor(({mean}) / {PAA_BAND_WIDTH}) AS BIGINT) + {half}))"
+        )
+        terms.append(f"({band}) * {PAA_CARD ** s}")
+    bucket = "(" + " + ".join(terms) + ")"
+    return f"""
+WITH RECURSIVE prof AS (
+  SELECT user_id, hour(ts) AS h,
+         (floor((avg(value)) * 1000000 + 0.5) / 1000000.0) AS v
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT user_id, map_from_entries(list({{'k': h, 'v': v}})) AS hm
+  FROM prof GROUP BY user_id
+), pv AS (
+  SELECT user_id,
+         list_transform(range(0, {dim}), i -> coalesce(hm[i][1], 0.0)) AS profile
+  FROM m
+),
+bk AS (
+  SELECT user_id, profile, {bucket} AS bucket FROM pv
+),
+dtw_pairs AS (
+  SELECT q.user_id AS query_id, c.user_id AS neighbor_id, q.profile AS a, c.profile AS b
+  FROM bk q JOIN bk c ON c.bucket = q.bucket AND c.user_id != q.user_id
+  WHERE q.user_id IN (0, 1, 2, 3, 4)
+),
+dtw_dp AS (
+  SELECT query_id, neighbor_id, a, b, 0 AS i,
+         [0.0] || list_transform(range(1, {d1}), x -> 'Infinity'::DOUBLE) AS prev
+  FROM dtw_pairs
+  UNION ALL
+  SELECT query_id, neighbor_id, a, b, i + 1,
+         list_reduce(
+           [['Infinity'::DOUBLE]] || list_transform(range(1, {d1}), j -> [j::DOUBLE]),
+           (acc, x) -> list_append(acc,
+              abs(a[i + 1] - b[x[1]::INT]) +
+              least(prev[x[1]::INT + 1], acc[-1], prev[x[1]::INT]))
+         ) AS prev
+  FROM dtw_dp WHERE i < {dim}
+),
+dtw_fin AS (
+  SELECT query_id, neighbor_id,
+         (floor(prev[{d1}] * 1000000 + 0.5) / 1000000.0) AS dtw_dist
+  FROM dtw_dp WHERE i = {dim}
+)
+SELECT query_id, neighbor_id, dtw_dist, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dtw_dist ASC, neighbor_id) AS rk
+  FROM dtw_fin
+) WHERE rk <= {k}
+"""
+
+
 def _ts_dtw_sql(k: int = 3, dim: int = 24) -> str:
     """DuckDB twin of q_ts_dtw_topk: FULL DTW over all (query, corpus)
     pairs via a recursive CTE — one DP row per iteration, the within-
@@ -2921,6 +3007,16 @@ def q_streaming_time_bucket(spark, sf):
     from aprs2influxdb_spark.streaming.bounded import streaming_time_bucket
 
     return streaming_time_bucket(spark, sf)
+
+
+def q_streaming_time_bucket_append(spark, sf):
+    """APPEND-mode windowed aggregation with a watermark-advancing
+    sentinel closing every real window — pins emit-once-final
+    production semantics against the same batch oracle (see
+    streaming.bounded.streaming_time_bucket_append)."""
+    from aprs2influxdb_spark.streaming.bounded import streaming_time_bucket_append
+
+    return streaming_time_bucket_append(spark, sf)
 
 
 def q_streaming_topk(spark, sf):
@@ -6296,6 +6392,7 @@ def registry() -> dict[str, tuple]:
         "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
         "ts_similarity": (q_ts_similarity, SQL_TS_SIMILARITY),
         "ts_dtw_topk": (q_ts_dtw_topk, _ts_dtw_sql()),
+        "ts_dtw_lsh_topk": (q_ts_dtw_lsh_topk, _ts_dtw_lsh_sql()),
         "cosine_near_dup": (q_cosine_near_dup, _cosine_near_dup_sql()),
         "knn_graph": (q_knn_graph, _knn_graph_sql()),
         "knn_triangles": (q_knn_triangles, _knn_triangles_sql()),
@@ -6359,6 +6456,7 @@ def registry() -> dict[str, tuple]:
         "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
         # streaming (bounded-stream execution of the streaming plans)
         "streaming_time_bucket": (q_streaming_time_bucket, SQL_TIME_BUCKET),
+        "streaming_time_bucket_append": (q_streaming_time_bucket_append, SQL_TIME_BUCKET),
         "streaming_distinct_keys": (q_streaming_distinct_keys, SQL_STREAMING_DISTINCT),
         "streaming_topk": (q_streaming_topk, SQL_STREAMING_TOPK),
         "streaming_ewma": (q_streaming_ewma, SQL_STREAMING_EWMA),

@@ -223,6 +223,43 @@ def test_dtw_cascade_prunes_clustered_series(spark):
     assert n_cand <= n_all / 2, f"cascade barely pruned: {n_cand}/{n_all}"
 
 
+def test_dtw_lsh_recall_on_clustered_series(spark):
+    """The SRP-cohort approximate DTW path must recover most of the
+    exact top-k on the clustered fixture (the regime it exists for:
+    level-separated series families land in separated buckets, so the
+    cohort contains the true neighbors), while its candidate-pair
+    plan never goes corpus-wide — no CartesianProduct and no
+    broadcast-corpus crossJoin of the profile table against itself."""
+    from aprs2influxdb_spark.operators import similarity as sim
+    from aprs2influxdb_spark.plans import executed_plan, plan_stats
+
+    rows = []
+    for uid in range(60):
+        # cluster levels 0/40/80: separated at the operator's 16-wide
+        # PAA bands (floor(0.45/16)=0, floor(40.45/16)=2, floor(80.45/16)=5)
+        level = float(40 * (uid % 3))
+        prof = [level + ((uid * 31 + h * 7) % 10) / 10.0 for h in range(24)]
+        rows.append((uid, prof))
+    prof_df = spark.createDataFrame(rows, "user_id long, profile array<double>")
+    qids = [0, 3, 6, 9, 12]
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.dtw_topk(prof_df, qids, k=3).collect()
+    }
+    approx_df = sim.dtw_lsh_topk(prof_df, qids, k=3)
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_df.collect()}
+    assert len(exact) == 15
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"dtw_lsh recall@3 on clustered fixture: {recall}"
+
+    stats = plan_stats(approx_df)
+    assert stats.cartesian == 0
+    # candidate generation is an equi-join on the bucket id, not a
+    # nested-loop pairing of the whole corpus
+    assert "BroadcastNestedLoopJoin" not in executed_plan(approx_df)
+
+
 def test_asof_join_rejects_payload_collision(spark):
     """A left frame already carrying a payload-named column must be
     rejected loudly: the union-window fill would otherwise read left's
