@@ -70,12 +70,64 @@ def decode_image_stub(payload: bytes) -> dict:
     return {"n_bytes": len(payload), "feat_mean": sum(payload[:64]) if payload else 0}
 
 
-def extract_features(media: DataFrame) -> DataFrame:
+def pil_available() -> bool:
+    """True when Pillow is importable — gates the real-codec contract
+    tests; this container ships without media libraries, so the
+    registry pins the deterministic stubs."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_image_real(payload: bytes) -> dict:
+    """REAL image decode (requires Pillow): the same output contract
+    as :func:`decode_image_stub` — ``n_bytes`` is the blob size and
+    ``feat_mean`` an integer brightness feature (mean grayscale pixel,
+    floor) — so either decoder can back :func:`extract_features`
+    without schema or determinism changes.  Raises ``ImportError``
+    without Pillow; the contract equivalence is pinned by the
+    ``pytest.importorskip('PIL')`` tests in tests/test_multimodal.py
+    (green with and without the library installed)."""
+    import io
+
+    import PIL.Image
+
+    img = PIL.Image.open(io.BytesIO(payload)).convert("L")
+    px = list(img.getdata())
+    return {
+        "n_bytes": len(payload),
+        "feat_mean": (sum(px) // len(px)) if px else 0,
+    }
+
+
+def resize_image_real(payload: bytes, width: int, height: int) -> bytes:
+    """REAL resize (requires Pillow), same binary-in/binary-out
+    contract as :func:`resize_image_stub`: the output is the resized
+    image's raw RGB tensor bytes (``tobytes`` — deterministic across
+    runs, unlike re-encoding, whose compressed bytes can vary by
+    encoder build), NEAREST resampling for integer-exact pixels."""
+    import io
+
+    import PIL.Image
+
+    img = PIL.Image.open(io.BytesIO(payload)).convert("RGB")
+    return img.resize((width, height), PIL.Image.NEAREST).tobytes()
+
+
+def extract_features(media: DataFrame, decoder=None) -> DataFrame:
     """Arrow-batched feature extraction over media blobs.
 
     mapInPandas so one Python worker call handles a whole Arrow batch;
     the blob column is consumed here and dropped from the output.
+    ``decoder`` is any callable with the :func:`decode_image_stub`
+    contract (``bytes -> {n_bytes, feat_mean}``); the deterministic
+    stub is the default — pass :func:`decode_image_real` where Pillow
+    is installed.
     """
+    decoder = decoder or decode_image_stub
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -91,7 +143,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                         lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
                     ),
                     "feat_mean": payloads.map(
-                        lambda b: decode_image_stub(b)["feat_mean"] if b is not None else 0
+                        lambda b: decoder(b)["feat_mean"] if b is not None else 0
                     ),
                 }
             )
@@ -134,11 +186,14 @@ def resize_image_stub(payload: bytes, width: int, height: int) -> bytes:
     return hashlib.sha256(payload + f"{width}x{height}".encode()).digest()
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+def resize_images(media: DataFrame, width: int, height: int, resizer=None) -> DataFrame:
     """Arrow-batched image resize: binary column in, binary column out,
     metadata updated.  The output payload is a thumbnail — orders of
     magnitude smaller than the source blob — so downstream shuffles and
-    caches carry thumbnails, never originals."""
+    caches carry thumbnails, never originals.  ``resizer`` follows the
+    :func:`resize_image_stub` contract (``(bytes, w, h) -> bytes``);
+    pass :func:`resize_image_real` where Pillow is installed."""
+    resizer = resizer or resize_image_stub
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -149,7 +204,7 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                     "width": width,
                     "height": height,
                     "payload": pdf["payload"].map(
-                        lambda b: resize_image_stub(b, width, height) if b is not None else None
+                        lambda b: resizer(b, width, height) if b is not None else None
                     ),
                 }
             )

@@ -263,6 +263,87 @@ def unigram_logprob(
     )
 
 
+def dsir_weights(
+    docs: DataFrame, target_lang: str = "en", n_buckets: int = 1024,
+    text_col: str = "text", id_col: str = "doc_id", lang_col: str = "lang",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023,
+    arXiv:2302.03169): score every raw document by the log-likelihood
+    ratio of its hashed unigram features under a TARGET-domain bag-of-
+    words model vs the RAW-corpus model — the importance weight that
+    resamples a web-scale corpus toward a target distribution (here:
+    the ``target_lang`` slice stands in for the target domain).
+    High weight = looks like the target; the paper then Gumbel-top-k
+    samples by weight (compose with the deterministic sampling family
+    here).
+
+    Per-bucket log-ratio, add-one smoothed:
+    ``llr(b) = ln( ((t_b+1)·(R+B)) / ((r_b+1)·(T+B)) )`` with t/r the
+    target/raw bucket counts, T/R the totals, B the bucket count —
+    computed as ONE ln of an integer ratio and INTEGERIZED to
+    micro-nats (the :func:`unigram_logprob` discipline) before the
+    per-doc sum, so cross-engine summation order cannot matter.
+    Output: (doc_id, n_tokens, dsir_w µ-nat sum as int64, avg_llr).
+
+    Scale shape: tokens hash into ``n_buckets`` features — the
+    hashed-feature trick IS the scale lever (bucket stats are
+    B-sized, broadcastable, however large the corpus); one
+    (doc, bucket) partial-agg shuffle, bucket stats via a window on
+    the bucket id, scalar totals broadcast from a 1-row aggregate,
+    final per-doc sum shuffles on the id.  |llr| ≤ ln(max ratio)
+    ≈ 26 µ-nat-millions at 100 T tokens — int64-safe as in
+    unigram_logprob."""
+    from pyspark.sql import Window
+
+    from aprs2influxdb_spark.functions.hashing import portable_hash64
+
+    tf = (
+        spread_for_compute(docs.select(id_col, text_col, lang_col))
+        .select(
+            F.col(id_col),
+            F.col(lang_col),
+            F.explode(tokens_col(text_col)).alias("term"),
+        )
+        .select(
+            id_col,
+            F.pmod(portable_hash64(F.col("term")), F.lit(n_buckets)).alias("b"),
+            F.when(F.col(lang_col) == target_lang, F.lit(1)).otherwise(F.lit(0)).alias("is_t"),
+        )
+        .groupBy(id_col, "b")
+        .agg(F.count("*").alias("tf"), F.first("is_t").alias("is_t"))
+    )
+    wb = Window.partitionBy("b")
+    totals = tf.agg(
+        F.sum("tf").alias("R"),
+        F.sum(F.col("tf") * F.col("is_t")).alias("T"),
+    )
+    # one ln of one integer ratio -> one integerization (micro-nats)
+    llr = F.floor(
+        F.log(
+            ((F.col("t_b") + 1) * (F.col("R") + F.lit(n_buckets))).cast("double")
+            / ((F.col("r_b") + 1) * (F.col("T") + F.lit(n_buckets))).cast("double")
+        ) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    return (
+        tf.withColumn("r_b", F.sum("tf").over(wb))
+        .withColumn("t_b", F.sum(F.col("tf") * F.col("is_t")).over(wb))
+        .crossJoin(F.broadcast(totals))
+        .withColumn("llr", llr)
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("llr")).alias("dsir_w"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "dsir_w",
+            rhu(F.col("dsir_w") / (F.col("n_tokens") * F.lit(1e6)), 4).alias("avg_llr"),
+        )
+    )
+
+
 def rolling_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Polynomial rolling hash over the document's tokens:
     h = fold(h * 31 + hash(token)) mod 1e9+7 — an order-sensitive

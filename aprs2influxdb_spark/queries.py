@@ -3287,6 +3287,43 @@ WHERE 1.0 - abs(length(x.text) - length(y.text)) * 1.0
 """
 
 
+def q_dsir_weights(spark, sf):
+    """DSIR importance weights toward the English slice (hashed
+    unigram features, micro-nat integer log-ratios) — see
+    operators.textanalysis.dsir_weights."""
+    return ta.dsir_weights(_t(spark, sf, "documents"))
+
+
+def _dsir_sql(target_lang: str = "en", n_buckets: int = 1024) -> str:
+    h = portable_hash64_sql("term")
+    return f"""
+WITH tf AS (
+  SELECT doc_id, ({h}) % {n_buckets} AS b,
+         CASE WHEN lang = '{target_lang}' THEN 1 ELSE 0 END AS is_t,
+         count(*) AS tf
+  FROM (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS term FROM documents)
+  GROUP BY 1, 2, 3
+), bs AS (
+  SELECT *, sum(tf) OVER (PARTITION BY b) AS r_b,
+         sum(tf * is_t) OVER (PARTITION BY b) AS t_b
+  FROM tf
+), tot AS (
+  SELECT sum(tf) AS R, sum(tf * is_t) AS T FROM tf
+), s AS (
+  SELECT doc_id, tf,
+         CAST(floor(ln(
+           ((t_b + 1) * (R + {n_buckets}))::DOUBLE /
+           ((r_b + 1) * (T + {n_buckets}))::DOUBLE
+         ) * 1000000 + 0.5) AS BIGINT) AS llr
+  FROM bs, tot
+)
+SELECT doc_id, sum(tf) AS n_tokens,
+       CAST(sum(tf * llr) AS BIGINT) AS dsir_w,
+       (floor((sum(tf * llr) / (sum(tf) * 1000000.0)) * 10000 + 0.5) / 10000.0) AS avg_llr
+FROM s GROUP BY doc_id
+"""
+
+
 def q_unigram_logprob(spark, sf):
     """Unigram-LM quality score (perplexity proxy) per document, with
     integerized micro-nat logprobs for order-independent parity."""
@@ -6336,6 +6373,7 @@ def registry() -> dict[str, tuple]:
         "forecast_revenue": (q_forecast_revenue, SQL_FORECAST_REVENUE),
         "dup_ngram_coverage": (q_dup_ngram_coverage, SQL_DUP_NGRAM_COVERAGE),
         "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
+        "dsir_weights": (q_dsir_weights, _dsir_sql()),
         "hier_rollup": (q_hier_rollup, SQL_HIER_ROLLUP),
         "profile_columns": (q_profile_columns, SQL_PROFILE_COLUMNS),
         "ks_drift": (q_ks_drift, SQL_KS_DRIFT),

@@ -82,3 +82,78 @@ def test_frame_sampling_fans_out(spark, media):
     assert sample_frames(media, every_ms=10_000).columns == [
         "media_id", "frame_idx", "ts_ms", "frame_digest",
     ]
+
+
+# ---- real-codec contract (skipped without Pillow; the container
+# ships none, so CI exercises the skip path — a PIL-equipped
+# environment exercises the real one with no other changes) ----
+
+
+def _tiny_png() -> bytes:
+    """A 4x2 RGB PNG built with PIL (callers importorskip first)."""
+    import io
+
+    import PIL.Image
+
+    img = PIL.Image.new("RGB", (4, 2))
+    img.putdata([(x * 30, y * 100, 10) for y in range(2) for x in range(4)])
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_real_decode_matches_stub_contract():
+    """decode_image_real must honour decode_image_stub's exact output
+    contract: same keys, int-typed values, n_bytes = blob size,
+    deterministic across calls."""
+    pytest.importorskip("PIL")
+    from aprs2influxdb_spark.operators.multimodal import decode_image_real
+
+    payload = _tiny_png()
+    out = decode_image_real(payload)
+    stub = decode_image_stub(payload)
+    assert set(out) == set(stub) == {"n_bytes", "feat_mean"}
+    assert isinstance(out["n_bytes"], int) and isinstance(out["feat_mean"], int)
+    assert out["n_bytes"] == len(payload)
+    # grayscale mean of the known 4x2 gradient, floor division
+    assert 0 <= out["feat_mean"] <= 255
+    assert out == decode_image_real(payload)
+
+
+def test_real_decoder_through_spark_plumbing(spark):
+    """extract_features with the REAL decoder must produce the same
+    FEATURE_SCHEMA rows as the stub path — only feat_mean's value
+    differs (pixel mean vs byte-sum fake) — through the identical
+    mapInPandas/Arrow flow."""
+    pytest.importorskip("PIL")
+    from aprs2influxdb_spark.operators.multimodal import decode_image_real
+
+    payload = _tiny_png()
+    media = spark.createDataFrame(
+        [(1, "image", "image/png", payload, 4, 2, None)], MEDIA_SCHEMA
+    )
+    real = extract_features(media, decoder=decode_image_real).collect()[0]
+    stub = extract_features(media).collect()[0]
+    assert real["n_bytes"] == stub["n_bytes"] == len(payload)
+    assert real["digest"] == stub["digest"]
+    assert real["feat_mean"] == decode_image_real(payload)["feat_mean"]
+    assert extract_features(media, decoder=decode_image_real).schema == \
+        extract_features(media).schema
+
+
+def test_real_resize_contract(spark):
+    """resize_image_real: bytes -> bytes, output is the w*h*3 raw RGB
+    tensor (deterministic, unlike re-encoded bytes), and flows through
+    resize_images' Arrow path unchanged."""
+    pytest.importorskip("PIL")
+    from aprs2influxdb_spark.operators.multimodal import resize_image_real
+
+    payload = _tiny_png()
+    out = resize_image_real(payload, 2, 2)
+    assert isinstance(out, bytes) and len(out) == 2 * 2 * 3
+    assert out == resize_image_real(payload, 2, 2)
+    media = spark.createDataFrame(
+        [(1, "image", "image/png", payload, 4, 2, None)], MEDIA_SCHEMA
+    )
+    row = resize_images(media, 2, 2, resizer=resize_image_real).collect()[0]
+    assert row["payload"] == out and row["width"] == 2

@@ -536,6 +536,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "dedup_fingerprint": 3,
     "dedup_rate_by_source": 4,
     "dispatch_counts": 3,
+    "dsir_weights": 7,
     "distinct_daily_users": 4,
     "dup_ngram_coverage": 4,
     "edit_distance_pairs": 7,
