@@ -625,6 +625,59 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
     return docs.select(F.col(id_col), sig.alias("simhash"))
 
 
+def simhash_hamming_pairs(
+    docs: DataFrame, max_hamming: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+    bits: int = 32, blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate PAIRS at a Hamming radius — the Manku/
+    Jain/Sarma web-dedup detector (WWW'07, Google's production
+    near-dup system): by pigeonhole, two ``bits``-bit signatures
+    within Hamming distance ``blocks - 1`` (3 at the defaults) must
+    agree EXACTLY on at least one of ``blocks`` bit-blocks, so
+    candidates are pairs sharing a (block index, block value) key and
+    only they pay the exact Hamming check — ``bit_count(a XOR b)``,
+    one codegen'd instruction.
+
+    Scale shape: each doc emits ``blocks`` narrow (idx, 8-bit value,
+    sig) rows; the candidate join keys on (idx, value) — at 100 TB
+    run the paper's geometry (64-bit sigs, 16-bit blocks → 65 536
+    buckets per index) by passing ``bits=64, blocks=4``; no all-pairs
+    stage at any setting.  The signature build itself stays the
+    zero-shuffle :func:`simhash` projection.  Output (id_a, id_b,
+    hamming) with id_a < id_b, exact-deduped across blocks."""
+    assert bits % blocks == 0
+    width = bits // blocks
+    mask = (1 << width) - 1
+    sigs = simhash(docs, text_col, id_col, bits=bits).localCheckpoint(eager=False)
+    blocked = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("blk_idx"),
+                    F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("blk_val"),
+                )
+                for b in range(blocks)
+            ])
+        ).alias("blk"),
+    ).select(id_col, "simhash", "blk.blk_idx", "blk.blk_val")
+    a = blocked.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sa"), "blk_idx", "blk_val"
+    )
+    b = blocked.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sb"), "blk_idx", "blk_val"
+    )
+    return (
+        a.join(b, ["blk_idx", "blk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)  # before the distinct: shrink its shuffle
+        .distinct()  # a pair can share several blocks
+    )
+
+
 def decontaminate(
     docs: DataFrame, eval_docs: DataFrame | None = None,
     text_col: str = "text", id_col: str = "doc_id",

@@ -167,3 +167,44 @@ def lang_balance_sample(
         .filter(h < F.col("keep_ppm"))
         .select(F.col(id_col), F.col(group_col), F.col("keep_ppm"))
     )
+
+
+def gumbel_topk_resample(
+    scored: DataFrame, n: int = 100, weight_col: str = "dsir_w",
+    id_col: str = "doc_id", salt: str = "gumbel",
+) -> DataFrame:
+    """Gumbel-top-k importance resampling — the SELECTION half of
+    DSIR (Xie et al. 2023; composing with
+    :func:`~aprs2influxdb_spark.operators.textanalysis.dsir_weights`
+    completes the paper's pipeline): drawing k items WITHOUT
+    replacement with probability ∝ exp(w) equals taking the top-k of
+    ``w + Gumbel(0,1)`` (the Gumbel-max trick) — a global top-k, no
+    sequential draw state, which is what makes importance sampling
+    distributable at all.
+
+    Determinism discipline: the Gumbel noise derives from the portable
+    content hash (``u = (hash(salt||id) % 1e6 + 0.5) / 1e6``,
+    ``g = -ln(-ln(u))``), so every engine/retry draws the identical
+    noise — the :func:`hash_split` property — and the perturbed score
+    is INTEGERIZED to micro-nats before ranking (ties broken on id),
+    so cross-engine ordering is exact.  ``weight_col`` is already in
+    micro-nats (dsir_w's convention).
+
+    Scale shape: one narrow projection + one global top-n — and the
+    rank filter is a WindowGroupLimit (partial top-n per map task
+    crosses the wire, not the corpus)."""
+    from pyspark.sql import Window
+
+    u = (
+        F.pmod(portable_hash64(F.concat(F.lit(salt + "_"), F.col(id_col).cast("string"))), F.lit(1_000_000))
+        .cast("double") + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    g_micro = F.floor(-F.log(-F.log(u)) * 1e6 + F.lit(0.5)).cast("long")
+    w = Window.orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
+    return (
+        scored.select(id_col, weight_col)
+        .withColumn("score_micro", F.col(weight_col) + g_micro)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n)
+        .select(id_col, "score_micro", "rk")
+    )

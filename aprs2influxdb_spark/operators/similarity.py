@@ -535,6 +535,62 @@ def lsh_bucketed_topk(
     )
 
 
+def lsh_multiprobe_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 10,
+    n_planes: int | None = None,
+    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 7,
+    target_bucket_size: int = 8, n: int | None = None,
+) -> DataFrame:
+    """Multi-probe SRP ANN top-k (Lv et al., VLDB'07): each query
+    scores its own bucket PLUS every Hamming-1 neighbor bucket — the
+    buckets across a single hyperplane, where near-neighbors that
+    straddle that plane land.  Probing buys back most of the recall
+    single-bucket LSH loses (each plane flips a true neighbor out of
+    the query's bucket with probability θ/π) at a bounded cost:
+    ``n_planes + 1`` cohorts per query instead of one, NOT a wider
+    hash table — the classic memory-free recall knob.
+
+    Scale shape: identical to :func:`lsh_bucketed_topk` — the corpus
+    is bucketed once and never reshuffled; only the tiny broadcast
+    query side explodes (one row per probe).  A neighbor lives in
+    exactly one bucket and probe buckets are distinct, so no
+    dedup stage is needed before the rank.  Recall ≥ the
+    single-probe entry by construction (its candidate set is a
+    superset); pinned in tests/test_robustness.py."""
+    from pyspark.sql import Window
+
+    if n_planes is None:
+        n_planes = srp_planes_for(corpus_count(emb, n), target_bucket_size)
+    bucketed = _spread_vecs(emb, id_col, vec_col).select(
+        F.col(id_col), F.col(vec_col), srp_bucket(F.col(vec_col), n_planes, seed).alias("bucket")
+    ).localCheckpoint(eager=False)  # consumed by the query AND corpus sides
+    q = bucketed.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+    )
+    probes = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+            )
+        ).alias("bucket"),
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(bucketed.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "bucket"), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", rhu(cosine(F.col("qv").cast("array<double>"), F.col("nv").cast("array<double>")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
 def dtw_distance_py(a: list, b: list) -> float:
     """Reference dynamic-time-warping distance (L1 local cost, full DP,
     no band): the textbook recurrence, used by the Pandas-UDF operator

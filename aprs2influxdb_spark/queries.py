@@ -685,6 +685,135 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_funnel_3stage(spark, sf):
+    """Ordered conversion funnel view → click → purchase: per user,
+    the first view, the first click AT OR AFTER that view, and the
+    first purchase at or after that click — sequence-aware (a
+    purchase before any view does not convert), the product-analytics
+    workhorse a bare per-type count gets wrong.
+
+    Plan: ONE shuffle on user_id serves both window passes (the
+    second select reuses the same partitioning; only a re-sort, no
+    exchange), then a single global 1-row aggregate.  At 100 TB the
+    user-keyed window is the natural partitioning; no joins, no
+    per-stage self-joins (the naive 3-way event self-join this
+    replaces would shuffle the corpus three times)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf, "events").select("user_id", "ts", "event_type")
+    wu = Window.partitionBy("user_id")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu)
+    staged = e.withColumn("t_view", t_view)
+    t_click = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") >= F.col("t_view")),
+            F.col("ts"),
+        )
+    ).over(wu)
+    staged = staged.withColumn("t_click", t_click)
+    t_purch = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t_click")),
+            F.col("ts"),
+        )
+    ).over(wu)
+    per_user = (
+        staged.withColumn("t_purch", t_purch)
+        .groupBy("user_id")
+        .agg(
+            F.max("t_view").alias("tv"),
+            F.max("t_click").alias("tc"),
+            F.max("t_purch").alias("tp"),
+        )
+    )
+    return per_user.agg(
+        F.sum(F.col("tv").isNotNull().cast("long")).alias("n_view"),
+        F.sum(F.col("tc").isNotNull().cast("long")).alias("n_click"),
+        F.sum(F.col("tp").isNotNull().cast("long")).alias("n_purchase"),
+        rhu(
+            F.sum(F.col("tc").isNotNull().cast("long"))
+            / F.sum(F.col("tv").isNotNull().cast("long")),
+            4,
+        ).alias("view_to_click"),
+        rhu(
+            F.sum(F.col("tp").isNotNull().cast("long"))
+            / F.sum(F.col("tc").isNotNull().cast("long")),
+            4,
+        ).alias("click_to_purchase"),
+    )
+
+
+SQL_FUNNEL_3STAGE = """
+WITH staged AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id) AS t_view,
+         event_type, ts
+  FROM events
+), s2 AS (
+  SELECT user_id, t_view,
+         min(CASE WHEN event_type = 'click' AND ts >= t_view THEN ts END)
+             OVER (PARTITION BY user_id) AS t_click,
+         event_type, ts
+  FROM staged
+), s3 AS (
+  SELECT user_id, t_view, t_click,
+         min(CASE WHEN event_type = 'purchase' AND ts >= t_click THEN ts END)
+             OVER (PARTITION BY user_id) AS t_purch
+  FROM s2
+), per_user AS (
+  SELECT user_id, max(t_view) AS tv, max(t_click) AS tc, max(t_purch) AS tp
+  FROM s3 GROUP BY user_id
+)
+SELECT count(tv) AS n_view, count(tc) AS n_click, count(tp) AS n_purchase,
+       (floor((count(tc) * 1.0 / count(tv)) * 10000 + 0.5) / 10000.0) AS view_to_click,
+       (floor((count(tp) * 1.0 / count(tc)) * 10000 + 0.5) / 10000.0) AS click_to_purchase
+FROM per_user
+"""
+
+
+def q_pareto_front(spark, sf):
+    """Skyline / Pareto front of parts (minimize retail price,
+    maximize size): a part survives iff no other part is both cheaper-
+    or-equal and larger-or-equal with one strict.  Computed in TWO
+    phases — a local skyline per price-grid cell (shuffle on the cell
+    key; each cell's dominated rows die there), then the global
+    running-max pass over the few survivors — the grid-partitioned
+    skyline of the distributed-skyline literature, vs the naive
+    single-partition global sort that serializes the corpus at scale.
+    The oracle computes the SAME set with one global window, proving
+    the two-phase plan drops exactly the dominated rows.  Duplicate
+    (price, size) pairs: the lowest key survives (strict > on the
+    running max), identically on both engines."""
+    from pyspark.sql import Window
+
+    pts = _t(spark, sf, "part").select("p_partkey", "p_retailprice", "p_size")
+    cell = F.floor(F.col("p_retailprice") / F.lit(10.0))
+    order = [F.col("p_retailprice").asc(), F.col("p_size").desc(), F.col("p_partkey").asc()]
+    w_local = (
+        Window.partitionBy(cell.alias("cell")).orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = pts.withColumn("mx", F.max("p_size").over(w_local)).filter(
+        F.col("mx").isNull() | (F.col("p_size") > F.col("mx"))
+    ).drop("mx")
+    w_glob = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+    return local.withColumn("mx", F.max("p_size").over(w_glob)).filter(
+        F.col("mx").isNull() | (F.col("p_size") > F.col("mx"))
+    ).select("p_partkey", "p_retailprice", "p_size")
+
+
+SQL_PARETO = """
+SELECT p_partkey, p_retailprice, p_size FROM (
+  SELECT p_partkey, p_retailprice, p_size,
+         max(p_size) OVER (
+           ORDER BY p_retailprice ASC, p_size DESC, p_partkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS mx
+  FROM part
+) WHERE mx IS NULL OR p_size > mx
+"""
+
+
 def q_mad_outliers(spark, sf):
     """Robust outlier screen per group: median absolute deviation
     (MAD), the estimator that — unlike z-scores — one extreme value
@@ -1558,6 +1687,33 @@ def _simhash_sql(bits: int = 16) -> str:
     return f"SELECT doc_id, ({' + '.join(terms)})::BIGINT AS simhash FROM documents"
 
 
+def q_simhash_hamming(spark, sf):
+    """Manku-style SimHash near-dup pairs (Hamming ≤ 3 over 32-bit
+    signatures; pigeonhole block-agreement candidates) — see
+    operators.dedup.simhash_hamming_pairs."""
+    return dd.simhash_hamming_pairs(_t(spark, sf, "documents"))
+
+
+def _simhash_hamming_sql(
+    max_hamming: int = 3, bits: int = 32, blocks: int = 4
+) -> str:
+    width = bits // blocks
+    mask = (1 << width) - 1
+    return f"""
+WITH s AS ({_simhash_sql(bits)}),
+e AS (
+  SELECT doc_id, simhash, t.b AS blk_idx,
+         (simhash >> (t.b * {width})) & {mask} AS blk_val
+  FROM s, range(0, {blocks}) t(b)
+)
+SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, c.simhash)) AS INTEGER) AS hamming
+FROM e a JOIN e c ON a.blk_idx = c.blk_idx AND a.blk_val = c.blk_val
+      AND a.doc_id < c.doc_id
+WHERE bit_count(xor(a.simhash, c.simhash)) <= {max_hamming}
+"""
+
+
 # --------------------------------------------------------------------
 # North star: similarity search
 # --------------------------------------------------------------------
@@ -2398,6 +2554,44 @@ WITH {_srp_params_cte(8)}, b AS (
   FROM embeddings, srp_params
 ), q AS (
   SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id IN ({qids})
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         (floor((list_dot_product(q.qv, c.v) /
+                (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v)))) * 10000 + 0.5) / 10000.0) AS cos_sim
+  FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= {k}
+"""
+
+
+def q_lsh_multiprobe_topk(spark, sf):
+    """Multi-probe SRP ANN top-k: each query scores its bucket plus
+    all Hamming-1 probe buckets — the memory-free recall knob over
+    the same bucketed corpus (similarity.lsh_multiprobe_topk)."""
+    return sim.lsh_multiprobe_topk(_t(spark, sf, "embeddings"), QUERY_VEC_IDS, k=10)
+
+
+def _lsh_multiprobe_sql(k: int = 10, seed: int = 7) -> str:
+    qids = ", ".join(str(i) for i in QUERY_VEC_IDS)
+    return f"""
+WITH {_srp_params_cte(8)}, b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_srp_bucket_expr('embedding::DOUBLE[]', _SRP_MAX_PLANES, seed, 'srp_params.np')} AS bucket
+  FROM embeddings, srp_params
+), q AS (
+  SELECT vec_id AS query_id, v AS qv,
+         unnest(list_concat(
+           [bucket],
+           list_filter(
+             list_transform(range(0, {_SRP_MAX_PLANES}),
+                            p -> CASE WHEN p < srp_params.np
+                                      THEN xor(bucket, (1::BIGINT << p)) END),
+             x -> x IS NOT NULL)
+         )) AS bucket
+  FROM b, srp_params WHERE vec_id IN ({qids})
 ), scored AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
          (floor((list_dot_product(q.qv, c.v) /
@@ -3292,6 +3486,31 @@ def q_dsir_weights(spark, sf):
     unigram features, micro-nat integer log-ratios) — see
     operators.textanalysis.dsir_weights."""
     return ta.dsir_weights(_t(spark, sf, "documents"))
+
+
+def q_dsir_resample(spark, sf):
+    """DSIR selection stage: Gumbel-top-k resampling of the
+    importance-weighted corpus (hash-derived noise, integer micro-nat
+    scores) — completes the Xie et al. pipeline; see
+    operators.sampling.gumbel_topk_resample."""
+    from aprs2influxdb_spark.operators.sampling import gumbel_topk_resample
+
+    return gumbel_topk_resample(ta.dsir_weights(_t(spark, sf, "documents")), n=100)
+
+
+def _dsir_resample_sql(n: int = 100, salt: str = "gumbel") -> str:
+    h = portable_hash64_sql(f"'{salt}_' || doc_id::VARCHAR")
+    u = f"((({h}) % 1000000) + 0.5) / 1000000.0"
+    g = f"CAST(floor(-ln(-ln({u})) * 1000000 + 0.5) AS BIGINT)"
+    return f"""
+WITH w AS ({_dsir_sql()}),
+s AS (SELECT doc_id, dsir_w + {g} AS score_micro FROM w)
+SELECT doc_id, score_micro, rk FROM (
+  SELECT doc_id, score_micro,
+         row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rk
+  FROM s
+) WHERE rk <= {n}
+"""
 
 
 def _dsir_sql(target_lang: str = "en", n_buckets: int = 1024) -> str:
@@ -6344,6 +6563,8 @@ def registry() -> dict[str, tuple]:
         "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
         "percentiles": (q_percentiles, SQL_PERCENTILES),
         "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
+        "funnel_3stage": (q_funnel_3stage, SQL_FUNNEL_3STAGE),
+        "pareto_front": (q_pareto_front, SQL_PARETO),
         "bucket_percentiles": (q_bucket_percentiles, SQL_BUCKET_PERCENTILES),
         "corr_stats": (q_corr_stats, SQL_CORR_STATS),
         "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
@@ -6374,6 +6595,7 @@ def registry() -> dict[str, tuple]:
         "dup_ngram_coverage": (q_dup_ngram_coverage, SQL_DUP_NGRAM_COVERAGE),
         "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
         "dsir_weights": (q_dsir_weights, _dsir_sql()),
+        "dsir_resample": (q_dsir_resample, _dsir_resample_sql()),
         "hier_rollup": (q_hier_rollup, SQL_HIER_ROLLUP),
         "profile_columns": (q_profile_columns, SQL_PROFILE_COLUMNS),
         "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
@@ -6425,6 +6647,7 @@ def registry() -> dict[str, tuple]:
         "minhash_lsh_pairs": (q_minhash_lsh_pairs, _minhash_lsh_sql()),
         "minhash_est_error": (q_minhash_est_error, _minhash_est_error_sql()),
         "simhash": (q_simhash, _simhash_sql()),
+        "simhash_hamming_pairs": (q_simhash_hamming, _simhash_hamming_sql()),
         "near_dup_clusters": (q_near_dup_clusters, _near_dup_clusters_sql()),
         # similarity
         "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
@@ -6441,6 +6664,7 @@ def registry() -> dict[str, tuple]:
         "ivf_kmeans_topk": (q_ivf_kmeans_topk, _ivf_kmeans_sql()),
         "srp_buckets": (q_srp_buckets, _srp_sql()),
         "lsh_bucketed_topk": (q_lsh_bucketed_topk, _lsh_bucketed_sql()),
+        "lsh_multiprobe_topk": (q_lsh_multiprobe_topk, _lsh_multiprobe_sql()),
         "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
         "label_centroids": (q_label_centroids, _label_centroids_sql()),
         "centroid_assign": (q_centroid_assign, _centroid_assign_sql()),

@@ -536,6 +536,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "dedup_fingerprint": 3,
     "dedup_rate_by_source": 4,
     "dispatch_counts": 3,
+    "dsir_resample": 7,
     "dsir_weights": 7,
     "distinct_daily_users": 4,
     "dup_ngram_coverage": 4,
@@ -549,6 +550,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "forecast_revenue": 3,
     "funnel_conversion": 6,
     "funnel_latency": 4,
+    "funnel_3stage": 4,
     "gap_fill": 4,
     "grouping_sets": 3,
     "hier_rollup": 4,
@@ -576,6 +578,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "late_ship_priority": 3,
     "line_protocol": 2,
     "lsh_bucketed_topk": 3,
+    "lsh_multiprobe_topk": 3,
     "lttb_downsample": 3,
     "mad_outliers": 6,
     "market_share": 5,
@@ -599,6 +602,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "pack_sequences": 3,
     "pagerank_knn": 10,
     "paragraph_dedup": 4,
+    "pareto_front": 4,
     "partition_skew": 5,
     "path_join": 2,
     "percentiles": 3,
@@ -641,6 +645,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "setop_intersect": 3,
     "ship_latency": 3,
     "simhash": 2,
+    "simhash_hamming_pairs": 3,
     "sliding_window_agg": 3,
     "small_qty_revenue": 4,
     "source_mixture": 5,

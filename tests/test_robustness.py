@@ -223,6 +223,37 @@ def test_dtw_cascade_prunes_clustered_series(spark):
     assert n_cand <= n_all / 2, f"cascade barely pruned: {n_cand}/{n_all}"
 
 
+def test_multiprobe_recall_dominates_single_bucket(spark):
+    """Hamming-1 multi-probe must recover at least the single-bucket
+    candidates (its probe set is a strict superset), and measurably
+    more of the exact top-10 on the gate corpus."""
+    import os
+
+    from aprs2influxdb_spark.operators import similarity as sim
+
+    gate_sf = os.environ.get("SPARK_GRAFT_SF_DIR_DRIVER", "/root/testdata/sf0.01")
+    emb = spark.read.parquet(f"{gate_sf}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.brute_force_topk(emb, qids, k=10).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.lsh_bucketed_topk(emb, qids, k=10).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.lsh_multiprobe_topk(emb, qids, k=10).collect()
+    }
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    assert r_multi >= r_single, (r_multi, r_single)
+    # every query must now fill its k slots (single-bucket cohorts
+    # run short of k on this corpus: 36 rows vs 50)
+    assert len(multi) == 50
+
+
 def test_dtw_lsh_recall_on_clustered_series(spark):
     """The SRP-cohort approximate DTW path must recover most of the
     exact top-k on the clustered fixture (the regime it exists for:
