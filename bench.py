@@ -33,6 +33,13 @@ job.  The only real residual deltas vs r1 are ngram_jaccard +0.8 s
 region_revenue/pricing_summary (the first big-join queries timed
 after warmup; rank-stable across sessions).
 
+Known intentional r3 cost: rp_rerank_topk ~1.1 -> ~2.4 s — the
+judge-requested out_dim 16 -> 32 lift (recall@10 0.84 -> 0.96);
+stage 1 does 2x the projection arithmetic and the 32-chain select
+compiles outside whole-stage codegen (split-method UnsafeProjection;
+measured equal to the checkpoint-barrier alternative, which would
+add a full corpus materialization at scale).
+
 Leftover ``localCheckpoint`` blocks from PRIOR queries are unpersisted
 before each timed run (measured: they inflate later queries up to 2×
 via storage-memory pressure — cosine_topk 1.19 s → 0.61 s once the
@@ -128,6 +135,17 @@ HEADLINE = [
     "boilerplate_chunks",
     "rp_project",
     "rp_rerank_topk",
+    # round-3 additions: DSIR weighting + Gumbel-top-k selection, the
+    # Manku simhash Hamming detector, multiprobe LSH, the PAA-cohort
+    # approximate DTW, and two analytic operators (sequential funnel,
+    # grid-partitioned skyline)
+    "dsir_weights",
+    "dsir_resample",
+    "simhash_hamming_pairs",
+    "lsh_multiprobe_topk",
+    "ts_dtw_lsh_topk",
+    "funnel_3stage",
+    "pareto_front",
 ]
 
 
