@@ -145,6 +145,50 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     return _spread_docs(docs, id_col, text_col).select(F.col(id_col), ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
 
 
+def feature_hash_vectors(
+    docs: DataFrame, dim: int = 64,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashed bag-of-words vectors (Weinberger et al., ICML'09
+    "hash trick"): every token hashes into one of ``dim`` buckets and
+    the document becomes the integer count vector — the cheap,
+    vocabulary-free doc embedding that bridges the text tables into
+    the vector operators (cosine top-k, SRP buckets, JL projection
+    all accept it).  Integer counts, no normalization: downstream
+    cosines divide by the norms exactly once, under their own
+    rounding discipline — normalizing here would bake in doubles.
+
+    Scale shape: explode → (doc, bucket) partial-agg → per-doc
+    map_from_entries reassembly (one id-keyed shuffle); the vector
+    materializes as a ``dim``-element transform over a let-bound map
+    — no pivot (a pivot plans ``dim`` conditional aggregates and a
+    driver-side distinct-values job)."""
+    from aprs2influxdb_spark.functions.hashing import portable_hash64
+
+    cnt = (
+        _spread_docs(docs, id_col, text_col)
+        .select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
+        .select(
+            id_col,
+            F.pmod(portable_hash64(F.col("term")), F.lit(dim)).alias("b"),
+        )
+        .groupBy(id_col, "b")
+        .agg(F.count("*").alias("c"))
+    )
+    m = F.map_from_entries(F.collect_list(F.struct("b", "c")))
+    vec = F.get(
+        F.transform(
+            F.array(m),
+            lambda mm: F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(mm.getItem(i.cast("long")), F.lit(0).cast("long")),
+            ),
+        ),
+        0,
+    )
+    return cnt.groupBy(id_col).agg(vec.alias("fhv"))
+
+
 def tfidf_top_terms(
     docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aprs2influxdb_spark.functions.counts import corpus_count
+from aprs2influxdb_spark.functions.partitioning import spread_for_compute
 from aprs2influxdb_spark.functions.rounding import rhu, rhu_sql
 from aprs2influxdb_spark.functions.hashing import (
     MINHASH_P,
@@ -3399,6 +3400,126 @@ def _tws_available() -> bool:
     return tws_available()
 
 
+def q_feature_hash_vectors(spark, sf):
+    """Feature-hashed bag-of-words doc vectors (64 buckets, integer
+    counts) — the vocabulary-free doc embedding bridging the text
+    tables into the vector operators; see
+    operators.textanalysis.feature_hash_vectors."""
+    return ta.feature_hash_vectors(_t(spark, sf, "documents"))
+
+
+def _fh_cte(dim: int = 64) -> str:
+    h = portable_hash64_sql("term")
+    return f"""cnt AS (
+  SELECT doc_id, ({h}) % {dim} AS b, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents)
+  GROUP BY 1, 2
+), fm AS (
+  SELECT doc_id, map_from_entries(list({{'k': b, 'v': c}})) AS hm FROM cnt GROUP BY doc_id
+), fh AS (
+  SELECT doc_id, list_transform(range(0, {dim}), i -> coalesce(hm[i][1], 0::BIGINT)) AS fhv
+  FROM fm
+)"""
+
+
+def _feature_hash_sql(dim: int = 64) -> str:
+    return f"WITH {_fh_cte(dim)} SELECT doc_id, fhv FROM fh"
+
+
+def q_fh_doc_topk(spark, sf):
+    """Text-native similarity search: exact cosine top-5 over the
+    feature-hashed doc vectors — the same brute_force_topk machinery
+    the float embeddings use, fed by the hash-trick vectors (one
+    engine, two modalities)."""
+    return sim.brute_force_topk(
+        ta.feature_hash_vectors(_t(spark, sf, "documents")),
+        [0, 1, 2, 3, 4], k=5, id_col="doc_id", vec_col="fhv",
+    )
+
+
+def _fh_doc_topk_sql(k: int = 5, dim: int = 64) -> str:
+    return f"""
+WITH {_fh_cte(dim)},
+q AS (
+  SELECT doc_id AS query_id, fhv::DOUBLE[] AS qv FROM fh WHERE doc_id IN (0, 1, 2, 3, 4)
+), scored AS (
+  SELECT q.query_id, c.doc_id AS neighbor_id,
+         (floor((list_dot_product(q.qv, c.fhv::DOUBLE[]) /
+                (sqrt(list_dot_product(q.qv, q.qv)) *
+                 sqrt(list_dot_product(c.fhv::DOUBLE[], c.fhv::DOUBLE[])))) * 10000 + 0.5) / 10000.0) AS cos_sim
+  FROM q JOIN fh c ON c.doc_id != q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= {k}
+"""
+
+
+def q_hard_negatives(spark, sf):
+    """Contrastive hard-negative mining: for each query embedding, the
+    top-5 most cosine-similar vectors whose DOCUMENT comes from a
+    different source — semantically close but cross-source, the
+    negatives a contrastive/retrieval trainer wants.  The
+    (vec_id = doc_id) side table joins 1:1 on the key (shuffle-keyed,
+    scale-safe — never broadcast at corpus size); queries broadcast;
+    the corpus moves once."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf, "embeddings")
+    src = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    e = emb.join(src, "vec_id")
+    q = e.filter(F.col("vec_id").isin(QUERY_VEC_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("source").alias("qsrc"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(
+            spread_for_compute(
+                e.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("nv"),
+                    F.col("source").alias("nsrc"),
+                )
+            )
+        )
+        .filter((F.col("query_id") != F.col("neighbor_id")) & (F.col("qsrc") != F.col("nsrc")))
+        .withColumn(
+            "cos_sim",
+            rhu(sim.cosine(F.col("qv").cast("array<double>"), F.col("nv").cast("array<double>")), 4),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
+SQL_HARD_NEGATIVES = """
+WITH e AS (
+  SELECT em.vec_id, em.embedding::DOUBLE[] AS v, d.source
+  FROM embeddings em JOIN documents d ON d.doc_id = em.vec_id
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, source AS qsrc FROM e WHERE vec_id IN (0, 1, 2, 3, 4)
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         (floor((list_dot_product(q.qv, c.v) /
+                (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v)))) * 10000 + 0.5) / 10000.0) AS cos_sim
+  FROM q JOIN e c ON c.vec_id != q.query_id AND c.source != q.qsrc
+)
+SELECT query_id, neighbor_id, cos_sim, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+
+
 def q_tfidf_top_terms(spark, sf):
     """Top-3 TF-IDF terms per document (keyword extraction)."""
     return ta.tfidf_top_terms(_t(spark, sf, "documents"), k=3)
@@ -6685,6 +6806,9 @@ def registry() -> dict[str, tuple]:
         "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
         "rolling_fingerprint": (q_rolling_fingerprint, SQL_ROLLING_FINGERPRINT),
         "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+        "feature_hash_vectors": (q_feature_hash_vectors, _feature_hash_sql()),
+        "fh_doc_topk": (q_fh_doc_topk, _fh_doc_topk_sql()),
+        "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
         "vocab_top_terms": (q_vocab_top_terms, SQL_VOCAB_TOP_TERMS),
         "zscore_prices": (q_zscore_prices, SQL_ZSCORE_PRICES),
         "cluster_keep_best": (q_cluster_keep_best, _cluster_keep_best_sql()),

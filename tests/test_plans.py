@@ -547,11 +547,14 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "event_transitions": 5,
     "ewma_smooth": 3,
     "excess_shippers": 7,
+    "feature_hash_vectors": 4,
+    "fh_doc_topk": 7,
     "forecast_revenue": 3,
     "funnel_conversion": 6,
     "funnel_latency": 4,
     "funnel_3stage": 4,
     "gap_fill": 4,
+    "hard_negatives": 3,
     "grouping_sets": 3,
     "hier_rollup": 4,
     "histogram_equi_depth": 3,
