@@ -3520,6 +3520,24 @@ SELECT query_id, neighbor_id, cos_sim, rk FROM (
 """
 
 
+def q_streaming_simhash(spark, sf):
+    """SimHash-at-ingest: the zero-shuffle signature projection on the
+    document stream (stateless append mode; batch oracle shared) —
+    see streaming.bounded.streaming_simhash."""
+    from aprs2influxdb_spark.streaming.bounded import streaming_simhash
+
+    return streaming_simhash(spark, sf)
+
+
+def q_streaming_token_counts(spark, sf):
+    """Token counting on the document stream (stateless append mode;
+    batch oracle shared) — see
+    streaming.bounded.streaming_token_counts."""
+    from aprs2influxdb_spark.streaming.bounded import streaming_token_counts
+
+    return streaming_token_counts(spark, sf)
+
+
 def q_tfidf_top_terms(spark, sf):
     """Top-3 TF-IDF terms per document (keyword extraction)."""
     return ta.tfidf_top_terms(_t(spark, sf, "documents"), k=3)
@@ -6769,6 +6787,8 @@ def registry() -> dict[str, tuple]:
         "minhash_est_error": (q_minhash_est_error, _minhash_est_error_sql()),
         "simhash": (q_simhash, _simhash_sql()),
         "simhash_hamming_pairs": (q_simhash_hamming, _simhash_hamming_sql()),
+        "streaming_simhash": (q_streaming_simhash, _simhash_sql()),
+        "streaming_token_counts": (q_streaming_token_counts, SQL_TOKEN_COUNTS),
         "near_dup_clusters": (q_near_dup_clusters, _near_dup_clusters_sql()),
         # similarity
         "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),

@@ -1114,6 +1114,33 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_bounded(spark, gated, "append", "stream_quality_gate")
 
 
+def streaming_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures computed AT INGEST on the document stream —
+    unchanged operator: the majority-vote folds are a pure
+    zero-shuffle projection (no state, no watermark, append mode), so
+    the near-dup signature a batch dedup would compute later is
+    already on every record as it lands — the signature-at-ingest
+    shape a 100 TB crawl pipeline wants.  Shares the batch oracle
+    verbatim."""
+    from aprs2influxdb_spark.operators.dedup import simhash
+
+    return run_bounded(
+        spark, simhash(stream_docs(spark, sf_dir), bits=16), "append", "stream_simhash"
+    )
+
+
+def streaming_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting on the document stream —
+    stateless projection, append mode, batch oracle shared verbatim
+    (the token-budget accounting a live ingest feed runs per
+    record)."""
+    from aprs2influxdb_spark.operators.textanalysis import token_counts
+
+    return run_bounded(
+        spark, token_counts(stream_docs(spark, sf_dir)), "append", "stream_token_counts"
+    )
+
+
 def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``embeddings.parquet`` as a file-source stream."""
     return _stream_table(spark, sf_dir, "embeddings")
