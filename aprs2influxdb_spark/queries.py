@@ -3675,7 +3675,7 @@ WITH tf AS (
          ) * 1000000 + 0.5) AS BIGINT) AS llr
   FROM bs, tot
 )
-SELECT doc_id, sum(tf) AS n_tokens,
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
        CAST(sum(tf * llr) AS BIGINT) AS dsir_w,
        (floor((sum(tf * llr) / (sum(tf) * 1000000.0)) * 10000 + 0.5) / 10000.0) AS avg_llr
 FROM s GROUP BY doc_id
