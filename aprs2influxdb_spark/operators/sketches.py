@@ -412,3 +412,87 @@ SELECT exact_join_n, cms_join_est,
        (floor((cms_join_est / CAST(exact_join_n AS DOUBLE)) * 1000000 + 0.5) / 1000000.0) AS inflation_ratio
 FROM exact CROSS JOIN inner_p
 """
+
+
+# Poisson-bootstrap geometry, shared with the oracle SQL: per-replica
+# uniforms derive from ONE md5 per row plus a cheap per-replica
+# linear shift (Knuth multiplicative constant), quantized to
+# BOOT_M; the Poisson(1) weight is an integer threshold ladder on
+# that uniform (cumulative pmf * BOOT_M, truncated at 7 — P(X>7) <
+# 1e-5 at lambda=1).
+BOOT_M = 1_000_003
+BOOT_SHIFT = 2_654_435_761
+BOOT_POISSON_CUM = [367879, 735758, 919698, 981011, 996339, 999405, 999916, 1_000_003]
+
+
+def _poisson_weight(v):
+    """Integer Poisson(1) draw from an integer uniform in [0, BOOT_M):
+    CASE ladder over the cumulative thresholds (pure integer
+    comparisons — deterministic on any engine)."""
+    from pyspark.sql import functions as F
+
+    w = F.lit(len(BOOT_POISSON_CUM)).cast("long")
+    for k in reversed(range(len(BOOT_POISSON_CUM))):
+        w = F.when(v < BOOT_POISSON_CUM[k], F.lit(k).cast("long")).otherwise(w)
+    return w
+
+
+def bootstrap_ci(
+    df, value_col: str, key_cols: list[str], n_replicas: int = 100,
+    lo_rank: int = 3, hi_rank: int = 98, salt: str = "boot",
+):
+    """Poisson-bootstrap confidence interval for the mean of
+    ``value_col`` (Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams", Google 2012): each row joins replica ``b``
+    with an independent Poisson(1) multiplicity, so a replica's
+    weighted mean is a with-replacement resample WITHOUT materializing
+    resamples — ONE scan, explode ×``n_replicas``, and the per-replica
+    partial sums combine map-side (the only shuffle carries
+    ``n_replicas`` groups).  The CI is the (lo_rank, hi_rank) order
+    statistics of the replica means (3rd/98th of 100 ≈ a 95% interval).
+
+    Determinism discipline: one md5 per ROW (hash of the ``key_cols``
+    identity), then per-replica uniforms via an integer linear shift —
+    NOT one md5 per (row, replica), which costs ``n_replicas``× the
+    hash work for no statistical gain at this use; values are summed
+    as integer cents (money doubles are exact at 2 decimals), so
+    replica means are identical in any summation order; means are
+    rounded to 4dp before ranking, ties broken on the replica id.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aprs2influxdb_spark.functions.hashing import portable_hash64
+    from aprs2influxdb_spark.functions.rounding import rhu
+
+    ident = F.concat_ws("_", F.lit(salt), *[F.col(c).cast("string") for c in key_cols])
+    rows = df.select(
+        portable_hash64(ident).alias("h"),
+        F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+    )
+    rep = rows.select(
+        "h", "cents", F.explode(F.sequence(F.lit(1), F.lit(n_replicas))).alias("b")
+    ).select(
+        "b", "cents",
+        _poisson_weight(F.pmod(F.col("h") + F.col("b") * F.lit(BOOT_SHIFT), F.lit(BOOT_M))).alias("w"),
+    )
+    means = (
+        rep.groupBy("b")
+        .agg(F.sum(F.col("w") * F.col("cents")).alias("s"), F.sum("w").alias("n"))
+        .withColumn("mean", rhu(F.col("s") / (F.col("n") * F.lit(100.0)), 4))
+    )
+    w_rk = Window.orderBy(F.col("mean").asc(), F.col("b").asc())
+    ranked = means.withColumn("rk", F.row_number().over(w_rk))
+    point = df.agg(
+        rhu(F.sum(F.round(F.col(value_col) * 100).cast("long")) / (F.count("*") * F.lit(100.0)), 4).alias("point_mean")
+    )
+    return (
+        ranked.filter(F.col("rk").isin([lo_rank, hi_rank]))
+        .groupBy()
+        .agg(
+            F.min(F.when(F.col("rk") == lo_rank, F.col("mean"))).alias("ci_lo"),
+            F.min(F.when(F.col("rk") == hi_rank, F.col("mean"))).alias("ci_hi"),
+        )
+        .crossJoin(F.broadcast(point))
+        .select("point_mean", "ci_lo", "ci_hi")
+    )

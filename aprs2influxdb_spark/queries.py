@@ -815,6 +815,56 @@ SELECT p_partkey, p_retailprice, p_size FROM (
 """
 
 
+def q_bootstrap_ci(spark, sf):
+    """95% Poisson-bootstrap CI for mean l_extendedprice (100
+    replicas, one scan, map-side-combinable partial sums) — see
+    operators.sketches.bootstrap_ci."""
+    from aprs2influxdb_spark.operators.sketches import bootstrap_ci
+
+    return bootstrap_ci(
+        _t(spark, sf, "lineitem"), "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+    )
+
+
+def _bootstrap_ci_sql(n_replicas: int = 100, lo: int = 3, hi: int = 98) -> str:
+    from aprs2influxdb_spark.operators.sketches import (
+        BOOT_M,
+        BOOT_POISSON_CUM,
+        BOOT_SHIFT,
+    )
+
+    h = portable_hash64_sql(
+        "concat_ws('_', 'boot', l_orderkey::VARCHAR, l_linenumber::VARCHAR)"
+    )
+    v = f"((h + t.b * {BOOT_SHIFT}) % {BOOT_M})"
+    ladder = "CASE " + " ".join(
+        f"WHEN {v} < {BOOT_POISSON_CUM[k]} THEN {k}"
+        for k in range(len(BOOT_POISSON_CUM) - 1)
+    ) + f" ELSE {len(BOOT_POISSON_CUM) - 1} END"
+    return f"""
+WITH rh AS (
+  SELECT {h} AS h, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem
+), rep AS (
+  SELECT t.b, cents, ({ladder}) AS w FROM rh, range(1, {n_replicas + 1}) t(b)
+), means AS (
+  SELECT b, CAST(sum(w * cents) AS BIGINT) AS s, CAST(sum(w) AS BIGINT) AS n
+  FROM rep GROUP BY b
+), m2 AS (
+  SELECT b, (floor((s / (n * 100.0)) * 10000 + 0.5) / 10000.0) AS mean FROM means
+), ranked AS (
+  SELECT mean, row_number() OVER (ORDER BY mean, b) AS rk FROM m2
+), pt AS (
+  SELECT (floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / (count(*) * 100.0)) * 10000 + 0.5) / 10000.0) AS point_mean
+  FROM lineitem
+)
+SELECT pt.point_mean,
+       (SELECT mean FROM ranked WHERE rk = {lo}) AS ci_lo,
+       (SELECT mean FROM ranked WHERE rk = {hi}) AS ci_hi
+FROM pt
+"""
+
+
 def q_mad_outliers(spark, sf):
     """Robust outlier screen per group: median absolute deviation
     (MAD), the estimator that — unlike z-scores — one extreme value
@@ -6703,6 +6753,7 @@ def registry() -> dict[str, tuple]:
         "percentiles": (q_percentiles, SQL_PERCENTILES),
         "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
         "funnel_3stage": (q_funnel_3stage, SQL_FUNNEL_3STAGE),
+        "bootstrap_ci": (q_bootstrap_ci, _bootstrap_ci_sql()),
         "pareto_front": (q_pareto_front, SQL_PARETO),
         "bucket_percentiles": (q_bucket_percentiles, SQL_BUCKET_PERCENTILES),
         "corr_stats": (q_corr_stats, SQL_CORR_STATS),

@@ -512,6 +512,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "bloom_decontaminate": 6,
     "bm25_topk": 10,
     "boilerplate_chunks": 5,
+    "bootstrap_ci": 5,
     "bracket_revenue": 3,
     "bucket_first_last": 3,
     "bucket_percentiles": 3,
