@@ -953,6 +953,69 @@ def temperature_mixture(
     )
 
 
+def heaps_law_fit(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps'-law fit: least-squares ``ln V = ln k + β·ln N`` over the
+    corpus growth curve — distinct vocabulary V against cumulative
+    tokens N, one point per document in id order.  The companion
+    diagnostic to :func:`zipf_fit`: natural text grows vocabulary at
+    β ≈ 0.4–0.6; template corpora flatten toward 0, gibberish climbs
+    toward 1.  Also the capacity-planning curve for tokenizer /
+    vocab builds (predicts distinct-term counts at 100× the corpus).
+
+    The cumulative-vocabulary trick: a term contributes to V_d for
+    every d ≥ its FIRST document, so V_d is the running sum of
+    first-occurrence counts — one ``min(doc_id)`` per term plus a
+    running sum over the doc axis, never a quadratic rescan.  The
+    running windows order on the doc id over doc-LEVEL rows (corpus
+    rows aggregate away first; the single-partition window sees one
+    row per document, the same O(docs) frame ``zipf_fit``'s top-k
+    ranks).  ln values are integerized to micro-nats before the
+    regression sums; the closed form runs in DECIMAL(38,0) exactly
+    like zipf_fit."""
+    from pyspark.sql import Window
+
+    tok = _spread_docs(docs, id_col, text_col).select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("term")
+    )
+    wd = Window.orderBy(F.col(id_col).asc()).rowsBetween(Window.unboundedPreceding, 0)
+    ntok = tok.groupBy(id_col).agg(F.count("*").alias("nt"))
+    vnew = (
+        tok.groupBy("term").agg(F.min(id_col).alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("vn"))
+    )
+    pts = (
+        ntok.join(vnew, id_col, "left")
+        .withColumn("N", F.sum("nt").over(wd))
+        .withColumn("V", F.sum(F.coalesce(F.col("vn"), F.lit(0))).over(wd))
+        .select(
+            F.floor(F.log(F.col("N").cast("double")) * 1e6 + F.lit(0.5)).cast("long").alias("x"),
+            F.floor(F.log(F.col("V").cast("double")) * 1e6 + F.lit(0.5)).cast("long").alias("y"),
+        )
+    )
+    sums = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = (dec("n") * dec("sxy") - dec("sx") * dec("sy")).cast("double")
+    den = (dec("n") * dec("sxx") - dec("sx") * dec("sx")).cast("double")
+    beta = rhu(num / den, 6)
+    ln_k = rhu(
+        (F.col("sy").cast("double") / 1e6 - beta * (F.col("sx").cast("double") / 1e6))
+        / F.col("n").cast("double"),
+        6,
+    )
+    return sums.select(
+        F.col("n").alias("n_points"), beta.alias("beta"), ln_k.alias("ln_k")
+    )
+
+
 def zipf_fit(
     docs: DataFrame, top_k: int = 1000, text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:

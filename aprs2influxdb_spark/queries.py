@@ -815,6 +815,22 @@ SELECT p_partkey, p_retailprice, p_size FROM (
 """
 
 
+def q_salted_event_counts(spark, sf):
+    """Per-type event counts through the explicit two-phase salted
+    aggregation (deterministic hash salt; the second shuffle carries
+    ≤ 32 rows per key however skewed the type distribution) — see
+    operators.skew.salted_counts; the oracle is the plain GROUP BY
+    it must equal exactly."""
+    from aprs2influxdb_spark.operators.skew import salted_counts
+
+    return salted_counts(_t(spark, sf, "events"), "event_type", "event_id")
+
+
+SQL_SALTED_COUNTS = """
+SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+"""
+
+
 def q_bootstrap_ci(spark, sf):
     """95% Poisson-bootstrap CI for mean l_extendedprice (100
     replicas, one scan, map-side-combinable partial sums) — see
@@ -6625,6 +6641,43 @@ FROM m, tot
 """
 
 
+def q_heaps_law_fit(spark, sf):
+    """Heaps'-law vocabulary-growth regression (cumulative vocab vs
+    cumulative tokens in doc order, first-occurrence trick) — see
+    operators.textanalysis.heaps_law_fit."""
+    return ta.heaps_law_fit(_t(spark, sf, "documents"))
+
+
+SQL_HEAPS_FIT = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+), ntok AS (
+  SELECT doc_id, count(*) AS nt FROM tok GROUP BY doc_id
+), vnew AS (
+  SELECT doc_id, count(*) AS vn FROM (
+    SELECT term, min(doc_id) AS doc_id FROM tok GROUP BY term
+  ) GROUP BY doc_id
+), pts AS (
+  SELECT CAST(floor(ln(sum(nt) OVER w) * 1000000 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(sum(coalesce(vn, 0)) OVER w) * 1000000 + 0.5) AS BIGINT) AS y
+  FROM ntok LEFT JOIN vnew USING (doc_id)
+  WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), sums AS (
+  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT n AS n_points,
+       (floor(((n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE /
+               (n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE) * 1000000 + 0.5) / 1000000.0) AS beta,
+       (floor(((sy / 1000000.0 -
+                (floor(((n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE /
+                        (n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE) * 1000000 + 0.5) / 1000000.0)
+                * (sx / 1000000.0)) / n) * 1000000 + 0.5) / 1000000.0) AS ln_k
+FROM sums
+"""
+
+
 def q_zipf_fit(spark, sf):
     """Zipf-law regression over the top-1000 vocabulary ranks — see
     operators.textanalysis.zipf_fit (micro-nat integer sums; closed
@@ -6754,6 +6807,7 @@ def registry() -> dict[str, tuple]:
         "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
         "funnel_3stage": (q_funnel_3stage, SQL_FUNNEL_3STAGE),
         "bootstrap_ci": (q_bootstrap_ci, _bootstrap_ci_sql()),
+        "salted_event_counts": (q_salted_event_counts, SQL_SALTED_COUNTS),
         "pareto_front": (q_pareto_front, SQL_PARETO),
         "bucket_percentiles": (q_bucket_percentiles, SQL_BUCKET_PERCENTILES),
         "corr_stats": (q_corr_stats, SQL_CORR_STATS),
@@ -6936,6 +6990,7 @@ def registry() -> dict[str, tuple]:
         # frequency-threshold boilerplate, and JL sign projection
         "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
         "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
+        "heaps_law_fit": (q_heaps_law_fit, SQL_HEAPS_FIT),
         "boilerplate_chunks": (q_boilerplate_chunks, SQL_BOILERPLATE_CHUNKS),
         "rp_project": (q_rp_project, sim.rp_project_sql()),
         "rp_rerank_topk": (q_rp_rerank_topk, sim.rp_rerank_sql([0, 1, 2, 3, 4], k=10, m=200)),

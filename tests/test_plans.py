@@ -556,6 +556,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "funnel_3stage": 4,
     "gap_fill": 4,
     "hard_negatives": 3,
+    "heaps_law_fit": 6,
     "grouping_sets": 3,
     "hier_rollup": 4,
     "histogram_equi_depth": 3,
@@ -635,6 +636,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "rp_project": 2,
     "rp_rerank_topk": 4,
     "rrf_fusion": 14,
+    "salted_event_counts": 4,
     "running_sum": 3,
     "salted_agg": 4,
     "salted_join": 4,
@@ -737,6 +739,17 @@ class TestRegistrySweep:
             if got > REGISTRY_SHUFFLE_BUDGETS[name]:
                 over.append((name, got, REGISTRY_SHUFFLE_BUDGETS[name]))
         assert not over, f"entries over shuffle budget (name, got, budget): {over}"
+
+    def test_salted_agg_is_two_phase(self, spark, sf_dir):
+        """salted_event_counts must plan the explicit shard stage:
+        a (key, salt) aggregate pair feeding a key-only aggregate
+        pair — four HashAggregates, with the salt column in the first
+        exchange's partitioning."""
+        from aprs2influxdb_spark.queries import q_salted_event_counts
+
+        plan = executed_plan(q_salted_event_counts(spark, sf_dir))
+        assert plan.count("HashAggregate") == 4, plan[:1500]
+        assert "_salt" in plan
 
     def test_no_vacuous_results_at_driver_sf(self, spark):
         """Every oracle-checked query must produce rows at the driver's
