@@ -815,6 +815,130 @@ SELECT p_partkey, p_retailprice, p_size FROM (
 """
 
 
+def q_top_session_paths(spark, sf):
+    """Path analysis: the 10 most common session-opening event
+    sequences (first 5 event types per 30-min-gap session, joined
+    with '>').  Sessions come from the lag+running-sum sessionizer
+    (one user-key window chain — no self-joins); the per-session
+    sequence is an ``array_sort`` over the collected (ts, event_id,
+    type) structs, so the order is data-deterministic, not
+    arrival-deterministic.  The path table aggregates to ≤ |paths|
+    rows before the global top-10 rank (WindowGroupLimit)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = (
+        e.withColumn("new_s", F.when(gap > 1800, 1).otherwise(0))
+        .withColumn("sess_id", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    paths = (
+        sess.groupBy("user_id", "sess_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.slice(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                        lambda x: x.event_type,
+                    ),
+                    1, 5,
+                ),
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+    )
+    wr = Window.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+    return (
+        paths.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 10)
+        .select("path", "n_sessions", "rk")
+    )
+
+
+SQL_TOP_SESSION_PATHS = """
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts)/1000000 - lag(epoch_us(ts)/1000000)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s2 AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM s
+), paths AS (
+  SELECT array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>') AS path
+  FROM s2 GROUP BY user_id, sess_id
+), counted AS (
+  SELECT path, count(*) AS n_sessions FROM paths GROUP BY path
+)
+SELECT path, n_sessions, rk FROM (
+  SELECT path, n_sessions,
+         row_number() OVER (ORDER BY n_sessions DESC, path) AS rk
+  FROM counted
+) WHERE rk <= 10
+"""
+
+
+def q_last_touch_attribution(spark, sf):
+    """Last-touch conversion attribution: each purchase credits the
+    most recent non-purchase event by the same user within the
+    preceding hour; output is purchase counts per attributed event
+    type (plus 'direct' when nothing preceded within the window).
+    One user-key window (``last ignore nulls`` over a struct carries
+    BOTH the type and its timestamp, so the 1-hour recency test needs
+    no self-join) + a tiny type-level aggregate."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.last(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct(F.col("ts").alias("pts"), F.col("event_type").alias("ptype")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    attributed = (
+        e.withColumn("prev", prev)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("prev").isNotNull()
+                & (F.col("ts").cast("long") - F.col("prev.pts").cast("long") <= 3600),
+                F.col("prev.ptype"),
+            ).otherwise(F.lit("direct")).alias("attributed_type")
+        )
+    )
+    return attributed.groupBy("attributed_type").agg(F.count("*").alias("n_purchases"))
+
+
+SQL_LAST_TOUCH = """
+WITH flagged AS (
+  SELECT user_id, ts, event_type,
+         last_value(CASE WHEN event_type != 'purchase'
+                         THEN {'pts': ts, 'ptype': event_type} END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+  FROM events
+)
+SELECT CASE WHEN prev IS NOT NULL
+            AND epoch_us(ts)/1000000 - epoch_us(prev.pts)/1000000 <= 3600
+            THEN prev.ptype ELSE 'direct' END AS attributed_type,
+       count(*) AS n_purchases
+FROM flagged WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
 def q_salted_event_counts(spark, sf):
     """Per-type event counts through the explicit two-phase salted
     aggregation (deterministic hash salt; the second shuffle carries
@@ -6808,6 +6932,8 @@ def registry() -> dict[str, tuple]:
         "funnel_3stage": (q_funnel_3stage, SQL_FUNNEL_3STAGE),
         "bootstrap_ci": (q_bootstrap_ci, _bootstrap_ci_sql()),
         "salted_event_counts": (q_salted_event_counts, SQL_SALTED_COUNTS),
+        "top_session_paths": (q_top_session_paths, SQL_TOP_SESSION_PATHS),
+        "last_touch_attribution": (q_last_touch_attribution, SQL_LAST_TOUCH),
         "pareto_front": (q_pareto_front, SQL_PARETO),
         "bucket_percentiles": (q_bucket_percentiles, SQL_BUCKET_PERCENTILES),
         "corr_stats": (q_corr_stats, SQL_CORR_STATS),

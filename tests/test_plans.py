@@ -339,6 +339,44 @@ class TestJoinStrategy:
                 else:
                     spark.conf.set(k, v)
 
+    def test_aqe_splits_skewed_join_partitions(self, spark, sf_dir):
+        """AQE skew-join handling must engage on a pathologically
+        skewed join: one hot key holding ~90% of the left side gets
+        its sort-merge partition SPLIT at runtime (the `skew=true`
+        marker on the SMJ).  Thresholds are lowered to make the toy
+        skew visible; at 100 TB the defaults (256 MB / 5x median)
+        catch the same shape.  This pins the config path the engine
+        relies on for skewed fact-fact joins — salting (operators/
+        skew.py) covers aggregations, AQE covers joins."""
+        confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        }
+        prev = {k: spark.conf.get(k, None) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            left = spark.range(0, 200_000).select(
+                F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
+                F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"),
+            )
+            right = spark.range(0, 2_000).select(F.col("id").alias("k"))
+            j = left.join(right, "k").groupBy().count()
+            j.collect()  # AQE marks skew at RUNTIME — plan must be final
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "skew=true" in plan, plan[:2000]
+        finally:
+            for k, v in prev.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
     def test_kmv_bottom_k_is_partial(self, spark, sf_dir):
         """The KMV sketch's rank filter must trigger WindowGroupLimit
         pushdown BELOW the exchange (partial bottom-k per map task), so
@@ -579,6 +617,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "lag_delta": 3,
     "lang_balance_sample": 5,
     "lang_id": 2,
+    "last_touch_attribution": 4,
     "langid_confusion": 4,
     "late_ship_priority": 3,
     "line_protocol": 2,
@@ -668,6 +707,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "top_ngrams": 3,
     "top_orders": 3,
     "top_supplier": 5,
+    "top_session_paths": 4,
     "topk_per_group": 3,
     "train_val_split": 2,
     "training_data_prep": 3,
