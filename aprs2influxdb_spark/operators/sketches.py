@@ -496,3 +496,73 @@ def bootstrap_ci(
         .crossJoin(F.broadcast(point))
         .select("point_mean", "ci_lo", "ci_hi")
     )
+
+
+def kmv_set_overlap(
+    df, key_col: str = "user_id", type_col: str = "event_type",
+    type_a: str = "view", type_b: str = "purchase", k: int = 256,
+):
+    """Theta-sketch set operations over two key populations (audience
+    overlap): distinct-count estimates for A, B, A∪B and A∩B from ONE
+    bottom-k sketch of the union hash space, beside the exact values
+    so the entry self-reports its error — the Datasketches
+    theta-sketch intersection recipe (sample = union hashes below
+    θ = k-th smallest; every population is estimated by its members
+    inside that sample, scaled by 2^60/θ).
+
+    Exact-mode guard: with fewer than k distinct union hashes every
+    estimate IS the exact count (θ never applies) — same rule as
+    :func:`kmv_distinct`.  All arithmetic is integer or fixed-order
+    IEEE double, oracle-exact.
+
+    Scale shape: membership flags fold into the per-hash distinct
+    aggregate (one shuffle on the 8-byte hash); the bottom-k rank is
+    a WindowGroupLimit (partial bottom-k per map task); everything
+    after operates on ≤ k rows plus three scalar exact aggregates."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aprs2influxdb_spark.functions.hashing import portable_hash64
+
+    flagged = (
+        df.filter(F.col(type_col).isin([type_a, type_b]))
+        .select(
+            portable_hash64(F.col(key_col).cast("string")).alias("h"),
+            (F.col(type_col) == type_a).cast("int").alias("in_a"),
+            (F.col(type_col) == type_b).cast("int").alias("in_b"),
+        )
+        .groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    exact = flagged.agg(
+        F.sum("in_a").alias("exact_a"),
+        F.sum("in_b").alias("exact_b"),
+        F.count("*").alias("exact_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("exact_inter"),
+    )
+    w = Window.orderBy(F.col("h").asc())
+    bottom = flagged.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    sk = bottom.agg(
+        F.count("*").alias("n_sk"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("theta"),
+        F.sum(F.when(F.col("rn") < k, F.col("in_a"))).alias("sa"),
+        F.sum(F.when(F.col("rn") < k, F.col("in_b"))).alias("sb"),
+        F.sum(F.when(F.col("rn") < k, F.col("in_a") * F.col("in_b"))).alias("sab"),
+    )
+    scale = F.lit(HASH_SPACE) / F.col("theta").cast("double")
+
+    def est(cnt_col, exact_col):
+        return F.when(
+            F.col("n_sk") < k, F.col(exact_col)
+        ).otherwise(F.floor(cnt_col.cast("double") * scale).cast("long"))
+
+    return (
+        sk.crossJoin(F.broadcast(exact))
+        .select(
+            "exact_a", "exact_b", "exact_union", "exact_inter",
+            est(F.col("sa"), "exact_a").alias("est_a"),
+            est(F.col("sb"), "exact_b").alias("est_b"),
+            est(F.lit(k - 1), "exact_union").alias("est_union"),
+            est(F.col("sab"), "exact_inter").alias("est_inter"),
+        )
+    )

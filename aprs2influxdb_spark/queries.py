@@ -939,6 +939,57 @@ GROUP BY 1
 """
 
 
+def q_kmv_set_overlap(spark, sf):
+    """Theta-sketch audience overlap: viewer vs purchaser distinct
+    users — A/B/union/intersection estimates from one bottom-k union
+    sketch, beside the exact counts (self-reported error) — see
+    operators.sketches.kmv_set_overlap."""
+    from aprs2influxdb_spark.operators.sketches import kmv_set_overlap
+
+    return kmv_set_overlap(_t(spark, sf, "events"))
+
+
+def _kmv_overlap_sql(
+    type_a: str = "view", type_b: str = "purchase", k: int = 256
+) -> str:
+    from aprs2influxdb_spark.operators.sketches import HASH_SPACE
+
+    h = portable_hash64_sql("user_id::VARCHAR")
+    return f"""
+WITH flagged AS (
+  SELECT h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+    SELECT {h} AS h,
+           CASE WHEN event_type = '{type_a}' THEN 1 ELSE 0 END AS in_a,
+           CASE WHEN event_type = '{type_b}' THEN 1 ELSE 0 END AS in_b
+    FROM events WHERE event_type IN ('{type_a}', '{type_b}')
+  ) GROUP BY h
+), ex AS (
+  SELECT CAST(sum(in_a) AS BIGINT) AS exact_a, CAST(sum(in_b) AS BIGINT) AS exact_b,
+         count(*) AS exact_union, CAST(sum(in_a * in_b) AS BIGINT) AS exact_inter
+  FROM flagged
+), bottom AS (
+  SELECT *, row_number() OVER (ORDER BY h) AS rn FROM flagged
+), sk AS (
+  SELECT count(*) AS n_sk,
+         max(CASE WHEN rn = {k} THEN h END) AS theta,
+         CAST(sum(CASE WHEN rn < {k} THEN in_a END) AS BIGINT) AS sa,
+         CAST(sum(CASE WHEN rn < {k} THEN in_b END) AS BIGINT) AS sb,
+         CAST(sum(CASE WHEN rn < {k} THEN in_a * in_b END) AS BIGINT) AS sab
+  FROM bottom WHERE rn <= {k}
+)
+SELECT exact_a, exact_b, exact_union, exact_inter,
+       CASE WHEN n_sk < {k} THEN exact_a
+            ELSE CAST(floor(sa::DOUBLE * ({HASH_SPACE!r} / theta::DOUBLE)) AS BIGINT) END AS est_a,
+       CASE WHEN n_sk < {k} THEN exact_b
+            ELSE CAST(floor(sb::DOUBLE * ({HASH_SPACE!r} / theta::DOUBLE)) AS BIGINT) END AS est_b,
+       CASE WHEN n_sk < {k} THEN exact_union
+            ELSE CAST(floor({float(k - 1)!r} * ({HASH_SPACE!r} / theta::DOUBLE)) AS BIGINT) END AS est_union,
+       CASE WHEN n_sk < {k} THEN exact_inter
+            ELSE CAST(floor(sab::DOUBLE * ({HASH_SPACE!r} / theta::DOUBLE)) AS BIGINT) END AS est_inter
+FROM sk, ex
+"""
+
+
 def q_salted_event_counts(spark, sf):
     """Per-type event counts through the explicit two-phase salted
     aggregation (deterministic hash salt; the second shuffle carries
@@ -6932,6 +6983,7 @@ def registry() -> dict[str, tuple]:
         "funnel_3stage": (q_funnel_3stage, SQL_FUNNEL_3STAGE),
         "bootstrap_ci": (q_bootstrap_ci, _bootstrap_ci_sql()),
         "salted_event_counts": (q_salted_event_counts, SQL_SALTED_COUNTS),
+        "kmv_set_overlap": (q_kmv_set_overlap, _kmv_overlap_sql()),
         "top_session_paths": (q_top_session_paths, SQL_TOP_SESSION_PATHS),
         "last_touch_attribution": (q_last_touch_attribution, SQL_LAST_TOUCH),
         "pareto_front": (q_pareto_front, SQL_PARETO),

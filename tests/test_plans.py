@@ -609,6 +609,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "ivf_topk": 5,
     "ivfpq_topk": 6,
     "json_extract": 2,
+    "kmv_set_overlap": 5,
     "knn_graph": 3,
     "knn_triangles": 10,
     "known_types_filter": 2,

@@ -157,3 +157,31 @@ def test_feature_hash_vectors_preserve_token_mass(spark, sf_dir):
     tc = token_counts(docs).select("doc_id", F.col("ws_tokens"))
     bad = fh.join(tc, "doc_id").filter(F.col("mass") != F.col("ws_tokens")).count()
     assert bad == 0
+
+
+def test_kmv_overlap_estimates_on_partial_overlap(spark):
+    """On a constructed 3-way population (A-only / B-only / both) the
+    sketch estimates land within ~15% of truth at k=256, and the
+    estimate algebra is coherent (inter <= min(a, b), union >=
+    max(a, b))."""
+    from aprs2influxdb_spark.operators.sketches import kmv_set_overlap
+
+    rows = (
+        [(i, "view") for i in range(4000)]          # A: 0..3999
+        + [(i, "purchase") for i in range(3000, 8000)]  # B: 3000..7999
+    )
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    r = kmv_set_overlap(df, k=1024).collect()[0]
+    assert (r["exact_a"], r["exact_b"], r["exact_union"], r["exact_inter"]) == (
+        4000, 5000, 8000, 1000
+    )
+    # intersection is the sketch's weak spot (few sample members when
+    # the overlap is a small fraction of the union — ~128 at k=1024
+    # here), hence the looser bound
+    for est, exact, tol in [
+        (r["est_a"], 4000, 0.15), (r["est_b"], 5000, 0.15),
+        (r["est_union"], 8000, 0.15), (r["est_inter"], 1000, 0.4),
+    ]:
+        assert abs(est - exact) / exact < tol, (est, exact)
+    assert r["est_inter"] <= min(r["est_a"], r["est_b"])
+    assert r["est_union"] >= max(r["est_a"], r["est_b"])
