@@ -309,3 +309,43 @@ def test_merge_state_last_write_wins_across_batches():
     [out2] = list(_merge_group((8,), iter([pd.DataFrame({"version": [0], "price": [200.0]})]), s2))
     assert out2.iloc[0]["price"] == 220.0 and bool(out2.iloc[0]["was_updated"])
     assert len(s2.get) == 2
+
+
+def test_parquet_sink_is_idempotent_on_replay(spark, tmp_path):
+    """Replaying a micro-batch (Structured Streaming's at-least-once
+    contract after a crash) must not duplicate rows: the batch-scoped
+    overwrite makes the second delivery a byte-identical replace."""
+    from aprs2influxdb_spark.sinks.parquet import write_batch_idempotent
+
+    out = str(tmp_path / "sink")
+    batch = spark.range(100).withColumnRenamed("id", "v")
+    write_batch_idempotent(batch, 0, out)
+    first = spark.read.parquet(out).count()
+    write_batch_idempotent(batch, 0, out)  # the replay
+    again = spark.read.parquet(out).count()
+    assert first == again == 100
+    # a NEW batch appends its own partition, untouched by replays
+    write_batch_idempotent(spark.range(7).withColumnRenamed("id", "v"), 1, out)
+    assert spark.read.parquet(out).count() == 107
+    # batch_id surfaces as a prunable partition column
+    assert spark.read.parquet(out).filter("batch_id = 1").count() == 7
+
+
+def test_parquet_sink_end_to_end_with_restart(spark, tmp_path, sf_dir):
+    """Run the streaming sink to exhaustion, then restart the SAME
+    query (same checkpoint): the restart must add zero rows — the
+    checkpointed batch ids plus the idempotent write give
+    end-to-end exactly-once."""
+    from aprs2influxdb_spark.sinks.parquet import parquet_sink
+    from aprs2influxdb_spark.streaming.bounded import stream_docs
+
+    out = str(tmp_path / "docs_sink")
+    ckpt = str(tmp_path / "ckpt")
+    src = stream_docs(spark, sf_dir).select("doc_id", "source")
+    q = parquet_sink(src, out, ckpt)
+    q.awaitTermination()
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+    q2 = parquet_sink(stream_docs(spark, sf_dir).select("doc_id", "source"), out, ckpt)
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == n1
