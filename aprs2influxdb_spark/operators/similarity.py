@@ -1500,3 +1500,70 @@ SELECT query_id, neighbor_id, cos_sim, rk FROM (
   FROM scored
 ) WHERE rk <= {k}
 """
+
+
+def persist_ivf_index(
+    emb: DataFrame, table: str, buckets: int = 16,
+    n_centroids: int | None = None,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    path: str | None = None, n: int | None = None,
+) -> None:
+    """Persist the IVF inverted lists as a BUCKETED table on the
+    centroid id — the index-serving layout: build once, probe many.
+    Every later probe joins (query, probed centroid) pairs against
+    the assignment table on ``c_id``; with the table bucketed on that
+    key the corpus side plans with ZERO exchanges (the scan satisfies
+    the partitioning requirement), so serving a query moves only the
+    broadcast probe rows — the property that makes an ANN index a
+    100 TB *index* rather than a recomputation (pinned in
+    tests/test_plans.py).  Centroids persist beside the lists as
+    ``<table>_centroids`` (broadcast-sized by construction)."""
+    from aprs2influxdb_spark.storage import write_bucketed
+
+    cent, assign = ivf_assignments(emb, n_centroids, id_col, vec_col, n=n)
+    write_bucketed(
+        assign.select(id_col, "v", "c_id"), table, buckets, "c_id",
+        path=path and f"{path}/lists",
+    )
+    cw = cent.write.format("parquet").mode("overwrite")
+    if path:
+        cw = cw.option("path", f"{path}/centroids")
+    cw.saveAsTable(f"{table}_centroids")
+
+
+def ivf_topk_from_index(
+    spark, table: str, query_vecs: list, k: int = 10, n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Serve ANN top-k from a :func:`persist_ivf_index` table: probe
+    the ``n_probe`` nearest centroids per query (broadcast-sized
+    centroid table), then score ONLY the probed inverted lists —
+    the bucketed scan joins on ``c_id`` without shuffling the corpus.
+
+    ``query_vecs`` is [(query_id, vector), ...] — queries arrive from
+    OUTSIDE the corpus at serve time (the online path), which is why
+    this takes vectors, not corpus ids."""
+    from pyspark.sql import Window
+
+    q = spark.createDataFrame(query_vecs, f"query_id long, qv array<double>")
+    cent = spark.table(f"{table}_centroids")
+    wq = Window.partitionBy("query_id").orderBy(F.col("cos_c").desc(), F.col("c_id").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cos_c", rhu(cosine(F.col("qv"), F.col("cv")), 8))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "c_id")
+    )
+    lists = spark.table(table)
+    scored = (
+        lists.join(F.broadcast(probes), "c_id")
+        .filter(F.col("query_id") != F.col(id_col))
+        .withColumn("cos_sim", rhu(cosine(F.col("qv"), F.col("v")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cos_sim", "rk")
+    )

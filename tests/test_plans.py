@@ -865,3 +865,39 @@ class TestZOrderLayout:
         assert z_hits < l_hits / 2, (z_hits, l_hits)
         # the same quarter-domain predicate on dim_a stays prunable
         assert files_admitting(zpath, "dim_a", 0, 7) <= 8
+
+
+class TestAnnIndexServing:
+    def test_ivf_index_probe_has_no_corpus_exchange(self, spark, sf_dir, tmp_path):
+        """Serving from the persisted IVF index must not shuffle the
+        corpus: the inverted lists are bucketed on c_id, the probe
+        list is broadcast, so the only exchanges in the serve plan
+        belong to the per-query rank windows (query-keyed, candidate-
+        sized), never a hashpartitioning of the list table.  Also
+        value-sanity: serving a corpus vector's own embedding finds
+        the vector itself at rank 1."""
+        from aprs2influxdb_spark.operators import similarity as sim
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        try:
+            sim.persist_ivf_index(emb, "ivf_lists", buckets=8, path=str(tmp_path / "ivf"))
+            qv = [
+                (int(r["vec_id"]) + 10_000, [float(x) for x in r["embedding"]])
+                for r in emb.filter(F.col("vec_id") < 3).collect()
+            ]
+            served = sim.ivf_topk_from_index(spark, "ivf_lists", qv, k=5)
+            plan = executed_plan(served)
+            # no exchange may partition on the list table's c_id
+            for line in plan.splitlines():
+                if "Exchange hashpartitioning(c_id" in line:
+                    raise AssertionError(f"corpus-side exchange in serve plan:\n{line}")
+            rows = served.collect()
+            by_q = {}
+            for r in rows:
+                by_q.setdefault(r["query_id"], []).append((r["rk"], r["neighbor_id"]))
+            for qid, hits in by_q.items():
+                top = min(hits)[1]
+                assert top == qid - 10_000  # its own vector, cos=1
+        finally:
+            spark.sql("DROP TABLE IF EXISTS ivf_lists")
+            spark.sql("DROP TABLE IF EXISTS ivf_lists_centroids")
