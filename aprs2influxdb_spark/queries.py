@@ -3445,6 +3445,25 @@ def q_streaming_time_bucket(spark, sf):
     return streaming_time_bucket(spark, sf)
 
 
+def q_streaming_sessionize_append(spark, sf):
+    """APPEND-mode session_window sessions, watermark-finalized via
+    the shared sentinel fixture; per-user rollup shares the
+    complete-mode oracle — see
+    streaming.bounded.streaming_sessionize_append."""
+    from aprs2influxdb_spark.streaming.bounded import streaming_sessionize_append
+
+    return streaming_sessionize_append(spark, sf)
+
+
+def q_streaming_srp_buckets(spark, sf):
+    """SRP bucketing at ingest (stateless append; batch-derived plane
+    knob, batch oracle shared) — see
+    streaming.bounded.streaming_srp_buckets."""
+    from aprs2influxdb_spark.streaming.bounded import streaming_srp_buckets
+
+    return streaming_srp_buckets(spark, sf)
+
+
 def q_streaming_time_bucket_append(spark, sf):
     """APPEND-mode windowed aggregation with a watermark-advancing
     sentinel closing every real window — pins emit-once-final
@@ -7164,6 +7183,8 @@ def registry() -> dict[str, tuple]:
         "streaming_alert_transitions": (q_streaming_alert_transitions, SQL_ALERT_TRANSITIONS),
         "streaming_cumulative_users": (q_streaming_cumulative_users, SQL_CUMULATIVE_USERS),
         "streaming_sessionize": (q_streaming_sessionize, _streaming_sessionize_sql()),
+        "streaming_sessionize_append": (q_streaming_sessionize_append, _streaming_sessionize_sql()),
+        "streaming_srp_buckets": (q_streaming_srp_buckets, _srp_sql()),
         # round-2f: mixture temperature weights, Zipf corpus-health fit,
         # frequency-threshold boilerplate, and JL sign projection
         "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),

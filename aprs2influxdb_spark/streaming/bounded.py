@@ -149,6 +149,28 @@ def streaming_time_bucket_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     append) is exactly the production topology with state bounded by
     the watermark horizon.
     """
+    stream = _sentinel_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), rhu(F.avg("value"), 4).alias("avg_value"))
+        .select(F.col("win.start").alias("bucket"), "event_type", "n", "avg_value")
+    )
+    return run_bounded(spark, agg, "append", "stream_time_bucket_append")
+
+
+def _sentinel_events_stream(
+    spark: SparkSession, sf_dir: str, sentinel_hours: int = 3
+) -> DataFrame:
+    """The events table as a stream whose LAST micro-batch is a single
+    watermark-advancing sentinel row ``sentinel_hours`` past the
+    corpus maximum — the shared fixture behind every append-mode
+    twin: after the sentinel batch the watermark exceeds every real
+    window/session end, so append mode emits them finalized, while
+    the sentinel's own group can never be emitted (its window end
+    always exceeds the final watermark; its non-ts columns are NULL
+    except ``event_type``).  ``maxFilesPerTrigger=1`` + mtime + the
+    'z' path prefix order the sentinel last."""
     import glob
     import os
     import shutil
@@ -172,7 +194,7 @@ def streaming_time_bucket_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = _write_single(events, "a_events.parquet")
     sentinel = events.limit(1).select(
         *[
-            (F.lit(max_ts + pd.Timedelta(hours=3)).cast("timestamp") if c == "ts"
+            (F.lit(max_ts + pd.Timedelta(hours=sentinel_hours)).cast("timestamp") if c == "ts"
              else F.lit(None).cast(t) if c != "event_type"
              else F.lit("__watermark_sentinel__"))
             .alias(c)
@@ -180,22 +202,53 @@ def streaming_time_bucket_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     z = _write_single(sentinel, "z_sentinel.parquet")
-    # the sentinel must form the LAST micro-batch: later mtime than
-    # the events file (the 'z' path prefix breaks any residual tie)
     os.utime(a, (1_700_000_000, 1_700_000_000))
     os.utime(z, (1_700_000_100, 1_700_000_100))
-
-    schema = events.schema
-    agg = (
-        spark.readStream.schema(schema)
+    return (
+        spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(data_dir)
-        .withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
-        .agg(F.count("*").alias("n"), rhu(F.avg("value"), 4).alias("avg_value"))
-        .select(F.col("win.start").alias("bucket"), "event_type", "n", "avg_value")
     )
-    return run_bounded(spark, agg, "append", "stream_time_bucket_append")
+
+
+def streaming_sessionize_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode ``session_window`` sessionization: sessions emit
+    exactly once, when the watermark passes their close — the
+    production emit-once-final path, driven to completion by the
+    shared watermark sentinel (:func:`_sentinel_events_stream`; the
+    sentinel's session end always exceeds the final watermark, so its
+    NULL-user group never surfaces).  The per-session rows reduce to
+    the per-user (n_sessions, n_events) rollup and SHARE the
+    complete-mode twin's oracle — same ``>=``-gap session_window
+    semantics, now pinned under append finalization."""
+    agg = (
+        _sentinel_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sess"), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    sess = run_bounded(spark, agg, "append", "stream_sessionize_append")
+    return sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"), F.sum("n").alias("n_events")
+    )
+
+
+def streaming_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP bucket assignment AT INGEST on the embeddings stream —
+    stateless projection (plan-time literal hyperplanes), append
+    mode; the plane count derives from the BATCH table's memoized
+    count, matching the batch entry's knob exactly, so the entry
+    shares its oracle.  The index-build-at-ingest shape: vectors land
+    already routed to their ANN bucket."""
+    from aprs2influxdb_spark.functions.counts import corpus_count
+    from aprs2influxdb_spark.operators.similarity import srp_bucket, srp_planes_for
+
+    batch = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    np_ = srp_planes_for(corpus_count(batch), target_bucket_size=8)
+    bucketed = stream_embeddings(spark, sf_dir).select(
+        "vec_id", srp_bucket(F.col("embedding"), n_planes=np_).alias("bucket")
+    )
+    return run_bounded(spark, bucketed, "append", "stream_srp_buckets")
 
 
 def streaming_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
