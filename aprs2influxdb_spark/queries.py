@@ -4383,6 +4383,107 @@ FROM terms
 """
 
 
+def q_embedding_drift_psi(spark, sf):
+    """Embedding-distribution drift: PSI between the first and second
+    corpus halves along the first JL projection component — the
+    model-ops monitor for \"did the embedding distribution move\"
+    (new encoder version, upstream data shift) that a norm-only check
+    misses.  The projection is the zero-shuffle :func:`rp_project`
+    1-dim slice (identical sign row to the 16-dim entry), integerized
+    to micro-units so banding is exact; the split point derives from
+    the memoized corpus count (oracle derives the same count
+    in-query); scoring reuses the shared psi_from_band_counts, so
+    this entry and psi_drift can never diverge in PSI semantics."""
+    emb = _t(spark, sf, "embeddings")
+    half = corpus_count(emb) // 2
+    v = sim.rp_project(emb, out_dim=1).select(
+        "vec_id", F.round(F.col("p00") * 1e6).cast("long").alias("v")
+    )
+    flagged = v.select("v", (F.col("vec_id") < half).alias("is_ref"))
+    ref = flagged.filter("is_ref").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    band = F.least(
+        F.greatest(F.expr("((v - mn) * 10) div (mx - mn + 1)"), F.lit(0)), F.lit(9)
+    )
+    counts = (
+        flagged.crossJoin(F.broadcast(ref))
+        .select(band.alias("band"), "is_ref")
+        .groupBy("band")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("na"),
+            F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("nb"),
+        )
+    )
+    return psi_from_band_counts(counts)
+
+
+def _embedding_drift_sql() -> str:
+    from aprs2influxdb_spark.operators.similarity import rp_project_sql
+
+    proj = rp_project_sql(out_dim=1)
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(round(p00 * 1000000) AS BIGINT) AS v
+  FROM ({proj})
+), flagged AS (
+  SELECT v, vec_id < (SELECT count(*) // 2 FROM embeddings) AS is_ref FROM v
+), ref AS (
+  SELECT min(v) AS mn, max(v) AS mx FROM flagged WHERE is_ref
+), counts AS (
+  SELECT least(greatest(((v - mn) * 10) // (mx - mn + 1), 0), 9) AS band,
+         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS nb
+  FROM flagged CROSS JOIN ref
+  GROUP BY 1
+), terms AS (
+  SELECT band, na, nb,
+         CAST(floor(
+           (greatest(na / CAST(sum(na) OVER () AS DOUBLE), 0.0001)
+            - greatest(nb / CAST(sum(nb) OVER () AS DOUBLE), 0.0001))
+           * ln(greatest(na / CAST(sum(na) OVER () AS DOUBLE), 0.0001)
+                / greatest(nb / CAST(sum(nb) OVER () AS DOUBLE), 0.0001))
+           * 1000000 + 0.5) AS BIGINT) AS term_micro
+  FROM counts
+)
+SELECT band, na, nb, term_micro,
+       (floor((CAST(sum(term_micro) OVER () AS DOUBLE) / 1000000.0) * 1000000 + 0.5) / 1000000.0) AS psi
+FROM terms
+"""
+
+
+def q_cross_source_dup_matrix(spark, sf):
+    """Provenance analysis: near-duplicate pair counts per unordered
+    SOURCE pair (which feeds copy from which) — the MinHash-LSH
+    verified pairs joined to each side's source label and rolled up
+    on the canonical (least, greatest) source pair.  The pair table
+    is already candidate-bounded; the two source joins key on the
+    doc id (1:1), and the matrix itself is |sources|² tiny."""
+    pairs = dd.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), num_hashes=16, bands=4, threshold=0.5
+    )
+    src = _t(spark, sf, "documents").select("doc_id", "source")
+    return (
+        pairs.join(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")), "id_a")
+        .join(src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")), "id_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+def _cross_source_dup_sql() -> str:
+    return f"""
+SELECT least(sa.source, sb.source) AS source_x,
+       greatest(sa.source, sb.source) AS source_y,
+       count(*) AS n_pairs
+FROM ({_minhash_lsh_sql(16, 4, 0.5)}) p
+JOIN documents sa ON sa.doc_id = p.id_a
+JOIN documents sb ON sb.doc_id = p.id_b
+GROUP BY 1, 2
+"""
+
+
 def q_chi2_independence(spark, sf):
     """Chi-squared independence test between event type and ISO
     weekday — the association check a pipeline runs before trusting a
@@ -7041,6 +7142,7 @@ def registry() -> dict[str, tuple]:
         "profile_columns": (q_profile_columns, SQL_PROFILE_COLUMNS),
         "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
         "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
+        "embedding_drift_psi": (q_embedding_drift_psi, _embedding_drift_sql()),
         "chi2_independence": (q_chi2_independence, SQL_CHI2_INDEPENDENCE),
         "mutual_information": (q_mutual_information, SQL_MUTUAL_INFORMATION),
         "robust_scale_prices": (q_robust_scale_prices, SQL_ROBUST_SCALE_PRICES),
@@ -7086,6 +7188,7 @@ def registry() -> dict[str, tuple]:
         "ngram_containment": (q_ngram_containment, _sql_ngram_containment()),
         "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
         "minhash_lsh_pairs": (q_minhash_lsh_pairs, _minhash_lsh_sql()),
+        "cross_source_dup_matrix": (q_cross_source_dup_matrix, _cross_source_dup_sql()),
         "minhash_est_error": (q_minhash_est_error, _minhash_est_error_sql()),
         "simhash": (q_simhash, _simhash_sql()),
         "simhash_hamming_pairs": (q_simhash_hamming, _simhash_hamming_sql()),

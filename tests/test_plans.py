@@ -567,6 +567,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "cosine_topk": 3,
     "cube_events": 3,
     "cumulative_users": 5,
+    "cross_source_dup_matrix": 6,
     "curate_corpus": 6,
     "customer_distribution": 4,
     "customer_rfm": 5,
@@ -580,6 +581,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "distinct_daily_users": 4,
     "dup_ngram_coverage": 4,
     "edit_distance_pairs": 7,
+    "embedding_drift_psi": 5,
     "embedding_norms": 3,
     "eqn_compaction": 3,
     "escape_text": 2,
