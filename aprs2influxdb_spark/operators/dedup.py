@@ -950,6 +950,60 @@ def winnowing(
     )
 
 
+def winnowing_match_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, w: int = WINNOW_W, min_shared: int = 2, max_doc_freq: int = 64,
+) -> DataFrame:
+    """MOSS match DETECTION over the winnowing fingerprints: document
+    pairs sharing at least ``min_shared`` selected fingerprint HASHES
+    (the position field is stripped — matching is content-positional
+    within each doc, cross-doc identity is the hash, exactly the MOSS
+    report).  The winnowing guarantee carries over: any shared run of
+    ``w + n - 1`` tokens yields at least one shared fingerprint, so
+    ``min_shared = 2`` already demands two independent shared runs.
+
+    Scale shape: the inverted (hash, doc) index is df-capped before
+    the pair join — a fingerprint appearing in more than
+    ``max_doc_freq`` docs is boilerplate and generates no candidates
+    (the ``ngram_jaccard`` cap discipline: one hot hash in 10⁶ docs
+    would otherwise emit 10¹² pair rows); survivors join on the
+    8-byte hash and aggregate per pair.  Emitted counts are computed
+    AFTER the cap on both engines, so the entry is oracle-exact."""
+    from aprs2influxdb_spark.functions.hashing import positional_shingles
+
+    from pyspark.sql import Window
+
+    hs = positional_shingles(tokens_col(text_col), n)
+
+    def _winners(h):
+        starts = F.sequence(F.lit(0), F.greatest(F.size(h) - w, F.lit(0)))
+
+        def _code(j):
+            sl = F.slice(h, j + 1, w)
+            return F.array_min(sl)
+
+        return F.array_distinct(F.transform(starts, _code))
+
+    winners = F.get(F.transform(F.array(hs), _winners), 0)
+    inv = (
+        _spread_docs(docs, id_col, text_col)
+        .select(F.col(id_col), F.explode(winners).alias("fp"))
+    )
+    wf = Window.partitionBy("fp")
+    pruned = inv.withColumn("df", F.count("*").over(wf)).filter(
+        F.col("df") <= max_doc_freq
+    )
+    a = pruned.select(F.col(id_col).alias("id_a"), "fp")
+    b = pruned.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 # Bloom-filter geometry, shared with the oracle SQL: 2^16 bits stored
 # as 2048 32-bit words (bit values stay positive in int64 on both
 # engines — 1 << 63 would hit the sign bit), k = 3 salted hashes.

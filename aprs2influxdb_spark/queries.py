@@ -3455,6 +3455,14 @@ def q_streaming_sessionize_append(spark, sf):
     return streaming_sessionize_append(spark, sf)
 
 
+def q_streaming_minhash(spark, sf):
+    """MinHash signatures at ingest (stateless append; batch oracle
+    shared) — see streaming.bounded.streaming_minhash."""
+    from aprs2influxdb_spark.streaming.bounded import streaming_minhash
+
+    return streaming_minhash(spark, sf)
+
+
 def q_streaming_srp_buckets(spark, sf):
     """SRP bucketing at ingest (stateless append; batch-derived plane
     knob, batch oracle shared) — see
@@ -6834,6 +6842,42 @@ def q_winnowing(spark, sf):
     return dd.winnowing(_t(spark, sf, "documents"))
 
 
+def q_winnowing_match_pairs(spark, sf):
+    """MOSS match detection: doc pairs sharing ≥ 2 winnowing
+    fingerprint hashes, df-capped inverted index — see
+    operators.dedup.winnowing_match_pairs."""
+    return dd.winnowing_match_pairs(_t(spark, sf, "documents"))
+
+
+def _winnowing_match_sql(
+    n: int = 3, min_shared: int = 2, max_doc_freq: int = 64
+) -> str:
+    from aprs2influxdb_spark.functions.hashing import positional_shingles_sql
+    from aprs2influxdb_spark.operators.dedup import WINNOW_W
+
+    w = WINNOW_W
+    m = f"list_min(hs[j + 1 : j + {w}])"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {token_hashes_sql(_TOKS)} AS h FROM documents
+), p AS (
+  SELECT doc_id, {positional_shingles_sql('h', n)} AS hs FROM t
+), inv AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      range(0, greatest(len(hs) - {w}, 0) + 1), j -> {m}
+  ))) AS fp FROM p
+), pruned AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM inv
+  ) WHERE df <= {max_doc_freq}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}
+"""
+
+
 def _winnowing_sql(n: int = 3) -> str:
     from aprs2influxdb_spark.functions.hashing import positional_shingles_sql
     from aprs2influxdb_spark.operators.dedup import (
@@ -7169,6 +7213,7 @@ def registry() -> dict[str, tuple]:
         "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
         "quality_classifier": (q_quality_classifier, _quality_classifier_sql()),
         "winnowing": (q_winnowing, _winnowing_sql()),
+        "winnowing_match_pairs": (q_winnowing_match_pairs, _winnowing_match_sql()),
         "partition_skew": (q_partition_skew, _partition_skew_sql()),
         "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
         "holt_linear": (q_holt_linear, SQL_HOLT_LINEAR),
@@ -7187,6 +7232,7 @@ def registry() -> dict[str, tuple]:
         "ngram_jaccard_capped": (q_ngram_jaccard_capped, SQL_NGRAM_JACCARD_CAPPED),
         "ngram_containment": (q_ngram_containment, _sql_ngram_containment()),
         "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
+        "streaming_minhash": (q_streaming_minhash, SQL_MINHASH_SIGNATURES),
         "minhash_lsh_pairs": (q_minhash_lsh_pairs, _minhash_lsh_sql()),
         "cross_source_dup_matrix": (q_cross_source_dup_matrix, _cross_source_dup_sql()),
         "minhash_est_error": (q_minhash_est_error, _minhash_est_error_sql()),

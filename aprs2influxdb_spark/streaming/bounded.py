@@ -233,6 +233,24 @@ def streaming_sessionize_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures AT INGEST on the document stream — the
+    staged-projection signature builder is stateless (per-row folds
+    over the hashed shingle array), so the identical operator runs in
+    append mode with no watermark; downstream LSH banding can then
+    index each arriving doc immediately.  Shares the batch oracle
+    verbatim."""
+    from aprs2influxdb_spark.operators.dedup import minhash_signatures
+
+    sigs = minhash_signatures(stream_docs(spark, sf_dir)).select(
+        "doc_id",
+        # string-encode exactly like the batch entry (driver value
+        # hashing treats arrays engine-specifically)
+        F.array_join(F.transform("sig", lambda x: x.cast("string")), "_").alias("sig"),
+    )
+    return run_bounded(spark, sigs, "append", "stream_minhash")
+
+
 def streaming_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP bucket assignment AT INGEST on the embeddings stream —
     stateless projection (plan-time literal hyperplanes), append

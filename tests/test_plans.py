@@ -726,6 +726,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "waiting_supplier": 5,
     "weekday_seasonality": 3,
     "winnowing": 2,
+    "winnowing_match_pairs": 5,
     "zipf_fit": 3,
     "zscore_prices": 3,
 }
