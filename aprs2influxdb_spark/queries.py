@@ -6842,6 +6842,117 @@ def q_winnowing(spark, sf):
     return dd.winnowing(_t(spark, sf, "documents"))
 
 
+def q_shingle_novelty(spark, sf):
+    """Per-document novelty: the fraction of a doc's distinct
+    3-shingles whose FIRST corpus occurrence (by doc id) is this doc —
+    the incremental-content diagnostic a crawl pipeline tracks per
+    batch (novelty collapsing toward 0 means the crawl is re-reading
+    itself).  First-occurrence trick (min doc per shingle + count per
+    doc), the same linear shape as heaps_law_fit — never a pairwise
+    stage.  Ratio is an integer pair divided once, 4dp."""
+    d = _t(spark, sf, "documents")
+    sh = (
+        dd._spread_docs(d, "doc_id", "text")
+        .select(F.col("doc_id"), F.explode(F.array_distinct(hashed_shingles_col())).alias("s"))
+    )
+    per_doc = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    firsts = (
+        sh.groupBy("s").agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_new"))
+    )
+    return (
+        per_doc.join(firsts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+            rhu(F.coalesce(F.col("n_new"), F.lit(0)) / F.col("n_shingles"), 4).alias("novelty"),
+        )
+    )
+
+
+def hashed_shingles_col(n: int = 3):
+    """Distinct-ready hashed 3-shingles of the ``text`` column (the
+    Horner construction shared with the dedup ladder)."""
+    from aprs2influxdb_spark.functions.hashing import hashed_shingles
+
+    return hashed_shingles(tokens_col_q(), n)
+
+
+def tokens_col_q():
+    from aprs2influxdb_spark.operators.dedup import tokens_col
+
+    return tokens_col("text")
+
+
+def _shingle_novelty_sql(n: int = 3) -> str:
+    return f"""
+WITH th AS (
+  SELECT doc_id, {token_hashes_sql(_TOKS)} AS h FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, unnest({hashed_shingles_sql('h', n)}) AS s FROM th
+  )
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+), firsts AS (
+  SELECT doc_id, count(*) AS n_new FROM (
+    SELECT s, min(doc_id) AS doc_id FROM sh GROUP BY s
+  ) GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_shingles, coalesce(f.n_new, 0) AS n_new,
+       (floor((coalesce(f.n_new, 0) * 1.0 / p.n_shingles) * 10000 + 0.5) / 10000.0) AS novelty
+FROM per_doc p LEFT JOIN firsts f USING (doc_id)
+"""
+
+
+def q_order_backlog_curve(spark, sf):
+    """Open-order backlog per week: orders placed but not yet fully
+    shipped, computed by EVENT DECOMPOSITION — +1 at the order date,
+    −1 at the order's last ship date, running-summed over the week
+    axis — the interval-counting shape that scales (no per-day
+    explode of each order's open interval; the running window sees
+    one row per week).  Weeks are date_trunc buckets; the final frame
+    is O(weeks)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf, "lineitem").groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    ev = (
+        o.select(F.date_trunc("week", "o_orderdate").cast("date").alias("wk"), F.lit(1).alias("d"))
+        .unionAll(
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .select(F.date_trunc("week", "last_ship").cast("date").alias("wk"), F.lit(-1).alias("d"))
+        )
+        .groupBy("wk")
+        .agg(F.sum("d").alias("delta"))
+    )
+    w = Window.orderBy("wk").rowsBetween(Window.unboundedPreceding, 0)
+    return ev.withColumn("open_orders", F.sum("delta").over(w)).select(
+        "wk", "delta", "open_orders"
+    )
+
+
+SQL_ORDER_BACKLOG = """
+WITH last_ship AS (
+  SELECT l_orderkey, max(l_shipdate) AS last_ship FROM lineitem GROUP BY l_orderkey
+), ev AS (
+  SELECT wk, CAST(sum(d) AS BIGINT) AS delta FROM (
+    SELECT date_trunc('week', o_orderdate)::DATE AS wk, 1 AS d FROM orders
+    UNION ALL
+    SELECT date_trunc('week', ls.last_ship)::DATE AS wk, -1 AS d
+    FROM orders o JOIN last_ship ls ON ls.l_orderkey = o.o_orderkey
+  ) GROUP BY wk
+)
+SELECT wk, delta,
+       CAST(sum(delta) OVER (ORDER BY wk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open_orders
+FROM ev
+"""
+
+
 def q_winnowing_match_pairs(spark, sf):
     """MOSS match detection: doc pairs sharing ≥ 2 winnowing
     fingerprint hashes, df-capped inverted index — see
@@ -7214,6 +7325,8 @@ def registry() -> dict[str, tuple]:
         "quality_classifier": (q_quality_classifier, _quality_classifier_sql()),
         "winnowing": (q_winnowing, _winnowing_sql()),
         "winnowing_match_pairs": (q_winnowing_match_pairs, _winnowing_match_sql()),
+        "shingle_novelty": (q_shingle_novelty, _shingle_novelty_sql()),
+        "order_backlog_curve": (q_order_backlog_curve, SQL_ORDER_BACKLOG),
         "partition_skew": (q_partition_skew, _partition_skew_sql()),
         "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
         "holt_linear": (q_holt_linear, SQL_HOLT_LINEAR),

@@ -649,6 +649,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "pack_sequences": 3,
     "pagerank_knn": 10,
     "paragraph_dedup": 4,
+    "order_backlog_curve": 5,
     "pareto_front": 4,
     "partition_skew": 5,
     "path_join": 2,
@@ -692,6 +693,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "setop_except_all": 3,
     "setop_intersect": 3,
     "ship_latency": 3,
+    "shingle_novelty": 5,
     "simhash": 2,
     "simhash_hamming_pairs": 3,
     "sliding_window_agg": 3,
