@@ -146,6 +146,24 @@ HEADLINE = [
     "ts_dtw_lsh_topk",
     "funnel_3stage",
     "pareto_front",
+    # round-3b additions: feature-hash retrieval, contrastive
+    # negatives, statistics (bootstrap CI, Heaps fit, theta overlap),
+    # skew-safe aggregation, provenance/novelty diagnostics, product
+    # analytics, and the MOSS match detector
+    "feature_hash_vectors",
+    "fh_doc_topk",
+    "hard_negatives",
+    "bootstrap_ci",
+    "heaps_law_fit",
+    "kmv_set_overlap",
+    "salted_event_counts",
+    "top_session_paths",
+    "last_touch_attribution",
+    "embedding_drift_psi",
+    "cross_source_dup_matrix",
+    "winnowing_match_pairs",
+    "shingle_novelty",
+    "order_backlog_curve",
 ]
 
 
