@@ -3455,6 +3455,15 @@ def q_streaming_sessionize_append(spark, sf):
     return streaming_sessionize_append(spark, sf)
 
 
+def q_streaming_line_protocol(spark, sf):
+    """The reference's production stream->serialize topology in
+    append mode (stateless; batch oracle shared) — see
+    streaming.bounded.streaming_line_protocol."""
+    from aprs2influxdb_spark.streaming.bounded import streaming_line_protocol
+
+    return streaming_line_protocol(spark, sf)
+
+
 def q_streaming_minhash(spark, sf):
     """MinHash signatures at ingest (stateless append; batch oracle
     shared) — see streaming.bounded.streaming_minhash."""
@@ -7235,6 +7244,7 @@ def registry() -> dict[str, tuple]:
         "escape_text": (q_escape_text, SQL_ESCAPE),
         "path_join": (q_path_join, SQL_PATH_JOIN),
         "line_protocol": (q_line_protocol, SQL_LINE_PROTOCOL),
+        "streaming_line_protocol": (q_streaming_line_protocol, SQL_LINE_PROTOCOL),
         "telemetry_poly": (q_telemetry_poly, SQL_TELEMETRY_POLY),
         "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
         "asof_calibration": (q_asof_calibration, SQL_ASOF_CALIBRATION),

@@ -233,6 +233,24 @@ def streaming_sessionize_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_line_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's PRODUCTION topology under the oracle gate:
+    stream → line-protocol serialization → sink, as a stateless
+    append-mode pipeline over the events stream (the F3-F5 serializer
+    surface the batch ``line_protocol`` entry pins, now proven
+    streaming-transparent end-to-end).  Shares the batch oracle
+    verbatim."""
+    e = stream_events(spark, sf_dir)
+    line = F.concat(
+        F.lit("packet,format="), F.col("event_type"),
+        F.lit(" value="), F.format_string("%.2f", F.col("value")),
+        F.lit(',user="'), F.col("user_id").cast("string"), F.lit('"'),
+    )
+    return run_bounded(
+        spark, e.select("event_id", line.alias("line")), "append", "stream_line_protocol"
+    )
+
+
 def streaming_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures AT INGEST on the document stream — the
     staged-projection signature builder is stateless (per-row folds
