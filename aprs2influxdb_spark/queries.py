@@ -990,6 +990,75 @@ FROM sk, ex
 """
 
 
+def q_conversion_latency(spark, sf):
+    """Click→purchase conversion-latency distribution: p50/p90/max
+    seconds between a user's first view-anchored click and the
+    following purchase (the funnel_3stage windows, reduced to latency
+    percentiles) — the time-to-convert metric beside the rate.  Same
+    one-user-exchange window chain; exact percentiles over the
+    O(users) latency frame, 4dp-rounded."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf, "events").select("user_id", "ts", "event_type")
+    wu = Window.partitionBy("user_id")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu)
+    staged = e.withColumn("t_view", t_view)
+    t_click = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") >= F.col("t_view")),
+            F.col("ts"),
+        )
+    ).over(wu)
+    staged = staged.withColumn("t_click", t_click)
+    t_purch = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t_click")),
+            F.col("ts"),
+        )
+    ).over(wu)
+    lat = (
+        staged.withColumn("t_purch", t_purch)
+        .groupBy("user_id")
+        .agg(F.max("t_click").alias("tc"), F.max("t_purch").alias("tp"))
+        .filter(F.col("tp").isNotNull())
+        .select((F.col("tp").cast("long") - F.col("tc").cast("long")).alias("lat_s"))
+    )
+    return lat.agg(
+        F.count("*").alias("n_conversions"),
+        rhu(F.expr("percentile(lat_s, 0.5)"), 4).alias("p50_s"),
+        rhu(F.expr("percentile(lat_s, 0.9)"), 4).alias("p90_s"),
+        F.max("lat_s").alias("max_s"),
+    )
+
+
+SQL_CONVERSION_LATENCY = """
+WITH staged AS (
+  SELECT user_id, event_type, ts,
+         min(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id) AS t_view
+  FROM events
+), s2 AS (
+  SELECT user_id, event_type, ts, t_view,
+         min(CASE WHEN event_type = 'click' AND ts >= t_view THEN ts END)
+             OVER (PARTITION BY user_id) AS t_click
+  FROM staged
+), s3 AS (
+  SELECT user_id, t_click,
+         min(CASE WHEN event_type = 'purchase' AND ts >= t_click THEN ts END)
+             OVER (PARTITION BY user_id) AS t_purch
+  FROM s2
+), lat AS (
+  SELECT epoch_us(max(t_purch)) // 1000000 - epoch_us(max(t_click)) // 1000000 AS lat_s
+  FROM s3 GROUP BY user_id
+  HAVING max(t_purch) IS NOT NULL
+)
+SELECT count(*) AS n_conversions,
+       (floor((quantile_cont(lat_s, 0.5)) * 10000 + 0.5) / 10000.0) AS p50_s,
+       (floor((quantile_cont(lat_s, 0.9)) * 10000 + 0.5) / 10000.0) AS p90_s,
+       CAST(max(lat_s) AS BIGINT) AS max_s
+FROM lat
+"""
+
+
 def q_salted_event_counts(spark, sf):
     """Per-type event counts through the explicit two-phase salted
     aggregation (deterministic hash salt; the second shuffle carries
@@ -7266,6 +7335,7 @@ def registry() -> dict[str, tuple]:
         "percentiles": (q_percentiles, SQL_PERCENTILES),
         "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
         "funnel_3stage": (q_funnel_3stage, SQL_FUNNEL_3STAGE),
+        "conversion_latency": (q_conversion_latency, SQL_CONVERSION_LATENCY),
         "bootstrap_ci": (q_bootstrap_ci, _bootstrap_ci_sql()),
         "salted_event_counts": (q_salted_event_counts, SQL_SALTED_COUNTS),
         "kmv_set_overlap": (q_kmv_set_overlap, _kmv_overlap_sql()),

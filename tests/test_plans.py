@@ -567,6 +567,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "cosine_topk": 3,
     "cube_events": 3,
     "cumulative_users": 5,
+    "conversion_latency": 4,
     "cross_source_dup_matrix": 6,
     "curate_corpus": 6,
     "customer_distribution": 4,
