@@ -214,13 +214,43 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+    body = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
-    }))
+    }
+    # The driver records only the last ~2 KB of stdout; with 80+
+    # headline queries the full one-line body overflows that window and
+    # round 3's record came back "parsed": null.  So: persist the full
+    # per-query body to BENCH.json beside this script, print it once for
+    # humans / wide captures, then print a LAST compact line that always
+    # fits the tail — the driver's parser takes the last complete JSON
+    # line it can read.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json")
+    with open(out_path, "w") as fh:
+        json.dump(body, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(body))
+    # Costliest queries first, as many as fit the byte budget — the
+    # driver still gets a real (if truncated) per-query dict even when
+    # the registry outgrows the tail window again.
+    compact = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(times),
+        "queries_file": "BENCH.json",
+        "queries": {},
+    }
+    for name, sec in sorted(times.items(), key=lambda kv: -kv[1]):
+        compact["queries"][name] = sec
+        if len(json.dumps(compact)) > 1500:
+            del compact["queries"][name]
+            break
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
