@@ -13,6 +13,7 @@ model and operator surface of FaradayRF/aprs2influxdb (reference at
   n-gram Jaccard), similarity search, text analysis, multimodal columns
 """
 
+from aprs2influxdb_spark import compat as _compat  # noqa: F401  (env export must precede JVM start)
 from aprs2influxdb_spark.session import get_spark
 
 __all__ = ["get_spark"]

@@ -7537,8 +7537,9 @@ def registry() -> dict[str, tuple]:
         "rp_rerank_topk": (q_rp_rerank_topk, sim.rp_rerank_sql([0, 1, 2, 3, 4], k=10, m=200)),
         "streaming_rp_project": (q_streaming_rp_project, sim.rp_project_sql()),
         # transformWithState twin registers only where its protobuf
-        # dependency exists (absent in this container; the operator and
-        # its skipping test remain — see streaming.bounded.tws_available)
+        # dependency is importable — directly, or via the fallback
+        # pure-Python runtime probe in compat.ensure_protobuf (which
+        # finds the Cloud SDK's bundled copy in this container)
         **(
             {"streaming_asof_tws": (q_streaming_asof_tws, SQL_ASOF_CALIBRATION)}
             if _tws_available()

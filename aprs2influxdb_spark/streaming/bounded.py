@@ -836,15 +836,13 @@ def streaming_sampled_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
 
 def tws_available() -> bool:
     """``transformWithStateInPandas`` talks to the JVM state store over
-    protobuf; without ``google.protobuf`` installed the TWS driver
-    worker crashes at query start.  Gate, don't crash (environment has
-    no installer)."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    protobuf; without ``google.protobuf`` importable (directly or via
+    the :func:`aprs2influxdb_spark.compat.ensure_protobuf` fallback
+    runtime probe, which ran at package import) the TWS worker crashes
+    at query start.  Gate, don't crash (environment has no installer)."""
+    from aprs2influxdb_spark.compat import ensure_protobuf
 
-        return True
-    except ImportError:
-        return False
+    return ensure_protobuf()
 
 
 class _AsofProcessor(StatefulProcessor):
