@@ -3584,6 +3584,14 @@ def q_streaming_sliding_window(spark, sf):
     return streaming_sliding_window(spark, sf)
 
 
+def q_streaming_sliding_window_append(spark, sf):
+    """Emit-once-final hopping windows (watermark-sentinel driven; see
+    streaming.bounded.streaming_sliding_window_append)."""
+    from aprs2influxdb_spark.streaming.bounded import streaming_sliding_window_append
+
+    return streaming_sliding_window_append(spark, sf)
+
+
 def q_streaming_kmv_distinct(spark, sf):
     from aprs2influxdb_spark.streaming.bounded import streaming_kmv_distinct
 
@@ -7518,6 +7526,7 @@ def registry() -> dict[str, tuple]:
         "streaming_sampled_percentiles": (q_streaming_sampled_percentiles, _sql_sampled_percentiles()),
         "sliding_window_agg": (q_sliding_window_agg, SQL_SLIDING_WINDOW),
         "streaming_sliding_window": (q_streaming_sliding_window, SQL_SLIDING_WINDOW),
+        "streaming_sliding_window_append": (q_streaming_sliding_window_append, SQL_SLIDING_WINDOW),
         "streaming_asof_calibration": (q_streaming_asof_calibration, SQL_ASOF_CALIBRATION),
         "streaming_dedup_exact": (q_streaming_dedup_exact, SQL_DEDUP_EXACT),
         "streaming_static_join": (q_streaming_static_join, SQL_STREAMING_STATIC_JOIN),

@@ -316,6 +316,33 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_bounded(spark, agg, "complete", "stream_sliding")
 
 
+def streaming_sliding_window_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode twin of :func:`streaming_sliding_window` — hopping
+    windows emitted exactly once, finalized, when the watermark passes
+    each window's end (the production emit-once-final path for
+    overlapping-window aggregates), driven to completion by the shared
+    watermark sentinel (:func:`_sentinel_events_stream`).
+
+    The sentinel sits 4 hours past the corpus max (one more than the
+    tumbling twin's 3): hopping 2-hour windows end up to 2 hours after
+    the last real event, so the final watermark (sentinel − 1 h delay
+    = max_ts + 3 h) must STRICTLY exceed ``floor_hour(max_ts) + 2 h``
+    even when ``max_ts`` falls exactly on an hour boundary.  The
+    sentinel's own two windows end ≥ max_ts + 4 h > watermark, so its
+    group never surfaces.  Each event updates two window states; state
+    stays bounded by the watermark horizon.  Shares the complete-mode
+    twin's DuckDB oracle — pinning emit-once-final for hopping
+    windows, not just the streaming-batch equivalence law."""
+    agg = (
+        _sentinel_events_stream(spark, sf_dir, sentinel_hours=4)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), rhu(F.avg("value"), 4).alias("avg_value"))
+        .select(F.col("win.start").alias("bucket"), "event_type", "n", "avg_value")
+    )
+    return run_bounded(spark, agg, "append", "stream_sliding_append")
+
+
 def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of the dedup ladder's first rung: content-digest
     aggregation (canonical = min id, duplicate count) over the
