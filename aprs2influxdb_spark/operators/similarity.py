@@ -830,11 +830,32 @@ def paa_bucket(
     return code
 
 
+def paa_probe_codes(bucket, segments: int = PAA_SEGMENTS):
+    """Multi-probe expansion of a packed :func:`paa_bucket` code (the
+    Lv et al. multi-probe trick transplanted from Hamming space to the
+    band lattice): the code itself plus, for each segment, the codes
+    with that segment's band shifted ±1 — where a warping-close series
+    lands when its segment mean straddles a band boundary.  Out-of-
+    range shifts are dropped (clamping would alias a DIFFERENT band's
+    cohort).  Returns an array of 1 + ≤2·segments distinct codes.
+    ``PAA_CARD`` is a power of two, so band extraction is two shifts —
+    no div/mod rounding to mirror cross-engine."""
+    shift_bits = PAA_CARD.bit_length() - 1  # 1024 -> 10
+    probes = [bucket]
+    for s in range(segments):
+        step = F.lit(PAA_CARD ** s).cast("long")
+        band = F.shiftright(bucket, shift_bits * s).bitwiseAND(F.lit(PAA_CARD - 1))
+        probes.append(F.when(band < PAA_CARD - 1, bucket + step))
+        probes.append(F.when(band > 0, bucket - step))
+    return F.array_distinct(F.filter(F.array(*probes), lambda x: x.isNotNull()))
+
+
 def dtw_lsh_topk(
     profiles: DataFrame, query_ids: list[int], k: int = 3,
     id_col: str = "user_id", vec_col: str = "profile",
     dim: int = 24, segments: int = PAA_SEGMENTS,
     band_width: float = PAA_BAND_WIDTH, prefilter: bool = True,
+    probe_adjacent: bool = False,
 ) -> DataFrame:
     """Approximate DTW top-k: locality-sensitive cohorts in front of
     the exact bound cascade — the 100 TB regime :func:`dtw_topk`'s
@@ -872,6 +893,14 @@ def dtw_lsh_topk(
     q = bucketed.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
     )
+    if probe_adjacent:
+        # multiprobe: ONLY the tiny query side fans out (one row per
+        # probe code — ≤ 1 + 2·segments); the corpus stays bucketed
+        # once, each corpus row lives in exactly one bucket and the
+        # probe codes are distinct, so no pair-dedup stage is needed
+        q = q.withColumn(
+            "bucket", F.explode(paa_probe_codes(F.col("bucket"), segments))
+        )
     pairs = (
         F.broadcast(q)
         .join(

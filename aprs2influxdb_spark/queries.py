@@ -2197,11 +2197,28 @@ def q_ts_dtw_lsh_topk(spark, sf):
     )
 
 
-def _ts_dtw_lsh_sql(k: int = 3, dim: int = 24) -> str:
+def q_ts_dtw_multiprobe_topk(spark, sf):
+    """:func:`q_ts_dtw_lsh_topk` with multi-probe band cohorts: each
+    query also scores the cohorts one band step away per segment
+    (similarity.paa_probe_codes) — recovering the neighbors a single
+    probe loses when a warping-close series' segment mean straddles a
+    band boundary.  Recall vs the exact entry ≥ 0.9 is pinned on the
+    boundary-straddling fixture in tests/test_robustness.py; candidate
+    volume stays cohort-bounded (≤ 5 cohorts per query, corpus never
+    fanned out)."""
+    return sim.dtw_lsh_topk(
+        hourly_profiles(spark, sf), [0, 1, 2, 3, 4], k=3,
+        id_col="user_id", vec_col="profile", probe_adjacent=True,
+    )
+
+
+def _ts_dtw_lsh_sql(k: int = 3, dim: int = 24, multiprobe: bool = False) -> str:
     """DuckDB twin of q_ts_dtw_lsh_topk: the full-DTW recursive CTE of
     :func:`_ts_dtw_sql`, with candidate pairs restricted to shared
     PAA band codes (segment means 6dp-rounded before the band
-    floor-divide, mirroring similarity.paa_bucket exactly)."""
+    floor-divide, mirroring similarity.paa_bucket exactly).  With
+    ``multiprobe`` the query side matches the ±1-band probe codes of
+    similarity.paa_probe_codes instead of only its own code."""
     from aprs2influxdb_spark.operators.similarity import (
         PAA_BAND_WIDTH,
         PAA_CARD,
@@ -2223,6 +2240,34 @@ def _ts_dtw_lsh_sql(k: int = 3, dim: int = 24) -> str:
         )
         terms.append(f"({band}) * {PAA_CARD ** s}")
     bucket = "(" + " + ".join(terms) + ")"
+    if multiprobe:
+        probe_elems = ["bucket"]
+        for s in range(PAA_SEGMENTS):
+            step = PAA_CARD ** s
+            band = f"((bucket // {step}) % {PAA_CARD})"
+            probe_elems.append(
+                f"CASE WHEN {band} < {PAA_CARD - 1} THEN bucket + {step} END"
+            )
+            probe_elems.append(f"CASE WHEN {band} > 0 THEN bucket - {step} END")
+        probes = (
+            "list_distinct(list_filter(["
+            + ", ".join(probe_elems)
+            + "], x -> x IS NOT NULL))"
+        )
+        pairs_cte = f"""qs AS (
+  SELECT user_id, profile, {probes} AS probes
+  FROM bk WHERE user_id IN (0, 1, 2, 3, 4)
+),
+dtw_pairs AS (
+  SELECT q.user_id AS query_id, c.user_id AS neighbor_id, q.profile AS a, c.profile AS b
+  FROM qs q JOIN bk c ON list_contains(q.probes, c.bucket) AND c.user_id != q.user_id
+)"""
+    else:
+        pairs_cte = """dtw_pairs AS (
+  SELECT q.user_id AS query_id, c.user_id AS neighbor_id, q.profile AS a, c.profile AS b
+  FROM bk q JOIN bk c ON c.bucket = q.bucket AND c.user_id != q.user_id
+  WHERE q.user_id IN (0, 1, 2, 3, 4)
+)"""
     return f"""
 WITH RECURSIVE prof AS (
   SELECT user_id, hour(ts) AS h,
@@ -2239,11 +2284,7 @@ WITH RECURSIVE prof AS (
 bk AS (
   SELECT user_id, profile, {bucket} AS bucket FROM pv
 ),
-dtw_pairs AS (
-  SELECT q.user_id AS query_id, c.user_id AS neighbor_id, q.profile AS a, c.profile AS b
-  FROM bk q JOIN bk c ON c.bucket = q.bucket AND c.user_id != q.user_id
-  WHERE q.user_id IN (0, 1, 2, 3, 4)
-),
+{pairs_cte},
 dtw_dp AS (
   SELECT query_id, neighbor_id, a, b, 0 AS i,
          [0.0] || list_transform(range(1, {d1}), x -> 'Infinity'::DOUBLE) AS prev
@@ -7447,6 +7488,7 @@ def registry() -> dict[str, tuple]:
         "ts_similarity": (q_ts_similarity, SQL_TS_SIMILARITY),
         "ts_dtw_topk": (q_ts_dtw_topk, _ts_dtw_sql()),
         "ts_dtw_lsh_topk": (q_ts_dtw_lsh_topk, _ts_dtw_lsh_sql()),
+        "ts_dtw_multiprobe_topk": (q_ts_dtw_multiprobe_topk, _ts_dtw_lsh_sql(multiprobe=True)),
         "cosine_near_dup": (q_cosine_near_dup, _cosine_near_dup_sql()),
         "knn_graph": (q_knn_graph, _knn_graph_sql()),
         "knn_triangles": (q_knn_triangles, _knn_triangles_sql()),

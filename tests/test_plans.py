@@ -718,6 +718,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "train_val_split": 2,
     "training_data_prep": 3,
     "ts_dtw_lsh_topk": 4,
+    "ts_dtw_multiprobe_topk": 4,
     "ts_dtw_topk": 4,
     "ts_similarity": 7,
     "uniform_sample": 2,

@@ -291,6 +291,63 @@ def test_dtw_lsh_recall_on_clustered_series(spark):
     assert "BroadcastNestedLoopJoin" not in executed_plan(approx_df)
 
 
+def test_dtw_multiprobe_recovers_band_straddlers(spark):
+    """Multi-probe band cohorts must recover the neighbors single-probe
+    PAA loses at band boundaries.  Fixture: three series families whose
+    levels sit just below a 16-wide band edge, with a per-member offset
+    that pushes half of each family across it — DTW-wise each family is
+    one tight cluster, but its members split across two adjacent band
+    codes, the exact failure mode multiprobe exists for.  Single-probe
+    recall must be visibly lossy on this fixture and multiprobe ≥ 0.9
+    (the round-3 verdict's floor), while the probe fan-out stays on the
+    query side only (no cartesian / nested-loop corpus pairing)."""
+    from aprs2influxdb_spark.operators import similarity as sim
+    from aprs2influxdb_spark.plans import executed_plan, plan_stats
+
+    rows = []
+    for uid in range(60):
+        # Three families (uid%3) of 20 members each on a 0.06-spaced
+        # level GRADIENT in segment 0 only: levels run 15.8..16.94
+        # (+32 per family), crossing the 16-wide band edge between
+        # gradient steps 3 and 4, while segment 1 stays fixed mid-band
+        # at 40.0 — so straddling members differ in exactly ONE band
+        # digit (the lattice move a Hamming-1 probe covers).  Exact
+        # DTW neighbors are the adjacent gradient steps, which for
+        # edge-adjacent queries sit across the band boundary.
+        level = 32.0 * (uid % 3) + 15.8 + 0.06 * (uid // 3)
+        prof = [
+            (level if h < 12 else 40.0) + ((uid * 31 + h * 7) % 10) / 1000.0
+            for h in range(24)
+        ]
+        rows.append((uid, prof))
+    prof_df = spark.createDataFrame(rows, "user_id long, profile array<double>")
+    # gradient steps 3 and 4 — the members immediately either side of
+    # the band edge (uid//3 == 3 -> uids 9,10,11; == 4 -> 12,13)
+    qids = [9, 10, 11, 12, 13]
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.dtw_topk(prof_df, qids, k=3).collect()
+    }
+    assert len(exact) == 15
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.dtw_lsh_topk(prof_df, qids, k=3).collect()
+    }
+    multi_df = sim.dtw_lsh_topk(prof_df, qids, k=3, probe_adjacent=True)
+    multi = {(r["query_id"], r["neighbor_id"]) for r in multi_df.collect()}
+
+    single_recall = len(exact & single) / len(exact)
+    multi_recall = len(exact & multi) / len(exact)
+    assert single_recall < 0.9, f"fixture not boundary-straddling: {single_recall}"
+    assert multi_recall >= 0.9, f"dtw multiprobe recall@3: {multi_recall}"
+    assert multi_recall >= single_recall
+
+    stats = plan_stats(multi_df)
+    assert stats.cartesian == 0
+    assert "BroadcastNestedLoopJoin" not in executed_plan(multi_df)
+
+
 def test_asof_join_rejects_payload_collision(spark):
     """A left frame already carrying a payload-named column must be
     rejected loudly: the union-window fill would otherwise read left's
