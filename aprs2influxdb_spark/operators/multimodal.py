@@ -2,10 +2,13 @@
 
 Images/audio/video are opaque ``binary`` columns plus typed metadata.
 The Spark-side plumbing — schema, Arrow batch shape, ``mapInPandas``
-partition flow — is real and tested; the actual media decode is
-stubbed (the image/audio libraries are not in this container) behind
-``decode_image_stub``, a deterministic fake with the same signature a
-real decoder would have.
+partition flow — is real and tested.  Image decode/resize has a REAL
+dependency-free path for PNG (the stdlib codec in ``functions.png``:
+zlib inflate + scanline unfiltering), with Pillow as the optional
+any-format twin producing identical outputs (pinned in tests where
+importable).  ``decode_image_stub`` remains as the deterministic fake
+for non-image blobs and the oracle-expressible registry entries;
+audio/video decode stays stubbed (no codecs reachable from stdlib).
 
 Scale notes: media blobs ride in their own column so column pruning
 keeps them out of every query that doesn't touch them; feature
@@ -82,15 +85,28 @@ def pil_available() -> bool:
         return False
 
 
-def decode_image_real(payload: bytes) -> dict:
-    """REAL image decode (requires Pillow): the same output contract
-    as :func:`decode_image_stub` — ``n_bytes`` is the blob size and
-    ``feat_mean`` an integer brightness feature (mean grayscale pixel,
-    floor) — so either decoder can back :func:`extract_features`
-    without schema or determinism changes.  Raises ``ImportError``
-    without Pillow; the contract equivalence is pinned by the
-    ``pytest.importorskip('PIL')`` tests in tests/test_multimodal.py
-    (green with and without the library installed)."""
+def decode_image_stdlib(payload: bytes) -> dict:
+    """REAL image decode with no dependencies: the pure-stdlib PNG
+    codec (``functions.png`` — zlib inflate + scanline unfiltering),
+    grayscale via Pillow's exact ITU-R 601-2 integer formula, so this
+    and :func:`decode_image_pil` return IDENTICAL features on any
+    supported PNG (pinned in tests/test_multimodal.py where Pillow is
+    importable).  Output contract of :func:`decode_image_stub`:
+    ``{n_bytes, feat_mean}``, ``feat_mean`` the floor-mean luma."""
+    from aprs2influxdb_spark.functions.png import decode_png, to_gray
+
+    w, h, mode, px = decode_png(payload)
+    luma = to_gray(mode, px)
+    return {
+        "n_bytes": len(payload),
+        "feat_mean": (sum(luma) // len(luma)) if luma else 0,
+    }
+
+
+def decode_image_pil(payload: bytes) -> dict:
+    """Pillow-backed decode, same contract — the cross-check twin of
+    :func:`decode_image_stdlib` (and the path that also reads JPEG
+    etc.).  Raises ``ImportError`` without Pillow."""
     import io
 
     import PIL.Image
@@ -103,18 +119,48 @@ def decode_image_real(payload: bytes) -> dict:
     }
 
 
-def resize_image_real(payload: bytes, width: int, height: int) -> bytes:
-    """REAL resize (requires Pillow), same binary-in/binary-out
-    contract as :func:`resize_image_stub`: the output is the resized
-    image's raw RGB tensor bytes (``tobytes`` — deterministic across
-    runs, unlike re-encoding, whose compressed bytes can vary by
-    encoder build), NEAREST resampling for integer-exact pixels."""
+def decode_image_real(payload: bytes) -> dict:
+    """REAL image decode: Pillow when importable (any format), else
+    the stdlib PNG codec — so in THIS container a real PNG blob gets
+    real features (inflate + unfilter + luma), not the stub fake.
+    Both paths emit identical values for supported PNGs; non-PNG
+    payloads without Pillow raise ``ValueError`` loudly."""
+    if pil_available():
+        return decode_image_pil(payload)
+    return decode_image_stdlib(payload)
+
+
+def resize_image_stdlib(payload: bytes, width: int, height: int) -> bytes:
+    """REAL resize with no dependencies: stdlib PNG decode → flat RGB
+    → NEAREST resample with Pillow's center-sampling source mapping —
+    output is the raw ``width*height*3`` RGB tensor, byte-identical
+    to :func:`resize_image_pil` on supported PNGs (pinned where
+    Pillow is importable)."""
+    from aprs2influxdb_spark.functions.png import decode_png, resize_nearest_rgb, to_rgb
+
+    w, h, mode, px = decode_png(payload)
+    return resize_nearest_rgb(to_rgb(mode, px), w, h, width, height)
+
+
+def resize_image_pil(payload: bytes, width: int, height: int) -> bytes:
+    """Pillow-backed resize twin: raw RGB tensor out (``tobytes`` —
+    deterministic across runs, unlike re-encoding, whose compressed
+    bytes can vary by encoder build), NEAREST resampling for
+    integer-exact pixels.  Raises ``ImportError`` without Pillow."""
     import io
 
     import PIL.Image
 
     img = PIL.Image.open(io.BytesIO(payload)).convert("RGB")
     return img.resize((width, height), PIL.Image.NEAREST).tobytes()
+
+
+def resize_image_real(payload: bytes, width: int, height: int) -> bytes:
+    """REAL resize: Pillow when importable, else the stdlib PNG path —
+    identical output either way for supported PNGs."""
+    if pil_available():
+        return resize_image_pil(payload, width, height)
+    return resize_image_stdlib(payload, width, height)
 
 
 def extract_features(media: DataFrame, decoder=None) -> DataFrame:

@@ -3487,6 +3487,69 @@ FROM b
 """
 
 
+def q_multimodal_png_decode(spark, sf):
+    """The REAL PNG codec under the full oracle gate: each document row
+    renders a deterministic 8×8 RGB image (channel bytes are closed-form
+    functions of doc_id), encodes it into an actual PNG with the stdlib
+    encoder CYCLING ALL FIVE scanline filters, decodes it back with the
+    stdlib decoder (zlib inflate → per-filter reversal → ITU-R 601-2
+    luma), and emits the decoded brightness feature.  The oracle
+    recomputes the expected luma mean from the same closed form — any
+    bug in filter reversal, stride math, or the luma arithmetic
+    desynchronizes ``feat_mean``, so the codec itself is value-checked,
+    not just the Arrow plumbing.  One ``mapInPandas`` pass, blob never
+    shuffled (encode and decode happen inside the same task); scale
+    shape identical to ``multimodal_features``."""
+    from pyspark.sql.types import (
+        IntegerType as _Int,
+        LongType as _Long,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    out_schema = _ST([
+        _SF("media_id", _Long(), False),
+        _SF("width", _Int(), True),
+        _SF("height", _Int(), True),
+        _SF("feat_mean", _Long(), True),
+    ])
+
+    def _roundtrip(batches):
+        import pandas as pd
+
+        from aprs2influxdb_spark.functions.png import decode_png, encode_png, to_gray
+
+        for pdf in batches:
+            feats = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                px = bytes(
+                    c
+                    for i in range(64)
+                    for c in ((d * 3 + i * 7) % 256, (d * 5 + i * 11) % 256, (d * 7 + i * 13) % 256)
+                )
+                blob = encode_png(px, 8, 8, "RGB", filters=[0, 1, 2, 3, 4])
+                w, h, mode, decoded = decode_png(blob)
+                if decoded != px:  # hard roundtrip guarantee, not just luma parity
+                    raise ValueError(f"PNG roundtrip mismatch for doc {d}")
+                luma = to_gray(mode, decoded)
+                feats.append((d, w, h, sum(luma) // len(luma)))
+            yield pd.DataFrame(feats, columns=["media_id", "width", "height", "feat_mean"])
+
+    return _t(spark, sf, "documents").select("doc_id").mapInPandas(_roundtrip, out_schema)
+
+
+SQL_MULTIMODAL_PNG_DECODE = """
+SELECT doc_id AS media_id, 8 AS width, 8 AS height,
+       CAST(list_sum(list_transform(range(0, 64), i ->
+           (((doc_id * 3 + i * 7) % 256) * 19595
+            + ((doc_id * 5 + i * 11) % 256) * 38470
+            + ((doc_id * 7 + i * 13) % 256) * 7471 + 32768) // 65536
+       )) // 64 AS BIGINT) AS feat_mean
+FROM documents
+"""
+
+
 def q_multimodal_resize(spark, sf):
     """Image-resize plumbing (binary in → binary thumbnail out through
     one Arrow-batched ``mapInPandas``) under the exact oracle: the stub
@@ -7552,6 +7615,7 @@ def registry() -> dict[str, tuple]:
         # multimodal
         "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
         "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+        "multimodal_png_decode": (q_multimodal_png_decode, SQL_MULTIMODAL_PNG_DECODE),
         "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
         "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
         # streaming (bounded-stream execution of the streaming plans)

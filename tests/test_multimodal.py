@@ -1,6 +1,7 @@
 """Multimodal column plumbing (north star): binary payloads + typed
-metadata through mapInPandas feature extraction, with the decode step
-stubbed deterministically (no media libs in this container)."""
+metadata through mapInPandas feature extraction.  Image decode/resize
+has a REAL stdlib PNG path tested here without skips; Pillow-equality
+twins gate on importorskip (skipped in this container)."""
 
 from __future__ import annotations
 
@@ -84,6 +85,127 @@ def test_frame_sampling_fans_out(spark, media):
     ]
 
 
+# ---- stdlib PNG codec: the REAL in-container decode path (no
+# skips — pure stdlib), with PIL-gated equality twins further down ----
+
+
+def _gradient_rgb(w: int = 4, h: int = 2) -> bytes:
+    """The same 4x2 RGB gradient _tiny_png uses, as flat bytes."""
+    return bytes(c for y in range(h) for x in range(w) for c in (x * 30, y * 100, 10))
+
+
+def _tiny_png_stdlib(filters=None) -> bytes:
+    from aprs2influxdb_spark.functions.png import encode_png
+
+    return encode_png(_gradient_rgb(), 4, 2, "RGB", filters=filters)
+
+
+def test_png_roundtrip_every_filter():
+    """encode→decode must reproduce the exact pixel bytes for each of
+    the five scanline filters individually and cycled, across modes."""
+    from aprs2influxdb_spark.functions.png import decode_png, encode_png
+
+    px = _gradient_rgb()
+    for filt in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        blob = encode_png(px, 4, 2, "RGB", filters=filt)
+        assert decode_png(blob) == (4, 2, "RGB", px), f"filter {filt}"
+    # grayscale and RGBA modes roundtrip too
+    gray = bytes(range(8))
+    assert decode_png(encode_png(gray, 4, 2, "L", filters=[4]))[3] == gray
+    rgba = bytes((i * 17) % 256 for i in range(32))
+    assert decode_png(encode_png(rgba, 4, 2, "RGBA", filters=[3]))[3] == rgba
+
+
+def test_png_decoder_rejects_garbage():
+    import pytest as _pytest
+
+    from aprs2influxdb_spark.functions.png import decode_png
+
+    for bad in (b"", b"JFIF" + bytes(100), b"\x89PNG\r\n\x1a\n" + b"\x00" * 4):
+        with _pytest.raises(ValueError):
+            decode_png(bad)
+
+
+def test_png_palette_expansion():
+    """A hand-built color-type-3 PNG expands through PLTE to RGB."""
+    import struct
+    import zlib
+
+    from aprs2influxdb_spark.functions.png import decode_png
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    plte = bytes((255, 0, 0, 0, 255, 0, 0, 0, 255))  # red, green, blue
+    raw = b"\x00" + bytes([0, 1, 2])  # one row, filter None, 3 palette idx
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(blob) == (3, 1, "RGB", plte)
+
+
+def test_stdlib_decode_real_features():
+    """decode_image_stdlib produces REAL luma features from real PNG
+    bytes — the hand-computable ITU-R 601-2 mean of the gradient."""
+    from aprs2influxdb_spark.operators.multimodal import decode_image_stdlib
+
+    payload = _tiny_png_stdlib(filters=[1, 4])
+    px = _gradient_rgb()
+    luma = [
+        (px[i] * 19595 + px[i + 1] * 38470 + px[i + 2] * 7471 + 0x8000) >> 16
+        for i in range(0, len(px), 3)
+    ]
+    out = decode_image_stdlib(payload)
+    assert out == {"n_bytes": len(payload), "feat_mean": sum(luma) // 8}
+
+
+def test_stdlib_resize_nearest_tensor():
+    """resize_image_stdlib emits the exact w*h*3 tensor with center-
+    sampled NEAREST source mapping (4x2 → 2x2 picks columns 1,3 of
+    row 0 and row 1)."""
+    from aprs2influxdb_spark.operators.multimodal import resize_image_stdlib
+
+    out = resize_image_stdlib(_tiny_png_stdlib(), 2, 2)
+    px = _gradient_rgb()
+
+    def pix(x, y):
+        p = (y * 4 + x) * 3
+        return px[p:p + 3]
+
+    assert out == pix(1, 0) + pix(3, 0) + pix(1, 1) + pix(3, 1)
+
+
+def test_real_decoder_is_stdlib_in_container(spark):
+    """decode_image_real / resize_image_real must run REAL codec work
+    in this container (falling back to the stdlib PNG path without
+    Pillow) through the full extract_features / resize_images Spark
+    plumbing — features are decoded luma, not the stub's byte-sum."""
+    from aprs2influxdb_spark.operators.multimodal import (
+        decode_image_real,
+        decode_image_stdlib,
+        resize_image_real,
+        resize_image_stdlib,
+    )
+
+    payload = _tiny_png_stdlib(filters=[2, 3])
+    media = spark.createDataFrame(
+        [(1, "image", "image/png", payload, 4, 2, None)], MEDIA_SCHEMA
+    )
+    feat = extract_features(media, decoder=decode_image_real).collect()[0]
+    assert feat["feat_mean"] == decode_image_stdlib(payload)["feat_mean"]
+    assert feat["feat_mean"] != decode_image_stub(payload)["feat_mean"]
+    thumb = resize_images(media, 2, 2, resizer=resize_image_real).collect()[0]
+    assert thumb["payload"] == resize_image_stdlib(payload, 2, 2)
+    assert len(thumb["payload"]) == 2 * 2 * 3
+
+
 # ---- real-codec contract (skipped without Pillow; the container
 # ships none, so CI exercises the skip path — a PIL-equipped
 # environment exercises the real one with no other changes) ----
@@ -157,3 +279,21 @@ def test_real_resize_contract(spark):
     )
     row = resize_images(media, 2, 2, resizer=resize_image_real).collect()[0]
     assert row["payload"] == out and row["width"] == 2
+
+
+def test_stdlib_matches_pil_decode():
+    """The stdlib PNG path must be value-IDENTICAL to Pillow: same
+    luma feature and same resize tensor on PIL-encoded PNGs (which
+    exercise Pillow's own filter heuristics on the decode side)."""
+    pytest.importorskip("PIL")
+    from aprs2influxdb_spark.operators.multimodal import (
+        decode_image_pil,
+        decode_image_stdlib,
+        resize_image_pil,
+        resize_image_stdlib,
+    )
+
+    for payload in (_tiny_png(), _tiny_png_stdlib(filters=[0, 1, 2, 3, 4])):
+        assert decode_image_stdlib(payload) == decode_image_pil(payload)
+        assert resize_image_stdlib(payload, 2, 2) == resize_image_pil(payload, 2, 2)
+        assert resize_image_stdlib(payload, 8, 4) == resize_image_pil(payload, 8, 4)

@@ -636,6 +636,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "minhash_lsh_pairs": 5,
     "minhash_signatures": 2,
     "multimodal_features": 2,
+    "multimodal_png_decode": 2,
     "multimodal_frames": 2,
     "multimodal_meta": 2,
     "multimodal_resize": 2,
