@@ -33,6 +33,25 @@ job.  The only real residual deltas vs r1 are ngram_jaccard +0.8 s
 region_revenue/pricing_summary (the first big-join queries timed
 after warmup; rank-stable across sessions).
 
+Round-4 attribution of the four unexplained r3 deltas
+(dup_ngram_coverage +49%, tfidf_top_terms +31%, ts_dtw_topk +26%,
+semantic_dedup +21%, judge item 3): NOT a code regression.  A
+controlled same-day A/B — the r2-tagged code (5fddf36) in a worktree
+vs HEAD, each run 3x per query in one warm session with build
+(driver-side plan construction) and exec timed separately — shows
+per-query parity within noise (steady-state build+exec, r2 vs r4:
+dup_ngram 0.41+0.93 vs 0.40+0.93; tfidf 0.18+0.88 vs 0.21+0.82;
+ts_dtw 0.86+0.72 vs 0.88+0.70; semantic_dedup 1.20+0.35 vs
+1.15+0.40 s).  Full-bench totals on the same 60-query list swung
+52.8 <-> 67.3 s across sessions with IDENTICAL code as host load
+moved between ~5 and ~10 loadavg; under settled load HEAD matches
+the r2 code (53.5 vs 52.8 s).  Two structural notes that make these
+four especially noise-prone: (a) their cost is dominated by the
+driver-side py4j build phase (semantic_dedup ~1.2 s build vs 0.35 s
+exec), which contends with anything else on the host CPU, and (b)
+best-of-2 does not cancel that, since both runs share the session's
+load window.
+
 Known intentional r3 cost: rp_rerank_topk ~1.1 -> ~2.4 s — the
 judge-requested out_dim 16 -> 32 lift (recall@10 0.84 -> 0.96);
 stage 1 does 2x the projection arithmetic and the 32-chain select
