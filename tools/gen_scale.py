@@ -1,0 +1,191 @@
+"""Generate larger scale factors of the driver's synthetic tables —
+for SCALE-CURVE measurement only (the correctness gate stays on the
+driver's own /root/testdata parquet, which this script never touches).
+
+The driver ships sf0.001/0.01/0.1; the round-3 verdict asks for a
+measured 10x curve ("demonstrate the scale curve, don't just gate the
+shape").  This generator emits an sfN directory with the same schemas
+and the distribution families that drive operator cost:
+
+- row counts linear in sf (sf1 = 10x sf0.1 in every table)
+- documents: tokens drawn i.i.d. from the EMPIRICAL sf0.1 unigram
+  distribution (so shingle/document-frequency statistics — which set
+  dedup/LSH candidate density — scale like the real corpus), doc
+  lengths from the empirical length distribution, ~1% planted
+  near-dups and ~0.15% exact dups matching the sf0.1 dup density
+- embeddings: 64-dim near-random vectors, 10 labels (the hardest ANN
+  recall case, like the driver's)
+- events: 5 event types, exponential values with per-(user,hour)
+  mean profiles in ~[20, 80] (keeps DTW/PAA cohorts and hourly
+  windows non-vacuous), 30-day January 2024 span, 15 users per sf-k
+- TPC-H-ish relational tables with the sf0.1 ranges (dates, flags,
+  4 lineitems/order, 10% customers order-less etc. approximated)
+
+Deterministic: single numpy PCG64 seeded from --seed (default 42).
+
+Usage:  python tools/gen_scale.py 1 [outdir]   # sf1 -> ./scaledata/sf1
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+BASE = {  # rows at sf=0.1 (the driver's sf0.1 counts)
+    "customer": 15_000, "supplier": 1_000, "part": 20_000,
+    "orders": 150_000, "lineitem": 600_000, "events": 100_000,
+    "documents": 5_000, "embeddings": 2_000, "users": 1_500,
+}
+
+LANGS = (["en"] * 28 + ["zh"] * 11 + ["es"] * 11 + ["fr"] * 11 + ["de"] * 10)
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+def _empirical_docs_dist():
+    """Unigram token frequencies + length quantiles from the driver's
+    sf0.1 documents table (read-only)."""
+    import duckdb
+
+    con = duckdb.connect()
+    toks = con.execute(
+        "SELECT tok, count(*) FROM (SELECT unnest(string_split(text, ' ')) AS tok "
+        "FROM '/root/testdata/sf0.1/documents.parquet') GROUP BY 1 ORDER BY 2 DESC"
+    ).fetchall()
+    lens = con.execute(
+        "SELECT len(string_split(text, ' ')) FROM '/root/testdata/sf0.1/documents.parquet'"
+    ).fetchnumpy()
+    vocab = [t for t, _ in toks]
+    freq = np.array([c for _, c in toks], dtype="float64")
+    return vocab, freq / freq.sum(), list(lens.values())[0].astype("int64")
+
+
+def gen(sf: float, out: str, seed: int = 42) -> None:
+    rng = np.random.default_rng(seed)
+    k = sf / 0.1
+    n = {t: int(c * k) for t, c in BASE.items()}
+    os.makedirs(out, exist_ok=True)
+
+    def write(name, **cols):
+        pq.write_table(pa.table(cols), os.path.join(out, f"{name}.parquet"))
+        print(f"  {name}: {len(next(iter(cols.values())))} rows")
+
+    # dims — region/nation are fixed-cardinality like TPC-H
+    write("region", r_regionkey=np.arange(5, dtype="int64"),
+          r_name=np.array(["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]))
+    nk = np.arange(25, dtype="int64")
+    write("nation", n_nationkey=nk, n_name=np.array([f"NATION_{i:02d}" for i in nk]),
+          n_regionkey=(nk % 5).astype("int64"))
+
+    nc = n["customer"]
+    write("customer",
+          c_custkey=np.arange(nc, dtype="int64"),
+          c_name=np.array([f"Customer#{i:09d}" for i in range(nc)]),
+          c_nationkey=rng.integers(0, 25, nc),
+          c_acctbal=np.round(rng.uniform(-999.99, 9999.99, nc), 2),
+          c_mktsegment=rng.choice(SEGMENTS, nc))
+
+    ns = n["supplier"]
+    write("supplier",
+          s_suppkey=np.arange(ns, dtype="int64"),
+          s_name=np.array([f"Supplier#{i:09d}" for i in range(ns)]),
+          s_nationkey=rng.integers(0, 25, ns),
+          s_acctbal=np.round(rng.uniform(-999.99, 9999.99, ns), 2))
+
+    npart = n["part"]
+    adjs = ["small", "large", "economy", "standard", "promo", "medium"]
+    mats = ["brass", "steel", "tin", "nickel", "copper"]
+    write("part",
+          p_partkey=np.arange(npart, dtype="int64"),
+          p_name=np.array([f"{adjs[i % 6]} {mats[i % 5]} part {i}" for i in range(npart)]),
+          p_brand=np.array([f"Brand#{(i % 5) + 1}{(i // 5) % 5 + 1}" for i in range(npart)]),
+          p_type=np.array([f"{adjs[(i * 7) % 6].upper()} {mats[(i * 3) % 5].upper()}" for i in range(npart)]),
+          p_size=rng.integers(1, 51, npart),
+          p_retailprice=np.round(900 + (np.arange(npart) % 200) + rng.uniform(0, 100, npart), 2))
+
+    no = n["orders"]
+    odate = (np.datetime64("1995-01-01") + rng.integers(0, 2405, no)).astype("datetime64[D]")
+    write("orders",
+          o_orderkey=np.arange(no, dtype="int64"),
+          o_custkey=rng.integers(0, nc, no),
+          o_orderstatus=rng.choice(["F", "O", "P"], no),
+          o_totalprice=np.round(rng.uniform(850.0, 450_000.0, no), 2),
+          o_orderdate=odate,
+          o_orderpriority=rng.choice(PRIORITIES, no))
+
+    nl = n["lineitem"]
+    l_ok = rng.integers(0, no, nl)  # ~4 lines/order in expectation
+    l_ok.sort()
+    sdate = odate[l_ok].astype("datetime64[D]") + rng.integers(1, 122, nl)
+    write("lineitem",
+          l_orderkey=l_ok,
+          l_partkey=rng.integers(0, npart, nl),
+          l_suppkey=rng.integers(0, ns, nl),
+          l_linenumber=(np.arange(nl) % 7 + 1).astype("int64"),
+          l_quantity=rng.integers(1, 51, nl).astype("float64"),
+          l_extendedprice=np.round(rng.uniform(900.0, 100_000.0, nl), 2),
+          l_discount=np.round(rng.integers(0, 11, nl) / 100.0, 2),
+          l_tax=np.round(rng.integers(0, 9, nl) / 100.0, 2),
+          l_returnflag=rng.choice(["A", "N", "R"], nl),
+          l_linestatus=rng.choice(["F", "O"], nl),
+          l_shipdate=sdate)
+
+    ne, nu = n["events"], n["users"]
+    ts = (np.datetime64("2024-01-01T00:00:00", "us")
+          + rng.integers(0, 30 * 86_400_000_000, ne).astype("timedelta64[us]"))
+    user = rng.integers(0, nu, ne)
+    hour = (ts.astype("datetime64[h]").astype("int64")) % 24
+    # per-(user,hour) mean profile in ~[20, 80]: hashed phase offsets
+    mean = 20.0 + 60.0 * ((user * 7 + hour * 13) % 57) / 56.0
+    value = np.round(rng.exponential(1.0, ne) * mean * (50.0 / 49.5) * 0.99, 2)
+    write("events",
+          event_id=np.arange(ne, dtype="int64"),
+          ts=ts,
+          user_id=user,
+          event_type=rng.choice(EVENT_TYPES, ne),
+          value=value,
+          props=np.array([json.dumps({"k": int(v)}) for v in rng.integers(0, 100, ne)]))
+
+    nd = n["documents"]
+    vocab, probs, lens = _empirical_docs_dist()
+    lengths = rng.choice(lens, nd)
+    texts: list[str] = []
+    varr = np.array(vocab)
+    for i in range(nd):
+        if i > 0 and i % 640 == 639:      # ~0.15% exact dups
+            texts.append(texts[rng.integers(0, i)])
+            continue
+        toks = varr[rng.choice(len(vocab), lengths[i], p=probs)]
+        if i > 0 and i % 100 == 99:       # ~1% near-dups: mutate ~10%
+            src = texts[rng.integers(0, i)].split(" ")
+            m = max(1, len(src) // 10)
+            for j in rng.choice(len(src), m):
+                src[j] = vocab[rng.integers(0, len(vocab))]
+            toks = np.array(src)
+        texts.append(" ".join(toks))
+    write("documents",
+          doc_id=np.arange(nd, dtype="int64"),
+          text=np.array(texts, dtype=object),
+          lang=np.array([LANGS[i % len(LANGS)] for i in range(nd)]),
+          source=np.array([f"src{i % 5}" for i in range(nd)]),
+          n_chars=np.array([len(t) for t in texts], dtype="int32"))
+
+    nv = n["embeddings"]
+    emb = rng.normal(0, 1, (nv, 64)).astype("float32")
+    write("embeddings",
+          vec_id=np.arange(nv, dtype="int64"),
+          embedding=pa.array(list(emb), type=pa.list_(pa.float32())),
+          label=rng.integers(0, 10, nv))
+
+
+if __name__ == "__main__":
+    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    out = sys.argv[2] if len(sys.argv) > 2 else f"scaledata/sf{sf:g}"
+    print(f"generating sf{sf:g} -> {out}")
+    gen(sf, out)
