@@ -802,6 +802,75 @@ def minhash_estimate_error(
     )
 
 
+def bbit_minhash_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+    b_bits: int = 2, threshold: float = 0.5,
+) -> DataFrame:
+    """b-bit MinHash (Li & König, CACM'11): store only the lowest
+    ``b_bits`` of each signature component — a 2-bit signature is 32×
+    smaller than the int64 one, the difference between a sketch table
+    that fits executor memory at 100 TB and one that doesn't — and
+    estimate Jaccard with the collision-corrected unbiased estimator
+    ``Ĵ = max(0, (P_match − C) / (1 − C))`` where ``C = 2^-b`` is the
+    random-collision floor.  Per verified near-dup pair this reports
+    the exact Jaccard, the b-bit estimate, and its absolute error —
+    the measurement that says whether the 32× compression is safe for
+    a given dedup threshold.
+
+    Cross-engine exactness: ``P_match`` is a ratio of integers and the
+    correction is a fixed rational, so the estimate is bit-identical
+    before rounding.  Plan shape: :func:`minhash_lsh_pairs`' banded
+    candidate join plus two signature joins — the compressed bits are
+    derived by ``pmod`` from the one shared signature table, never a
+    second corpus pass."""
+    arr = _spread_docs(docs, id_col, text_col).select(
+        F.col(id_col), hashed_shingles(tokens_col(text_col), shingle_n).alias("sh")
+    ).localCheckpoint(eager=False)
+    sigs = _signatures_from_shingles(arr, id_col, num_hashes).localCheckpoint(eager=False)
+    rows_per_band = num_hashes // bands
+    band_key = [
+        (b, F.md5(F.concat_ws("_", F.lit(b), *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])))
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.struct(F.lit(b).alias("band"), k.alias("key")) for b, k in band_key])).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key").localCheckpoint(eager=False)
+    cand = (
+        banded.alias("l").hint("shuffle_hash")
+        .join(banded.alias("r"), ["band", "key"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    a = arr.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = arr.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    mod = 1 << b_bits
+    low = lambda c: F.transform(c, lambda x: F.pmod(x, F.lit(mod)))  # noqa: E731
+    sa = sigs.select(F.col(id_col).alias("id_a"), low(F.col("sig")).alias("ba"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), low(F.col("sig")).alias("bb"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    p_match = (
+        F.size(F.filter(F.zip_with("ba", "bb", lambda x, y: x == y), lambda m: m))
+        / F.lit(float(num_hashes))
+    )
+    c_floor = 1.0 / mod
+    est = F.greatest(F.lit(0.0), (p_match - F.lit(c_floor)) / F.lit(1.0 - c_floor))
+    return (
+        cand.join(a, "id_a").join(b, "id_b").join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jac_raw", jac)
+        .filter(F.col("jac_raw") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            rhu("jac_raw", 4).alias("jaccard"),
+            rhu(est, 4).alias("bbit_jaccard"),
+            rhu(F.abs(est - F.col("jac_raw")), 4).alias("abs_err"),
+        )
+    )
+
+
 def paragraph_dedup(
     docs: DataFrame, window: int = 16, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

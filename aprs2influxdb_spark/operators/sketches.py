@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from aprs2influxdb_spark.functions.hashing import portable_hash64, portable_hash64_sql
+from aprs2influxdb_spark.functions.rounding import rhu
 
 # portable_hash64 yields 15 hex chars = 60 bits; the KMV estimator
 # normalizes the k-th smallest hash by this hash-space size.
@@ -107,6 +108,120 @@ def hll_distinct(
         df.groupBy(*group_cols)
         .agg(F.approx_count_distinct(key_col, rsd).alias(out_col))
     )
+
+
+def _hll_constants(p: int) -> tuple[int, float]:
+    """(m, numerator) for the HLL estimate: numerator = α_m · m² ·
+    2^51, computed ONCE in Python and embedded as the identical double
+    literal in the Spark plan and the DuckDB oracle, so the single
+    float division at the end uses the same operands on both
+    engines."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    return m, alpha * m * m * float(1 << 51)
+
+
+_LN2 = 0.6931471805599453  # shared literal: rho = floor(ln(lowbit)/LN2 + .5)
+
+
+def hll_portable(
+    df: DataFrame, key_col: str, p: int = 9,
+) -> DataFrame:
+    """Register-array HyperLogLog with the portable md5 hash — the
+    oracle-exact twin of the engine-native :func:`hll_distinct`.
+
+    Determinism notes (why this hashes to the same value on Spark and
+    DuckDB): bucket = h mod m and rest = h div m are int64; the rank
+    is the trailing-zero count of ``rest`` via ``rest & −rest`` (the
+    isolated lowest set bit, an exact power of two) with
+    ``floor(ln(·)/ln2 + 0.5)`` absorbing any 1-ulp libm difference;
+    ranks cap at 51 so every register term ``2^(51−M_j)`` is an exact
+    int64 and their sum is ONE exact integer; the final division and
+    the linear-counting ``m·ln(m/V)`` branch are single float ops on
+    identical operands.  Returns one row: (m, v_zero, hll_est, exact,
+    rel_err)."""
+    m, num = _hll_constants(p)
+    h = portable_hash64(F.col(key_col).cast("string"))
+    # h div m MUST be integer arithmetic: float division of a 60-bit
+    # int64 loses low bits and corrupts the trailing-zero ranks
+    rest = F.shiftright(h, p)
+    lowbit = rest.bitwiseAND(-rest)
+    rho = F.when(rest == 0, F.lit(51)).otherwise(
+        F.least(
+            F.lit(51),
+            (F.floor(F.log(lowbit.cast("double")) / F.lit(_LN2) + F.lit(0.5)) + 1).cast("int"),
+        )
+    )
+    regs = (
+        df.select(F.pmod(h, F.lit(m)).alias("idx"), rho.alias("rho"))
+        .groupBy("idx")
+        .agg(F.max("rho").alias("mj"))
+    )
+    sketch = regs.agg(
+        F.count("*").alias("n_present"),
+        F.sum(F.expr("CAST(power(2.0D, 51 - mj) AS BIGINT)")).alias("s_present"),
+    ).select(
+        F.lit(m).alias("m"),
+        (F.lit(m) - F.col("n_present")).alias("v_zero"),
+        (F.col("s_present") + (F.lit(m) - F.col("n_present")) * F.lit(1 << 51)).alias("s_total"),
+    )
+    exact = df.agg(F.countDistinct(key_col).alias("exact"))
+    est_raw = F.lit(num) / F.col("s_total")
+    est = F.when(
+        (est_raw <= 2.5 * m) & (F.col("v_zero") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")),
+    ).otherwise(est_raw)
+    return (
+        sketch.crossJoin(F.broadcast(exact))
+        .select(
+            "m",
+            "v_zero",
+            rhu(est, 2).alias("hll_est"),
+            "exact",
+            rhu(F.abs(est - F.col("exact")) / F.col("exact"), 4).alias("rel_err"),
+        )
+    )
+
+
+def hll_portable_sql(src_sql: str, p: int = 9) -> str:
+    """DuckDB twin of :func:`hll_portable` — ``src_sql`` must yield
+    one column ``k``."""
+    m, num = _hll_constants(p)
+    h = portable_hash64_sql("k::VARCHAR")
+    est_raw = f"({num!r} / s_total)"
+    est = (
+        f"CASE WHEN {est_raw} <= {2.5 * m} AND v_zero > 0 "
+        f"THEN {float(m)!r} * ln({float(m)!r} / v_zero) ELSE {est_raw} END"
+    )
+    return f"""
+WITH src AS ({src_sql}),
+hb AS (
+  SELECT ({h}) % {m} AS idx, ({h}) // {m} AS rest FROM src
+),
+r AS (
+  SELECT idx,
+         max(CASE WHEN rest = 0 THEN 51
+             ELSE least(51, CAST(floor(ln(rest & (-rest)) / {_LN2!r} + 0.5) AS INT) + 1)
+             END) AS mj
+  FROM hb GROUP BY idx
+),
+s AS (
+  SELECT count(*) AS n_present,
+         CAST(sum(CAST(power(2.0, 51 - mj) AS BIGINT)) AS BIGINT) AS s_present
+  FROM r
+),
+agg AS (
+  SELECT {m} AS m, ({m} - n_present) AS v_zero,
+         s_present + ({m} - n_present) * {1 << 51} AS s_total
+  FROM s
+),
+ex AS (SELECT count(DISTINCT k) AS exact FROM src)
+SELECT m, v_zero,
+       (floor(({est}) * 100 + 0.5) / 100.0) AS hll_est,
+       CAST(exact AS BIGINT) AS exact,
+       (floor((abs(({est}) - exact) / exact) * 10000 + 0.5) / 10000.0) AS rel_err
+FROM agg, ex
+"""
 
 
 def sampled_percentiles(

@@ -1911,6 +1911,120 @@ WHERE len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh
 """
 
 
+def q_bbit_minhash(spark, sf):
+    """b-bit MinHash calibration (Li & König, CACM'11): per verified
+    near-dup pair, exact Jaccard vs the estimate recovered from only
+    the lowest 2 bits of each signature component — 32× less sketch
+    storage, the difference between an in-memory signature table and
+    a spilling one at 100 TB — via the collision-corrected estimator
+    ``max(0, (P − ¼) / ¾)``.  Integer-ratio arithmetic end to end, so
+    estimate and error are bit-identical across engines (see
+    operators.dedup.bbit_minhash_pairs)."""
+    return dd.bbit_minhash_pairs(
+        _t(spark, sf, "documents"), num_hashes=16, bands=4, b_bits=2, threshold=0.5
+    )
+
+
+def _bbit_minhash_sql(
+    num_hashes: int = 16, bands: int = 4, b_bits: int = 2, threshold: float = 0.5
+) -> str:
+    rpb = num_hashes // bands
+    mod = 1 << b_bits
+    band_keys = ", ".join(
+        "md5(concat_ws('_', "
+        + str(b)
+        + ", "
+        + ", ".join(f"sig[{b * rpb + r + 1}]" for r in range(rpb))
+        + "))"
+        for b in range(bands)
+    )
+    pm = (
+        f"(len(list_filter(range(0, {num_hashes}), "
+        f"i -> sa.sig[i + 1] % {mod} = sb.sig[i + 1] % {mod})) / {num_hashes}.0)"
+    )
+    est = f"greatest(0.0, ({pm} - {1.0 / mod}) / {1.0 - 1.0 / mod})"
+    jac = "(len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))))"
+    return f"""
+WITH {_TOKH_CTE}, sigs AS (
+  SELECT doc_id, {_minhash_sig_sql(num_hashes)} AS sig FROM tokh
+), banded AS (
+  SELECT doc_id, unnest([{band_keys}]) AS key,
+         unnest(range(0, {bands})) AS band
+  FROM sigs
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+), sh AS (
+  SELECT doc_id, {_HSH_SQL} AS sh FROM tokh
+)
+SELECT id_a, id_b,
+       (floor(({jac}) * 10000 + 0.5) / 10000.0) AS jaccard,
+       (floor(({est}) * 10000 + 0.5) / 10000.0) AS bbit_jaccard,
+       (floor((abs({est} - {jac})) * 10000 + 0.5) / 10000.0) AS abs_err
+FROM cand
+JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
+JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b
+WHERE {jac} >= {threshold}
+"""
+
+
+def q_influx_difference(spark, sf):
+    """InfluxQL ``difference(value)`` + ``elapsed(value, 1ms)`` per
+    series — the remaining members of the point-to-point InfluxQL
+    function family (``derivative``/``moving_average`` live in
+    ``influx_derivative``, ``integral`` in ``influx_integral``).  Same
+    scale shape as those: ONE shuffle on the series key, one
+    in-partition sort, every additional InfluxQL function rides the
+    same window.  Microsecond epochs are exact int64 on both engines,
+    so ``elapsed_ms`` needs no rounding."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return _t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        rhu(F.col("value") - F.lag("value", 1).over(w), 4).alias("difference"),
+        ((F.unix_micros("ts") - F.unix_micros(F.lag("ts", 1).over(w))) / F.lit(1000))
+        .cast("long")
+        .alias("elapsed_ms"),
+    )
+
+
+SQL_INFLUX_DIFFERENCE = f"""
+SELECT event_id, user_id,
+       {rhu_sql('value - lag(value, 1) OVER w', 4)} AS difference,
+       CAST((epoch_us(ts) - epoch_us(lag(ts, 1) OVER w)) // 1000 AS BIGINT) AS elapsed_ms
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_hll_sketch(spark, sf):
+    """PORTABLE HyperLogLog (Flajolet et al. 2007) under the exact
+    oracle gate — unlike ``approx_distinct``'s KMV and the engine-
+    native ``hll_distinct``, this is the register-array HLL itself,
+    built from expressions both engines evaluate identically: bucket
+    = h mod 2^p, rank = trailing-zero count of the remaining 51 bits
+    (capped so the 2^(51−M_j) register terms stay exact int64), the
+    harmonic mean as ONE integer sum, and the standard small-range
+    linear-counting correction (exercised at sf0.001, where distinct
+    customers < 2.5m; the raw branch at sf0.01+).  Reports the
+    estimate beside the exact distinct and the relative error — the
+    trust measurement for the 512-byte sketch that replaces a
+    shuffle-heavy exact distinct at 100 TB.
+
+    Plan: one scan → 512-group agg (map-side combined) + one exact
+    distinct for the report; the sketch itself never shuffles more
+    than 512 rows."""
+    from aprs2influxdb_spark.operators.sketches import hll_portable
+
+    return hll_portable(_t(spark, sf, "orders"), key_col="o_custkey", p=9)
+
+
+def _hll_sketch_sql(p: int = 9) -> str:
+    from aprs2influxdb_spark.operators.sketches import hll_portable_sql
+
+    return hll_portable_sql("SELECT o_custkey AS k FROM orders", p=p)
+
+
 def q_minhash_est_error(spark, sf):
     """MinHash sketch-quality report: per verified pair, signature
     estimate vs exact Jaccard and the absolute error — the measurement
@@ -7541,6 +7655,8 @@ def registry() -> dict[str, tuple]:
         "minhash_lsh_pairs": (q_minhash_lsh_pairs, _minhash_lsh_sql()),
         "cross_source_dup_matrix": (q_cross_source_dup_matrix, _cross_source_dup_sql()),
         "minhash_est_error": (q_minhash_est_error, _minhash_est_error_sql()),
+        "bbit_minhash": (q_bbit_minhash, _bbit_minhash_sql()),
+        "hll_sketch": (q_hll_sketch, _hll_sketch_sql()),
         "simhash": (q_simhash, _simhash_sql()),
         "simhash_hamming_pairs": (q_simhash_hamming, _simhash_hamming_sql()),
         "streaming_simhash": (q_streaming_simhash, _simhash_sql()),
@@ -7602,6 +7718,7 @@ def registry() -> dict[str, tuple]:
         "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
         "bloom_decontaminate": (q_bloom_decontaminate, _sql_bloom_decontaminate()),
         "influx_derivative": (q_influx_derivative, SQL_INFLUX_DERIVATIVE),
+        "influx_difference": (q_influx_difference, SQL_INFLUX_DIFFERENCE),
         "influx_integral": (q_influx_integral, SQL_INFLUX_INTEGRAL),
         "alert_transitions": (q_alert_transitions, SQL_ALERT_TRANSITIONS),
         "bucket_first_last": (q_bucket_first_last, SQL_BUCKET_FIRST_LAST),

@@ -607,6 +607,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "importance_sample": 2,
     "incremental_dedup": 3,
     "influx_derivative": 3,
+    "influx_difference": 3,
     "influx_integral": 3,
     "ivf_kmeans_topk": 5,
     "ivf_topk": 5,
@@ -633,6 +634,8 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "merge_upsert": 3,
     "min_cost_supplier": 3,
     "minhash_est_error": 5,
+    "bbit_minhash": 5,
+    "hll_sketch": 5,
     "minhash_lsh_pairs": 5,
     "minhash_signatures": 2,
     "multimodal_features": 2,
