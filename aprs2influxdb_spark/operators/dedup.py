@@ -29,6 +29,7 @@ from aprs2influxdb_spark.functions.rounding import rhu
 
 from aprs2influxdb_spark.functions.hashing import (
     MINHASH_P,
+    SHINGLE_P,
     hashed_shingles,
     portable_hash64,
 )
@@ -798,6 +799,63 @@ def minhash_estimate_error(
             rhu("jac_raw", 4).alias("jaccard"),
             rhu(est, 4).alias("est_jaccard"),
             rhu(F.abs(est - F.col("jac_raw")), 4).alias("abs_err"),
+        )
+    )
+
+
+def cdc_chunk_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    avg_chunk: int = 8,
+) -> DataFrame:
+    """Content-defined chunking dedup (the Rabin/Gear/FastCDC family,
+    at token granularity): a chunk boundary falls after any token
+    whose hash is ≡ 0 mod ``avg_chunk`` — so boundaries move WITH the
+    content, and an insertion early in a document shifts only its own
+    chunk instead of re-aligning every downstream fixed-width chunk
+    (the failure mode of ``paragraph_dedup``'s fixed windows).  Chunks
+    are then exact-deduped corpus-wide by digest; per document this
+    reports (n_chunks, n_dup_chunks, dup_ratio) — the storage-dedup /
+    incremental-ingest diagnostic.
+
+    Scale shape: tokens are exploded to rows and the boundary
+    prefix-sum is ONE window over (doc, pos) — chunk assembly groups
+    on (doc, chunk_idx), which the doc-keyed partitioning already
+    satisfies (no second exchange); global first-occurrence is one
+    window over the 16-byte chunk digest; the per-doc rollup is one
+    shuffle back on the doc id.  No pairwise stage anywhere, and no
+    per-row Python.  Expected chunk length is ``avg_chunk`` tokens
+    (geometric), mirrored exactly in the oracle."""
+    from pyspark.sql import Window
+
+    toks = docs.select(F.col(id_col), F.posexplode(tokens_col(text_col)).alias("pos", "tok"))
+    boundary = (F.pmod(F.pmod(portable_hash64(F.col("tok")), F.lit(SHINGLE_P)), F.lit(avg_chunk)) == 0).cast("int")
+    wcum = (
+        Window.partitionBy(id_col).orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tok = toks.withColumn("chunk_idx", F.coalesce(F.sum(boundary).over(wcum), F.lit(0)))
+    chunks = tok.groupBy(id_col, "chunk_idx").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+                ),
+            )
+        ).alias("dg")
+    )
+    wfirst = Window.partitionBy("dg").orderBy(F.col(id_col).asc(), F.col("chunk_idx").asc())
+    flagged = chunks.withColumn(
+        "dup", (F.row_number().over(wfirst) > 1).cast("int")
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(F.count("*").alias("n_chunks"), F.sum("dup").alias("n_dup_chunks"))
+        .select(
+            id_col,
+            "n_chunks",
+            "n_dup_chunks",
+            rhu(F.col("n_dup_chunks") / F.col("n_chunks"), 4).alias("dup_ratio"),
         )
     )
 

@@ -1911,6 +1911,131 @@ WHERE len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh
 """
 
 
+def q_cdc_chunk_dedup(spark, sf):
+    """Content-defined chunking dedup (Rabin/FastCDC family at token
+    granularity): content-anchored chunk boundaries (token hash ≡ 0
+    mod 8) + corpus-wide chunk-digest dedup, reported per document —
+    see operators.dedup.cdc_chunk_dedup for why this beats fixed
+    windows on insertion-shifted duplicates and for the 4-shuffle
+    plan shape."""
+    return dd.cdc_chunk_dedup(_t(spark, sf, "documents"), avg_chunk=8)
+
+
+def _cdc_chunk_sql(avg_chunk: int = 8) -> str:
+    from aprs2influxdb_spark.functions.hashing import SHINGLE_P, portable_hash64_sql
+
+    bexpr = f"CASE WHEN (({portable_hash64_sql('tok')}) % {SHINGLE_P}) % {avg_chunk} = 0 THEN 1 ELSE 0 END"
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), tok AS (
+  SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS tok FROM base
+), cix AS (
+  SELECT doc_id, pos, tok,
+         coalesce(sum({bexpr}) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+  FROM tok
+), ch AS (
+  SELECT doc_id, chunk_idx, md5(string_agg(tok, ' ' ORDER BY pos)) AS dg
+  FROM cix GROUP BY doc_id, chunk_idx
+), fl AS (
+  SELECT doc_id,
+         CASE WHEN row_number() OVER (PARTITION BY dg ORDER BY doc_id, chunk_idx) > 1
+              THEN 1 ELSE 0 END AS dup
+  FROM ch
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(dup) AS BIGINT) AS n_dup_chunks,
+       (floor((sum(dup) * 1.0 / count(*)) * 10000 + 0.5) / 10000.0) AS dup_ratio
+FROM fl GROUP BY doc_id
+"""
+
+
+def q_temporal_split(spark, sf):
+    """Leakage-safe temporal holdout: each user's LAST two events (by
+    event time, id tie-break) become the validation slice, everything
+    earlier trains — the split an interaction/recommendation pipeline
+    needs, where ``train_val_split``'s content hash would leak future
+    events into training.  ONE window over the user-keyed shuffle; at
+    100 TB the state per user is the rank counter, nothing else."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return _t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.when(F.row_number().over(w) <= 2, "val").otherwise("train").alias("split"),
+    )
+
+
+SQL_TEMPORAL_SPLIT = """
+SELECT event_id, user_id,
+       CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) <= 2
+            THEN 'val' ELSE 'train' END AS split
+FROM events
+"""
+
+
+def q_label_prop_knn(spark, sf):
+    """One round of majority-label propagation over the approximate
+    kNN graph — the semi-supervised primitive (Zhu & Ghahramani '02
+    family) that extends a seed labeling across an embedding corpus:
+    each vector's proposed label is the mode of its neighbors' labels
+    (count desc, label asc tie-break), beside its current label and a
+    changed flag.  Scale shape: the kNN edges come from the bucketed
+    graph (no corpus-wide pairs); the vote is one (src, label) agg +
+    one per-src window; label lookup joins shuffle edge rows keyed by
+    int ids, never vectors."""
+    edges = sim.knn_graph(_t(spark, sf, "embeddings"), k=5)
+    emb = _t(spark, sf, "embeddings")
+    nl = emb.select(F.col("vec_id").alias("dst"), F.col("label").alias("nl"))
+    votes = edges.join(nl, "dst").groupBy("src", "nl").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("src").orderBy(F.col("n").desc(), F.col("nl").asc())
+    top = votes.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1).select(
+        "src", F.col("nl").alias("prop_label")
+    )
+    return (
+        emb.select(F.col("vec_id"), F.col("label").alias("old_label"))
+        .join(top, emb["vec_id"] == top["src"], "left")
+        .select(
+            "vec_id",
+            "old_label",
+            F.coalesce("prop_label", "old_label").alias("new_label"),
+            (F.coalesce("prop_label", "old_label") != F.col("old_label")).alias("changed"),
+        )
+    )
+
+
+def _label_prop_sql(k: int = 5, seed: int = 7) -> str:
+    return f"""
+WITH {_srp_params_cte(32)}, b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_srp_bucket_expr('embedding::DOUBLE[]', _SRP_MAX_PLANES, seed, 'srp_params.np')} AS bucket
+  FROM embeddings, srp_params
+), p AS (
+  SELECT a.vec_id AS src, c.vec_id AS dst,
+         (floor((list_dot_product(a.v, c.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)))) * 100000000 + 0.5)
+          / 100000000.0) AS cos8
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id != c.vec_id
+), edges AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos8 DESC, dst) AS rk FROM p
+  ) WHERE rk <= {k}
+), votes AS (
+  SELECT e.src, l.label AS nl, count(*) AS n
+  FROM edges e JOIN embeddings l ON l.vec_id = e.dst
+  GROUP BY e.src, l.label
+), top AS (
+  SELECT src, nl AS prop_label FROM (
+    SELECT src, nl, row_number() OVER (PARTITION BY src ORDER BY n DESC, nl ASC) AS rk FROM votes
+  ) WHERE rk = 1
+)
+SELECT m.vec_id, m.label AS old_label,
+       coalesce(t.prop_label, m.label) AS new_label,
+       coalesce(t.prop_label, m.label) != m.label AS changed
+FROM embeddings m LEFT JOIN top t ON t.src = m.vec_id
+"""
+
+
 def q_bbit_minhash(spark, sf):
     """b-bit MinHash calibration (Li & König, CACM'11): per verified
     near-dup pair, exact Jaccard vs the estimate recovered from only
@@ -7657,6 +7782,9 @@ def registry() -> dict[str, tuple]:
         "minhash_est_error": (q_minhash_est_error, _minhash_est_error_sql()),
         "bbit_minhash": (q_bbit_minhash, _bbit_minhash_sql()),
         "hll_sketch": (q_hll_sketch, _hll_sketch_sql()),
+        "cdc_chunk_dedup": (q_cdc_chunk_dedup, _cdc_chunk_sql()),
+        "temporal_split": (q_temporal_split, SQL_TEMPORAL_SPLIT),
+        "label_prop_knn": (q_label_prop_knn, _label_prop_sql()),
         "simhash": (q_simhash, _simhash_sql()),
         "simhash_hamming_pairs": (q_simhash_hamming, _simhash_hamming_sql()),
         "streaming_simhash": (q_streaming_simhash, _simhash_sql()),

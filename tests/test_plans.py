@@ -635,6 +635,9 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "min_cost_supplier": 3,
     "minhash_est_error": 5,
     "bbit_minhash": 5,
+    "cdc_chunk_dedup": 4,
+    "temporal_split": 1,
+    "label_prop_knn": 6,
     "hll_sketch": 5,
     "minhash_lsh_pairs": 5,
     "minhash_signatures": 2,
