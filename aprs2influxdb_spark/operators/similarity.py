@@ -830,6 +830,123 @@ def paa_bucket(
     return code
 
 
+def pca_top_component(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int = 64, iters: int = 8,
+) -> DataFrame:
+    """Top principal component of the embedding corpus by power
+    iteration — the whitening/compression primitive a PQ/IVF pipeline
+    runs before quantizing (and the 1-component special case of the
+    distributed PCA every feature pipeline needs).
+
+    Distributed part (the only part that touches the corpus): ONE scan
+    builds the integer covariance — each vector is mean-centered
+    against the 6dp-rounded column means and quantized to micro-units
+    (int64), the per-row outer product fans out as (i, j, v_i·v_j)
+    rows, and a map-side-combined groupBy reduces them into the 64×64
+    integer matrix.  Integer sums are order-independent, so the matrix
+    is bit-identical across engines and partitionings (the float
+    covariance would drift by summation order).
+
+    Driver part (O(dim²), the k-means-pull precedent): ``iters`` power
+    iterations on the collected 4096 ints, normalizing each step —
+    every float op in a fixed index order, mirrored exactly by the
+    oracle's recursive CTE, so the eigenvector matches to the ulp
+    before its 6dp rounding.  Sign fixed by making the largest-|·|
+    loading positive (first index on ties).  Returns (dim, loading,
+    eigval) rows."""
+    import math
+
+    means = emb.agg(
+        *[rhu(F.avg(F.get(F.col(vec_col), d)), 6).alias(f"m{d}") for d in range(dim)]
+    ).collect()[0]
+    mu = [float(means[f"m{d}"]) for d in range(dim)]
+    centered = _spread_vecs(emb, id_col, vec_col).select(
+        F.transform(
+            F.col(vec_col),
+            lambda x, i: F.floor(
+                (x.cast("double") - F.element_at(F.lit(mu), i + 1)) * 1_000_000 + F.lit(0.5)
+            ).cast("long"),
+        ).alias("q")
+    )
+    cells = (
+        centered.select(F.posexplode("q").alias("i", "vi"), F.col("q"))
+        .select("i", "vi", F.posexplode("q").alias("j", "vj"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("vi") * F.col("vj")).alias("s"))
+    )
+    cov = {(r["i"], r["j"]): r["s"] for r in cells.collect()}
+    c = [[float(cov.get((i, j), 0)) for j in range(dim)] for i in range(dim)]
+    v = [1.0] + [0.0] * (dim - 1)
+    lam = 0.0
+    for _ in range(iters):
+        w = [sum(c[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        lam = math.sqrt(sum(x * x for x in w))
+        v = [x / lam for x in w]
+    flip = -1.0 if v[max(range(dim), key=lambda i: (abs(v[i]), -i))] < 0 else 1.0
+    spark = emb.sparkSession
+    rows = [(d, flip * v[d], lam) for d in range(dim)]
+    out = spark.createDataFrame(rows, "dim int, loading double, eigval double")
+    return out.select(
+        "dim", rhu("loading", 6).alias("loading"), rhu("eigval", 2).alias("eigval")
+    )
+
+
+def pca_top_component_sql(dim: int = 64, iters: int = 8) -> str:
+    """DuckDB twin of :func:`pca_top_component`: identical integer
+    covariance, then the power iteration as a recursive CTE over a
+    list-typed vector — list ops evaluate in index order, matching the
+    driver loop's float sequence exactly.  The mat-vec expression is
+    inlined thrice (DuckDB lambdas can't reach LATERAL-correlated
+    columns): recomputed float ops are bit-identical, so the
+    duplication is semantically free (the holt_linear precedent)."""
+    _MATVEC = (
+        f"list_transform(range(0, {dim}), "
+        f"i -> list_sum(list_transform(range(0, {dim}), "
+        f"j -> cm.c[i * {dim} + j + 1] * pit.v[j + 1])))"
+    )
+    return f"""
+WITH RECURSIVE md AS (
+  SELECT d, floor(avg(embedding[d + 1]::DOUBLE) * 1000000 + 0.5) / 1000000.0 AS m
+  FROM embeddings, range(0, {dim}) t(d) GROUP BY d
+),
+mu AS (SELECT list(m ORDER BY d) AS m FROM md),
+q AS (
+  SELECT list_transform(range(0, {dim}),
+           d -> CAST(floor((embedding[d + 1]::DOUBLE - mu.m[d + 1]) * 1000000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings, mu
+),
+cells AS (
+  SELECT i, j, CAST(sum(qv[i + 1] * qv[j + 1]) AS BIGINT) AS s
+  FROM q, range(0, {dim}) a(i), range(0, {dim}) b(j)
+  GROUP BY i, j
+),
+cm AS (SELECT list(s::DOUBLE ORDER BY i, j) AS c FROM cells),
+pit AS (
+  SELECT 0 AS it,
+         CAST([1.0] || list_transform(range(1, {dim}), x -> 0.0) AS DOUBLE[]) AS v,
+         0.0::DOUBLE AS lam
+  UNION ALL
+  SELECT it + 1,
+         list_transform({_MATVEC}, x -> x / sqrt(list_sum(list_transform({_MATVEC}, y -> y * y)))) AS v,
+         sqrt(list_sum(list_transform({_MATVEC}, y -> y * y))) AS lam
+  FROM pit, cm
+  WHERE it < {iters}
+),
+fin AS (SELECT v, lam FROM pit WHERE it = {iters}),
+sgn AS (
+  SELECT CASE WHEN v[list_position(list_transform(v, x -> abs(x)),
+                                   list_max(list_transform(v, x -> abs(x))))] < 0
+              THEN -1.0 ELSE 1.0 END AS f
+  FROM fin
+)
+SELECT CAST(i AS INT) AS dim,
+       (floor((sgn.f * v[i + 1]) * 1000000 + 0.5) / 1000000.0) AS loading,
+       (floor(lam * 100 + 0.5) / 100.0) AS eigval
+FROM fin, sgn, range(0, {dim}) t(i)
+"""
+
+
 def paa_probe_codes(bucket, segments: int = PAA_SEGMENTS):
     """Multi-probe expansion of a packed :func:`paa_bucket` code (the
     Lv et al. multi-probe trick transplanted from Hamming space to the

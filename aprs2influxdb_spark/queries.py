@@ -1911,6 +1911,81 @@ WHERE len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh
 """
 
 
+def q_geo_cell_pairs(spark, sf):
+    """Spatial radius self-join through integer grid cells — the
+    geohash-bucket join over position data (the reference's packets
+    ARE positions: lat/lon on every position format, ref
+    __main__.py:248,:351,:454,:642).  Candidate pairs come from a
+    3×3-cell probe join keyed on the packed cell id (never all
+    pairs); the radius filter is exact int64 squared microdegrees, so
+    the pair set is bit-identical across engines; haversine km is
+    reported for survivors.  Positions are derived deterministically
+    from customer keys (the oracle-gate stand-in for packet
+    coordinates)."""
+    from aprs2influxdb_spark.operators.geo import geo_cell_pairs, synth_positions
+
+    pts = synth_positions(_t(spark, sf, "customer"), "c_custkey")
+    return geo_cell_pairs(pts)
+
+
+def _geo_cell_sql() -> str:
+    from aprs2influxdb_spark.operators.geo import geo_cell_pairs_sql
+
+    return geo_cell_pairs_sql("SELECT c_custkey AS k FROM customer")
+
+
+def q_weighted_percentiles(spark, sf):
+    """Quantity-weighted price percentiles per return flag — the
+    weighted-median family (every unit of quantity votes, so a
+    100-unit line moves the median 100× more than a 1-unit line),
+    which no built-in percentile covers.  Shape: ONE window pass per
+    flag partition computing the running weight, then a conditional
+    min over each threshold — cumulative weights are exact
+    integer-valued doubles (quantities are integral) and the
+    thresholds are exact products, so the picked rows are
+    bit-identical across engines.  Partitioned by flag: the global
+    variant would order one partition; at 100 TB you shard by a
+    coarser key first (the documented deployment note)."""
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    cum = li.withColumn("cw", F.sum("l_quantity").over(w)).withColumn(
+        "tw", F.sum("l_quantity").over(Window.partitionBy("l_returnflag"))
+    )
+    return cum.groupBy("l_returnflag").agg(
+        rhu(F.min(F.when(F.col("cw") >= 0.5 * F.col("tw"), F.col("l_extendedprice"))), 2).alias("p50_w"),
+        rhu(F.min(F.when(F.col("cw") >= 0.9 * F.col("tw"), F.col("l_extendedprice"))), 2).alias("p90_w"),
+    )
+
+
+SQL_WEIGHTED_PERCENTILES = """
+WITH c AS (
+  SELECT l_returnflag, l_extendedprice,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS cw,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+  FROM lineitem
+)
+SELECT l_returnflag,
+       (floor(min(CASE WHEN cw >= 0.5 * tw THEN l_extendedprice END) * 100 + 0.5) / 100.0) AS p50_w,
+       (floor(min(CASE WHEN cw >= 0.9 * tw THEN l_extendedprice END) * 100 + 0.5) / 100.0) AS p90_w
+FROM c GROUP BY l_returnflag
+"""
+
+
+def q_pca_top_component(spark, sf):
+    """Distributed PCA (top component by power iteration): one-scan
+    integer covariance + O(dim²) driver-side iteration — the
+    whitening/compression primitive ahead of PQ/IVF.  See
+    operators.similarity.pca_top_component for the exactness design
+    (order-independent integer matrix, index-ordered float recursion
+    mirrored by the oracle's recursive CTE)."""
+    return sim.pca_top_component(_t(spark, sf, "embeddings"))
+
+
 def q_cdc_chunk_dedup(spark, sf):
     """Content-defined chunking dedup (Rabin/FastCDC family at token
     granularity): content-anchored chunk boundaries (token hash ≡ 0
@@ -3874,6 +3949,20 @@ def q_streaming_line_protocol(spark, sf):
     from aprs2influxdb_spark.streaming.bounded import streaming_line_protocol
 
     return streaming_line_protocol(spark, sf)
+
+
+def q_streaming_bloom_decontaminate(spark, sf):
+    """Decontamination at ingest: static 8 KB bloom (batch-built from
+    the eval slice) probed by the training-document stream — see
+    streaming.bounded.streaming_bloom_decontaminate.  Oracle = the
+    (doc_id, bloom_hits) projection of the batch bloom entry."""
+    from aprs2influxdb_spark.streaming.bounded import streaming_bloom_decontaminate
+
+    return streaming_bloom_decontaminate(spark, sf)
+
+
+def _sql_streaming_bloom() -> str:
+    return f"SELECT doc_id, bloom_hits FROM ({_sql_bloom_decontaminate()})"
 
 
 def q_streaming_minhash(spark, sf):
@@ -7777,12 +7866,16 @@ def registry() -> dict[str, tuple]:
         "ngram_containment": (q_ngram_containment, _sql_ngram_containment()),
         "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
         "streaming_minhash": (q_streaming_minhash, SQL_MINHASH_SIGNATURES),
+        "streaming_bloom_decontaminate": (q_streaming_bloom_decontaminate, _sql_streaming_bloom()),
         "minhash_lsh_pairs": (q_minhash_lsh_pairs, _minhash_lsh_sql()),
         "cross_source_dup_matrix": (q_cross_source_dup_matrix, _cross_source_dup_sql()),
         "minhash_est_error": (q_minhash_est_error, _minhash_est_error_sql()),
         "bbit_minhash": (q_bbit_minhash, _bbit_minhash_sql()),
         "hll_sketch": (q_hll_sketch, _hll_sketch_sql()),
         "cdc_chunk_dedup": (q_cdc_chunk_dedup, _cdc_chunk_sql()),
+        "pca_top_component": (q_pca_top_component, sim.pca_top_component_sql()),
+        "geo_cell_pairs": (q_geo_cell_pairs, _geo_cell_sql()),
+        "weighted_percentiles": (q_weighted_percentiles, SQL_WEIGHTED_PERCENTILES),
         "temporal_split": (q_temporal_split, SQL_TEMPORAL_SPLIT),
         "label_prop_knn": (q_label_prop_knn, _label_prop_sql()),
         "simhash": (q_simhash, _simhash_sql()),

@@ -251,6 +251,83 @@ def streaming_line_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination AT INGEST — the production placement of the
+    bloom gate: the 8 KB bitset is built ONCE, batch-side, from the
+    held-out eval slice (a static ≤2048-row (word, bits) table), and
+    the training documents stream through a stateless stream-static
+    probe against its broadcast.  Every arriving doc is flagged with
+    its bloom hit count before it ever lands in the corpus — no
+    per-batch rebuild, no stream-side state (the aggregation keys are
+    within-doc, completed per micro-batch under the bounded harness'
+    complete mode).  Emits (doc_id, bloom_hits) for flagged training
+    docs; the oracle recomputes the identical bitset and probes."""
+    from aprs2influxdb_spark.operators.dedup import (
+        BLOOM_BITS,
+        BLOOM_K,
+        BLOOM_WORD_BITS,
+        tokens_col,
+    )
+    from aprs2influxdb_spark.functions.hashing import hashed_shingles, portable_hash64
+    from aprs2influxdb_spark.queries import _t
+
+    def pos(j):
+        return F.pmod(
+            portable_hash64(F.concat(F.lit(f"bf{j}#"), F.col("sh").cast("string"))),
+            F.lit(BLOOM_BITS),
+        )
+
+    def bucket(idc):
+        return F.pmod(
+            portable_hash64(F.concat(F.lit("eval_"), idc.cast("string"))), F.lit(20)
+        )
+
+    # batch side: the static bloom words from the eval slice
+    words = (
+        _t(spark, sf_dir, "documents")
+        .filter(bucket(F.col("doc_id")) == 0)
+        .select(F.explode(hashed_shingles(tokens_col("text"), 3)).alias("sh"))
+        .distinct()
+        .select(F.explode(F.array(*[pos(j) for j in range(BLOOM_K)])).alias("p"))
+        .select(
+            F.shiftright("p", BLOOM_WORD_BITS).alias("word"),
+            F.expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+    # stream side: training docs probe the broadcast static table —
+    # one LEFT join per hash function (k=3 tiny broadcasts), so the
+    # per-shingle verdict is a pure row expression and the plan has
+    # exactly ONE stateful aggregate (streaming forbids chaining
+    # un-watermarked aggregates)
+    sh_rows = (
+        stream_docs(spark, sf_dir)
+        .filter(bucket(F.col("doc_id")) != 0)
+        .select(F.col("doc_id"), F.explode(hashed_shingles(tokens_col("text"), 3)).alias("sh"))
+    )
+    hit = F.lit(True)
+    for j in range(BLOOM_K):
+        sh_rows = (
+            sh_rows.withColumn(f"p{j}", pos(j))
+            .withColumn(f"word{j}", F.shiftright(F.col(f"p{j}"), BLOOM_WORD_BITS))
+            .withColumn(
+                f"bit{j}",
+                F.expr(f"shiftleft(cast(1 as bigint), cast(p{j} % 32 as int))"),
+            )
+        )
+        wj = words.select(F.col("word").alias(f"word{j}"), F.col("bits").alias(f"bits{j}"))
+        sh_rows = sh_rows.join(F.broadcast(wj), f"word{j}", "left")
+        hit = hit & (F.coalesce(F.col(f"bits{j}"), F.lit(0)).bitwiseAND(F.col(f"bit{j}")) != 0)
+    probes = (
+        sh_rows.withColumn("bloom_hit", hit.cast("int"))
+        .groupBy("doc_id")
+        .agg(F.sum("bloom_hit").alias("bloom_hits"))
+        .filter(F.col("bloom_hits") >= 1)
+    )
+    return run_bounded(spark, probes, "complete", "stream_bloom_decon")
+
+
 def streaming_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures AT INGEST on the document stream — the
     staged-projection signature builder is stateless (per-row folds

@@ -636,6 +636,9 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "minhash_est_error": 5,
     "bbit_minhash": 5,
     "cdc_chunk_dedup": 4,
+    "pca_top_component": 2,
+    "geo_cell_pairs": 3,
+    "weighted_percentiles": 2,
     "temporal_split": 1,
     "label_prop_knn": 6,
     "hll_sketch": 5,
