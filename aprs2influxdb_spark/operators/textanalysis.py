@@ -869,6 +869,72 @@ def bigram_logprob(
     )
 
 
+def interp_bigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Jelinek-Mercer interpolated bigram scoring — the classic
+    alternative to :func:`bigram_logprob`'s Laplace smoothing:
+    ``P(w|p) = λ·P_ML(w|p) + (1−λ)·P_uni(w)``, where the unigram
+    backoff distribution is taken over bigram-second positions (so
+    both mixture components come from the SAME one count table and no
+    second corpus pass exists).  Interpolation reacts very differently
+    from Laplace on rare continuations of common heads — the reason
+    LM toolkits ship both.
+
+    Determinism: both mixture components are ratios of exact integer
+    counts, mixed with the shared ``lam`` literal, and the single
+    ``ln`` lands in floored micro-nats before the per-doc integer sum
+    — the house LM discipline.  Plan shape identical to
+    :func:`bigram_logprob` (one bigram groupBy, three count windows,
+    id-sized doc rollup)."""
+    from pyspark.sql import Window
+
+    toks = tokens_col(text_col)
+    big = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+        ),
+        lambda s: s.cur.isNotNull(),
+    )
+    tf = (
+        _spread_docs(docs, id_col, text_col)
+        .select(F.col(id_col), F.explode(big).alias("bg"))
+        .select(F.col(id_col), F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+        .groupBy(id_col, "prev", "cur")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    wb = Window.partitionBy("prev", "cur")
+    wp = Window.partitionBy("prev")
+    wc = Window.partitionBy("cur")
+    total = tf.agg(F.sum("tf").alias("nb"))
+    mix = (
+        F.lit(lam) * (F.col("cb").cast("double") / F.col("cp"))
+        + F.lit(1.0 - lam) * (F.col("cu").cast("double") / F.col("nb"))
+    )
+    inlp = F.floor(-F.log(mix) * 1e6 + F.lit(0.5)).cast("long")
+    return (
+        tf.withColumn("cb", F.sum("tf").over(wb))
+        .withColumn("cp", F.sum("tf").over(wp))
+        .withColumn("cu", F.sum("tf").over(wc))
+        .crossJoin(F.broadcast(total))
+        .withColumn("inlp", inlp)
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("inlp")).alias("s"),
+        )
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            rhu(F.col("s") / (F.col("n_bigrams") * F.lit(1e6)), 4).alias("avg_nll"),
+        )
+    )
+
+
 def top_ngrams(
     docs: DataFrame, n: int = 2, top_k: int = 50,
     text_col: str = "text", id_col: str = "doc_id",

@@ -1911,6 +1911,162 @@ WHERE len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh
 """
 
 
+def q_sax_symbols(spark, sf):
+    """SAX symbolic representation (Lin/Keogh) of each user's hourly
+    profile: z-normalize, 4 PAA segments, 4-symbol Gaussian-breakpoint
+    alphabet — the discrete index key for time-series motif/anomaly
+    search (the string analog of ``ts_dtw_lsh_topk``'s numeric bands).
+    Determinism: segment and total sums run over the MICRO-QUANTIZED
+    profile (exact int64), so mean/σ/z start from identical operands on
+    both engines and every remaining float op (two divisions, sqrt,
+    breakpoint compares) is IEEE-exact — no rounding needed before the
+    symbol compare.  Zero-variance profiles map to the mid symbol via
+    the σ=0 guard.  One narrow pass over the pivoted profiles."""
+    n, segs, seg_len = 24, 4, 6
+    q = F.transform(F.col("profile"), lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long"))
+    prof = hourly_profiles(spark, sf).withColumn("q", q).select(
+        "user_id", "q",
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("sq"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x * x).alias("sqq"),
+    )
+    mean = F.col("sq") / F.lit(float(n))
+    var = F.greatest(
+        (F.col("sqq") / F.lit(float(n)) - mean * mean) / F.lit(1e12), F.lit(0.0)
+    )
+    sig = F.sqrt(var)
+    syms = []
+    for s in range(segs):
+        segsum = F.aggregate(
+            F.slice("q", s * seg_len + 1, seg_len), F.lit(0).cast("long"), lambda a, x: a + x
+        )
+        z = F.when(sig == 0, F.lit(0.0)).otherwise(
+            (segsum / F.lit(float(seg_len * 1_000_000)) - F.col("sq") / F.lit(float(n * 1_000_000))) / sig
+        )
+        syms.append(
+            F.when(z < -0.6745, "a").when(z < 0.0, "b").when(z < 0.6745, "c").otherwise("d")
+        )
+    return prof.select("user_id", F.concat(*syms).alias("sax"))
+
+
+def _sax_sql(n: int = 24, segs: int = 4, seg_len: int = 6) -> str:
+    seg_terms = []
+    for s in range(segs):
+        seg = f"list_reduce(q[{s * seg_len + 1}:{(s + 1) * seg_len}], (a, x) -> a + x)"
+        z = (
+            f"CASE WHEN sig = 0 THEN 0.0 ELSE "
+            f"(({seg}) / {float(seg_len * 1_000_000)!r} - sq / {float(n * 1_000_000)!r}) / sig END"
+        )
+        seg_terms.append(
+            f"CASE WHEN ({z}) < -0.6745 THEN 'a' WHEN ({z}) < 0.0 THEN 'b'"
+            f" WHEN ({z}) < 0.6745 THEN 'c' ELSE 'd' END"
+        )
+    word = " || ".join(seg_terms)
+    return f"""
+WITH prof AS (
+  SELECT user_id, hour(ts) AS h,
+         (floor((avg(value)) * 1000000 + 0.5) / 1000000.0) AS v
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT user_id, map_from_entries(list({{'k': h, 'v': v}})) AS hm
+  FROM prof GROUP BY user_id
+), pv AS (
+  SELECT user_id,
+         list_transform(range(0, {n}), i -> CAST(floor(coalesce(hm[i][1], 0.0) * 1000000 + 0.5) AS BIGINT)) AS q
+  FROM m
+), st AS (
+  SELECT user_id, q,
+         list_reduce(q, (a, x) -> a + x) AS sq,
+         list_reduce(list_transform(q, x -> x * x), (a, x) -> a + x) AS sqq
+  FROM pv
+), zs AS (
+  SELECT user_id, q, sq,
+         sqrt(greatest((sqq / {float(n)!r} - (sq / {float(n)!r}) * (sq / {float(n)!r})) / 1e12, 0.0)) AS sig
+  FROM st
+)
+SELECT user_id, {word} AS sax FROM zs
+"""
+
+
+def q_benford_deviation(spark, sf):
+    """Benford's-law audit of order totals: observed first-significant-
+    digit shares vs the log10(1+1/d) expectation — the standard
+    fabricated-data / pipeline-corruption screen for financial-shaped
+    columns.  Expected shares are Python-computed literals embedded in
+    BOTH plans (no runtime logs); the digit extraction is integer
+    string work; one 9-group aggregate."""
+    import math
+
+    d1 = F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1).cast("int")
+    o = _t(spark, sf, "orders").select(d1.alias("digit"))
+    counts = o.groupBy("digit").agg(F.count("*").alias("n"))
+    total = o.agg(F.count("*").alias("t"))
+    exp = F.array(*[F.lit(math.log10(1 + 1 / d)) for d in range(1, 10)])
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            rhu(F.col("n") / F.col("t"), 6).alias("observed"),
+            rhu(F.element_at(exp, F.col("digit")), 6).alias("expected"),
+            rhu(F.abs(F.col("n") / F.col("t") - F.element_at(exp, F.col("digit"))), 6).alias("abs_dev"),
+        )
+    )
+
+
+def _benford_sql() -> str:
+    import math
+
+    exp_list = ", ".join(repr(math.log10(1 + 1 / d)) for d in range(1, 10))
+    return f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders
+), c AS (
+  SELECT digit, count(*) AS n FROM d GROUP BY digit
+), t AS (SELECT count(*) AS t FROM d), e AS (SELECT CAST([{exp_list}] AS DOUBLE[]) AS exp)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       (floor((n::DOUBLE / t) * 1000000 + 0.5) / 1000000.0) AS observed,
+       (floor(exp[digit] * 1000000 + 0.5) / 1000000.0) AS expected,
+       (floor(abs(n::DOUBLE / t - exp[digit]) * 1000000 + 0.5) / 1000000.0) AS abs_dev
+FROM c, t, e
+"""
+
+
+def q_interp_bigram_logprob(spark, sf):
+    """Jelinek-Mercer interpolated bigram LM scoring (λ·P_ML(w|p) +
+    (1−λ)·P_uni) — the smoothing twin of ``bigram_logprob``'s Laplace
+    rung; see operators.textanalysis.interp_bigram_logprob."""
+    return ta.interp_bigram_logprob(_t(spark, sf, "documents"), lam=0.7)
+
+
+def _interp_bigram_sql(lam: float = 0.7) -> str:
+    mix = f"({lam!r} * (cb * 1.0 / cp) + {1.0 - lam!r} * (cu * 1.0 / nb))"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), bg AS (
+  SELECT doc_id, t[i] AS prev, t[i + 1] AS cur
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+), tf AS (
+  SELECT doc_id, prev, cur, count(*) AS tf FROM bg GROUP BY 1, 2, 3
+), wtf AS (
+  SELECT doc_id, tf,
+         sum(tf) OVER (PARTITION BY prev, cur) AS cb,
+         sum(tf) OVER (PARTITION BY prev) AS cp,
+         sum(tf) OVER (PARTITION BY cur) AS cu,
+         sum(tf) OVER () AS nb
+  FROM tf
+), sc AS (
+  SELECT doc_id, tf,
+         CAST(floor(-ln({mix}) * 1000000 + 0.5) AS BIGINT) AS inlp
+  FROM wtf
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       (floor((sum(tf * inlp) / (sum(tf) * 1000000.0)) * 10000 + 0.5) / 10000.0) AS avg_nll
+FROM sc GROUP BY doc_id
+"""
+
+
 def q_geo_cell_pairs(spark, sf):
     """Spatial radius self-join through integer grid cells — the
     geohash-bucket join over position data (the reference's packets
@@ -7876,6 +8032,9 @@ def registry() -> dict[str, tuple]:
         "pca_top_component": (q_pca_top_component, sim.pca_top_component_sql()),
         "geo_cell_pairs": (q_geo_cell_pairs, _geo_cell_sql()),
         "weighted_percentiles": (q_weighted_percentiles, SQL_WEIGHTED_PERCENTILES),
+        "sax_symbols": (q_sax_symbols, _sax_sql()),
+        "benford_deviation": (q_benford_deviation, _benford_sql()),
+        "interp_bigram_logprob": (q_interp_bigram_logprob, _interp_bigram_sql()),
         "temporal_split": (q_temporal_split, SQL_TEMPORAL_SPLIT),
         "label_prop_knn": (q_label_prop_knn, _label_prop_sql()),
         "simhash": (q_simhash, _simhash_sql()),

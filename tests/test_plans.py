@@ -637,6 +637,9 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "bbit_minhash": 5,
     "cdc_chunk_dedup": 4,
     "pca_top_component": 2,
+    "sax_symbols": 3,
+    "benford_deviation": 3,
+    "interp_bigram_logprob": 5,
     "geo_cell_pairs": 3,
     "weighted_percentiles": 2,
     "temporal_split": 1,
