@@ -144,7 +144,31 @@ def srp_bucket(vec, n_planes: int = 8, seed: int = 7, dim: int = 64):
     dimensionality for oracle parity.  The sign test uses the
     8-decimal-rounded projection on both engines: a projection within
     ULP of zero must not flip buckets between Spark's sequential fold
-    and DuckDB's summation."""
+    and DuckDB's summation.
+
+    Pass ``vec`` as a STRING (column name / SQL expression) for the
+    fast build path: the whole bucket compiles as ONE ``F.expr``
+    string — one py4j round-trip instead of ~80·n_planes Column-tree
+    calls (~0.4 s of pure driver time per call at n_planes=8; the
+    house giant-expression rule).  Identical expression semantics and
+    values either way; the Column path remains for composed columns."""
+    if isinstance(vec, str):
+        terms = ["CAST(0 AS BIGINT)"]
+        for p in range(n_planes):
+            comps = ", ".join(
+                f"{hyperplane_component(p, d, seed)!r}D" for d in range(dim)
+            )
+            proj = (
+                f"aggregate(zip_with({vec}, array({comps}), "
+                f"(x, w) -> coalesce(CAST(x AS DOUBLE) * w, 0.0D)), "
+                f"0.0D, (acc, v) -> acc + v)"
+            )
+            projr = f"(floor(({proj}) * 100000000 + 0.5D) / 100000000.0D)"
+            terms.append(
+                f"(CASE WHEN {projr} > 0 THEN CAST({2 ** p} AS BIGINT)"
+                f" ELSE CAST(0 AS BIGINT) END)"
+            )
+        return F.expr(" + ".join(terms))
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
         plane = F.array(*[F.lit(hyperplane_component(p, d, seed)) for d in range(dim)])
@@ -189,7 +213,7 @@ def cosine_near_dup_pairs(
     bucketed = _spread_vecs(emb, id_col, vec_col).select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("v"),
-        srp_bucket(F.col(vec_col), n_planes, seed).alias("bucket"),
+        srp_bucket(vec_col, n_planes, seed).alias("bucket"),
     ).withColumn("nrm", _norm(F.col("v"))).localCheckpoint(eager=False)
     a = bucketed.select(
         F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "bucket"
@@ -239,7 +263,7 @@ def semantic_dedup(
             n_centroids = ivf_centroids_for(n)
     cent, assign = ivf_assignments(emb, n_centroids, id_col, vec_col)
     bucketed = assign.withColumn(
-        "bucket", srp_bucket(F.col("v"), n_planes, seed)
+        "bucket", srp_bucket("v", n_planes, seed)
     ).withColumn("nrm", _norm(F.col("v"))).localCheckpoint(eager=False)
     a = bucketed.select(
         F.col(id_col).alias("id_a"), F.col("c_id"), "bucket",
@@ -516,7 +540,7 @@ def lsh_bucketed_topk(
     if n_planes is None:
         n_planes = srp_planes_for(corpus_count(emb, n), target_bucket_size)
     bucketed = _spread_vecs(emb, id_col, vec_col).select(
-        F.col(id_col), F.col(vec_col), srp_bucket(F.col(vec_col), n_planes, seed).alias("bucket")
+        F.col(id_col), F.col(vec_col), srp_bucket(vec_col, n_planes, seed).alias("bucket")
     ).localCheckpoint(eager=False)  # consumed by the query AND corpus sides
     q = bucketed.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
@@ -562,7 +586,7 @@ def lsh_multiprobe_topk(
     if n_planes is None:
         n_planes = srp_planes_for(corpus_count(emb, n), target_bucket_size)
     bucketed = _spread_vecs(emb, id_col, vec_col).select(
-        F.col(id_col), F.col(vec_col), srp_bucket(F.col(vec_col), n_planes, seed).alias("bucket")
+        F.col(id_col), F.col(vec_col), srp_bucket(vec_col, n_planes, seed).alias("bucket")
     ).localCheckpoint(eager=False)  # consumed by the query AND corpus sides
     q = bucketed.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
@@ -1058,7 +1082,7 @@ def knn_graph(
     bucketed = _spread_vecs(emb, id_col, vec_col).select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("v"),
-        srp_bucket(F.col(vec_col), n_planes, seed).alias("bucket"),
+        srp_bucket(vec_col, n_planes, seed).alias("bucket"),
     ).withColumn("nrm", _norm(F.col("v"))).localCheckpoint(eager=False)
     a = bucketed.select(F.col(id_col).alias("src"), F.col("v").alias("va"), F.col("nrm").alias("na"), "bucket")
     b = bucketed.select(F.col(id_col).alias("dst"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "bucket")

@@ -2873,7 +2873,7 @@ def q_srp_buckets(spark, sf):
     bit_length on both sides)."""
     e = _t(spark, sf, "embeddings")
     np_ = sim.srp_planes_for(corpus_count(e), target_bucket_size=8)
-    return e.select("vec_id", sim.srp_bucket(F.col("embedding"), n_planes=np_).alias("bucket"))
+    return e.select("vec_id", sim.srp_bucket("embedding", n_planes=np_).alias("bucket"))
 
 
 def _srp_bucket_expr(

@@ -359,7 +359,7 @@ def streaming_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     np_ = srp_planes_for(corpus_count(batch), target_bucket_size=8)
     bucketed = stream_embeddings(spark, sf_dir).select(
-        "vec_id", srp_bucket(F.col("embedding"), n_planes=np_).alias("bucket")
+        "vec_id", srp_bucket("embedding", n_planes=np_).alias("bucket")
     )
     return run_bounded(spark, bucketed, "append", "stream_srp_buckets")
 

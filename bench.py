@@ -183,6 +183,24 @@ HEADLINE = [
     "winnowing_match_pairs",
     "shingle_novelty",
     "order_backlog_curve",
+    # round-4 additions: the multiprobe DTW cohorts, the real stdlib
+    # PNG codec roundtrip, compressed sketches (b-bit MinHash, portable
+    # HLL), content-defined chunking, PCA power iteration, the grid-cell
+    # spatial join, label propagation, and the new analytics entries
+    "ts_dtw_multiprobe_topk",
+    "multimodal_png_decode",
+    "bbit_minhash",
+    "hll_sketch",
+    "cdc_chunk_dedup",
+    "label_prop_knn",
+    "pca_top_component",
+    "geo_cell_pairs",
+    "weighted_percentiles",
+    "sax_symbols",
+    "benford_deviation",
+    "interp_bigram_logprob",
+    "temporal_split",
+    "influx_difference",
 ]
 
 

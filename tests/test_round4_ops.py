@@ -1,0 +1,146 @@
+"""Round-4 operator properties — the semantic claims the oracle gate
+can't express: CDC's insertion robustness, PCA against numpy's exact
+eigendecomposition, grid-cell join completeness vs brute force, the
+srp_bucket fast-path equivalence, HLL error bounds."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_srp_bucket_expr_path_equals_column_path(spark, sf_dir):
+    """The one-F.expr fast build path must produce bit-identical
+    buckets to the legacy Column-tree path (same expression semantics,
+    ~80x fewer py4j round-trips)."""
+    from aprs2influxdb_spark.operators.similarity import srp_bucket
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.select("vec_id", srp_bucket(F.col("embedding"), 8).alias("b"))
+    b = emb.select("vec_id", srp_bucket("embedding", 8).alias("b"))
+    assert a.join(b, "vec_id").filter(a["b"] != b["b"]).count() == 0
+
+
+def test_cdc_chunks_survive_prefix_insertion(spark):
+    """THE content-defined-chunking property: prepending tokens to a
+    document shifts every byte offset, yet all chunk digests after the
+    first boundary survive — unlike fixed-width windows, where one
+    insertion re-aligns (and invalidates) every downstream chunk.
+    Built directly on the operator's own chunking: duplicate-chunk
+    counts against the original must recover most of the doc."""
+    from aprs2influxdb_spark.operators.dedup import cdc_chunk_dedup
+
+    base = " ".join(f"tok{i}w" for i in range(400))  # aperiodic tokens
+    shifted = "zz yy xx " + base  # 3-token prefix insertion
+    docs = spark.createDataFrame(
+        [(0, base), (1, shifted)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in cdc_chunk_dedup(docs, avg_chunk=8).collect()}
+    # doc 1 re-chunks to mostly the SAME chunks: everything after the
+    # first content-defined boundary matches doc 0's chunks exactly
+    assert out[1]["n_chunks"] > 20
+    assert out[1]["dup_ratio"] >= 0.9, out[1]
+    # sanity: the original itself has few internal dups
+    assert out[0]["dup_ratio"] <= 0.2
+
+
+def test_pca_matches_numpy_replica(spark, sf_dir):
+    """The distributed pipeline must agree with a numpy replica of the
+    SAME algorithm: identical integer covariance (bit-exact — the
+    whole point of quantizing before the outer product) and the same
+    8-step power iteration to float tolerance.  Against the true eigh
+    answer only spectral bounds are asserted: the near-random test
+    embeddings have a tiny eigengap, so a fixed iteration budget
+    legitimately returns a top-eigenspace mix, not THE eigenvector."""
+    import numpy as np
+
+    from aprs2influxdb_spark.operators.similarity import pca_top_component
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = pca_top_component(emb).orderBy("dim").collect()
+    v = np.array([r["loading"] for r in rows])
+    lam = rows[0]["eigval"]
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+
+    X = np.array(emb.select("embedding").toPandas()["embedding"].tolist(), dtype="float64")
+    # means half-up rounded to 6dp, then micro-quantized centering —
+    # the operator's exact recipe
+    mu = np.floor(X.mean(axis=0) * 1e6 + 0.5) / 1e6
+    Q = np.floor((X - mu) * 1e6 + 0.5)
+    C = Q.T @ Q
+    ref = np.zeros(64)
+    ref[0] = 1.0
+    for _ in range(8):
+        w_vec = C @ ref
+        n = np.linalg.norm(w_vec)
+        ref = w_vec / n
+    if ref[np.argmax(np.abs(ref))] < 0:
+        ref = -ref
+    assert float(np.abs(v @ ref)) > 0.999999, "diverged from the numpy replica"
+
+    w, _V = np.linalg.eigh(C)
+    assert lam <= w[-1] * (1 + 1e-9)
+    assert lam >= 0.8 * w[-1], f"Rayleigh {lam} far below top eigenvalue {w[-1]}"
+
+
+def test_geo_cell_join_is_complete_vs_brute_force(spark):
+    """The 3x3-cell probe join must find EVERY within-radius pair the
+    O(n^2) brute force finds (cell size == radius -> no pair can span
+    more than one cell), and nothing else."""
+    from aprs2influxdb_spark.operators.geo import (
+        CELL_MICRO,
+        geo_cell_pairs,
+        synth_positions,
+    )
+
+    keys = spark.range(300).select(F.col("id").alias("k"))
+    pts = synth_positions(keys, "k")
+    fast = {
+        (r["pid_a"], r["pid_b"]) for r in geo_cell_pairs(pts).collect()
+    }
+    rows = pts.collect()
+    brute = set()
+    r2 = CELL_MICRO * CELL_MICRO
+    for i, a in enumerate(rows):
+        for b in rows[i + 1:]:
+            d2 = (a["lat_u"] - b["lat_u"]) ** 2 + (a["lon_u"] - b["lon_u"]) ** 2
+            if d2 <= r2:
+                pair = (min(a["pid"], b["pid"]), max(a["pid"], b["pid"]))
+                brute.add(pair)
+    assert fast == brute
+    assert len(brute) > 0  # non-vacuous fixture
+
+
+def test_hll_sketch_error_bound(spark, sf_dir):
+    """512-register HLL's theoretical relative standard error is
+    1.04/sqrt(512) = 4.6%; assert the measured error stays within 3
+    sigma, and that the exact count is truly the table's distinct."""
+    from aprs2influxdb_spark.operators.sketches import hll_portable
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    row = hll_portable(orders, key_col="o_custkey", p=9).collect()[0]
+    assert row["exact"] == orders.select("o_custkey").distinct().count()
+    assert row["rel_err"] <= 3 * 1.04 / (512 ** 0.5), row
+
+
+def test_temporal_split_holds_out_last_two(spark, sf_dir):
+    from aprs2influxdb_spark.queries import q_temporal_split, _t
+
+    out = q_temporal_split(spark, sf_dir)
+    per_user = out.groupBy("user_id").agg(
+        F.sum((F.col("split") == "val").cast("int")).alias("nv"),
+        F.count("*").alias("n"),
+    )
+    # every user with >= 2 events holds out exactly 2; smaller users
+    # hold out everything they have
+    bad = per_user.filter(
+        ((F.col("n") >= 2) & (F.col("nv") != 2)) | ((F.col("n") < 2) & (F.col("nv") != F.col("n")))
+    ).count()
+    assert bad == 0
+    # the held-out events are the LATEST per user
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    joined = out.join(ev, "event_id")
+    w_max_train = joined.filter(F.col("split") == "train").groupBy("user_id").agg(F.max("ts").alias("mt"))
+    w_min_val = joined.filter(F.col("split") == "val").groupBy("user_id").agg(F.min("ts").alias("mv"))
+    overlap = w_max_train.join(w_min_val, "user_id").filter(F.col("mt") > F.col("mv")).count()
+    assert overlap == 0
