@@ -124,6 +124,25 @@ def _hll_constants(p: int) -> tuple[int, float]:
 _LN2 = 0.6931471805599453  # shared literal: rho = floor(ln(lowbit)/LN2 + .5)
 
 
+def hll_observations(df: DataFrame, key_col: str, p: int = 9) -> DataFrame:
+    """Per-row HLL observations ``(idx, rho)`` — the pre-aggregation
+    substrate shared by :func:`hll_portable` and the mergeability
+    demo.  ``h div m`` MUST be integer arithmetic (a shift): float
+    division of a 60-bit int64 loses low bits and corrupts the
+    trailing-zero ranks."""
+    m = 1 << p
+    h = portable_hash64(F.col(key_col).cast("string"))
+    rest = F.shiftright(h, p)
+    lowbit = rest.bitwiseAND(-rest)
+    rho = F.when(rest == 0, F.lit(51)).otherwise(
+        F.least(
+            F.lit(51),
+            (F.floor(F.log(lowbit.cast("double")) / F.lit(_LN2) + F.lit(0.5)) + 1).cast("int"),
+        )
+    )
+    return df.select(F.pmod(h, F.lit(m)).alias("idx"), rho.alias("rho"), "*")
+
+
 def hll_portable(
     df: DataFrame, key_col: str, p: int = 9,
 ) -> DataFrame:
@@ -141,19 +160,8 @@ def hll_portable(
     identical operands.  Returns one row: (m, v_zero, hll_est, exact,
     rel_err)."""
     m, num = _hll_constants(p)
-    h = portable_hash64(F.col(key_col).cast("string"))
-    # h div m MUST be integer arithmetic: float division of a 60-bit
-    # int64 loses low bits and corrupts the trailing-zero ranks
-    rest = F.shiftright(h, p)
-    lowbit = rest.bitwiseAND(-rest)
-    rho = F.when(rest == 0, F.lit(51)).otherwise(
-        F.least(
-            F.lit(51),
-            (F.floor(F.log(lowbit.cast("double")) / F.lit(_LN2) + F.lit(0.5)) + 1).cast("int"),
-        )
-    )
     regs = (
-        df.select(F.pmod(h, F.lit(m)).alias("idx"), rho.alias("rho"))
+        hll_observations(df, key_col, p)
         .groupBy("idx")
         .agg(F.max("rho").alias("mj"))
     )
@@ -181,6 +189,99 @@ def hll_portable(
             rhu(F.abs(est - F.col("exact")) / F.col("exact"), 4).alias("rel_err"),
         )
     )
+
+
+def hll_merge_demo(
+    df: DataFrame, key_col: str, group_col: str, p: int = 9,
+) -> DataFrame:
+    """Sketch MERGEABILITY, the property that makes HLL the 100 TB
+    distinct-count tool: per-group register arrays combine by
+    elementwise max into exactly the sketch a single global pass
+    builds — so shards/partitions/days can be sketched independently
+    and unioned later.  This entry computes the global estimate BOTH
+    ways (direct, and per-``group_col`` sketches merged) and emits
+    them side by side with the group count; the oracle reproduces
+    both, and ``tests`` pin direct == merged."""
+    m, num = _hll_constants(p)
+    obs = hll_observations(df, key_col, p).localCheckpoint(eager=False)
+    direct = obs.groupBy("idx").agg(F.max("rho").alias("mj"))
+    grouped = (
+        obs.groupBy(group_col, "idx").agg(F.max("rho").alias("gmj"))
+    ).localCheckpoint(eager=False)  # feeds the merge AND the group count
+    ng = grouped.agg(F.countDistinct(group_col).cast("int").alias("n_groups"))
+    merged = grouped.groupBy("idx").agg(F.max("gmj").alias("mj"))
+
+    def est(regs: DataFrame):
+        sk = regs.agg(
+            F.count("*").alias("np"),
+            F.sum(F.expr("CAST(power(2.0D, 51 - mj) AS BIGINT)")).alias("sp"),
+        ).select(
+            (F.lit(m) - F.col("np")).alias("vz"),
+            (F.col("sp") + (F.lit(m) - F.col("np")) * F.lit(1 << 51)).alias("st"),
+        )
+        raw = F.lit(num) / F.col("st")
+        e = F.when(
+            (raw <= 2.5 * m) & (F.col("vz") > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("vz")),
+        ).otherwise(raw)
+        return sk.select(rhu(e, 2).alias("e"))
+
+    d = est(direct).select(F.col("e").alias("direct_est"))
+    g = est(merged).select(F.col("e").alias("merged_est"))
+    return (
+        d.crossJoin(g).crossJoin(F.broadcast(ng))
+        .select(
+            F.lit(m).alias("m"),
+            "n_groups",
+            "direct_est",
+            "merged_est",
+            (F.col("direct_est") == F.col("merged_est")).alias("merge_exact"),
+        )
+    )
+
+
+def hll_merge_demo_sql(src_sql: str, p: int = 9) -> str:
+    """DuckDB twin of :func:`hll_merge_demo` — ``src_sql`` must yield
+    columns ``k`` and ``g``."""
+    m, num = _hll_constants(p)
+    h = portable_hash64_sql("k::VARCHAR")
+    est_raw = f"({num!r} / st)"
+    est = (
+        f"CASE WHEN {est_raw} <= {2.5 * m} AND vz > 0 "
+        f"THEN {float(m)!r} * ln({float(m)!r} / vz) ELSE {est_raw} END"
+    )
+
+    def fin(regs: str, alias: str) -> str:
+        return f"""{alias}_s AS (
+  SELECT count(*) AS np,
+         CAST(sum(CAST(power(2.0, 51 - mj) AS BIGINT)) AS BIGINT) AS sp
+  FROM {regs}
+), {alias}_a AS (
+  SELECT ({m} - np) AS vz, sp + ({m} - np) * {1 << 51} AS st FROM {alias}_s
+), {alias}_e AS (
+  SELECT (floor(({est}) * 100 + 0.5) / 100.0) AS e FROM {alias}_a
+)"""
+
+    return f"""
+WITH src AS ({src_sql}),
+hb AS (
+  SELECT g, ({h}) % {m} AS idx,
+         CASE WHEN ({h}) // {m} = 0 THEN 51
+              ELSE least(51, CAST(floor(ln((({h}) // {m}) & (-(({h}) // {m}))) / {_LN2!r} + 0.5) AS INT) + 1)
+              END AS rho
+  FROM src
+),
+direct AS (SELECT idx, max(rho) AS mj FROM hb GROUP BY idx),
+grouped AS (SELECT g, idx, max(rho) AS gmj FROM hb GROUP BY g, idx),
+ng AS (SELECT count(DISTINCT g) AS n_groups FROM grouped),
+merged AS (SELECT idx, max(gmj) AS mj FROM grouped GROUP BY idx),
+{fin('direct', 'd')},
+{fin('merged', 'mm')}
+SELECT {m} AS m, CAST(n_groups AS INT) AS n_groups,
+       d_e.e AS direct_est, mm_e.e AS merged_est,
+       d_e.e = mm_e.e AS merge_exact
+FROM d_e, mm_e, ng
+"""
 
 
 def hll_portable_sql(src_sql: str, p: int = 9) -> str:

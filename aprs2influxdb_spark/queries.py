@@ -1911,6 +1911,252 @@ WHERE len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh
 """
 
 
+def q_hll_merge(spark, sf):
+    """HLL sketch MERGEABILITY (per-event-type register arrays combined
+    by elementwise max == the single global sketch) — the property that
+    lets 1000 executors sketch shards independently; direct and merged
+    estimates emitted side by side.  See
+    operators.sketches.hll_merge_demo."""
+    from aprs2influxdb_spark.operators.sketches import hll_merge_demo
+
+    return hll_merge_demo(_t(spark, sf, "events"), key_col="user_id", group_col="event_type")
+
+
+def _hll_merge_sql() -> str:
+    from aprs2influxdb_spark.operators.sketches import hll_merge_demo_sql
+
+    return hll_merge_demo_sql("SELECT user_id AS k, event_type AS g FROM events")
+
+
+def q_sax_motif_counts(spark, sf):
+    """Motif discovery over the SAX words: profiles sharing a symbolic
+    word form a motif (the Lin/Keogh use of SAX) — emit each word with
+    its member count and canonical (min) member, multi-member motifs
+    only.  One extra 4-byte-key groupBy on top of ``sax_symbols``."""
+    sax = q_sax_symbols(spark, sf)
+    return (
+        sax.groupBy("sax")
+        .agg(F.count("*").alias("n_users"), F.min("user_id").alias("first_user"))
+        .filter(F.col("n_users") > 1)
+    )
+
+
+def _sax_motif_sql() -> str:
+    return f"""
+SELECT sax, CAST(count(*) AS BIGINT) AS n_users, min(user_id) AS first_user
+FROM ({_sax_sql()}) GROUP BY sax HAVING count(*) > 1
+"""
+
+
+# DCG position weights 1/log2(r+1), micro-integerized in Python so the
+# per-rank products and sums are exact int64 on both engines
+_NDCG_K = 10
+
+
+def _dcg_weights_micro(k: int = _NDCG_K) -> list[int]:
+    import math
+
+    return [int(math.floor(1e6 / math.log2(r + 1) + 0.5)) for r in range(1, k + 1)]
+
+
+def q_ndcg_bm25(spark, sf):
+    """Retrieval EVALUATION: nDCG@10 of the BM25 ranking against a
+    deterministic graded relevance oracle (rel(q,d) = hash-derived
+    0..3) — the metric loop a retrieval/curation pipeline closes
+    before trusting its ranker.  DCG uses micro-integerized position
+    weights, so DCG/IDCG are exact integers and nDCG is one exact
+    division; the ideal ranking is the per-query corpus-wide top-10
+    by (rel desc, doc_id) — one window over a query×corpus grid
+    (n_queries is a small literal; the corpus moves once)."""
+    from aprs2influxdb_spark.operators.textanalysis import BM25_QUERIES
+
+    w = _dcg_weights_micro()
+    warr = F.array(*[F.lit(x) for x in w])
+    rel = lambda q, d: F.pmod(  # noqa: E731
+        portable_hash64(F.concat(F.lit("rel_"), q.cast("string"), F.lit("_"), d.cast("string"))),
+        F.lit(4),
+    )
+    ranked = ta.bm25_topk(_t(spark, sf, "documents")).select(
+        "query_id", "doc_id", "rk"
+    )
+    dcg = (
+        ranked.withColumn("rel", rel(F.col("query_id"), F.col("doc_id")))
+        .groupBy("query_id")
+        .agg(F.sum(F.col("rel") * F.element_at(warr, F.col("rk"))).alias("dcg_micro"))
+    )
+    qids = F.array(*[F.lit(name) for name, _terms in BM25_QUERIES])
+    grid = (
+        _t(spark, sf, "documents")
+        .select("doc_id", F.explode(qids).alias("query_id"))
+        .withColumn("rel", rel(F.col("query_id"), F.col("doc_id")))
+    )
+    wi = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+    idcg = (
+        grid.withColumn("irk", F.row_number().over(wi))
+        .filter(F.col("irk") <= _NDCG_K)
+        .groupBy("query_id")
+        .agg(F.sum(F.col("rel") * F.element_at(warr, F.col("irk"))).alias("idcg_micro"))
+    )
+    return dcg.join(idcg, "query_id").select(
+        "query_id",
+        "dcg_micro",
+        "idcg_micro",
+        rhu(F.col("dcg_micro") / F.col("idcg_micro"), 6).alias("ndcg"),
+    )
+
+
+def _ndcg_sql() -> str:
+    from aprs2influxdb_spark.operators.textanalysis import BM25_QUERIES
+
+    w = ", ".join(str(x) for x in _dcg_weights_micro())
+    relq = portable_hash64_sql("'rel_' || query_id::VARCHAR || '_' || doc_id::VARCHAR")
+    qlits = ", ".join(f"'{name}'" for name, _t in BM25_QUERIES)
+    return f"""
+WITH wt AS (SELECT [{w}] AS w),
+r AS (
+  SELECT query_id, doc_id, rk, ({relq}) % 4 AS rel
+  FROM ({_bm25_sql()})
+),
+dcg AS (
+  SELECT query_id, CAST(sum(rel * wt.w[rk]) AS BIGINT) AS dcg_micro
+  FROM r, wt GROUP BY query_id
+),
+grid AS (
+  SELECT query_id, doc_id, ({relq}) % 4 AS rel
+  FROM documents, unnest([{qlits}]) q(query_id)
+),
+ideal AS (
+  SELECT query_id, rel, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS irk
+  FROM grid
+),
+idcg AS (
+  SELECT query_id, CAST(sum(rel * wt.w[irk]) AS BIGINT) AS idcg_micro
+  FROM ideal, wt WHERE irk <= {_NDCG_K} GROUP BY query_id
+)
+SELECT d.query_id, dcg_micro, idcg_micro,
+       (floor((dcg_micro * 1.0 / idcg_micro) * 1000000 + 0.5) / 1000000.0) AS ndcg
+FROM dcg d JOIN idcg USING (query_id)
+"""
+
+
+def q_source_token_kl(spark, sf):
+    """Pairwise KL divergence between per-source token distributions
+    (add-one smoothed over the shared vocabulary) — the mixture
+    diagnostic that quantifies how far each source's language drifts
+    from the others before weighting a training blend.  Per-term
+    contributions are nano-nat integers before the per-pair sum
+    (aggregation order can't move the result); the token counts are
+    ONE scan + one (source, token) groupBy, and the pair grid lives on
+    the tiny vocab×sources×sources frame."""
+    toks = _t(spark, sf, "documents").select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    counts = toks.groupBy("source", "tok").agg(F.count("*").alias("c")).localCheckpoint(eager=False)
+    totals = counts.groupBy("source").agg(F.sum("c").alias("n"))
+    vocab = counts.select("tok").distinct()
+    vsize = counts.agg(F.countDistinct("tok").alias("v"))
+    srcs = counts.select("source").distinct()
+    grid = (
+        vocab.crossJoin(srcs.select(F.col("source").alias("src_a")))
+        .crossJoin(srcs.select(F.col("source").alias("src_b")))
+        .filter(F.col("src_a") != F.col("src_b"))
+    )
+    ca = counts.select(F.col("source").alias("src_a"), "tok", F.col("c").alias("c_a"))
+    cb = counts.select(F.col("source").alias("src_b"), "tok", F.col("c").alias("c_b"))
+    na = totals.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    nb = totals.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    pa = (F.coalesce("c_a", F.lit(0)) + 1).cast("double") / (F.col("n_a") + F.col("v"))
+    pb = (F.coalesce("c_b", F.lit(0)) + 1).cast("double") / (F.col("n_b") + F.col("v"))
+    term = F.floor(pa * F.log(pa / pb) * 1e9 + F.lit(0.5)).cast("long")
+    return (
+        grid.join(ca, ["src_a", "tok"], "left")
+        .join(cb, ["src_b", "tok"], "left")
+        .join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .crossJoin(F.broadcast(vsize))
+        .withColumn("t", term)
+        .groupBy("src_a", "src_b")
+        .agg(F.sum("t").alias("kl_nano"))
+        .select("src_a", "src_b", "kl_nano", rhu(F.col("kl_nano") / F.lit(1e9), 6).alias("kl"))
+    )
+
+
+SQL_SOURCE_TOKEN_KL = """
+WITH toks AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+), counts AS (
+  SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2
+), totals AS (SELECT source, sum(c) AS n FROM counts GROUP BY source),
+vocab AS (SELECT DISTINCT tok FROM counts),
+vs AS (SELECT count(DISTINCT tok) AS v FROM counts),
+srcs AS (SELECT DISTINCT source FROM counts),
+grid AS (
+  SELECT v.tok, a.source AS src_a, b.source AS src_b
+  FROM vocab v, srcs a, srcs b WHERE a.source != b.source
+), j AS (
+  SELECT g.src_a, g.src_b,
+         (coalesce(ca.c, 0) + 1)::DOUBLE / (na.n + vs.v) AS pa,
+         (coalesce(cb.c, 0) + 1)::DOUBLE / (nb.n + vs.v) AS pb
+  FROM grid g
+  LEFT JOIN counts ca ON ca.source = g.src_a AND ca.tok = g.tok
+  LEFT JOIN counts cb ON cb.source = g.src_b AND cb.tok = g.tok
+  JOIN totals na ON na.source = g.src_a
+  JOIN totals nb ON nb.source = g.src_b, vs
+)
+SELECT src_a, src_b,
+       CAST(sum(CAST(floor(pa * ln(pa / pb) * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS kl_nano,
+       (floor((sum(CAST(floor(pa * ln(pa / pb) * 1000000000 + 0.5) AS BIGINT)) / 1000000000.0) * 1000000 + 0.5) / 1000000.0) AS kl
+FROM j GROUP BY src_a, src_b
+"""
+
+
+def q_streaming_png_features(spark, sf):
+    """The stdlib PNG codec AT INGEST: the encode→decode roundtrip of
+    ``multimodal_png_decode`` as a stateless append-mode stream
+    transform (mapInPandas over the document stream) — multimodal
+    feature extraction where a production pipeline actually runs it,
+    on arrival.  Shares the batch oracle verbatim."""
+    from aprs2influxdb_spark.streaming.bounded import run_bounded, stream_docs
+    from pyspark.sql.types import (
+        IntegerType as _Int,
+        LongType as _Long,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    out_schema = _ST([
+        _SF("media_id", _Long(), False),
+        _SF("width", _Int(), True),
+        _SF("height", _Int(), True),
+        _SF("feat_mean", _Long(), True),
+    ])
+
+    def _roundtrip(batches):
+        import pandas as pd
+
+        from aprs2influxdb_spark.functions.png import decode_png, encode_png, to_gray
+
+        for pdf in batches:
+            feats = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                px = bytes(
+                    c
+                    for i in range(64)
+                    for c in ((d * 3 + i * 7) % 256, (d * 5 + i * 11) % 256, (d * 7 + i * 13) % 256)
+                )
+                blob = encode_png(px, 8, 8, "RGB", filters=[0, 1, 2, 3, 4])
+                w, h, mode, decoded = decode_png(blob)
+                if decoded != px:
+                    raise ValueError(f"PNG roundtrip mismatch for doc {d}")
+                luma = to_gray(mode, decoded)
+                feats.append((d, w, h, sum(luma) // len(luma)))
+            yield pd.DataFrame(feats, columns=["media_id", "width", "height", "feat_mean"])
+
+    est = stream_docs(spark, sf).select("doc_id").mapInPandas(_roundtrip, out_schema)
+    return run_bounded(spark, est, "append", "stream_png_features")
+
+
 def q_sax_symbols(spark, sf):
     """SAX symbolic representation (Lin/Keogh) of each user's hourly
     profile: z-normalize, 4 PAA segments, 4-symbol Gaussian-breakpoint
@@ -8033,8 +8279,13 @@ def registry() -> dict[str, tuple]:
         "geo_cell_pairs": (q_geo_cell_pairs, _geo_cell_sql()),
         "weighted_percentiles": (q_weighted_percentiles, SQL_WEIGHTED_PERCENTILES),
         "sax_symbols": (q_sax_symbols, _sax_sql()),
+        "sax_motif_counts": (q_sax_motif_counts, _sax_motif_sql()),
         "benford_deviation": (q_benford_deviation, _benford_sql()),
         "interp_bigram_logprob": (q_interp_bigram_logprob, _interp_bigram_sql()),
+        "hll_merge": (q_hll_merge, _hll_merge_sql()),
+        "ndcg_bm25": (q_ndcg_bm25, _ndcg_sql()),
+        "source_token_kl": (q_source_token_kl, SQL_SOURCE_TOKEN_KL),
+        "streaming_png_features": (q_streaming_png_features, SQL_MULTIMODAL_PNG_DECODE),
         "temporal_split": (q_temporal_split, SQL_TEMPORAL_SPLIT),
         "label_prop_knn": (q_label_prop_knn, _label_prop_sql()),
         "simhash": (q_simhash, _simhash_sql()),

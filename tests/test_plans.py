@@ -638,6 +638,10 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "cdc_chunk_dedup": 4,
     "pca_top_component": 2,
     "sax_symbols": 3,
+    "sax_motif_counts": 4,
+    "hll_merge": 7,
+    "ndcg_bm25": 10,
+    "source_token_kl": 9,
     "benford_deviation": 3,
     "interp_bigram_logprob": 5,
     "geo_cell_pairs": 3,
