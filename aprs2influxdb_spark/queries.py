@@ -1911,6 +1911,84 @@ WHERE len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh
 """
 
 
+def q_time_weighted_avg(spark, sf):
+    """Time-weighted average per series (the TimescaleDB
+    ``time_weight('Linear')`` / InfluxQL ``integral/elapsed`` idiom):
+    trapezoidal area between consecutive points divided by the series'
+    covered duration — THE correct mean for irregularly-sampled
+    measurements, where the plain ``avg`` over-weights bursts.  Areas
+    are micro-integerized per segment before the sum (aggregation
+    order can't move the result, unlike a raw double sum); one series-
+    key shuffle serves the lag window and the rollup."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    area_micro = F.floor(
+        (F.col("value") + F.lag("value", 1).over(w)) / 2 * gap * 1_000_000 + F.lit(0.5)
+    ).cast("long")
+    return (
+        _t(spark, sf, "events")
+        .withColumn("am", area_micro)
+        .withColumn("g", gap)
+        .groupBy("user_id")
+        .agg(F.sum("am").alias("area_micro"), F.sum("g").alias("dur_s"))
+        .filter(F.col("dur_s") > 0)
+        .select(
+            "user_id",
+            rhu(F.col("area_micro") / F.lit(1e6) / F.col("dur_s"), 6).alias("twavg"),
+            F.col("dur_s").cast("long").alias("dur_s"),
+        )
+    )
+
+
+SQL_TIME_WEIGHTED_AVG = """
+WITH d AS (
+  SELECT user_id,
+         CAST(floor((value + lag(value, 1) OVER w) / 2
+              * (floor(epoch(ts))::BIGINT - floor(epoch(lag(ts, 1) OVER w))::BIGINT)
+              * 1000000 + 0.5) AS BIGINT) AS am,
+         (floor(epoch(ts))::BIGINT - floor(epoch(lag(ts, 1) OVER w))::BIGINT) AS g
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, CAST(sum(am) AS BIGINT) AS area_micro, CAST(sum(g) AS BIGINT) AS dur_s
+  FROM d GROUP BY user_id
+)
+SELECT user_id,
+       (floor((area_micro / 1000000.0 / dur_s) * 1000000 + 0.5) / 1000000.0) AS twavg,
+       dur_s
+FROM s WHERE dur_s > 0
+"""
+
+
+def q_streaming_hll_registers(spark, sf):
+    """HLL register maintenance AT INGEST: the (idx, max rank) register
+    table over the streaming events — the production shape of a
+    streaming distinct-count (registers live in the store/state and
+    merge by max; the estimate is computed on read, which streaming's
+    single-aggregate rule also mandates).  Oracle = the same register
+    table from the batch scan."""
+    from aprs2influxdb_spark.operators.sketches import hll_observations
+    from aprs2influxdb_spark.streaming.bounded import run_bounded, stream_events
+
+    obs = hll_observations(stream_events(spark, sf), "user_id", 9)
+    regs = obs.groupBy("idx").agg(F.max("rho").alias("mj"))
+    return run_bounded(spark, regs, "complete", "stream_hll_regs")
+
+
+def _hll_registers_sql(p: int = 9) -> str:
+    from aprs2influxdb_spark.operators.sketches import _LN2
+
+    m = 1 << p
+    h = portable_hash64_sql("user_id::VARCHAR")
+    return f"""
+SELECT ({h}) % {m} AS idx,
+       max(CASE WHEN ({h}) // {m} = 0 THEN 51
+           ELSE least(51, CAST(floor(ln((({h}) // {m}) & (-(({h}) // {m}))) / {_LN2!r} + 0.5) AS INT) + 1)
+           END) AS mj
+FROM events GROUP BY idx
+"""
+
+
 def q_hll_merge(spark, sf):
     """HLL sketch MERGEABILITY (per-event-type register arrays combined
     by elementwise max == the single global sketch) — the property that
@@ -8283,6 +8361,8 @@ def registry() -> dict[str, tuple]:
         "benford_deviation": (q_benford_deviation, _benford_sql()),
         "interp_bigram_logprob": (q_interp_bigram_logprob, _interp_bigram_sql()),
         "hll_merge": (q_hll_merge, _hll_merge_sql()),
+        "time_weighted_avg": (q_time_weighted_avg, SQL_TIME_WEIGHTED_AVG),
+        "streaming_hll_registers": (q_streaming_hll_registers, _hll_registers_sql()),
         "ndcg_bm25": (q_ndcg_bm25, _ndcg_sql()),
         "source_token_kl": (q_source_token_kl, SQL_SOURCE_TOKEN_KL),
         "streaming_png_features": (q_streaming_png_features, SQL_MULTIMODAL_PNG_DECODE),

@@ -201,6 +201,11 @@ HEADLINE = [
     "interp_bigram_logprob",
     "temporal_split",
     "influx_difference",
+    "hll_merge",
+    "sax_motif_counts",
+    "ndcg_bm25",
+    "source_token_kl",
+    "time_weighted_avg",
 ]
 
 

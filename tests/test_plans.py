@@ -640,6 +640,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "sax_symbols": 3,
     "sax_motif_counts": 4,
     "hll_merge": 7,
+    "time_weighted_avg": 2,
     "ndcg_bm25": 10,
     "source_token_kl": 9,
     "benford_deviation": 3,
