@@ -1911,6 +1911,97 @@ WHERE len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh
 """
 
 
+def q_pca_scores(spark, sf):
+    """PCA projection scores: every vector's coordinate along the
+    power-iteration top component (micro-quantized centering · the
+    6dp-rounded loading) — the whitening/compression transform
+    applied, not just learned.  The loadings come from the SAME
+    ``pca_top_component`` computation, collected driver-side (64
+    doubles — the k-means-pull precedent) and broadcast into a single
+    narrow projection pass; the oracle re-derives them through the
+    recursive CTE and joins.  Score terms are products of exact
+    micro-ints and 6dp loadings summed in index order — identical on
+    both engines before the 4dp rounding."""
+    rows = sim.pca_top_component(_t(spark, sf, "embeddings")).orderBy("dim").collect()
+    loadings = [float(r["loading"]) for r in rows]
+    means = _t(spark, sf, "embeddings").agg(
+        *[rhu(F.avg(F.get(F.col("embedding"), d)), 6).alias(f"m{d}") for d in range(64)]
+    ).collect()[0]
+    mu = [float(means[f"m{d}"]) for d in range(64)]
+    q = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.floor(
+            (x.cast("double") - F.element_at(F.lit(mu), i + 1)) * 1_000_000 + F.lit(0.5)
+        ).cast("long"),
+    )
+    score = F.aggregate(
+        F.zip_with(q, F.lit(loadings), lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) / F.lit(1e6)
+    return _t(spark, sf, "embeddings").select(
+        "vec_id", rhu(score, 4).alias("pc1_score")
+    )
+
+
+def _pca_scores_sql(dim: int = 64) -> str:
+    pca = sim.pca_top_component_sql()
+    return f"""
+WITH pc AS (
+  SELECT list(loading ORDER BY dim) AS l FROM ({pca})
+),
+md AS (
+  SELECT d, floor(avg(embedding[d + 1]::DOUBLE) * 1000000 + 0.5) / 1000000.0 AS m
+  FROM embeddings, range(0, {dim}) t(d) GROUP BY d
+),
+mu AS (SELECT list(m ORDER BY d) AS m FROM md),
+q AS (
+  SELECT vec_id,
+         list_transform(range(0, {dim}),
+           d -> CAST(floor((embedding[d + 1]::DOUBLE - mu.m[d + 1]) * 1000000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings, mu
+)
+SELECT vec_id,
+       (floor((list_reduce(list_transform(range(0, {dim}), d -> qv[d + 1]::DOUBLE * pc.l[d + 1]),
+                           (a, x) -> a + x) / 1000000.0) * 10000 + 0.5) / 10000.0) AS pc1_score
+FROM q, pc
+"""
+
+
+def q_dup_threshold_curve(spark, sf):
+    """Dedup-rate-vs-threshold curve: the verified near-dup pairs
+    bucketed by Jaccard decile (0.5–1.0) with pair counts and the
+    cumulative pair count from the top — the ONE-pass measurement that
+    picks a dedup threshold by its cost/aggressiveness trade before a
+    100 TB run commits to one.  Rides the existing banded-LSH pair
+    machinery (threshold 0.5 floor); the curve itself is a 5-row
+    aggregate over the pair table."""
+    pairs = dd.minhash_lsh_pairs(_t(spark, sf, "documents"), num_hashes=16, bands=4, threshold=0.5)
+    b = F.least(F.floor(F.col("jaccard") * 10).cast("int"), F.lit(9))
+    per = pairs.select(b.alias("bucket")).groupBy("bucket").agg(F.count("*").alias("n_pairs"))
+    w = Window.orderBy(F.col("bucket").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "bucket",
+        (F.col("bucket") / 10.0).alias("threshold"),
+        "n_pairs",
+        F.sum("n_pairs").over(w).alias("cum_pairs_at_or_above"),
+    )
+
+
+def _dup_threshold_sql() -> str:
+    return f"""
+WITH pairs AS ({_minhash_lsh_sql()}),
+per AS (
+  SELECT least(CAST(floor(jaccard * 10) AS INT), 9) AS bucket, count(*) AS n_pairs
+  FROM pairs GROUP BY 1
+)
+SELECT bucket, bucket / 10.0 AS threshold, CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pairs_at_or_above
+FROM per
+"""
+
+
 def q_time_weighted_avg(spark, sf):
     """Time-weighted average per series (the TimescaleDB
     ``time_weight('Linear')`` / InfluxQL ``integral/elapsed`` idiom):
@@ -8362,6 +8453,8 @@ def registry() -> dict[str, tuple]:
         "interp_bigram_logprob": (q_interp_bigram_logprob, _interp_bigram_sql()),
         "hll_merge": (q_hll_merge, _hll_merge_sql()),
         "time_weighted_avg": (q_time_weighted_avg, SQL_TIME_WEIGHTED_AVG),
+        "pca_scores": (q_pca_scores, _pca_scores_sql()),
+        "dup_threshold_curve": (q_dup_threshold_curve, _dup_threshold_sql()),
         "streaming_hll_registers": (q_streaming_hll_registers, _hll_registers_sql()),
         "ndcg_bm25": (q_ndcg_bm25, _ndcg_sql()),
         "source_token_kl": (q_source_token_kl, SQL_SOURCE_TOKEN_KL),

@@ -637,6 +637,8 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "bbit_minhash": 5,
     "cdc_chunk_dedup": 4,
     "pca_top_component": 2,
+    "pca_scores": 2,
+    "dup_threshold_curve": 6,
     "sax_symbols": 3,
     "sax_motif_counts": 4,
     "hll_merge": 7,
