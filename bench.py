@@ -206,6 +206,8 @@ HEADLINE = [
     "ndcg_bm25",
     "source_token_kl",
     "time_weighted_avg",
+    "pca_scores",
+    "dup_threshold_curve",
 ]
 
 
