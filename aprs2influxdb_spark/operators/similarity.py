@@ -878,9 +878,43 @@ def pca_top_component(
     oracle's recursive CTE, so the eigenvector matches to the ulp
     before its 6dp rounding.  Sign fixed by making the largest-|·|
     loading positive (first index on ties).  Returns (dim, loading,
-    eigval) rows."""
+    eigval) rows.
+
+    The fit (means + covariance + iteration) is memoized per
+    (session, logical plan) like ``functions.counts`` — the learn
+    entry and the :func:`pca_scores`-style apply entries share one
+    pair of jobs instead of re-scanning per operator."""
+    mu, v, lam = pca_fit(emb, id_col, vec_col, dim, iters)
+    spark = emb.sparkSession
+    rows = [(d, v[d], lam) for d in range(dim)]
+    out = spark.createDataFrame(rows, "dim int, loading double, eigval double")
+    return out.select(
+        "dim", rhu("loading", 6).alias("loading"), rhu("eigval", 2).alias("eigval")
+    )
+
+
+_PCA_CACHE: dict[tuple, tuple] = {}
+
+
+def pca_fit(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int = 64, iters: int = 8,
+) -> tuple[list, list, float]:
+    """(mu, sign-fixed loading vector, eigenvalue) of the corpus — the
+    two distributed jobs of :func:`pca_top_component`, memoized per
+    (applicationId, semanticHash, dim, iters) under the same
+    immutable-input contract as ``functions.counts.corpus_count``."""
     import math
 
+    try:
+        key = (
+            emb.sparkSession.sparkContext.applicationId,
+            emb.semanticHash(), id_col, vec_col, dim, iters,
+        )
+    except Exception:
+        key = None
+    if key is not None and key in _PCA_CACHE:
+        return _PCA_CACHE[key]
     means = emb.agg(
         *[rhu(F.avg(F.get(F.col(vec_col), d)), 6).alias(f"m{d}") for d in range(dim)]
     ).collect()[0]
@@ -908,12 +942,10 @@ def pca_top_component(
         lam = math.sqrt(sum(x * x for x in w))
         v = [x / lam for x in w]
     flip = -1.0 if v[max(range(dim), key=lambda i: (abs(v[i]), -i))] < 0 else 1.0
-    spark = emb.sparkSession
-    rows = [(d, flip * v[d], lam) for d in range(dim)]
-    out = spark.createDataFrame(rows, "dim int, loading double, eigval double")
-    return out.select(
-        "dim", rhu("loading", 6).alias("loading"), rhu("eigval", 2).alias("eigval")
-    )
+    fit = (mu, [flip * x for x in v], lam)
+    if key is not None:
+        _PCA_CACHE[key] = fit
+    return fit
 
 
 def pca_top_component_sql(dim: int = 64, iters: int = 8) -> str:

@@ -1922,12 +1922,12 @@ def q_pca_scores(spark, sf):
     recursive CTE and joins.  Score terms are products of exact
     micro-ints and 6dp loadings summed in index order — identical on
     both engines before the 4dp rounding."""
-    rows = sim.pca_top_component(_t(spark, sf, "embeddings")).orderBy("dim").collect()
-    loadings = [float(r["loading"]) for r in rows]
-    means = _t(spark, sf, "embeddings").agg(
-        *[rhu(F.avg(F.get(F.col("embedding"), d)), 6).alias(f"m{d}") for d in range(64)]
-    ).collect()[0]
-    mu = [float(means[f"m{d}"]) for d in range(64)]
+    import math
+
+    raw_mu, raw_v, _lam = sim.pca_fit(_t(spark, sf, "embeddings"))
+    # identical IEEE ops to the learn entry's rhu(loading, 6)
+    loadings = [math.floor(x * 1e6 + 0.5) / 1e6 for x in raw_v]
+    mu = raw_mu
     q = F.transform(
         F.col("embedding"),
         lambda x, i: F.floor(

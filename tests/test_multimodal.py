@@ -297,3 +297,36 @@ def test_stdlib_matches_pil_decode():
         assert decode_image_stdlib(payload) == decode_image_pil(payload)
         assert resize_image_stdlib(payload, 2, 2) == resize_image_pil(payload, 2, 2)
         assert resize_image_stdlib(payload, 8, 4) == resize_image_pil(payload, 8, 4)
+
+
+def test_png_roundtrip_property():
+    """Property test: ANY pixel buffer in any supported mode, any
+    dimensions, any filter assignment must roundtrip bit-exactly
+    through the stdlib codec (hypothesis drives sizes, modes, filter
+    sequences, and pixel bytes)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aprs2influxdb_spark.functions.png import decode_png, encode_png
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 9),
+        mode=st.sampled_from(["L", "RGB", "RGBA"]),
+        filters=st.lists(st.integers(0, 4), min_size=1, max_size=6),
+        data=st.data(),
+    )
+    def check(w, h, mode, filters, data):
+        ch = {"L": 1, "RGB": 3, "RGBA": 4}[mode]
+        px = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch
+                )
+            )
+        )
+        dw, dh, dmode, out = decode_png(encode_png(px, w, h, mode, filters=filters))
+        assert (dw, dh, dmode, out) == (w, h, mode, px)
+
+    check()
