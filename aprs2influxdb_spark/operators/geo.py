@@ -26,24 +26,45 @@ from aprs2influxdb_spark.functions.hashing import portable_hash64, portable_hash
 from aprs2influxdb_spark.functions.rounding import rhu, rhu_sql
 
 MICRO = 1_000_000           # microdegrees per degree
-SPAN_DEG = 10               # synthetic positions span [0, 10)°
 CELL_MICRO = 300_000        # 0.3° grid cell == the join radius
+TARGET_DENSITY = 15.0       # synthetic points per square degree
 EARTH_KM = 6371.0088
 
 
-def synth_positions(df: DataFrame, key_col: str) -> DataFrame:
+def span_deg_for(n: int, density: float = TARGET_DENSITY) -> int:
+    """Coverage span (whole degrees) for ``n`` synthetic points at
+    constant density — ``ceil(sqrt(n/density))``, the scale-aware knob
+    pattern (cf. srp_planes_for): a growing position corpus covers
+    more area/time, it does not densify one fixed square, so the
+    radius join's per-point candidate count — and hence total cost —
+    stays LINEAR in n.  (Measured before this derivation: 33.7× on
+    10× rows at fixed span, the density trap.)  Both engines compute
+    the identical ceil-sqrt: IEEE sqrt is correctly rounded."""
+    import math
+
+    return max(1, math.ceil(math.sqrt(n / density)))
+
+
+def synth_positions(df: DataFrame, key_col: str, span_deg: int | None = None) -> DataFrame:
     """Deterministic synthetic positions for a key column: lat/lon
-    microdegrees in [0, SPAN_DEG)° derived from portable hashes — the
-    stand-in for the packet table's real lat/lon at the oracle gate
-    (the operator itself never cares where the coordinates came
-    from)."""
-    span = SPAN_DEG * MICRO
+    microdegrees in [0, span_deg)° derived from portable hashes, span
+    scale-derived via :func:`span_deg_for` over the (memoized) corpus
+    count when not given — the stand-in for the packet table's real
+    lat/lon at the oracle gate (the operator itself never cares where
+    the coordinates came from)."""
+    from aprs2influxdb_spark.functions.counts import corpus_count
+
+    if span_deg is None:
+        span_deg = span_deg_for(corpus_count(df))
+    span = span_deg * MICRO
     lat = F.pmod(portable_hash64(F.concat(F.lit("lat_"), F.col(key_col).cast("string"))), F.lit(span))
     lon = F.pmod(portable_hash64(F.concat(F.lit("lon_"), F.col(key_col).cast("string"))), F.lit(span))
     return df.select(F.col(key_col).alias("pid"), lat.alias("lat_u"), lon.alias("lon_u"))
 
 
-def geo_cell_pairs(points: DataFrame, radius_micro: int = CELL_MICRO) -> DataFrame:
+def geo_cell_pairs(
+    points: DataFrame, radius_micro: int = CELL_MICRO, span_deg: int = 10,
+) -> DataFrame:
     """All point pairs within ``radius_micro`` microdegrees (planar),
     via grid-cell candidate buckets: one side expands to its 3×3 cell
     neighborhood, the other keeps its home cell, so every qualifying
@@ -57,7 +78,7 @@ def geo_cell_pairs(points: DataFrame, radius_micro: int = CELL_MICRO) -> DataFra
     the small exploded side of a shuffle keyed by cell.  This is the
     geohash-prefix join every spatial engine runs, minus the base-32
     costume."""
-    ncell = SPAN_DEG * MICRO // CELL_MICRO + 2  # +2: probe cells may sit 1 off-grid
+    ncell = span_deg * MICRO // CELL_MICRO + 2  # +2: probe cells may sit 1 off-grid
     cell = (
         (F.col("lat_u") / CELL_MICRO).cast("long") * ncell
         + (F.col("lon_u") / CELL_MICRO).cast("long")
@@ -97,13 +118,14 @@ def geo_cell_pairs(points: DataFrame, radius_micro: int = CELL_MICRO) -> DataFra
 
 
 def geo_cell_pairs_sql(src_sql: str, radius_micro: int = CELL_MICRO) -> str:
-    """DuckDB twin — ``src_sql`` must yield one key column ``k``."""
-    span = SPAN_DEG * MICRO
-    ncell = SPAN_DEG * MICRO // CELL_MICRO + 2
+    """DuckDB twin — ``src_sql`` must yield one key column ``k``.  The
+    coverage span derives from ``count(*)`` in a params CTE exactly as
+    :func:`span_deg_for` does (same ceil-sqrt), so the oracle tracks
+    the scale-aware density knob at every sf."""
     lat_h = portable_hash64_sql("'lat_' || k::VARCHAR")
     lon_h = portable_hash64_sql("'lon_' || k::VARCHAR")
-    lat = f"({lat_h}) % {span}"
-    lon = f"({lon_h}) % {span}"
+    lat = f"({lat_h}) % par.span_u"
+    lon = f"({lon_h}) % par.span_u"
     hav = (
         f"2 * {EARTH_KM!r} * asin(sqrt("
         f"sin((radians(b.lat_u / {MICRO}.0) - radians(a.lat_u / {MICRO}.0)) / 2)"
@@ -114,16 +136,21 @@ def geo_cell_pairs_sql(src_sql: str, radius_micro: int = CELL_MICRO) -> str:
     )
     return f"""
 WITH src AS ({src_sql}),
+par AS (
+  SELECT greatest(1, CAST(ceil(sqrt(count(*) / {TARGET_DENSITY!r})) AS BIGINT)) * {MICRO} AS span_u,
+         greatest(1, CAST(ceil(sqrt(count(*) / {TARGET_DENSITY!r})) AS BIGINT)) * {MICRO} // {CELL_MICRO} + 2 AS ncell
+  FROM src
+),
 pts AS (
-  SELECT k AS pid, {lat} AS lat_u, {lon} AS lon_u FROM src
+  SELECT k AS pid, {lat} AS lat_u, {lon} AS lon_u, par.ncell AS ncell FROM src, par
 ),
 home AS (
-  SELECT pid, lat_u, lon_u,
-         (lat_u // {CELL_MICRO}) * {ncell} + (lon_u // {CELL_MICRO}) AS cell
+  SELECT pid, lat_u, lon_u, ncell,
+         (lat_u // {CELL_MICRO}) * ncell + (lon_u // {CELL_MICRO}) AS cell
   FROM pts
 ),
 probes AS (
-  SELECT pid, lat_u, lon_u, cell + dy * {ncell} + dx AS cell
+  SELECT pid, lat_u, lon_u, cell + dy * ncell + dx AS cell
   FROM home, range(-1, 2) y(dy), range(-1, 2) x(dx)
 )
 SELECT DISTINCT a.pid AS pid_a, b.pid AS pid_b,

@@ -2493,10 +2493,17 @@ def q_geo_cell_pairs(spark, sf):
     reported for survivors.  Positions are derived deterministically
     from customer keys (the oracle-gate stand-in for packet
     coordinates)."""
-    from aprs2influxdb_spark.operators.geo import geo_cell_pairs, synth_positions
+    from aprs2influxdb_spark.functions.counts import corpus_count
+    from aprs2influxdb_spark.operators.geo import (
+        geo_cell_pairs,
+        span_deg_for,
+        synth_positions,
+    )
 
-    pts = synth_positions(_t(spark, sf, "customer"), "c_custkey")
-    return geo_cell_pairs(pts)
+    cust = _t(spark, sf, "customer")
+    span = span_deg_for(corpus_count(cust))  # constant-density coverage
+    pts = synth_positions(cust, "c_custkey", span_deg=span)
+    return geo_cell_pairs(pts, span_deg=span)
 
 
 def _geo_cell_sql() -> str:

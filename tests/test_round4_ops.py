@@ -90,13 +90,15 @@ def test_geo_cell_join_is_complete_vs_brute_force(spark):
     from aprs2influxdb_spark.operators.geo import (
         CELL_MICRO,
         geo_cell_pairs,
+        span_deg_for,
         synth_positions,
     )
 
     keys = spark.range(300).select(F.col("id").alias("k"))
-    pts = synth_positions(keys, "k")
+    span = span_deg_for(300)
+    pts = synth_positions(keys, "k", span_deg=span)
     fast = {
-        (r["pid_a"], r["pid_b"]) for r in geo_cell_pairs(pts).collect()
+        (r["pid_a"], r["pid_b"]) for r in geo_cell_pairs(pts, span_deg=span).collect()
     }
     rows = pts.collect()
     brute = set()
