@@ -2482,6 +2482,121 @@ FROM sc GROUP BY doc_id
 """
 
 
+def q_cooccurrence_pmi(spark, sf):
+    """Document-level pointwise mutual information for token pairs —
+    the word-association miner behind collocation extraction and
+    phrase vocab induction: ``PMI(a,b) = ln(N·df(a,b) / (df(a)·df(b)))``
+    over document frequencies, micro-nat integerized, pairs occurring
+    in ≥ 5 docs.  Scale shape: per-doc DISTINCT tokens (vocab-bounded
+    arrays), in-row pair generation (a<b), one pair groupBy + one
+    token-df groupBy, then a broadcast-sized join grid — the pair
+    table is O(vocab²), never O(corpus²)."""
+    toks = _t(spark, sf, "documents").select(
+        F.col("doc_id"), F.array_distinct(F.split(F.lower("text"), " ")).alias("ts")
+    ).localCheckpoint(eager=False)  # pair AND df branches consume it
+    pairs_in_doc = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ts"),
+                lambda a: F.transform(F.col("ts"), lambda b: F.struct(a.alias("a"), b.alias("b"))),
+            )
+        ),
+        lambda s: s["a"] < s["b"],
+    )
+    pair_df = (
+        toks.select(F.explode(pairs_in_doc).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").alias("df_ab"))
+        .filter(F.col("df_ab") >= 5)
+    )
+    tok_df = (
+        toks.select(F.explode("ts").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("df"))
+    )
+    n_docs = toks.agg(F.count("*").alias("n"))
+    pmi = F.floor(
+        F.log(
+            F.col("n").cast("double") * F.col("df_ab") / (F.col("df_a") * F.col("df_b"))
+        ) * 1e6
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        pair_df.join(F.broadcast(tok_df.select(F.col("t").alias("a"), F.col("df").alias("df_a"))), "a")
+        .join(F.broadcast(tok_df.select(F.col("t").alias("b"), F.col("df").alias("df_b"))), "b")
+        .crossJoin(F.broadcast(n_docs))
+        .select("a", "b", "df_ab", pmi.alias("pmi_micro"))
+    )
+
+
+SQL_COOCCURRENCE_PMI = """
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ts FROM documents
+), pr AS (
+  SELECT a.t AS a, b.t AS b, count(*) AS df_ab
+  FROM (SELECT doc_id, unnest(ts) AS t FROM toks) a
+  JOIN (SELECT doc_id, unnest(ts) AS t FROM toks) b
+    ON a.doc_id = b.doc_id AND a.t < b.t
+  GROUP BY 1, 2 HAVING count(*) >= 5
+), tdf AS (
+  SELECT t, count(*) AS df FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY t
+), nd AS (SELECT count(*) AS n FROM toks)
+SELECT a, b, CAST(df_ab AS BIGINT) AS df_ab,
+       CAST(floor(ln(n::DOUBLE * df_ab / (da.df * db.df)) * 1000000 + 0.5) AS BIGINT) AS pmi_micro
+FROM pr JOIN tdf da ON da.t = pr.a JOIN tdf db ON db.t = pr.b, nd
+"""
+
+
+def q_streaming_geo_cells(spark, sf):
+    """Grid-cell assignment AT INGEST: every arriving event tagged with
+    its position's packed cell id (stateless append) — the indexing
+    step that makes the radius join a plain equi-join downstream,
+    placed where a position firehose (the reference's actual input)
+    would run it.  Span derives from the same memoized corpus count as
+    the batch side, mirrored by the oracle's params CTE."""
+    from aprs2influxdb_spark.functions.counts import corpus_count
+    from aprs2influxdb_spark.operators.geo import (
+        CELL_MICRO,
+        MICRO,
+        span_deg_for,
+        synth_positions,
+    )
+    from aprs2influxdb_spark.streaming.bounded import run_bounded, stream_events
+
+    span = span_deg_for(corpus_count(_t(spark, sf, "events")))
+    ncell = span * MICRO // CELL_MICRO + 2
+    pts = synth_positions(
+        stream_events(spark, sf).select("event_id", "user_id"), "user_id", span_deg=span
+    ).withColumnRenamed("pid", "user_id")
+    cells = pts.select(
+        F.col("user_id"),
+        (
+            (F.col("lat_u") / CELL_MICRO).cast("long") * ncell
+            + (F.col("lon_u") / CELL_MICRO).cast("long")
+        ).alias("cell"),
+    ).dropDuplicates(["user_id", "cell"])
+    return run_bounded(spark, cells, "append", "stream_geo_cells")
+
+
+def _streaming_geo_cells_sql() -> str:
+    from aprs2influxdb_spark.functions.hashing import portable_hash64_sql
+    from aprs2influxdb_spark.operators.geo import CELL_MICRO, MICRO, TARGET_DENSITY
+
+    lat_h = portable_hash64_sql("'lat_' || user_id::VARCHAR")
+    lon_h = portable_hash64_sql("'lon_' || user_id::VARCHAR")
+    return f"""
+WITH par AS (
+  SELECT greatest(1, CAST(ceil(sqrt(count(*) / {TARGET_DENSITY!r})) AS BIGINT)) * {MICRO} AS span_u,
+         greatest(1, CAST(ceil(sqrt(count(*) / {TARGET_DENSITY!r})) AS BIGINT)) * {MICRO} // {CELL_MICRO} + 2 AS ncell
+  FROM events
+)
+SELECT DISTINCT user_id,
+       ((({lat_h}) % par.span_u) // {CELL_MICRO}) * par.ncell
+         + ((({lon_h}) % par.span_u) // {CELL_MICRO}) AS cell
+FROM events, par
+"""
+
+
 def q_geo_cell_pairs(spark, sf):
     """Spatial radius self-join through integer grid cells — the
     geohash-bucket join over position data (the reference's packets
@@ -8453,6 +8568,8 @@ def registry() -> dict[str, tuple]:
         "cdc_chunk_dedup": (q_cdc_chunk_dedup, _cdc_chunk_sql()),
         "pca_top_component": (q_pca_top_component, sim.pca_top_component_sql()),
         "geo_cell_pairs": (q_geo_cell_pairs, _geo_cell_sql()),
+        "cooccurrence_pmi": (q_cooccurrence_pmi, SQL_COOCCURRENCE_PMI),
+        "streaming_geo_cells": (q_streaming_geo_cells, _streaming_geo_cells_sql()),
         "weighted_percentiles": (q_weighted_percentiles, SQL_WEIGHTED_PERCENTILES),
         "sax_symbols": (q_sax_symbols, _sax_sql()),
         "sax_motif_counts": (q_sax_motif_counts, _sax_motif_sql()),

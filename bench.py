@@ -208,6 +208,7 @@ HEADLINE = [
     "time_weighted_avg",
     "pca_scores",
     "dup_threshold_curve",
+    "cooccurrence_pmi",
 ]
 
 

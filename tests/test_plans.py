@@ -648,6 +648,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "benford_deviation": 3,
     "interp_bigram_logprob": 5,
     "geo_cell_pairs": 3,
+    "cooccurrence_pmi": 6,
     "weighted_percentiles": 2,
     "temporal_split": 1,
     "label_prop_knn": 6,
