@@ -167,7 +167,7 @@ def hll_portable(
     )
     sketch = regs.agg(
         F.count("*").alias("n_present"),
-        F.sum(F.expr("CAST(power(2.0D, 51 - mj) AS BIGINT)")).alias("s_present"),
+        F.coalesce(F.sum(F.expr("CAST(power(2.0D, 51 - mj) AS BIGINT)")), F.lit(0).cast("long")).alias("s_present"),
     ).select(
         F.lit(m).alias("m"),
         (F.lit(m) - F.col("n_present")).alias("v_zero"),
@@ -186,7 +186,11 @@ def hll_portable(
             "v_zero",
             rhu(est, 2).alias("hll_est"),
             "exact",
-            rhu(F.abs(est - F.col("exact")) / F.col("exact"), 4).alias("rel_err"),
+            # empty-corpus guard: exact=0 (est is 0 too) — ANSI mode
+            # would otherwise make the report a DIVIDE_BY_ZERO crash
+            F.when(F.col("exact") == 0, F.lit(0.0))
+            .otherwise(rhu(F.abs(est - F.col("exact")) / F.col("exact"), 4))
+            .alias("rel_err"),
         )
     )
 
@@ -214,7 +218,7 @@ def hll_merge_demo(
     def est(regs: DataFrame):
         sk = regs.agg(
             F.count("*").alias("np"),
-            F.sum(F.expr("CAST(power(2.0D, 51 - mj) AS BIGINT)")).alias("sp"),
+            F.coalesce(F.sum(F.expr("CAST(power(2.0D, 51 - mj) AS BIGINT)")), F.lit(0).cast("long")).alias("sp"),
         ).select(
             (F.lit(m) - F.col("np")).alias("vz"),
             (F.col("sp") + (F.lit(m) - F.col("np")) * F.lit(1 << 51)).alias("st"),
@@ -254,7 +258,7 @@ def hll_merge_demo_sql(src_sql: str, p: int = 9) -> str:
     def fin(regs: str, alias: str) -> str:
         return f"""{alias}_s AS (
   SELECT count(*) AS np,
-         CAST(sum(CAST(power(2.0, 51 - mj) AS BIGINT)) AS BIGINT) AS sp
+         CAST(coalesce(sum(CAST(power(2.0, 51 - mj) AS BIGINT)), 0) AS BIGINT) AS sp
   FROM {regs}
 ), {alias}_a AS (
   SELECT ({m} - np) AS vz, sp + ({m} - np) * {1 << 51} AS st FROM {alias}_s
@@ -308,7 +312,7 @@ r AS (
 ),
 s AS (
   SELECT count(*) AS n_present,
-         CAST(sum(CAST(power(2.0, 51 - mj) AS BIGINT)) AS BIGINT) AS s_present
+         CAST(coalesce(sum(CAST(power(2.0, 51 - mj) AS BIGINT)), 0) AS BIGINT) AS s_present
   FROM r
 ),
 agg AS (
