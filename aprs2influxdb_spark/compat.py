@@ -44,7 +44,8 @@ def ensure_protobuf() -> bool:
     for path in candidates:
         if not path or not os.path.isdir(os.path.join(path, "google", "protobuf")):
             continue
-        if path not in sys.path:
+        added = path not in sys.path
+        if added:
             sys.path.append(path)
         # drop the failed-import placeholder so the retry re-resolves
         for mod in ("google", "google.protobuf"):
@@ -52,7 +53,8 @@ def ensure_protobuf() -> bool:
         try:
             importlib.import_module("google.protobuf.descriptor")
         except Exception:
-            sys.path.remove(path)
+            if added:  # never strip a path the user put there themselves
+                sys.path.remove(path)
             continue
         os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
         py_path = os.environ.get("PYTHONPATH", "")

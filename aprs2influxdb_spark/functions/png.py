@@ -116,8 +116,14 @@ def decode_png(payload: bytes) -> tuple[int, int, str, bytes]:
     if mode == "P":
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
+        n_entries = len(plte) // 3
         rgb = bytearray(width * height * 3)
         for i, idx in enumerate(out):
+            if idx >= n_entries:
+                # an out-of-range index with a short slice assignment
+                # would silently SHRINK the buffer and shift every
+                # later pixel — decode garbage loudly instead
+                raise ValueError(f"palette index {idx} out of PLTE range {n_entries}")
             rgb[i * 3:i * 3 + 3] = plte[idx * 3:idx * 3 + 3]
         return width, height, "RGB", bytes(rgb)
     return width, height, mode, bytes(out)

@@ -146,13 +146,16 @@ def srp_bucket(vec, n_planes: int = 8, seed: int = 7, dim: int = 64):
     ULP of zero must not flip buckets between Spark's sequential fold
     and DuckDB's summation.
 
-    Pass ``vec`` as a STRING (column name / SQL expression) for the
-    fast build path: the whole bucket compiles as ONE ``F.expr``
-    string — one py4j round-trip instead of ~80·n_planes Column-tree
-    calls (~0.4 s of pure driver time per call at n_planes=8; the
-    house giant-expression rule).  Identical expression semantics and
-    values either way; the Column path remains for composed columns."""
+    Pass ``vec`` as a STRING (a column NAME — it is backtick-quoted,
+    so reserved words and exotic names keep the ``F.col`` contract)
+    for the fast build path: the whole bucket compiles as ONE
+    ``F.expr`` string — one py4j round-trip instead of ~80·n_planes
+    Column-tree calls (~0.4 s of pure driver time per call at
+    n_planes=8; the house giant-expression rule).  Identical
+    expression semantics and values either way; the Column path
+    remains for composed expressions."""
     if isinstance(vec, str):
+        vec = "`" + vec.replace("`", "``") + "`"
         terms = ["CAST(0 AS BIGINT)"]
         for p in range(n_planes):
             comps = ", ".join(

@@ -2284,45 +2284,12 @@ def q_streaming_png_features(spark, sf):
     ``multimodal_png_decode`` as a stateless append-mode stream
     transform (mapInPandas over the document stream) — multimodal
     feature extraction where a production pipeline actually runs it,
-    on arrival.  Shares the batch oracle verbatim."""
+    on arrival.  Shares the batch oracle verbatim (and the batch
+    entry's mapper — see _png_roundtrip_mapper)."""
     from aprs2influxdb_spark.streaming.bounded import run_bounded, stream_docs
-    from pyspark.sql.types import (
-        IntegerType as _Int,
-        LongType as _Long,
-        StructField as _SF,
-        StructType as _ST,
-    )
 
-    out_schema = _ST([
-        _SF("media_id", _Long(), False),
-        _SF("width", _Int(), True),
-        _SF("height", _Int(), True),
-        _SF("feat_mean", _Long(), True),
-    ])
-
-    def _roundtrip(batches):
-        import pandas as pd
-
-        from aprs2influxdb_spark.functions.png import decode_png, encode_png, to_gray
-
-        for pdf in batches:
-            feats = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                px = bytes(
-                    c
-                    for i in range(64)
-                    for c in ((d * 3 + i * 7) % 256, (d * 5 + i * 11) % 256, (d * 7 + i * 13) % 256)
-                )
-                blob = encode_png(px, 8, 8, "RGB", filters=[0, 1, 2, 3, 4])
-                w, h, mode, decoded = decode_png(blob)
-                if decoded != px:
-                    raise ValueError(f"PNG roundtrip mismatch for doc {d}")
-                luma = to_gray(mode, decoded)
-                feats.append((d, w, h, sum(luma) // len(luma)))
-            yield pd.DataFrame(feats, columns=["media_id", "width", "height", "feat_mean"])
-
-    est = stream_docs(spark, sf).select("doc_id").mapInPandas(_roundtrip, out_schema)
+    fn, out_schema = _png_roundtrip_mapper()
+    est = stream_docs(spark, sf).select("doc_id").mapInPandas(fn, out_schema)
     return run_bounded(spark, est, "append", "stream_png_features")
 
 
@@ -2337,9 +2304,16 @@ def q_sax_symbols(spark, sf):
     breakpoint compares) is IEEE-exact — no rounding needed before the
     symbol compare.  Zero-variance profiles map to the mid symbol via
     the σ=0 guard.  One narrow pass over the pivoted profiles."""
+    return _sax_words(hourly_profiles(spark, sf))
+
+
+def _sax_words(profiles):
+    """(user_id, sax) from a (user_id, profile) frame — factored out of
+    :func:`q_sax_symbols` so the σ=0 guard and breakpoint mapping are
+    directly testable on synthetic profiles."""
     n, segs, seg_len = 24, 4, 6
     q = F.transform(F.col("profile"), lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long"))
-    prof = hourly_profiles(spark, sf).withColumn("q", q).select(
+    prof = profiles.withColumn("q", q).select(
         "user_id", "q",
         F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("sq"),
         F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x * x).alias("sqq"),
@@ -4494,19 +4468,12 @@ FROM b
 """
 
 
-def q_multimodal_png_decode(spark, sf):
-    """The REAL PNG codec under the full oracle gate: each document row
-    renders a deterministic 8×8 RGB image (channel bytes are closed-form
-    functions of doc_id), encodes it into an actual PNG with the stdlib
-    encoder CYCLING ALL FIVE scanline filters, decodes it back with the
-    stdlib decoder (zlib inflate → per-filter reversal → ITU-R 601-2
-    luma), and emits the decoded brightness feature.  The oracle
-    recomputes the expected luma mean from the same closed form — any
-    bug in filter reversal, stride math, or the luma arithmetic
-    desynchronizes ``feat_mean``, so the codec itself is value-checked,
-    not just the Arrow plumbing.  One ``mapInPandas`` pass, blob never
-    shuffled (encode and decode happen inside the same task); scale
-    shape identical to ``multimodal_features``."""
+
+# Shared by q_multimodal_png_decode (batch) and q_streaming_png_features
+# (ingest): the SAME closed-form pixels, filter cycle, codec roundtrip,
+# and schema — one definition so an edit cannot desynchronize one entry
+# from their shared oracle.
+def _png_roundtrip_mapper():
     from pyspark.sql.types import (
         IntegerType as _Int,
         LongType as _Long,
@@ -4543,7 +4510,24 @@ def q_multimodal_png_decode(spark, sf):
                 feats.append((d, w, h, sum(luma) // len(luma)))
             yield pd.DataFrame(feats, columns=["media_id", "width", "height", "feat_mean"])
 
-    return _t(spark, sf, "documents").select("doc_id").mapInPandas(_roundtrip, out_schema)
+    return _roundtrip, out_schema
+
+
+def q_multimodal_png_decode(spark, sf):
+    """The REAL PNG codec under the full oracle gate: each document row
+    renders a deterministic 8×8 RGB image (channel bytes are closed-form
+    functions of doc_id), encodes it into an actual PNG with the stdlib
+    encoder CYCLING ALL FIVE scanline filters, decodes it back with the
+    stdlib decoder (zlib inflate → per-filter reversal → ITU-R 601-2
+    luma), and emits the decoded brightness feature.  The oracle
+    recomputes the expected luma mean from the same closed form — any
+    bug in filter reversal, stride math, or the luma arithmetic
+    desynchronizes ``feat_mean``, so the codec itself is value-checked,
+    not just the Arrow plumbing.  One ``mapInPandas`` pass, blob never
+    shuffled (encode and decode happen inside the same task); scale
+    shape identical to ``multimodal_features``."""
+    fn, out_schema = _png_roundtrip_mapper()
+    return _t(spark, sf, "documents").select("doc_id").mapInPandas(fn, out_schema)
 
 
 SQL_MULTIMODAL_PNG_DECODE = """

@@ -330,3 +330,32 @@ def test_png_roundtrip_property():
         assert (dw, dh, dmode, out) == (w, h, mode, px)
 
     check()
+
+
+def test_png_palette_rejects_out_of_range_index():
+    """A malformed palette PNG whose pixel index exceeds PLTE must
+    raise, not silently shrink/shift the RGB buffer."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from aprs2influxdb_spark.functions.png import decode_png
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    plte = bytes((255, 0, 0, 0, 255, 0))  # 2 entries
+    raw = b"\x00" + bytes([0, 5, 1])  # index 5 out of range
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="palette index"):
+        decode_png(blob)

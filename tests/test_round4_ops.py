@@ -173,37 +173,21 @@ def test_round4_ops_degenerate_inputs(spark):
     assert geo_cell_pairs(pts, span_deg=3).count() == 0
 
 
-def test_sax_constant_profile_is_mid_symbol(spark):
-    """A zero-variance profile must hit the sigma=0 guard and map every
-    segment to the z=0 symbol ('c' — first breakpoint band >= 0), not
-    NaN-poison the word."""
-    from aprs2influxdb_spark.queries import q_sax_symbols
+def test_sax_words_guard_and_breakpoints(spark):
+    """The σ=0 guard and the breakpoint mapping, asserted on the ACTUAL
+    sax words: a zero-variance profile maps every segment to the z=0
+    symbol 'c' (not NaN-poisoned), and a profile with one clearly
+    low/high half produces the expected a/d extremes."""
+    from aprs2influxdb_spark.queries import _sax_words
 
-    # build through the operator's own machinery via a constant-value
-    # events fixture: one user, same value every hour
-    import datetime as dt
-
-    rows = [
-        (i, dt.datetime(2024, 1, 1, h, 0, 0), 1, "view", 42.0, "{}")
-        for i, h in enumerate(range(24))
-    ]
-    ev = spark.createDataFrame(
-        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    prof = spark.createDataFrame(
+        [
+            (1, [42.0] * 24),                       # constant -> sigma = 0
+            (2, [0.0] * 12 + [100.0] * 12),         # low half, high half
+        ],
+        "user_id long, profile array<double>",
     )
-    ev.createOrReplaceTempView("_sax_const_events")
-    from aprs2influxdb_spark.operators import similarity as sim  # noqa: F401
-    from pyspark.sql import functions as F
-
-    # inline the same z/sax pipeline on a constant profile
-    from aprs2influxdb_spark.queries import hourly_profiles  # noqa: F401
-
-    prof = spark.createDataFrame([(1, [42.0] * 24)], "user_id long, profile array<double>")
-    q = F.transform(F.col("profile"), lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long"))
-    base = prof.withColumn("q", q).select(
-        "user_id",
-        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("sq"),
-        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x * x).alias("sqq"),
-    ).collect()[0]
-    mean = base["sq"] / 24.0
-    var = (base["sqq"] / 24.0 - mean * mean) / 1e12
-    assert abs(var) < 1e-6  # numerically ~0: the guard regime
+    words = {r["user_id"]: r["sax"] for r in _sax_words(prof).collect()}
+    assert words[1] == "cccc"
+    # z = ±1 per half: below -0.6745 -> 'a', above 0.6745 -> 'd'
+    assert words[2] == "aadd"

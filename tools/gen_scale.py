@@ -123,11 +123,16 @@ def gen(sf: float, out: str, seed: int = 42) -> None:
     l_ok = rng.integers(0, no, nl)  # ~4 lines/order in expectation
     l_ok.sort()
     sdate = odate[l_ok].astype("datetime64[D]") + rng.integers(1, 122, nl)
+    # per-order line sequence (1..k): (l_orderkey, l_linenumber) must be
+    # UNIQUE or it stops being a deterministic tie-break downstream
+    starts = np.r_[0, np.flatnonzero(np.diff(l_ok)) + 1]
+    run_starts = np.repeat(starts, np.diff(np.r_[starts, nl]))
+    l_ln = (np.arange(nl) - run_starts + 1).astype("int64")
     write("lineitem",
           l_orderkey=l_ok,
           l_partkey=rng.integers(0, npart, nl),
           l_suppkey=rng.integers(0, ns, nl),
-          l_linenumber=(np.arange(nl) % 7 + 1).astype("int64"),
+          l_linenumber=l_ln,
           l_quantity=rng.integers(1, 51, nl).astype("float64"),
           l_extendedprice=np.round(rng.uniform(900.0, 100_000.0, nl), 2),
           l_discount=np.round(rng.integers(0, 11, nl) / 100.0, 2),
