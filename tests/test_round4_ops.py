@@ -191,3 +191,58 @@ def test_sax_words_guard_and_breakpoints(spark):
     assert words[1] == "cccc"
     # z = ±1 per half: below -0.6745 -> 'a', above 0.6745 -> 'd'
     assert words[2] == "aadd"
+
+
+def test_ndcg_bounds_and_kl_nonnegativity(spark, sf_dir):
+    """Metric sanity: nDCG in (0, 1]; Gibbs' inequality holds for every
+    source pair (KL >= 0, and typically > 0 for distinct sources)."""
+    from aprs2influxdb_spark.queries import q_ndcg_bm25, q_source_token_kl
+
+    for r in q_ndcg_bm25(spark, sf_dir).collect():
+        assert 0.0 < r["ndcg"] <= 1.0, r
+        assert r["dcg_micro"] <= r["idcg_micro"]
+    kl = q_source_token_kl(spark, sf_dir).collect()
+    n_src = len({r["src_a"] for r in kl})
+    assert len(kl) == n_src * (n_src - 1)  # all ordered pairs
+    assert all(r["kl_nano"] >= 0 for r in kl)
+
+
+def test_dup_threshold_curve_is_cumulative(spark, sf_dir):
+    """The at-or-above counts must be a proper reverse-cumulative sum
+    of the per-bucket counts."""
+    from aprs2influxdb_spark.queries import q_dup_threshold_curve
+
+    rows = sorted(q_dup_threshold_curve(spark, sf_dir).collect(),
+                  key=lambda r: -r["bucket"])
+    running = 0
+    for r in rows:
+        running += r["n_pairs"]
+        assert r["cum_pairs_at_or_above"] == running
+
+
+def test_time_weighted_avg_hand_example(spark):
+    """Irregular sampling: a value that sits at 100 for 1 s and 0 for
+    9 s has twavg = (50*1 + 0*9)/10 = 5 under the trapezoid rule —
+    NOT the plain mean 33.3."""
+    import datetime as dt
+
+    from aprs2influxdb_spark.queries import q_time_weighted_avg
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, "view", 100.0, "{}"),
+        (2, base + dt.timedelta(seconds=1), 1, "view", 0.0, "{}"),
+        (3, base + dt.timedelta(seconds=10), 1, "view", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="twa_")
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = q_time_weighted_avg(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    # areas: (100+0)/2*1 = 50, (0+0)/2*9 = 0; duration 10
+    assert r["dur_s"] == 10 and r["twavg"] == 5.0
