@@ -649,7 +649,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "interp_bigram_logprob": 5,
     "geo_cell_pairs": 3,
     "cooccurrence_pmi": 6,
-    "weighted_percentiles": 2,
+    "weighted_percentiles": 8,
     "temporal_split": 1,
     "label_prop_knn": 6,
     "hll_sketch": 5,
