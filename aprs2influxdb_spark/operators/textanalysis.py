@@ -145,6 +145,44 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     return _spread_docs(docs, id_col, text_col).select(F.col(id_col), ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
 
 
+def tokenizer_fertility(
+    docs: DataFrame, text_col: str = "text", lang_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer fertility and bytes-per-token by language — the
+    standard multilingual curation diagnostic (how many subword tokens
+    the tokenizer spends per whitespace word, and how many UTF-8 bytes
+    each token covers, per language): languages the tokenizer serves
+    poorly show high fertility / low bytes-per-token, which inflates
+    their effective cost in a token-budgeted training mix (pairs with
+    ``lang_balance_sample`` / ``source_mixture``).
+
+    Corpus-level ratios (sum/sum, not mean-of-per-doc — short docs
+    would otherwise dominate).  All three numerators/denominators are
+    exact int64 sums fused into the scan projection, so aggregation
+    order cannot move them; the two final divisions are rounded
+    half-up to 6 on both engines.  Scale shape: ONE scan, one
+    partial-agg groupBy on the tiny language key — no joins, no
+    second pass."""
+    ws = F.size(tokens_col(text_col)).cast("long")
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0)).cast("long")
+    nbytes = F.octet_length(F.col(text_col)).cast("long")
+    return (
+        docs.select(F.col(lang_col).alias("lang"), ws.alias("w"), bpe.alias("t"), nbytes.alias("b"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("w").alias("sum_words"),
+            F.sum("t").alias("sum_tokens"),
+            F.sum("b").alias("sum_bytes"),
+        )
+        .select(
+            "lang", "n_docs", "sum_words", "sum_tokens", "sum_bytes",
+            rhu(F.col("sum_tokens").cast("double") / F.col("sum_words"), 6).alias("fertility"),
+            rhu(F.col("sum_bytes").cast("double") / F.col("sum_tokens"), 6).alias("bytes_per_token"),
+        )
+    )
+
+
 def feature_hash_vectors(
     docs: DataFrame, dim: int = 64,
     text_col: str = "text", id_col: str = "doc_id",

@@ -2215,37 +2215,66 @@ def q_source_token_kl(spark, sf):
     from the others before weighting a training blend.  Per-term
     contributions are nano-nat integers before the per-pair sum
     (aggregation order can't move the result); the token counts are
-    ONE scan + one (source, token) groupBy, and the pair grid lives on
-    the tiny vocab×sources×sources frame."""
+    ONE scan + one (source, token) groupBy, and the per-pair scoring
+    touches only the SPARSE observed-union rows — tokens absent from
+    both sides of a pair fold into a closed-form constant (see the
+    inline derivation below)."""
     toks = _t(spark, sf, "documents").select(
         "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
     )
     counts = toks.groupBy("source", "tok").agg(F.count("*").alias("c")).localCheckpoint(eager=False)
-    totals = counts.groupBy("source").agg(F.sum("c").alias("n"))
-    vocab = counts.select("tok").distinct()
-    vsize = counts.agg(F.countDistinct("tok").alias("v"))
-    srcs = counts.select("source").distinct()
-    grid = (
-        vocab.crossJoin(srcs.select(F.col("source").alias("src_a")))
-        .crossJoin(srcs.select(F.col("source").alias("src_b")))
-        .filter(F.col("src_a") != F.col("src_b"))
-    )
+    # totals is consumed 4× (na/nb in the term stage AND the closed
+    # form) and vsize 2× — checkpoint the S-row / 1-row frames once
+    # instead of re-aggregating the counts RDD per consumer
+    totals = counts.groupBy("source").agg(F.sum("c").alias("n")).localCheckpoint(eager=False)
+    vsize = counts.agg(F.countDistinct("tok").alias("v")).localCheckpoint(eager=False)
+    srcs = totals.select("source")
+    # Round-5 rewrite: the round-4 plan materialized the DENSE
+    # vocab × sources² grid (two left joins) to score zero-count
+    # terms.  But every token absent from BOTH sides of a pair
+    # contributes the SAME integerized term t0 = floor(pa0·ln(pa0/
+    # pb0)·1e9 + 0.5) with pa0 = 1/(n_a+V), pb0 = 1/(n_b+V) — so the
+    # grid collapses to the sparse observed-union rows plus a
+    # closed-form (V − |T_a ∪ T_b|)·t0 correction, shrinking the
+    # shuffle by the corpus sparsity factor.  Bit-identical: every
+    # double below is produced by the same expression tree as the
+    # grid plan evaluated on the same operands.
     ca = counts.select(F.col("source").alias("src_a"), "tok", F.col("c").alias("c_a"))
     cb = counts.select(F.col("source").alias("src_b"), "tok", F.col("c").alias("c_b"))
+    br_a = (  # tokens observed in src_a (any c_b, via left join)
+        ca.crossJoin(F.broadcast(srcs.select(F.col("source").alias("src_b"))))
+        .filter(F.col("src_a") != F.col("src_b"))
+        .join(cb, ["src_b", "tok"], "left")
+        .select("src_a", "src_b", "tok", "c_a", "c_b")
+    )
+    br_b = (  # tokens observed in src_b only (anti-join on src_a side)
+        cb.crossJoin(F.broadcast(srcs.select(F.col("source").alias("src_a"))))
+        .filter(F.col("src_a") != F.col("src_b"))
+        .join(ca, ["src_a", "tok"], "left_anti")
+        .select("src_a", "src_b", "tok", F.lit(None).cast("long").alias("c_a"), "c_b")
+    )
     na = totals.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
     nb = totals.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
     pa = (F.coalesce("c_a", F.lit(0)) + 1).cast("double") / (F.col("n_a") + F.col("v"))
     pb = (F.coalesce("c_b", F.lit(0)) + 1).cast("double") / (F.col("n_b") + F.col("v"))
     term = F.floor(pa * F.log(pa / pb) * 1e9 + F.lit(0.5)).cast("long")
-    return (
-        grid.join(ca, ["src_a", "tok"], "left")
-        .join(cb, ["src_b", "tok"], "left")
+    obs = (
+        br_a.unionByName(br_b)
         .join(F.broadcast(na), "src_a")
         .join(F.broadcast(nb), "src_b")
         .crossJoin(F.broadcast(vsize))
         .withColumn("t", term)
         .groupBy("src_a", "src_b")
-        .agg(F.sum("t").alias("kl_nano"))
+        .agg(F.sum("t").alias("s_obs"), F.count("*").alias("n_union"))
+    )
+    pa0 = (F.lit(0) + 1).cast("double") / (F.col("n_a") + F.col("v"))
+    pb0 = (F.lit(0) + 1).cast("double") / (F.col("n_b") + F.col("v"))
+    t0 = F.floor(pa0 * F.log(pa0 / pb0) * 1e9 + F.lit(0.5)).cast("long")
+    return (
+        obs.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .crossJoin(F.broadcast(vsize))
+        .withColumn("kl_nano", F.col("s_obs") + (F.col("v") - F.col("n_union")) * t0)
         .select("src_a", "src_b", "kl_nano", rhu(F.col("kl_nano") / F.lit(1e9), 6).alias("kl"))
     )
 
@@ -2256,26 +2285,46 @@ WITH toks AS (
 ), counts AS (
   SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2
 ), totals AS (SELECT source, sum(c) AS n FROM counts GROUP BY source),
-vocab AS (SELECT DISTINCT tok FROM counts),
 vs AS (SELECT count(DISTINCT tok) AS v FROM counts),
 srcs AS (SELECT DISTINCT source FROM counts),
-grid AS (
-  SELECT v.tok, a.source AS src_a, b.source AS src_b
-  FROM vocab v, srcs a, srcs b WHERE a.source != b.source
-), j AS (
-  SELECT g.src_a, g.src_b,
-         (coalesce(ca.c, 0) + 1)::DOUBLE / (na.n + vs.v) AS pa,
-         (coalesce(cb.c, 0) + 1)::DOUBLE / (nb.n + vs.v) AS pb
-  FROM grid g
-  LEFT JOIN counts ca ON ca.source = g.src_a AND ca.tok = g.tok
-  LEFT JOIN counts cb ON cb.source = g.src_b AND cb.tok = g.tok
-  JOIN totals na ON na.source = g.src_a
-  JOIN totals nb ON nb.source = g.src_b, vs
+br_a AS (
+  SELECT ca.source AS src_a, b.source AS src_b, ca.tok, ca.c AS c_a, cb.c AS c_b
+  FROM counts ca
+  JOIN srcs b ON b.source != ca.source
+  LEFT JOIN counts cb ON cb.source = b.source AND cb.tok = ca.tok
+), br_b AS (
+  SELECT a.source AS src_a, cb.source AS src_b, cb.tok, NULL::BIGINT AS c_a, cb.c AS c_b
+  FROM counts cb
+  JOIN srcs a ON a.source != cb.source
+  WHERE NOT EXISTS (
+    SELECT 1 FROM counts ca WHERE ca.source = a.source AND ca.tok = cb.tok
+  )
+), u AS (SELECT * FROM br_a UNION ALL SELECT * FROM br_b),
+j AS (
+  SELECT u.src_a, u.src_b,
+         (coalesce(u.c_a, 0) + 1)::DOUBLE / (na.n + vs.v) AS pa,
+         (coalesce(u.c_b, 0) + 1)::DOUBLE / (nb.n + vs.v) AS pb
+  FROM u
+  JOIN totals na ON na.source = u.src_a
+  JOIN totals nb ON nb.source = u.src_b, vs
+), obs AS (
+  SELECT src_a, src_b,
+         CAST(sum(CAST(floor(pa * ln(pa / pb) * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS s_obs,
+         count(*) AS n_union
+  FROM j GROUP BY src_a, src_b
+), closed AS (
+  SELECT obs.src_a, obs.src_b,
+         CAST(obs.s_obs + (vs.v - obs.n_union) * CAST(floor(
+           ((0 + 1)::DOUBLE / (na.n + vs.v))
+           * ln(((0 + 1)::DOUBLE / (na.n + vs.v)) / ((0 + 1)::DOUBLE / (nb.n + vs.v)))
+           * 1000000000 + 0.5) AS BIGINT) AS BIGINT) AS kl_nano
+  FROM obs
+  JOIN totals na ON na.source = obs.src_a
+  JOIN totals nb ON nb.source = obs.src_b, vs
 )
-SELECT src_a, src_b,
-       CAST(sum(CAST(floor(pa * ln(pa / pb) * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS kl_nano,
-       (floor((sum(CAST(floor(pa * ln(pa / pb) * 1000000000 + 0.5) AS BIGINT)) / 1000000000.0) * 1000000 + 0.5) / 1000000.0) AS kl
-FROM j GROUP BY src_a, src_b
+SELECT src_a, src_b, kl_nano,
+       (floor((kl_nano / 1000000000.0) * 1000000 + 0.5) / 1000000.0) AS kl
+FROM closed
 """
 
 
@@ -2456,39 +2505,67 @@ FROM sc GROUP BY doc_id
 """
 
 
-def q_cooccurrence_pmi(spark, sf):
+PMI_MIN_PAIR_DF = 5
+PMI_DOC_TOKEN_CAP = 128
+
+
+def cooccurrence_pmi(docs, text_col="text", id_col="doc_id",
+                     min_pair_df=PMI_MIN_PAIR_DF, cap=PMI_DOC_TOKEN_CAP):
     """Document-level pointwise mutual information for token pairs —
     the word-association miner behind collocation extraction and
     phrase vocab induction: ``PMI(a,b) = ln(N·df(a,b) / (df(a)·df(b)))``
     over document frequencies, micro-nat integerized, pairs occurring
-    in ≥ 5 docs.  Scale shape: per-doc DISTINCT tokens (vocab-bounded
-    arrays), in-row pair generation (a<b), one pair groupBy + one
-    token-df groupBy, then a broadcast-sized join grid — the pair
-    table is O(vocab²), never O(corpus²)."""
-    toks = _t(spark, sf, "documents").select(
-        F.col("doc_id"), F.array_distinct(F.split(F.lower("text"), " ")).alias("ts")
-    ).localCheckpoint(eager=False)  # pair AND df branches consume it
-    pairs_in_doc = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("ts"),
-                lambda a: F.transform(F.col("ts"), lambda b: F.struct(a.alias("a"), b.alias("b"))),
-            )
-        ),
-        lambda s: s["a"] < s["b"],
+    in ≥ ``min_pair_df`` docs.
+
+    Scale shape (rewritten round 5 — the round-4 plan materialized the
+    per-doc pair set as ONE in-row array, |distinct tokens|² structs
+    per row BEFORE the a<b filter: executor OOM on real web documents
+    with 10⁴–10⁵ distinct tokens, invisible to shuffle/cartesian gates
+    because it lived inside a single projection):
+
+    1. LOSSLESS prefilter — a pair needs df_ab ≥ min_pair_df, and
+       df_ab ≤ min(df_a, df_b), so tokens with df < min_pair_df can
+       never appear in an emitted pair; drop them before pairing
+       (removes the long-tail majority of any real vocabulary).
+    2. Df-ascending cap — each doc keeps at most ``cap`` surviving
+       tokens, rarest first (ties by token asc): common tokens drop
+       first, and they carry the least PMI signal.  Deterministic,
+       mirrored in the oracle (the same df-cap idea as
+       ``_capped_candidates``, dedup.py).
+    3. The quadratic now lives in a doc_id-keyed SELF-JOIN — a
+       shuffle bounded at cap²/2 rows per doc — never in one row's
+       memory.  Both join sides share one window subtree, so the
+       exchange is reused, and the per-doc window shuffle replaces
+       the old row-width bomb.
+
+    ``tok_df`` in the PMI denominator stays the UNCAPPED true document
+    frequency on both engines."""
+    from pyspark.sql import Window
+
+    toks_e = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.lower(text_col), " "))).alias("t"),
+    ).localCheckpoint(eager=False)  # df AND pair branches consume it
+    # consumed 3×: the prefilter probe and both PMI denominators
+    tok_df = toks_e.groupBy("t").agg(F.count("*").alias("df")).localCheckpoint(eager=False)
+    surv = toks_e.join(
+        F.broadcast(tok_df.filter(F.col("df") >= min_pair_df)), "t"
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("t").asc())
+    capped = (
+        surv.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .select("doc_id", "t")
+        .localCheckpoint(eager=False)  # both self-join sides consume it
     )
     pair_df = (
-        toks.select(F.explode(pairs_in_doc).alias("p"))
-        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        capped.alias("pa").join(capped.alias("pb"), "doc_id")
+        .filter(F.col("pa.t") < F.col("pb.t"))
+        .groupBy(F.col("pa.t").alias("a"), F.col("pb.t").alias("b"))
         .agg(F.count("*").alias("df_ab"))
-        .filter(F.col("df_ab") >= 5)
+        .filter(F.col("df_ab") >= min_pair_df)
     )
-    tok_df = (
-        toks.select(F.explode("ts").alias("t"))
-        .groupBy("t")
-        .agg(F.count("*").alias("df"))
-    )
-    n_docs = toks.agg(F.count("*").alias("n"))
+    n_docs = docs.agg(F.count("*").alias("n"))
     pmi = F.floor(
         F.log(
             F.col("n").cast("double") * F.col("df_ab") / (F.col("df_a") * F.col("df_b"))
@@ -2503,18 +2580,30 @@ def q_cooccurrence_pmi(spark, sf):
     )
 
 
-SQL_COOCCURRENCE_PMI = """
+def q_cooccurrence_pmi(spark, sf):
+    """See :func:`cooccurrence_pmi` (registry entry)."""
+    return cooccurrence_pmi(_t(spark, sf, "documents"))
+
+
+SQL_COOCCURRENCE_PMI = f"""
 WITH toks AS (
-  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ts FROM documents
+  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS t FROM documents
+), tdf AS (
+  SELECT t, count(*) AS df FROM toks GROUP BY t
+), surv AS (
+  SELECT toks.doc_id, toks.t, tdf.df FROM toks JOIN tdf USING (t)
+  WHERE tdf.df >= {PMI_MIN_PAIR_DF}
+), capped AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, t,
+           row_number() OVER (PARTITION BY doc_id ORDER BY df ASC, t ASC) AS rn
+    FROM surv
+  ) WHERE rn <= {PMI_DOC_TOKEN_CAP}
 ), pr AS (
   SELECT a.t AS a, b.t AS b, count(*) AS df_ab
-  FROM (SELECT doc_id, unnest(ts) AS t FROM toks) a
-  JOIN (SELECT doc_id, unnest(ts) AS t FROM toks) b
-    ON a.doc_id = b.doc_id AND a.t < b.t
-  GROUP BY 1, 2 HAVING count(*) >= 5
-), tdf AS (
-  SELECT t, count(*) AS df FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY t
-), nd AS (SELECT count(*) AS n FROM toks)
+  FROM capped a JOIN capped b ON a.doc_id = b.doc_id AND a.t < b.t
+  GROUP BY 1, 2 HAVING count(*) >= {PMI_MIN_PAIR_DF}
+), nd AS (SELECT count(*) AS n FROM documents)
 SELECT a, b, CAST(df_ab AS BIGINT) AS df_ab,
        CAST(floor(ln(n::DOUBLE * df_ab / (da.df * db.df)) * 1000000 + 0.5) AS BIGINT) AS pmi_micro
 FROM pr JOIN tdf da ON da.t = pr.a JOIN tdf db ON db.t = pr.b, nd
@@ -4398,6 +4487,34 @@ SQL_TOKEN_COUNTS = f"""
 SELECT doc_id, len({_TOKS}) AS ws_tokens,
        len(regexp_extract_all(text, '{ta.TOKEN_REGEX}')) AS bpe_tokens
 FROM documents
+"""
+
+
+def q_tokenizer_fertility(spark, sf):
+    """Tokenizer fertility / bytes-per-token by language — see
+    operators.textanalysis.tokenizer_fertility for the metric and
+    the one-scan plan shape."""
+    return ta.tokenizer_fertility(_t(spark, sf, "documents"))
+
+
+SQL_TOKENIZER_FERTILITY = f"""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(len({_TOKS}) AS BIGINT) AS w,
+         CAST(len(regexp_extract_all(text, '{ta.TOKEN_REGEX}')) AS BIGINT) AS t,
+         CAST(strlen(text) AS BIGINT) AS b
+  FROM documents
+), agg AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(w) AS BIGINT) AS sum_words,
+         CAST(sum(t) AS BIGINT) AS sum_tokens,
+         CAST(sum(b) AS BIGINT) AS sum_bytes
+  FROM per_doc GROUP BY lang
+)
+SELECT lang, n_docs, sum_words, sum_tokens, sum_bytes,
+       {rhu_sql('CAST(sum_tokens AS DOUBLE) / sum_words', 6)} AS fertility,
+       {rhu_sql('CAST(sum_bytes AS DOUBLE) / sum_tokens', 6)} AS bytes_per_token
+FROM agg
 """
 
 
@@ -8635,6 +8752,7 @@ def registry() -> dict[str, tuple]:
         "lang_id": (q_lang_id, SQL_LANG_ID),
         "langid_confusion": (q_langid_confusion, SQL_LANGID_CONFUSION),
         "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+        "tokenizer_fertility": (q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY),
         "training_data_prep": (q_training_data_prep, SQL_TRAINING_DATA_PREP),
         "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
         "scd2_intervals": (q_scd2_intervals, SQL_SCD2_INTERVALS),

@@ -644,11 +644,11 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "hll_merge": 7,
     "time_weighted_avg": 2,
     "ndcg_bm25": 10,
-    "source_token_kl": 9,
+    "source_token_kl": 1,
     "benford_deviation": 3,
     "interp_bigram_logprob": 5,
     "geo_cell_pairs": 3,
-    "cooccurrence_pmi": 6,
+    "cooccurrence_pmi": 4,
     "weighted_percentiles": 8,
     "temporal_split": 1,
     "label_prop_knn": 6,
@@ -747,6 +747,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "unpivot_lineitem": 2,
     "user_event_sets": 4,
     "valuable_parts": 5,
+    "tokenizer_fertility": 1,
     "vocab_top_terms": 4,
     "waiting_supplier": 5,
     "weekday_seasonality": 3,
