@@ -988,6 +988,84 @@ def paragraph_dedup(
     )
 
 
+EXACT_SUBSTR_K = 16
+
+
+def exact_substring_spans(
+    docs: DataFrame, k: int = EXACT_SUBSTR_K,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring-level dedup spans (the suffix-array family —
+    Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", arXiv:2107.06499): every maximal token span whose
+    every ``k``-token window occurs at least twice corpus-wide, as
+    (doc_id, start, len) with 1-based token positions — the
+    variable-length repeated-span operator the fixed-granularity
+    members of the ladder (``paragraph_dedup``'s 16-word chunks,
+    ``dup_ngram_coverage``'s fixed n-grams) approximate.
+
+    Equivalence to the suffix-array formulation: a span of length
+    L ≥ k repeated anywhere in the corpus has all L−k+1 of its
+    k-windows repeated, so it lies inside one emitted span; conversely
+    every emitted position is covered by SOME repeated k-window.  The
+    emitted spans are the UNION of all repeated spans ≥ k — exactly
+    what a curation pipeline cuts out — computed without ever building
+    a suffix array: the anchor-bucket shape the suffix-array paper's
+    distributed implementations converge on anyway.
+
+    Scale shape (all linear in corpus token count, never pairwise):
+    per-position anchor hashes are a narrow in-row generator (O(k)
+    per position, constant k); repeated-anchor selection is ONE
+    shuffle on the 8-byte hash (partial-agg count); coverage is one
+    hash-keyed shuffle-hash join (no broadcast — the repeated set
+    scales with the corpus); span merge is the gaps-and-islands
+    pattern: one doc-keyed window + one groupBy.  No stage holds more
+    than the per-position hash rows.
+    """
+    from pyspark.sql import Window as W
+
+    from aprs2influxdb_spark.functions.hashing import portable_hash64
+
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(toks)
+    # positions 1..n-k+1; the filter (not `when`) keeps the branch
+    # type array<int> and empties short docs without a cast dance
+    idx = F.filter(
+        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+        lambda i: n >= k,
+    )
+    anchors = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"),
+            portable_hash64(F.array_join(F.slice(toks, i, k), " ")).alias("gh"),
+        ),
+    )
+    grams = (
+        spread_for_compute(docs.select(id_col, text_col))
+        .select(F.col(id_col), F.explode(anchors).alias("s"))
+        .select(id_col, F.col("s.pos").alias("pos"), F.col("s.gh").alias("gh"))
+    )
+    rep = (
+        grams.groupBy("gh").agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("gh")
+    )
+    cov = grams.hint("shuffle_hash").join(rep, "gh").select(id_col, "pos")
+    w = W.partitionBy(id_col).orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos", 1).over(w) > 1, 1).otherwise(0)
+    return (
+        cov.withColumn("brk", brk)
+        .withColumn("isl", F.sum("brk").over(w))
+        .groupBy(id_col, "isl")
+        .agg(
+            F.min("pos").cast("long").alias("start"),
+            (F.max("pos") - F.min("pos") + F.lit(k)).cast("long").alias("len"),
+        )
+        .select(id_col, "start", "len")
+    )
+
+
 # winnowing parameters, shared with the oracle SQL: window of W
 # consecutive shingle hashes; fingerprints encode (hash, position) in
 # one int64 (hash < 2^33 shifted past a 2^20 position field); the

@@ -7288,6 +7288,46 @@ FROM k GROUP BY doc_id
 """
 
 
+def q_exact_substring_spans(spark, sf):
+    """Suffix-array-family exact substring dedup (Lee et al. 2022):
+    maximal (doc_id, start, len) spans whose every 16-token window
+    repeats corpus-wide — see operators.dedup.exact_substring_spans
+    for the anchor-bucket plan (linear, never pairwise)."""
+    return dd.exact_substring_spans(_t(spark, sf, "documents"))
+
+
+SQL_EXACT_SUBSTRING_SPANS = f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+), p AS (
+  SELECT doc_id, ts,
+         unnest(range(1, greatest(len(ts) - {dd.EXACT_SUBSTR_K} + 2, 1))) AS pos
+  FROM t WHERE len(ts) >= {dd.EXACT_SUBSTR_K}
+), grams AS (
+  SELECT doc_id, pos,
+         ({portable_hash64_sql(f"array_to_string(ts[pos:pos+{dd.EXACT_SUBSTR_K}-1], ' ')")}) AS gh
+  FROM p
+), rep AS (
+  SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2
+), cov AS (
+  SELECT doc_id, pos FROM grams JOIN rep USING (gh)
+), marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 1
+              THEN 1 ELSE 0 END AS brk
+  FROM cov
+), isl AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS isl
+  FROM marked
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS start,
+       CAST(max(pos) - min(pos) + {dd.EXACT_SUBSTR_K} AS BIGINT) AS len
+FROM isl GROUP BY doc_id, isl
+"""
+
+
 def q_repetition_stats(spark, sf):
     """Gopher-style repetition quality signals (top-bigram fraction +
     distinct-token ratio) — see operators.textanalysis.repetition_stats
@@ -8664,6 +8704,7 @@ def registry() -> dict[str, tuple]:
         "idle_rich_customers": (q_idle_rich_customers, SQL_IDLE_RICH_CUSTOMERS),
         "returned_items": (q_returned_items, SQL_RETURNED_ITEMS),
         "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
+        "exact_substring_spans": (q_exact_substring_spans, SQL_EXACT_SUBSTRING_SPANS),
         "perplexity_bands": (q_perplexity_bands, SQL_PERPLEXITY_BANDS),
         "bm25_topk": (q_bm25_topk, _bm25_sql()),
         "rrf_fusion": (q_rrf_fusion, _rrf_fusion_sql()),
