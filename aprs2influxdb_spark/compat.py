@@ -47,9 +47,23 @@ def ensure_protobuf() -> bool:
         added = path not in sys.path
         if added:
             sys.path.append(path)
-        # drop the failed-import placeholder so the retry re-resolves
-        for mod in ("google", "google.protobuf"):
-            sys.modules.pop(mod, None)
+        # Make the retry re-resolve `google.protobuf` WITHOUT breaking
+        # an already-imported `google.*` sibling (google.auth,
+        # google.cloud, ...): popping the parent would orphan their
+        # attributes on the fresh namespace.  A PEP-420 namespace
+        # parent recomputes __path__ from sys.path dynamically, so it
+        # needs no pop; a legacy (static-__path__) parent gets the
+        # fallback's google/ dir appended instead.  Only a childless
+        # parent (the failed-import placeholder case) is dropped.
+        g = sys.modules.get("google")
+        has_children = any(m.startswith("google.") for m in sys.modules)
+        if g is not None and not has_children:
+            sys.modules.pop("google", None)
+        elif g is not None and getattr(g, "__file__", None) is not None:
+            gdir = os.path.join(path, "google")
+            if gdir not in getattr(g, "__path__", []):
+                g.__path__.append(gdir)
+        sys.modules.pop("google.protobuf", None)
         try:
             importlib.import_module("google.protobuf.descriptor")
         except Exception:

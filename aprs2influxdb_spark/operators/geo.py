@@ -63,9 +63,15 @@ def synth_positions(df: DataFrame, key_col: str, span_deg: int | None = None) ->
 
 
 def geo_cell_pairs(
-    points: DataFrame, radius_micro: int = CELL_MICRO, span_deg: int = 10,
+    points: DataFrame, span_deg: int, radius_micro: int = CELL_MICRO,
 ) -> DataFrame:
     """All point pairs within ``radius_micro`` microdegrees (planar),
+
+    ``span_deg`` is REQUIRED (round-5 advice): it must equal the span
+    the points were generated/observed under — a stale default would
+    under-size the packed-cell stride, silently landing the 3×3 probe
+    offsets on wrong cell ids and dropping true within-radius pairs.
+
     via grid-cell candidate buckets: one side expands to its 3×3 cell
     neighborhood, the other keeps its home cell, so every qualifying
     pair is generated EXACTLY once under the ``pid_a < pid_b`` filter

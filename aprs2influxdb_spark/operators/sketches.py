@@ -324,7 +324,11 @@ ex AS (SELECT count(DISTINCT k) AS exact FROM src)
 SELECT m, v_zero,
        (floor(({est}) * 100 + 0.5) / 100.0) AS hll_est,
        CAST(exact AS BIGINT) AS exact,
-       (floor((abs(({est}) - exact) / exact) * 10000 + 0.5) / 10000.0) AS rel_err
+       -- empty-corpus guard, mirroring the Spark side: exact=0 would
+       -- otherwise divide by zero here while Spark emits 0.0
+       CASE WHEN exact = 0 THEN 0.0
+            ELSE (floor((abs(({est}) - exact) / exact) * 10000 + 0.5) / 10000.0)
+       END AS rel_err
 FROM agg, ex
 """
 

@@ -2145,9 +2145,12 @@ def q_ndcg_bm25(spark, sf):
         portable_hash64(F.concat(F.lit("rel_"), q.cast("string"), F.lit("_"), d.cast("string"))),
         F.lit(4),
     )
-    ranked = ta.bm25_topk(_t(spark, sf, "documents")).select(
+    # k pinned to _NDCG_K and rk re-filtered: correctness must not ride
+    # on bm25_topk's default k coinciding with the weight-array length
+    # (element_at past it would null rows / throw under ANSI)
+    ranked = ta.bm25_topk(_t(spark, sf, "documents"), k=_NDCG_K).select(
         "query_id", "doc_id", "rk"
-    )
+    ).filter(F.col("rk") <= _NDCG_K)
     dcg = (
         ranked.withColumn("rel", rel(F.col("query_id"), F.col("doc_id")))
         .groupBy("query_id")
@@ -5001,6 +5004,33 @@ def _streaming_sessionize_sql() -> str:
     from aprs2influxdb_spark.streaming.bounded import SQL_STREAMING_SESSIONIZE
 
     return SQL_STREAMING_SESSIONIZE
+
+
+def q_streaming_ttl_calibration(spark, sf):
+    """TTL'd as-of calibration with event-time-timer state eviction —
+    see streaming.bounded._TtlCalibProcessor for the two-layer design
+    (oracle-checked freshness boundary; test-pinned eviction)."""
+    from aprs2influxdb_spark.streaming.bounded import streaming_ttl_calibration
+
+    return streaming_ttl_calibration(spark, sf)
+
+
+SQL_STREAMING_TTL_CALIBRATION = """
+SELECT event_id, user_id,
+       (floor((value * CASE WHEN calib IS NULL OR ts - calib_ts > INTERVAL 12 HOUR
+                            THEN 1.0 ELSE calib END) * 10000 + 0.5) / 10000.0) AS calibrated,
+       (calib IS NOT NULL AND ts - calib_ts > INTERVAL 12 HOUR) AS was_expired
+FROM (
+  SELECT event_id, user_id, event_type, value, ts,
+         last_value(CASE WHEN event_type = 'error' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS calib,
+         last_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS calib_ts
+  FROM events
+) WHERE event_type != 'error'
+"""
 
 
 def q_streaming_asof_tws(spark, sf):
@@ -8879,7 +8909,13 @@ def registry() -> dict[str, tuple]:
         # pure-Python runtime probe in compat.ensure_protobuf (which
         # finds the Cloud SDK's bundled copy in this container)
         **(
-            {"streaming_asof_tws": (q_streaming_asof_tws, SQL_ASOF_CALIBRATION)}
+            {
+                "streaming_asof_tws": (q_streaming_asof_tws, SQL_ASOF_CALIBRATION),
+                "streaming_ttl_calibration": (
+                    q_streaming_ttl_calibration,
+                    SQL_STREAMING_TTL_CALIBRATION,
+                ),
+            }
             if _tws_available()
             else {}
         ),

@@ -990,6 +990,121 @@ class _AsofProcessor(StatefulProcessor):
         pass
 
 
+TTL_HOURS = 12
+TTL_OUTPUT = "event_id long, user_id long, calibrated double, was_expired boolean"
+
+
+class _TtlCalibProcessor(StatefulProcessor):
+    """TTL'd as-of calibration with REAL state eviction — the 100 TB
+    stream-state lever SURVEY §4 promises: per-key calibration state
+    that idles past ``TTL_HOURS`` is EVICTED from the store by an
+    event-time timer, so the state size tracks the active key set, not
+    every key ever seen.
+
+    Two layers, deliberately separated:
+
+    - SEMANTICS (oracle-checked): a data row is calibrated only while
+      its as-of 'error' row is fresh — ``ts − calib_ts ≤ TTL`` —
+      else identity; the boundary is pure event-time arithmetic on
+      values carried in state, so output is independent of WHEN the
+      timer fires (micro-batch boundaries, watermark lag).
+    - EVICTION (test-pinned): an event-time timer re-armed at
+      ``calib_ts + TTL`` on every calibration upsert; when the
+      watermark passes it, :meth:`handleExpiredTimer` clears the
+      key's state.  A later row would see empty state and emit
+      identity — exactly what the boundary already dictates, since
+      any non-late row past the fired timer is past the TTL.  The
+      timer emits nothing, keeping the sink oracle-exact.
+    """
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._calib = handle.getValueState("calib", "calib double, calib_ts_us long")
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        got = self._calib.get()
+        calib, calib_ts = (got[0], got[1]) if got is not None else (None, None)
+        chunks = list(rows)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        pdf = pdf[pdf["event_type"] != "__watermark_sentinel__"]
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
+        ttl_us = TTL_HOURS * 3600 * 1_000_000
+        out: list[dict] = []
+        for row in pdf.itertuples():
+            ts_us = int(pd.Timestamp(row.ts).value // 1000)
+            if row.event_type == "error":
+                calib, calib_ts = float(row.value), ts_us
+                # re-arm eviction at the new freshness horizon
+                for t in list(self._handle.listTimers()):
+                    self._handle.deleteTimer(t)
+                self._handle.registerTimer(ts_us // 1000 + TTL_HOURS * 3600 * 1000)
+            else:
+                expired = calib is not None and (ts_us - calib_ts) > ttl_us
+                c = calib if (calib is not None and not expired) else 1.0
+                out.append(
+                    {
+                        "event_id": int(row.event_id),
+                        "user_id": int(row.user_id),
+                        "calibrated": math.floor(float(row.value) * c * 10000 + 0.5) / 10000.0,
+                        "was_expired": bool(expired),
+                    }
+                )
+        if calib is not None:
+            self._calib.update((calib, calib_ts))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["event_id", "user_id", "calibrated", "was_expired"]
+            )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo) -> Iterator[pd.DataFrame]:
+        # watermark passed calib_ts + TTL with no fresher calibration:
+        # the idle key's state leaves the store entirely
+        self._calib.clear()
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_ttl_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL'd as-of calibration on ``transformWithState`` event-time
+    timers (see :class:`_TtlCalibProcessor`), driven through the
+    watermark sentinel so the eviction timers actually FIRE within the
+    entry's run (the sentinel batch pushes the watermark past every
+    armed timer; its own NULL-key group emits nothing).
+
+    Raises ``RuntimeError`` where :func:`tws_available` is False."""
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas requires google.protobuf, not present "
+            "in this environment"
+        )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = (
+            _sentinel_events_stream(spark, sf_dir)
+            .withWatermark("ts", "1 hour")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                _TtlCalibProcessor(), TTL_OUTPUT, "Append", "EventTime"
+            )
+        )
+        return run_bounded(spark, out, "append", "stream_ttl_calib")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def streaming_asof_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`streaming_asof_calibration` on ``transformWithState``:
     identical semantics, run through the newer operator (which requires

@@ -182,6 +182,150 @@ class TestExactSubstringSpans:
         assert exact_substring_spans(docs).count() == 0
 
 
+class TestProtobufCompat:
+    """Loud-failure gate for the transformWithState dependency chain
+    (round-4 verdict item 8): if an image change removes the bundled
+    protobuf runtime, these fail in CI instead of the registry
+    silently downgrading to the applyInPandasWithState twins."""
+
+    def test_probe_resolved_in_this_container(self):
+        from aprs2influxdb_spark.compat import ensure_protobuf
+
+        assert ensure_protobuf(), (
+            "no google.protobuf runtime resolved — transformWithState "
+            "entries will silently drop out of the registry; install "
+            "protobuf or set SPARK_GRAFT_PROTOBUF_PATH"
+        )
+        from google.protobuf import descriptor  # noqa: F401
+
+    def test_resolved_path_is_worker_visible(self):
+        """Whichever path satisfied the probe must be on PYTHONPATH so
+        JVM-forked workers inherit it (a driver-only import would pass
+        the probe yet crash every worker at query start)."""
+        import importlib.util
+        import os
+
+        spec = importlib.util.find_spec("google.protobuf")
+        assert spec is not None
+        origin_dir = os.path.dirname(os.path.dirname(os.path.dirname(spec.origin)))
+        worker_paths = os.environ.get("PYTHONPATH", "").split(os.pathsep)
+        import sysconfig
+
+        site_like = origin_dir.startswith(sysconfig.get_paths()["purelib"][: len(origin_dir)]) or (
+            "site-packages" in origin_dir or "dist-packages" in origin_dir
+        )
+        assert site_like or origin_dir in worker_paths, (
+            f"protobuf resolved from {origin_dir}, which workers won't "
+            f"inherit (PYTHONPATH={worker_paths})"
+        )
+
+    def test_tws_entries_registered(self):
+        from aprs2influxdb_spark.queries import registry
+
+        names = set(registry())
+        assert "streaming_asof_tws" in names
+        assert "streaming_ttl_calibration" in names
+
+
+class TestStreamingTtlEviction:
+    def test_key_driven_past_ttl_across_microbatches(self, spark, tmp_path):
+        """The eviction claim end-to-end: an 'error' calibration in
+        micro-batch 1 applies to a fresh row (×2.0), a batch-2 row 20 h
+        later is past the 12 h TTL (identity, was_expired=True), and
+        the batch-3 sentinel pushes the watermark past the armed timer
+        so handleExpiredTimer actually EVICTS the key's state —
+        observable as removed state rows in the query progress."""
+        import os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from aprs2influxdb_spark.streaming.bounded import (
+            TTL_OUTPUT,
+            _TtlCalibProcessor,
+            tws_available,
+        )
+
+        if not tws_available():
+            pytest.skip("google.protobuf unavailable — transformWithState gated")
+
+        t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+        def write(name, rows, mtime):
+            pdf = pd.DataFrame(
+                rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+            )
+            pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+            path = str(tmp_path / name)
+            pq.write_table(
+                pa.Table.from_pandas(pdf, preserve_index=False), path
+            )
+            os.utime(path, (mtime, mtime))
+            return path
+
+        write("a1.parquet", [
+            (1, t0, 1, "error", 2.0, "{}"),
+            (2, t0 + pd.Timedelta(hours=1), 1, "click", 10.0, "{}"),
+        ], 1_700_000_000)
+        write("b2.parquet", [
+            (3, t0 + pd.Timedelta(hours=20), 1, "click", 10.0, "{}"),
+        ], 1_700_000_100)
+        write("z3.parquet", [
+            (4, t0 + pd.Timedelta(hours=40), 9, "__watermark_sentinel__", 0.0, "{}"),
+        ], 1_700_000_200)
+
+        schema = (
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        try:
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(tmp_path))
+                .withWatermark("ts", "1 hour")
+                .groupBy("user_id")
+                .transformWithStateInPandas(
+                    _TtlCalibProcessor(), TTL_OUTPUT, "Append", "EventTime"
+                )
+            )
+            q = (
+                stream.writeStream.format("memory")
+                .queryName("ttl_evict_test")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .start()
+            )
+            q.awaitTermination()
+            rows = {
+                r["event_id"]: r
+                for r in spark.table("ttl_evict_test").collect()
+            }
+            assert rows[2]["calibrated"] == 20.0 and not rows[2]["was_expired"]
+            assert rows[3]["calibrated"] == 10.0 and rows[3]["was_expired"]
+            removed = sum(
+                op.get("numRowsRemoved", 0)
+                for p in q.recentProgress
+                for op in p.get("stateOperators", [])
+            )
+            assert removed >= 1, (
+                f"timer never evicted state (numRowsRemoved={removed}); "
+                f"progress={[p.get('stateOperators') for p in q.recentProgress]}"
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 class TestTokenizerFertility:
     def test_hand_computed_fixture(self, spark):
         """Metric sanity on a hand-computable corpus: 'aa bb' is 2
