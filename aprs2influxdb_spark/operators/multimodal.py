@@ -86,17 +86,24 @@ def pil_available() -> bool:
 
 
 def decode_image_stdlib(payload: bytes) -> dict:
-    """REAL image decode with no dependencies: the pure-stdlib PNG
-    codec (``functions.png`` — zlib inflate + scanline unfiltering),
-    grayscale via Pillow's exact ITU-R 601-2 integer formula, so this
-    and :func:`decode_image_pil` return IDENTICAL features on any
-    supported PNG (pinned in tests/test_multimodal.py where Pillow is
-    importable).  Output contract of :func:`decode_image_stub`:
+    """REAL image decode with no media libraries: the pure-stdlib PNG
+    codec (``functions.png`` — zlib inflate + scanline unfiltering)
+    or, since round 5, the baseline JPEG codec (``functions.jpeg`` —
+    T.81 marker parse, huffman, IDCT) selected by magic-byte sniff.
+    Grayscale via Pillow's exact ITU-R 601-2 integer formula on PNG
+    (JPEG grayscale IS the luma plane), so this and
+    :func:`decode_image_pil` return IDENTICAL features on any
+    supported input (pinned in tests where Pillow is importable).
+    Output contract of :func:`decode_image_stub`:
     ``{n_bytes, feat_mean}``, ``feat_mean`` the floor-mean luma."""
+    from aprs2influxdb_spark.functions.jpeg import decode_jpeg_gray, is_jpeg
     from aprs2influxdb_spark.functions.png import decode_png, to_gray
 
-    w, h, mode, px = decode_png(payload)
-    luma = to_gray(mode, px)
+    if is_jpeg(payload):
+        _w, _h, luma = decode_jpeg_gray(payload)
+    else:
+        w, h, mode, px = decode_png(payload)
+        luma = to_gray(mode, px)
     return {
         "n_bytes": len(payload),
         "feat_mean": (sum(luma) // len(luma)) if luma else 0,

@@ -4668,6 +4668,89 @@ def _png_roundtrip_mapper():
     return _roundtrip, out_schema
 
 
+def _jpeg_roundtrip_mapper():
+    from pyspark.sql.types import (
+        IntegerType as _Int,
+        LongType as _Long,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    out_schema = _ST([
+        _SF("media_id", _Long(), False),
+        _SF("width", _Int(), True),
+        _SF("height", _Int(), True),
+        _SF("feat_mean", _Long(), True),
+    ])
+
+    def _roundtrip(batches):
+        import pandas as pd
+
+        from aprs2influxdb_spark.functions.jpeg import (
+            decode_jpeg_gray,
+            encode_jpeg_gray,
+        )
+
+        for pdf in batches:
+            feats = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                # 16×16 grayscale, each 8×8 block constant: baseline
+                # JPEG with the unit quant table roundtrips this
+                # EXACTLY (DC-only blocks), while the block-to-block
+                # value jumps drive the DC-difference huffman path
+                # through negative diffs and varying size categories
+                px = bytearray(256)
+                for by in range(2):
+                    for bx in range(2):
+                        v = (d * 37 + (by * 2 + bx) * 59) % 256
+                        for y in range(8):
+                            row = (by * 8 + y) * 16 + bx * 8
+                            px[row : row + 8] = bytes([v] * 8)
+                blob = encode_jpeg_gray(bytes(px), 16, 16)
+                w, h, decoded = decode_jpeg_gray(blob)
+                if decoded != bytes(px):  # hard roundtrip guarantee
+                    raise ValueError(f"JPEG roundtrip mismatch for doc {d}")
+                feats.append((d, w, h, sum(decoded) // len(decoded)))
+            yield pd.DataFrame(feats, columns=["media_id", "width", "height", "feat_mean"])
+
+    return _roundtrip, out_schema
+
+
+def q_multimodal_jpeg_decode(spark, sf):
+    """The REAL baseline JPEG codec (functions/jpeg.py — T.81 markers,
+    Annex K huffman tables, DCT/IDCT, byte stuffing) under the full
+    oracle gate, the round-5 sibling of ``multimodal_png_decode``:
+    each document renders a deterministic 16×16 grayscale image whose
+    8×8 blocks are closed-form constants, encodes it into an actual
+    JFIF stream, decodes it back, and asserts the pixel-exact
+    roundtrip before emitting the luma-mean feature the oracle
+    recomputes.  One ``mapInPandas`` pass; the blob never shuffles."""
+    fn, out_schema = _jpeg_roundtrip_mapper()
+    return _t(spark, sf, "documents").select("doc_id").mapInPandas(fn, out_schema)
+
+
+SQL_MULTIMODAL_JPEG_DECODE = """
+SELECT doc_id AS media_id, 16 AS width, 16 AS height,
+       CAST(list_sum(list_transform(range(0, 4), b ->
+           ((doc_id * 37 + b * 59) % 256) * 64
+       )) // 256 AS BIGINT) AS feat_mean
+FROM documents
+"""
+
+
+def q_streaming_jpeg_features(spark, sf):
+    """The JPEG codec AT INGEST: the encode→decode roundtrip of
+    ``multimodal_jpeg_decode`` as a stateless append-mode stream
+    transform — shares the batch oracle verbatim (same pattern as
+    ``streaming_png_features``)."""
+    from aprs2influxdb_spark.streaming.bounded import run_bounded, stream_docs
+
+    fn, out_schema = _jpeg_roundtrip_mapper()
+    est = stream_docs(spark, sf).select("doc_id").mapInPandas(fn, out_schema)
+    return run_bounded(spark, est, "append", "stream_jpeg_features")
+
+
 def q_multimodal_png_decode(spark, sf):
     """The REAL PNG codec under the full oracle gate: each document row
     renders a deterministic 8×8 RGB image (channel bytes are closed-form
@@ -8790,6 +8873,7 @@ def registry() -> dict[str, tuple]:
         "ndcg_bm25": (q_ndcg_bm25, _ndcg_sql()),
         "source_token_kl": (q_source_token_kl, SQL_SOURCE_TOKEN_KL),
         "streaming_png_features": (q_streaming_png_features, SQL_MULTIMODAL_PNG_DECODE),
+        "streaming_jpeg_features": (q_streaming_jpeg_features, SQL_MULTIMODAL_JPEG_DECODE),
         "temporal_split": (q_temporal_split, SQL_TEMPORAL_SPLIT),
         "label_prop_knn": (q_label_prop_knn, _label_prop_sql()),
         "simhash": (q_simhash, _simhash_sql()),
@@ -8869,6 +8953,7 @@ def registry() -> dict[str, tuple]:
         "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
         "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
         "multimodal_png_decode": (q_multimodal_png_decode, SQL_MULTIMODAL_PNG_DECODE),
+        "multimodal_jpeg_decode": (q_multimodal_jpeg_decode, SQL_MULTIMODAL_JPEG_DECODE),
         "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
         "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
         # streaming (bounded-stream execution of the streaming plans)

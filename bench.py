@@ -209,6 +209,13 @@ HEADLINE = [
     "pca_scores",
     "dup_threshold_curve",
     "cooccurrence_pmi",
+    # round-5 additions: suffix-array-family exact substring dedup,
+    # the tokenizer fertility diagnostic, and centroid assignment
+    # (now the Arrow-batched GEMM path; ivf_topk/semantic_dedup above
+    # ride the same stage)
+    "exact_substring_spans",
+    "tokenizer_fertility",
+    "centroid_assign",
 ]
 
 

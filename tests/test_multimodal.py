@@ -359,3 +359,132 @@ def test_png_palette_rejects_out_of_range_index():
     )
     with _pytest.raises(ValueError, match="palette index"):
         decode_png(blob)
+
+
+# ---------------------------------------------------------------- JPEG
+
+
+def _flat_block_img(vals, bw=2, bh=2):
+    import numpy as np
+
+    img = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+    for by in range(bh):
+        for bx in range(bw):
+            img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = vals[by * bw + bx]
+    return img
+
+
+def test_jpeg_flat_blocks_roundtrip_exact():
+    """The exactness contract the oracle gate leans on: per-block-
+    constant images are DC-only, and with the unit quant table the
+    roundtrip is pixel-EXACT — including blocks that force negative
+    DC differences and every size category up to the 255-jump."""
+    import numpy as np
+
+    from aprs2influxdb_spark.functions.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+    for vals in ([13, 250, 128, 7], [0, 255, 0, 255], [200, 199, 201, 1]):
+        img = _flat_block_img(vals)
+        w, h, out = decode_jpeg_gray(encode_jpeg_gray(img.tobytes(), 16, 16))
+        assert (w, h) == (16, 16)
+        assert out == img.tobytes()
+
+
+def test_jpeg_unit_quant_near_lossless_on_arbitrary_images():
+    """Arbitrary images exercise the full AC run-length path (ZRL,
+    EOB, every coefficient category); with the unit table the only
+    loss is AC round-to-int, which bounds per-pixel error at ±1."""
+    import numpy as np
+
+    from aprs2influxdb_spark.functions.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 32)).astype(np.uint8)
+    w, h, out = decode_jpeg_gray(encode_jpeg_gray(img.tobytes(), 32, 24))
+    dec = np.frombuffer(out, dtype=np.uint8).reshape(24, 32)
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 1
+
+
+def test_jpeg_decoder_against_reference_idct():
+    """Decode-side independence check: huffman-decode + dequantize +
+    IDCT must reproduce a REFERENCE reconstruction computed here with
+    a from-scratch numpy IDCT (separate code path from the codec's
+    cached basis matrix), on a coarsely-quantized image where AC
+    coefficients are large and plentiful."""
+    import math
+
+    import numpy as np
+
+    from aprs2influxdb_spark.functions.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    q = [16] * 64
+    blob = encode_jpeg_gray(img.tobytes(), 16, 16, quant=q)
+    _w, _h, out = decode_jpeg_gray(blob)
+    dec = np.frombuffer(out, dtype=np.uint8).reshape(16, 16)
+
+    # reference: re-run the forward pipeline (shared definition), then
+    # invert with an explicitly-summed IDCT
+    def ref_idct(F):
+        f = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = math.sqrt(0.5) if u == 0 else 1.0
+                        cv = math.sqrt(0.5) if v == 0 else 1.0
+                        s += (
+                            cu * cv * F[u, v]
+                            * math.cos((2 * x + 1) * u * math.pi / 16)
+                            * math.cos((2 * y + 1) * v * math.pi / 16)
+                        )
+                f[x, y] = s / 4.0
+        return f
+
+    C = np.array([
+        [(math.sqrt(0.5) if u == 0 else 1.0) * math.cos((2 * x + 1) * u * math.pi / 16) / 2.0
+         for x in range(8)] for u in range(8)
+    ])
+    for by in range(2):
+        for bx in range(2):
+            block = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(float) - 128.0
+            coeffs = np.round((C @ block @ C.T) / 16.0) * 16.0
+            ref = np.clip(np.round(ref_idct(coeffs) + 128.0), 0, 255).astype(np.uint8)
+            got = dec[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            assert (got == ref).all()
+
+
+def test_jpeg_rejects_unsupported():
+    import pytest as _pytest
+
+    from aprs2influxdb_spark.functions.jpeg import decode_jpeg_gray
+
+    with _pytest.raises(ValueError):
+        decode_jpeg_gray(b"not a jpeg")
+    with _pytest.raises(ValueError):
+        decode_jpeg_gray(b"\xff\xd8\xff\xc2\x00\x05aaa\xff\xd9")  # progressive SOF2
+
+
+def test_jpeg_stdlib_decode_sniffs_and_matches_pil():
+    """decode_image_stdlib must route FFD8 payloads through the JPEG
+    decoder; where Pillow is importable the features must agree with
+    Pillow's decode of the SAME stream (true interop, not just
+    self-consistency)."""
+    from aprs2influxdb_spark.functions.jpeg import encode_jpeg_gray
+    from aprs2influxdb_spark.operators.multimodal import decode_image_stdlib
+
+    img = _flat_block_img([40, 90, 140, 190])
+    blob = encode_jpeg_gray(img.tobytes(), 16, 16)
+    feats = decode_image_stdlib(blob)
+    assert feats["feat_mean"] == (40 + 90 + 140 + 190) * 64 // 256
+    try:
+        import io
+
+        import PIL.Image
+    except ImportError:
+        return
+    pil = PIL.Image.open(io.BytesIO(blob)).convert("L")
+    data = list(pil.getdata())
+    assert sum(data) // len(data) == feats["feat_mean"]

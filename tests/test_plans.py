@@ -554,7 +554,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "bracket_revenue": 3,
     "bucket_first_last": 3,
     "bucket_percentiles": 3,
-    "centroid_assign": 5,
+    "centroid_assign": 3,
     "char_entropy": 4,
     "chi2_independence": 4,
     "chunk_documents": 2,
@@ -609,12 +609,12 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "influx_derivative": 3,
     "influx_difference": 3,
     "influx_integral": 3,
-    "ivf_kmeans_topk": 5,
-    "ivf_topk": 5,
-    "ivfpq_topk": 6,
+    "ivf_kmeans_topk": 3,
+    "ivf_topk": 2,
+    "ivfpq_topk": 5,
     "json_extract": 2,
     "kmv_set_overlap": 5,
-    "knn_graph": 3,
+    "knn_graph": 1,
     "knn_triangles": 10,
     "known_types_filter": 2,
     "ks_drift": 4,
@@ -636,8 +636,8 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "minhash_est_error": 5,
     "bbit_minhash": 5,
     "cdc_chunk_dedup": 4,
-    "pca_top_component": 2,
-    "pca_scores": 2,
+    "pca_top_component": 0,
+    "pca_scores": 0,
     "dup_threshold_curve": 6,
     "sax_symbols": 3,
     "sax_motif_counts": 4,
@@ -651,12 +651,13 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "cooccurrence_pmi": 4,
     "weighted_percentiles": 8,
     "temporal_split": 1,
-    "label_prop_knn": 6,
+    "label_prop_knn": 2,
     "hll_sketch": 5,
     "minhash_lsh_pairs": 5,
     "minhash_signatures": 2,
     "multimodal_features": 2,
     "multimodal_png_decode": 2,
+    "multimodal_jpeg_decode": 2,
     "multimodal_frames": 2,
     "multimodal_meta": 2,
     "multimodal_resize": 2,
@@ -708,7 +709,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "sampled_percentiles": 3,
     "scd2_intervals": 3,
     "seasonal_anomaly": 3,
-    "semantic_dedup": 6,
+    "semantic_dedup": 2,
     "semi_join": 2,
     "sessionize": 3,
     "setop_except": 3,

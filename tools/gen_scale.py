@@ -189,8 +189,83 @@ def gen(sf: float, out: str, seed: int = 42) -> None:
           label=rng.integers(0, 10, nv))
 
 
+def gen_docs_fast(sf: float, out: str, seed: int = 42) -> None:
+    """Vectorized documents+embeddings-only generator for the BIG
+    scale decades (sf100 ≈ 18 GB): the full :func:`gen` samples each
+    document's tokens in a Python loop (fine to sf10, hours at sf100).
+    Here every chunk's tokens come from ONE ``rng.choice`` draw over
+    the same empirical sf0.1 unigram/length distributions, streamed
+    through a ParquetWriter in 50k-doc chunks so peak memory stays
+    bounded.  Same dup densities (~0.15% exact, ~1% near with ~10%
+    token mutation); dup SOURCES are drawn from the current chunk
+    (a locality simplification the curve doesn't care about — dedup
+    candidate density is set by the df/shingle statistics, which the
+    shared unigram distribution preserves)."""
+    rng = np.random.default_rng(seed)
+    k = sf / 0.1
+    nd, nv = int(BASE["documents"] * k), int(BASE["embeddings"] * k)
+    os.makedirs(out, exist_ok=True)
+    vocab, probs, lens = _empirical_docs_dist()
+    varr = np.array(vocab)
+    chunk = 50_000
+    schema = pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string()),
+        ("source", pa.string()), ("n_chars", pa.int32()),
+    ])
+    writer = pq.ParquetWriter(os.path.join(out, "documents.parquet"), schema)
+    done = 0
+    while done < nd:
+        m = min(chunk, nd - done)
+        lengths = rng.choice(lens, m)
+        flat = varr[rng.choice(len(vocab), int(lengths.sum()), p=probs)]
+        offs = np.concatenate(([0], np.cumsum(lengths)))
+        texts = [" ".join(flat[offs[i]:offs[i + 1]]) for i in range(m)]
+        for i in range(m):
+            gid = done + i
+            if gid > 0 and gid % 640 == 639:
+                texts[i] = texts[rng.integers(0, m)]
+            elif gid > 0 and gid % 100 == 99:
+                src = texts[rng.integers(0, m)].split(" ")
+                for j in rng.choice(len(src), max(1, len(src) // 10)):
+                    src[j] = vocab[rng.integers(0, len(vocab))]
+                texts[i] = " ".join(src)
+        writer.write_table(pa.table({
+            "doc_id": np.arange(done, done + m, dtype="int64"),
+            "text": texts,
+            "lang": [LANGS[(done + i) % len(LANGS)] for i in range(m)],
+            "source": [f"src{(done + i) % 5}" for i in range(m)],
+            "n_chars": np.array([len(t) for t in texts], dtype="int32"),
+        }, schema=schema))
+        done += m
+        if done % 500_000 == 0 or done == nd:
+            print(f"  documents: {done}/{nd}", flush=True)
+    writer.close()
+    eschema = pa.schema([
+        ("vec_id", pa.int64()),
+        ("embedding", pa.list_(pa.float32())),
+        ("label", pa.int64()),
+    ])
+    ewriter = pq.ParquetWriter(os.path.join(out, "embeddings.parquet"), eschema)
+    done = 0
+    while done < nv:
+        m = min(200_000, nv - done)
+        emb = rng.normal(0, 1, (m, 64)).astype("float32")
+        ewriter.write_table(pa.table({
+            "vec_id": np.arange(done, done + m, dtype="int64"),
+            "embedding": pa.array(list(emb), type=pa.list_(pa.float32())),
+            "label": rng.integers(0, 10, m),
+        }, schema=eschema))
+        done += m
+    ewriter.close()
+    print(f"  embeddings: {nv} rows", flush=True)
+
+
 if __name__ == "__main__":
-    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
-    out = sys.argv[2] if len(sys.argv) > 2 else f"scaledata/sf{sf:g}"
+    args = [a for a in sys.argv[1:] if a != "--docs-only"]
+    sf = float(args[0]) if args else 1.0
+    out = args[1] if len(args) > 1 else f"scaledata/sf{sf:g}"
     print(f"generating sf{sf:g} -> {out}")
-    gen(sf, out)
+    if "--docs-only" in sys.argv:
+        gen_docs_fast(sf, out)
+    else:
+        gen(sf, out)
