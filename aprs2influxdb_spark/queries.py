@@ -4751,6 +4751,100 @@ def q_streaming_jpeg_features(spark, sf):
     return run_bounded(spark, est, "append", "stream_jpeg_features")
 
 
+def _wav_roundtrip_mapper():
+    from pyspark.sql.types import (
+        IntegerType as _Int,
+        LongType as _Long,
+        DoubleType as _Dbl,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    out_schema = _ST([
+        _SF("media_id", _Long(), False),
+        _SF("sample_rate", _Int(), True),
+        _SF("n_samples", _Int(), True),
+        _SF("peak", _Long(), True),
+        _SF("zero_cross", _Long(), True),
+        _SF("energy", _Long(), True),
+        _SF("rms", _Dbl(), True),
+    ])
+
+    def _roundtrip(batches):
+        import math
+
+        import pandas as pd
+
+        from aprs2influxdb_spark.functions.wav import (
+            decode_wav_pcm16,
+            encode_wav_pcm16,
+        )
+
+        for pdf in batches:
+            feats = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                src = [((d * 7 + i * 13) % 2048) - 1024 for i in range(256)]
+                blob = encode_wav_pcm16(src, sample_rate=8000)
+                rate, _ch, dec = decode_wav_pcm16(blob)
+                if dec != src:  # PCM is lossless: bit-exact or bust
+                    raise ValueError(f"WAV roundtrip mismatch for doc {d}")
+                energy = sum(x * x for x in dec)
+                zc = sum((dec[i - 1] >= 0) != (dec[i] >= 0) for i in range(1, 256))
+                rms = math.floor(math.sqrt(energy / 256.0) * 10000 + 0.5) / 10000.0
+                feats.append((d, rate, len(dec), max(abs(x) for x in dec), zc, energy, rms))
+            yield pd.DataFrame(
+                feats,
+                columns=["media_id", "sample_rate", "n_samples", "peak", "zero_cross", "energy", "rms"],
+            )
+
+    return _roundtrip, out_schema
+
+
+def q_multimodal_wav_features(spark, sf):
+    """The REAL audio codec under the full oracle gate: each document
+    renders a deterministic 256-sample int16 waveform (closed-form in
+    doc_id), encodes it into an actual RIFF/WAVE PCM16 stream
+    (functions/wav.py), decodes it back — PCM is lossless, so the
+    roundtrip is asserted bit-exact — and emits the standard audio
+    features (peak, zero-crossing count, exact integer energy, RMS)
+    that the oracle recomputes from the same closed form.  One
+    ``mapInPandas`` pass; the blob never shuffles."""
+    fn, out_schema = _wav_roundtrip_mapper()
+    return _t(spark, sf, "documents").select("doc_id").mapInPandas(fn, out_schema)
+
+
+SQL_MULTIMODAL_WAV_FEATURES = """
+WITH s AS (
+  SELECT doc_id,
+         list_transform(range(0, 256), i -> ((doc_id * 7 + i * 13) % 2048) - 1024) AS w
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         CAST(list_max(list_transform(w, x -> abs(x))) AS BIGINT) AS peak,
+         CAST(list_sum(list_transform(range(1, 256), i ->
+             CASE WHEN (w[i] >= 0) != (w[i + 1] >= 0) THEN 1 ELSE 0 END)) AS BIGINT) AS zero_cross,
+         CAST(list_sum(list_transform(w, x -> x * x)) AS BIGINT) AS energy
+  FROM s
+)
+SELECT doc_id AS media_id, 8000 AS sample_rate, 256 AS n_samples,
+       peak, zero_cross, energy,
+       (floor(sqrt(energy / 256.0) * 10000 + 0.5) / 10000.0) AS rms
+FROM f
+"""
+
+
+def q_streaming_wav_features(spark, sf):
+    """The WAV codec AT INGEST: the lossless roundtrip of
+    ``multimodal_wav_features`` as a stateless append-mode stream
+    transform, sharing the batch oracle verbatim."""
+    from aprs2influxdb_spark.streaming.bounded import run_bounded, stream_docs
+
+    fn, out_schema = _wav_roundtrip_mapper()
+    est = stream_docs(spark, sf).select("doc_id").mapInPandas(fn, out_schema)
+    return run_bounded(spark, est, "append", "stream_wav_features")
+
+
 def q_multimodal_png_decode(spark, sf):
     """The REAL PNG codec under the full oracle gate: each document row
     renders a deterministic 8×8 RGB image (channel bytes are closed-form
@@ -8874,6 +8968,7 @@ def registry() -> dict[str, tuple]:
         "source_token_kl": (q_source_token_kl, SQL_SOURCE_TOKEN_KL),
         "streaming_png_features": (q_streaming_png_features, SQL_MULTIMODAL_PNG_DECODE),
         "streaming_jpeg_features": (q_streaming_jpeg_features, SQL_MULTIMODAL_JPEG_DECODE),
+        "streaming_wav_features": (q_streaming_wav_features, SQL_MULTIMODAL_WAV_FEATURES),
         "temporal_split": (q_temporal_split, SQL_TEMPORAL_SPLIT),
         "label_prop_knn": (q_label_prop_knn, _label_prop_sql()),
         "simhash": (q_simhash, _simhash_sql()),
@@ -8954,6 +9049,7 @@ def registry() -> dict[str, tuple]:
         "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
         "multimodal_png_decode": (q_multimodal_png_decode, SQL_MULTIMODAL_PNG_DECODE),
         "multimodal_jpeg_decode": (q_multimodal_jpeg_decode, SQL_MULTIMODAL_JPEG_DECODE),
+        "multimodal_wav_features": (q_multimodal_wav_features, SQL_MULTIMODAL_WAV_FEATURES),
         "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
         "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
         # streaming (bounded-stream execution of the streaming plans)

@@ -488,3 +488,69 @@ def test_jpeg_stdlib_decode_sniffs_and_matches_pil():
     pil = PIL.Image.open(io.BytesIO(blob)).convert("L")
     data = list(pil.getdata())
     assert sum(data) // len(data) == feats["feat_mean"]
+
+
+# ----------------------------------------------------------------- WAV
+
+
+def test_wav_roundtrip_property():
+    """ANY int16 sample buffer, any channel count, must roundtrip
+    bit-exactly (PCM is lossless; hypothesis drives lengths, channel
+    counts, and sample values including the int16 extremes)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aprs2influxdb_spark.functions.wav import decode_wav_pcm16, encode_wav_pcm16
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        channels=st.integers(1, 3),
+        frames=st.integers(0, 50),
+        data=st.data(),
+        rate=st.sampled_from([8000, 16000, 44100]),
+    )
+    def check(channels, frames, data, rate):
+        n = channels * frames
+        samples = data.draw(
+            st.lists(st.integers(-32768, 32767), min_size=n, max_size=n)
+        )
+        r, ch, out = decode_wav_pcm16(encode_wav_pcm16(samples, rate, channels))
+        assert (r, ch, out) == (rate, channels, samples)
+
+    check()
+
+
+def test_wav_skips_unknown_chunks():
+    """Spec-required behavior a naive parser gets wrong: LIST/fact
+    chunks between fmt and data must be skipped, including the
+    odd-length word-alignment pad."""
+    import struct
+
+    from aprs2influxdb_spark.functions.wav import decode_wav_pcm16, encode_wav_pcm16
+
+    blob = encode_wav_pcm16([1, -2, 3], 8000)
+    # splice a 5-byte (odd) LIST chunk after fmt (offset 12+8+16)
+    cut = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = blob[:cut] + extra + blob[cut:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    rate, ch, out = decode_wav_pcm16(spliced)
+    assert (rate, ch, out) == (8000, 1, [1, -2, 3])
+
+
+def test_wav_rejects_unsupported():
+    import struct
+
+    import pytest as _pytest
+
+    from aprs2influxdb_spark.functions.wav import decode_wav_pcm16, encode_wav_pcm16
+
+    with _pytest.raises(ValueError):
+        decode_wav_pcm16(b"not a wav")
+    # format code 85 (MP3-in-WAV) must be rejected, not misparsed
+    blob = bytearray(encode_wav_pcm16([0, 1], 8000))
+    struct.pack_into("<H", blob, 20, 85)
+    with _pytest.raises(ValueError):
+        decode_wav_pcm16(bytes(blob))
+    with _pytest.raises(ValueError):
+        encode_wav_pcm16([40000], 8000)  # out of int16 range
