@@ -271,6 +271,8 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"JPEG: expected marker at {pos}")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1  # optional fill bytes before a marker (B.1.1.2)
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

@@ -467,6 +467,35 @@ def test_jpeg_rejects_unsupported():
         decode_jpeg_gray(b"\xff\xd8\xff\xc2\x00\x05aaa\xff\xd9")  # progressive SOF2
 
 
+def test_jpeg_tolerates_fill_bytes_before_markers():
+    """B.1.1.2: any marker may be preceded by any number of 0xFF fill
+    bytes.  Other encoders emit them for alignment; injecting fills
+    before every non-SOI marker must not change the decode."""
+    from aprs2influxdb_spark.functions.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+    img = _flat_block_img([13, 250, 128, 7])
+    blob = encode_jpeg_gray(img.tobytes(), 16, 16)
+    # Re-write the stream with fill bytes before each marker segment.
+    # Walk markers exactly as the decoder does (entropy data is only
+    # after SOS, which this walk stops at).
+    out = bytearray(blob[:2])  # SOI
+    pos = 2
+    import struct as _struct
+
+    while pos < len(blob):
+        marker = blob[pos + 1]
+        out += b"\xff\xff\xff"  # three fill bytes, then the real marker
+        if marker == 0xDA:  # SOS: copy the rest verbatim
+            out += blob[pos:]
+            break
+        ln = _struct.unpack(">H", blob[pos + 2 : pos + 4])[0]
+        out += blob[pos : pos + 2 + ln]
+        pos += 2 + ln
+    w, h, pix = decode_jpeg_gray(bytes(out))
+    assert (w, h) == (16, 16)
+    assert pix == img.tobytes()
+
+
 def test_jpeg_stdlib_decode_sniffs_and_matches_pil():
     """decode_image_stdlib must route FFD8 payloads through the JPEG
     decoder; where Pillow is importable the features must agree with
