@@ -568,6 +568,32 @@ FROM (
 """
 
 
+def q_session_components(spark, sf):
+    """Sessionization rederived as graph connected components (pointer-
+    jumping CC over the consecutive-event gap graph) — must equal the
+    lag+running-sum window sessionizer computed by DuckDB.  See
+    operators.graph.session_components."""
+    from aprs2influxdb_spark.operators.graph import session_components
+
+    return session_components(_t(spark, sf, "events"))
+
+
+SQL_SESSION_COMPONENTS = """
+SELECT CAST(min(event_id) AS BIGINT) AS session_root, count(*) AS n_events
+FROM (
+  SELECT event_id, user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS grp
+  FROM (
+    SELECT event_id, user_id, ts,
+           CASE WHEN epoch_us(ts)/1000000.0 - lag(epoch_us(ts)/1000000.0)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800.0
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events)
+) GROUP BY user_id, grp
+"""
+
+
 def q_running_sum(spark, sf):
     """Analytic window: running revenue per customer."""
     w = (
@@ -8934,6 +8960,7 @@ def registry() -> dict[str, tuple]:
         "distinct_daily_users": (q_distinct_daily_users, SQL_DISTINCT_DAILY),
         "time_bucket_agg": (q_time_bucket_agg, SQL_TIME_BUCKET),
         "sessionize": (q_sessionize, SQL_SESSIONIZE),
+        "session_components": (q_session_components, SQL_SESSION_COMPONENTS),
         "running_sum": (q_running_sum, SQL_RUNNING_SUM),
         # dedup
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),

@@ -666,6 +666,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "nation_presence": 4,
     "nation_trade": 3,
     "near_dup_clusters": 2,
+    "session_components": 2,
     "ngram_containment": 4,
     "ngram_jaccard": 4,
     "ngram_jaccard_capped": 4,
