@@ -1181,3 +1181,137 @@ def zipf_fit(
     return sums.select(
         F.col("n").alias("n_terms"), slope.alias("slope"), intercept.alias("intercept")
     )
+
+
+# ---------------------------------------------------------------- BPE
+
+#: merges learned by the BPE entries (kept small so the oracle SQL
+#: unrolls to a readable WITH-chain; raise for real tokenizer runs)
+BPE_MERGES = 6
+_BPE_SEP = "·"  # '·' — cannot appear in whitespace-split ASCII tokens
+
+_BPE_CACHE: dict[tuple[str, int, int], list[tuple[int, str, str, str, int]]] = {}
+
+
+def _bpe_repr(word):
+    """Word → separator-delimited symbol string ('key' → '·k·e·y·').
+
+    A string (not an array) so a learned merge applies as plain
+    ``replace`` — the exact operation DuckDB mirrors."""
+    chars = F.filter(F.split(word, ""), lambda c: c != F.lit(""))
+    return F.concat(F.lit(_BPE_SEP), F.array_join(chars, _BPE_SEP), F.lit(_BPE_SEP))
+
+
+def _bpe_syms(repr_col):
+    return F.filter(F.split(repr_col, _BPE_SEP), lambda c: c != F.lit(""))
+
+
+def _bpe_merge_expr(repr_col, a: str, b: str):
+    """Apply one merge: '·a·b·' → '·ab·', bounded to THREE passes.
+
+    Plain left-to-right replace misses every second occurrence of a
+    run (the match consumes the shared boundary separator); a pass
+    halves the remaining run, so three passes settle runs up to ~8
+    repeats — beyond any whitespace token this corpus (or any sane
+    one) holds.  The SAME bounded-3-pass rule is what the DuckDB
+    oracle executes, so both engines compute the identical (slightly
+    non-canonical) merge application by construction."""
+    pat = F.lit(_BPE_SEP + a + _BPE_SEP + b + _BPE_SEP)
+    rep = F.lit(_BPE_SEP + a + b + _BPE_SEP)
+    col = repr_col
+    for _ in range(3):
+        col = F.call_function("replace", col, pat, rep)
+    return col
+
+
+def _bpe_word_counts(docs: DataFrame, text_col: str, *group_cols: str) -> DataFrame:
+    return (
+        docs.select(*group_cols, F.explode(tokens_col(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy(*group_cols, "word")
+        .agg(F.count("*").alias("cnt"))
+        .select(*group_cols, _bpe_repr(F.col("word")).alias("repr"), "cnt")
+    )
+
+
+def _bpe_pair_counts(wc: DataFrame) -> DataFrame:
+    syms = _bpe_syms(F.col("repr"))
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(syms) - 2),
+        lambda i: F.struct(F.get(syms, i).alias("a"), F.get(syms, i + 1).alias("b")),
+    )
+    return (
+        wc.filter(F.size(syms) >= 2)
+        .select(F.explode(pairs).alias("p"), "cnt")
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").alias("c"))
+    )
+
+
+def bpe_learn_merges(
+    docs: DataFrame, k: int = BPE_MERGES, text_col: str = "text",
+) -> list[tuple[int, str, str, str, int]]:
+    """Learn the top-``k`` byte-pair-encoding merges over the corpus
+    (Sennrich et al. 2016 `learn_bpe`, word-internal, no end-of-word
+    marker): repeatedly count adjacent symbol pairs weighted by word
+    frequency and fuse the most frequent pair (ties: lexicographic
+    (a, b) — fully deterministic).  Returns
+    ``[(rank, lhs, rhs, merged, cnt), ...]``.
+
+    Scale shape: ONE corpus scan builds the (word → count) table;
+    every round after that is vocab-bounded — a pair-count aggregate
+    plus a narrow 3-pass replace over the checkpointed vocabulary,
+    never the corpus.  The per-round driver pull is a single row (the
+    argmax pair), the same O(1) pull the k-means entries make.
+    Memoized per (session, corpus plan, k) so the fertility entry
+    reuses the learn pass."""
+    try:
+        key = (docs.sparkSession.sparkContext.applicationId, docs.semanticHash(), k)
+    except Exception:
+        key = None
+    if key is not None and key in _BPE_CACHE:
+        return _BPE_CACHE[key]
+    wc = _bpe_word_counts(docs, text_col).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, k + 1):
+        top = (
+            _bpe_pair_counts(wc)
+            .orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
+        merges.append((rank, a, b, a + b, c))
+        wc = wc.select(
+            _bpe_merge_expr(F.col("repr"), a, b).alias("repr"), "cnt"
+        ).localCheckpoint(eager=True)
+    if key is not None:
+        _BPE_CACHE[key] = merges
+    return merges
+
+
+def bpe_fertility(
+    docs: DataFrame, k: int = BPE_MERGES, text_col: str = "text", lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language fertility of the corpus-learned BPE tokenizer:
+    BPE symbols per word after applying the top-``k`` merges — the
+    diagnostic that shows which languages a tokenizer trained on this
+    corpus serves worst (pairs with ``tokenizer_fertility``'s
+    whitespace/byte metrics).  Output: (lang, n_words,
+    bpe_per_word)."""
+    merges = bpe_learn_merges(docs, k, text_col)
+    wl = _bpe_word_counts(docs, text_col, lang_col)
+    col = F.col("repr")
+    for _rank, a, b, _m, _c in merges:
+        col = _bpe_merge_expr(col, a, b)
+    per_word = wl.select(
+        lang_col,
+        "cnt",
+        (F.size(_bpe_syms(col)).cast("long") * F.col("cnt")).alias("nsym"),
+    )
+    return per_word.groupBy(lang_col).agg(
+        F.sum("cnt").alias("n_words"),
+        rhu(F.sum("nsym").cast("double") / F.sum("cnt"), 6).alias("bpe_per_word"),
+    )

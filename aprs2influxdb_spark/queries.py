@@ -4547,6 +4547,90 @@ FROM agg
 """
 
 
+def q_bpe_merges(spark, sf):
+    """Corpus-learned BPE merge table (Sennrich et al. 2016): the top
+    6 adjacent-symbol merges by frequency-weighted pair count, fully
+    deterministic tie-breaks — see operators.textanalysis.
+    bpe_learn_merges for the one-scan-then-vocab-bounded plan."""
+    merges = ta.bpe_learn_merges(_t(spark, sf, "documents"))
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, merged string, cnt long"
+    )
+
+
+def q_bpe_fertility(spark, sf):
+    """Symbols-per-word of the corpus-learned BPE tokenizer, per
+    language — see operators.textanalysis.bpe_fertility."""
+    return ta.bpe_fertility(_t(spark, sf, "documents"))
+
+
+def _bpe_sql_rounds(k: int) -> str:
+    """The shared WITH-chain: word counts, then ``k`` unrolled rounds
+    of (pair count → argmax merge → bounded-3-pass replace) — the
+    EXACT algorithm the Spark side runs, including the 3-pass merge
+    application rule (see operators.textanalysis._bpe_merge_expr)."""
+    parts = [
+        """wc0 AS MATERIALIZED (
+  SELECT '·' || array_to_string(list_filter(string_split(word, ''), x -> x <> ''), '·') || '·' AS repr,
+         count(*) AS cnt
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) t
+  WHERE word <> '' GROUP BY 1
+)"""
+    ]
+    for i in range(1, k + 1):
+        pat = f"(SELECT '·' || a || '·' || b || '·' FROM m{i})"
+        rep = f"(SELECT '·' || a || b || '·' FROM m{i})"
+        parts.append(f"""p{i} AS MATERIALIZED (
+  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (
+    SELECT syms, cnt, unnest(range(1, len(syms))) AS i
+    FROM (SELECT list_filter(string_split(repr, '·'), x -> x <> '') AS syms, cnt FROM wc{i - 1})
+  ) GROUP BY 1, 2
+)""")
+        parts.append(f"m{i} AS MATERIALIZED (SELECT a, b, c FROM p{i} ORDER BY c DESC, a, b LIMIT 1)")
+        parts.append(
+            f"wc{i} AS MATERIALIZED (SELECT replace(replace(replace(repr, {pat}, {rep}), {pat}, {rep}), {pat}, {rep}) AS repr, cnt FROM wc{i - 1})"
+        )
+    return ",\n".join(parts)
+
+
+def _bpe_merges_sql(k: int = 6) -> str:
+    rows = "\n  UNION ALL\n".join(
+        f"  SELECT {i} AS merge_rank, a AS lhs, b AS rhs, a || b AS merged, c AS cnt FROM m{i}"
+        for i in range(1, k + 1)
+    )
+    return f"WITH {_bpe_sql_rounds(k)}\n{rows}"
+
+
+def _bpe_fertility_sql(k: int = 6) -> str:
+    # the language-keyed word counts ride the SAME m1..mk merge chain
+    lang_parts = [
+        """wl0 AS MATERIALIZED (
+  SELECT lang,
+         '·' || array_to_string(list_filter(string_split(word, ''), x -> x <> ''), '·') || '·' AS repr,
+         count(*) AS cnt
+  FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS word FROM documents) t
+  WHERE word <> '' GROUP BY 1, 2
+)"""
+    ]
+    for i in range(1, k + 1):
+        pat = f"(SELECT '·' || a || '·' || b || '·' FROM m{i})"
+        rep = f"(SELECT '·' || a || b || '·' FROM m{i})"
+        lang_parts.append(
+            f"wl{i} AS MATERIALIZED (SELECT lang, replace(replace(replace(repr, {pat}, {rep}), {pat}, {rep}), {pat}, {rep}) AS repr, cnt FROM wl{i - 1})"
+        )
+    ratio = rhu_sql("CAST(sum(nsym) AS DOUBLE) / sum(cnt)", 6)
+    lang_chain = ",\n".join(lang_parts)
+    return f"""WITH {_bpe_sql_rounds(k)},
+{lang_chain}
+SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_words, {ratio} AS bpe_per_word
+FROM (
+  SELECT lang, cnt,
+         CAST(len(list_filter(string_split(repr, '·'), x -> x <> '')) AS BIGINT) * cnt AS nsym
+  FROM wl{k}
+) GROUP BY lang"""
+
+
 def q_rolling_fingerprint(spark, sf):
     return ta.rolling_fingerprint(_t(spark, sf, "documents"))
 
@@ -9030,6 +9114,8 @@ def registry() -> dict[str, tuple]:
         "langid_confusion": (q_langid_confusion, SQL_LANGID_CONFUSION),
         "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
         "tokenizer_fertility": (q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY),
+        "bpe_merges": (q_bpe_merges, _bpe_merges_sql()),
+        "bpe_fertility": (q_bpe_fertility, _bpe_fertility_sql()),
         "training_data_prep": (q_training_data_prep, SQL_TRAINING_DATA_PREP),
         "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
         "scd2_intervals": (q_scd2_intervals, SQL_SCD2_INTERVALS),

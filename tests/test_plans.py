@@ -667,6 +667,8 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "nation_trade": 3,
     "near_dup_clusters": 2,
     "session_components": 2,
+    "bpe_merges": 0,
+    "bpe_fertility": 2,
     "ngram_containment": 4,
     "ngram_jaccard": 4,
     "ngram_jaccard_capped": 4,

@@ -360,3 +360,106 @@ class TestTokenizerFertility:
             assert r["sum_bytes"] >= r["sum_tokens"]
             assert r["fertility"] >= 1.0
             assert r["bytes_per_token"] > 1.0
+
+
+class TestBPE:
+    @staticmethod
+    def _ref_learn(texts, k):
+        """Pure-Python twin of bpe_learn_merges: identical weighted
+        pair counting, identical (count desc, pair asc) tie-break,
+        identical bounded-3-pass replace (Python str.replace shares
+        the left-to-right non-overlapping semantics of Spark's and
+        DuckDB's replace)."""
+        from collections import Counter
+
+        wc = Counter()
+        for t in texts:
+            for w in t.lower().split(" "):
+                if w:
+                    wc[w] += 1
+        cur = {w: "·" + "·".join(w) + "·" for w in wc}
+        merges = []
+        for rank in range(1, k + 1):
+            pc = Counter()
+            for w, r in cur.items():
+                syms = [s for s in r.split("·") if s]
+                for x, y in zip(syms, syms[1:]):
+                    pc[(x, y)] += wc[w]
+            if not pc:
+                break
+            (a, b), c = sorted(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )[0]
+            merges.append((rank, a, b, a + b, c))
+            pat, rep = f"·{a}·{b}·", f"·{a}{b}·"
+            for _ in range(3):
+                cur = {w: r.replace(pat, rep) for w, r in cur.items()}
+        return merges, cur, wc
+
+    def test_learn_matches_pure_python_reference(self, spark, sf_dir):
+        """The distributed plan (weighted pair aggregation, argmax
+        pull, checkpointed vocab rounds) must reproduce the
+        single-process algorithm exactly on the real corpus."""
+        from aprs2influxdb_spark.operators.textanalysis import (
+            _BPE_CACHE,
+            bpe_learn_merges,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        texts = [r["text"] for r in docs.select("text").collect()]
+        want, _, _ = self._ref_learn(texts, 6)
+        _BPE_CACHE.clear()
+        got = bpe_learn_merges(docs, 6)
+        assert got == want
+        # memoized: the second call must return the cached object
+        assert bpe_learn_merges(docs, 6) is got
+
+    def test_fertility_matches_reference(self, spark, sf_dir):
+        """Per-lang symbols-per-word after the learned merges, against
+        the same pure-Python twin (round-half-up to 6 dp)."""
+        import math
+        from collections import Counter, defaultdict
+
+        from aprs2influxdb_spark.operators.textanalysis import bpe_fertility
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        rows = docs.select("lang", "text").collect()
+        texts = [r["text"] for r in rows]
+        merges, _, _ = self._ref_learn(texts, 6)
+        lw = defaultdict(Counter)
+        for r in rows:
+            for w in r["text"].lower().split(" "):
+                if w:
+                    lw[r["lang"]][w] += 1
+        want = {}
+        for lang, wcnt in lw.items():
+            nsym = nw = 0
+            for w, c in wcnt.items():
+                r = "·" + "·".join(w) + "·"
+                for _rank, a, b, _m, _c in merges:
+                    pat, rep = f"·{a}·{b}·", f"·{a}{b}·"
+                    for _ in range(3):
+                        r = r.replace(pat, rep)
+                nsym += len([s for s in r.split("·") if s]) * c
+                nw += c
+            want[lang] = (nw, math.floor(nsym / nw * 1e6 + 0.5) / 1e6)
+        got = {
+            r["lang"]: (r["n_words"], r["bpe_per_word"])
+            for r in bpe_fertility(docs).collect()
+        }
+        assert got == want
+
+    def test_bounded_replace_equals_canonical_on_alternating_runs(self, spark):
+        """On runs of a non-self-adjacent pair ('xyxyxy'), the bounded
+        3-pass replace reaches the canonical greedy-left segmentation
+        — the agreement region the docstring claims."""
+        from aprs2influxdb_spark.operators.textanalysis import bpe_learn_merges
+
+        docs = spark.createDataFrame(
+            [(1, "xyxyxy xyxy xy")], "doc_id long, text string"
+        )
+        merges = bpe_learn_merges(docs, 2)
+        # (x,y) dominates: 3+2+1 weighted occurrences
+        assert merges[0][1:] == ("x", "y", "xy", 6)
+        # after merging, 'xy' runs pair as (xy,xy): 2+1 occurrences
+        assert merges[1][1:] == ("xy", "xy", "xyxy", 3)
