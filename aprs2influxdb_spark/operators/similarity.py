@@ -370,6 +370,16 @@ def ivf_assignments(
     c_ids = np.array([r["c_id"] for r in cent_rows], dtype=np.int64)
     order = np.argsort(c_ids, kind="stable")  # argmax first-hit == lowest c_id
     c_ids = c_ids[order]
+    if not cent_rows:
+        # empty corpus: no centroids — the assignment table is empty
+        # with the full output schema (np reductions on a 0-row matrix
+        # would raise before the plan even builds)
+        empty = emb.limit(0).select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.lit(None).cast("long").alias("c_id"),
+        )
+        return cent, empty
     C = np.array([cent_rows[i]["cv"] for i in order], dtype=np.float64)
     c_nrm = np.sqrt((C * C).sum(axis=1))
 

@@ -216,6 +216,10 @@ HEADLINE = [
     "exact_substring_spans",
     "tokenizer_fertility",
     "centroid_assign",
+    # round-5b additions: graph sessionization (pointer-jumping CC) and
+    # the distributed BPE learner
+    "session_components",
+    "bpe_merges",
 ]
 
 
