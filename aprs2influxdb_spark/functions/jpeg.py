@@ -257,7 +257,23 @@ def encode_jpeg_gray(
 def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
     """Decode a baseline single-component JPEG produced by any encoder
     using DHT/DQT/SOF0/SOS (no subsampling, no restart intervals).
-    Returns (width, height, pixels row-major)."""
+    Returns (width, height, pixels row-major).
+
+    Error contract: EVERY malformed stream raises ``ValueError`` with a
+    ``JPEG:`` message — a truncated segment, a missing DQT/DHT, or a
+    reference to an undefined table id would otherwise surface as
+    KeyError/IndexError/struct.error and escape callers (the
+    ``decode_image_stdlib`` dead-letter path) that catch ValueError,
+    the contract the PNG sibling already honors."""
+    try:
+        return _decode_jpeg_gray_impl(payload)
+    except ValueError:
+        raise
+    except (KeyError, IndexError, struct.error) as e:
+        raise ValueError(f"JPEG: malformed stream ({type(e).__name__})") from e
+
+
+def _decode_jpeg_gray_impl(payload: bytes) -> tuple[int, int, bytes]:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("JPEG: missing SOI")
     pos = 2

@@ -999,8 +999,6 @@ def exact_substring_spans(
     """
     from pyspark.sql import Window as W
 
-    from aprs2influxdb_spark.functions.hashing import portable_hash64
-
     toks = F.split(F.lower(F.col(text_col)), " ")
     n = F.size(toks)
     # positions 1..n-k+1; the filter (not `when`) keeps the branch

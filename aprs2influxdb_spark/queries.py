@@ -2577,9 +2577,13 @@ def cooccurrence_pmi(docs, text_col="text", id_col="doc_id",
     ).localCheckpoint(eager=False)  # df AND pair branches consume it
     # consumed 3×: the prefilter probe and both PMI denominators
     tok_df = toks_e.groupBy("t").agg(F.count("*").alias("df")).localCheckpoint(eager=False)
-    surv = toks_e.join(
-        F.broadcast(tok_df.filter(F.col("df") >= min_pair_df)), "t"
-    )
+    # NO broadcast hint on the vocab joins: df >= min_pair_df trims the
+    # long tail, not the head — on a web corpus the surviving vocabulary
+    # is still tens of millions of rows, past any broadcast limit.  At
+    # test SF the frames are tiny and AQE converts the joins to
+    # broadcast at runtime; at 100 TB they stay shuffle joins, which is
+    # the only shape that survives.
+    surv = toks_e.join(tok_df.filter(F.col("df") >= min_pair_df), "t")
     w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("t").asc())
     capped = (
         surv.withColumn("rn", F.row_number().over(w))
@@ -2602,8 +2606,8 @@ def cooccurrence_pmi(docs, text_col="text", id_col="doc_id",
         + F.lit(0.5)
     ).cast("long")
     return (
-        pair_df.join(F.broadcast(tok_df.select(F.col("t").alias("a"), F.col("df").alias("df_a"))), "a")
-        .join(F.broadcast(tok_df.select(F.col("t").alias("b"), F.col("df").alias("df_b"))), "b")
+        pair_df.join(tok_df.select(F.col("t").alias("a"), F.col("df").alias("df_a")), "a")
+        .join(tok_df.select(F.col("t").alias("b"), F.col("df").alias("df_b")), "b")
         .crossJoin(F.broadcast(n_docs))
         .select("a", "b", "df_ab", pmi.alias("pmi_micro"))
     )
@@ -4588,8 +4592,13 @@ def _bpe_sql_rounds(k: int) -> str:
   ) GROUP BY 1, 2
 )""")
         parts.append(f"m{i} AS MATERIALIZED (SELECT a, b, c FROM p{i} ORDER BY c DESC, a, b LIMIT 1)")
+        # COALESCE(..., repr): when fewer than k merges are learnable
+        # m{i} is EMPTY, the scalar subqueries go NULL, and a bare
+        # replace(repr, NULL, NULL) would NULL-poison every repr — the
+        # Spark side simply applies the shorter learned merge list, so
+        # an empty round must degrade to identity, not NULL.
         parts.append(
-            f"wc{i} AS MATERIALIZED (SELECT replace(replace(replace(repr, {pat}, {rep}), {pat}, {rep}), {pat}, {rep}) AS repr, cnt FROM wc{i - 1})"
+            f"wc{i} AS MATERIALIZED (SELECT COALESCE(replace(replace(replace(repr, {pat}, {rep}), {pat}, {rep}), {pat}, {rep}), repr) AS repr, cnt FROM wc{i - 1})"
         )
     return ",\n".join(parts)
 
@@ -4616,8 +4625,9 @@ def _bpe_fertility_sql(k: int = 6) -> str:
     for i in range(1, k + 1):
         pat = f"(SELECT '·' || a || '·' || b || '·' FROM m{i})"
         rep = f"(SELECT '·' || a || b || '·' FROM m{i})"
+        # same empty-round identity degrade as wc{i} (see _bpe_sql_rounds)
         lang_parts.append(
-            f"wl{i} AS MATERIALIZED (SELECT lang, replace(replace(replace(repr, {pat}, {rep}), {pat}, {rep}), {pat}, {rep}) AS repr, cnt FROM wl{i - 1})"
+            f"wl{i} AS MATERIALIZED (SELECT lang, COALESCE(replace(replace(replace(repr, {pat}, {rep}), {pat}, {rep}), {pat}, {rep}), repr) AS repr, cnt FROM wl{i - 1})"
         )
     ratio = rhu_sql("CAST(sum(nsym) AS DOUBLE) / sum(cnt)", 6)
     lang_chain = ",\n".join(lang_parts)
@@ -5324,6 +5334,17 @@ def q_streaming_asof_tws(spark, sf):
     from aprs2influxdb_spark.streaming.bounded import streaming_asof_tws
 
     return streaming_asof_tws(spark, sf)
+
+
+def q_streaming_asof_ordered(spark, sf):
+    """See :func:`streaming.bounded.streaming_asof_ordered`: strict
+    event-time-ordered as-of over out-of-order delivery — the oracle
+    is the global-order batch window, and the fixture's arrival order
+    disagrees with event time, so only watermark-gated replay can
+    match it."""
+    from aprs2influxdb_spark.streaming.bounded import streaming_asof_ordered
+
+    return streaming_asof_ordered(spark, sf)
 
 
 def _tws_available() -> bool:
@@ -9205,6 +9226,7 @@ def registry() -> dict[str, tuple]:
         **(
             {
                 "streaming_asof_tws": (q_streaming_asof_tws, SQL_ASOF_CALIBRATION),
+                "streaming_asof_ordered": (q_streaming_asof_ordered, SQL_ASOF_CALIBRATION),
                 "streaming_ttl_calibration": (
                     q_streaming_ttl_calibration,
                     SQL_STREAMING_TTL_CALIBRATION,

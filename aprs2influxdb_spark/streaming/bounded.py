@@ -954,7 +954,15 @@ class _AsofProcessor(StatefulProcessor):
     successor stateful API (typed state variables, RocksDB-backed,
     timers).  Same per-group semantics: concatenate the micro-batch's
     chunks, sort by (ts, event_id), 'error' rows upsert the per-user
-    scale factor, other rows emit half-up-rounded scaled values."""
+    scale factor, other rows emit half-up-rounded scaled values.
+
+    Ordering contract (same as the applyInPandasWithState twin): the
+    sort is batch-LOCAL; across micro-batches state applies in ARRIVAL
+    order — the reference's own semantics (SURVEY §3.2: packets apply
+    equations in the order received).  The gate run is a single batch,
+    so arrival order and global (ts, event_id) order coincide; for
+    strict event-time order on out-of-order sources, use
+    :class:`_OrderedAsofProcessor` (watermark-gated replay)."""
 
     def init(self, handle) -> None:
         self._calib = handle.getValueState("calib", "calib double")
@@ -1015,6 +1023,13 @@ class _TtlCalibProcessor(StatefulProcessor):
       identity — exactly what the boundary already dictates, since
       any non-late row past the fired timer is past the TTL.  The
       timer emits nothing, keeping the sink oracle-exact.
+
+    Ordering contract: like :class:`_AsofProcessor`, the (ts,
+    event_id) sort is batch-local and state applies in arrival order
+    across micro-batches (the reference's semantics); the sentinel
+    harness delivers event-time-ordered batches, so the global-order
+    oracle is exact here.  :class:`_OrderedAsofProcessor` is the
+    strict event-time-ordered variant.
     """
 
     def init(self, handle) -> None:
@@ -1068,6 +1083,196 @@ class _TtlCalibProcessor(StatefulProcessor):
 
     def close(self) -> None:
         pass
+
+
+_ORDERED_BUF_SCHEMA = "ts_us long, event_id long, user_id long, value double, is_error boolean"
+
+
+class _OrderedAsofProcessor(StatefulProcessor):
+    """STRICT event-time-ordered as-of calibration — the variant that
+    stays exact when arrival order diverges from event-time order
+    (multi-file backfills, multi-partition sources, replays).
+
+    Mechanism (watermark-gated replay): every incoming row buffers in
+    LIST state; rows are released to the calibration state machine
+    only once the watermark has passed their event time, replayed in
+    global (ts, event_id) order — by then no earlier row can still
+    arrive (rows below the watermark are dropped by the operator), so
+    the replay order IS the global order and the batch window oracle
+    (``SQL_ASOF_CALIBRATION``) is exact regardless of delivery order.
+    A flush timer armed at the earliest buffered event time drives
+    release as the watermark advances; state per key is bounded by the
+    watermark horizon (buffer holds at most ``delay`` worth of rows —
+    the same bound every watermarked aggregation carries).
+
+    Contrast :class:`_AsofProcessor` (arrival-order across batches,
+    the reference's semantics); this is the strict-event-time upgrade
+    its docstring points to."""
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._calib = handle.getValueState("calib", "calib double")
+        self._buf = handle.getListState("buf", _ORDERED_BUF_SCHEMA)
+
+    def _replay(self, wm_us: int) -> pd.DataFrame | None:
+        buffered = [tuple(r) for r in self._buf.get()]
+        if not buffered:
+            return None
+        buffered.sort(key=lambda r: (r[0], r[1]))
+        ready = [r for r in buffered if r[0] <= wm_us]
+        rest = [r for r in buffered if r[0] > wm_us]
+        got = self._calib.get()
+        calib = got[0] if got is not None else None
+        out: list[dict] = []
+        for _ts_us, event_id, user_id, value, is_error in ready:
+            if is_error:
+                calib = float(value)
+            else:
+                c = 1.0 if calib is None else calib
+                out.append(
+                    {
+                        "event_id": int(event_id),
+                        "user_id": int(user_id),
+                        "calibrated": math.floor(float(value) * c * 10000 + 0.5) / 10000.0,
+                    }
+                )
+        if calib is not None:
+            self._calib.update((calib,))
+        self._buf.clear()
+        for t in list(self._handle.listTimers()):
+            self._handle.deleteTimer(t)
+        if rest:
+            self._buf.put(rest)
+            # flush when the watermark passes the earliest held row
+            self._handle.registerTimer(rest[0][0] // 1000)
+        if out:
+            return pd.DataFrame(out, columns=["event_id", "user_id", "calibrated"])
+        return None
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        chunks = list(rows)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            pdf = pdf[pdf["event_type"] != "__watermark_sentinel__"]
+            if len(pdf):
+                self._buf.appendList(
+                    [
+                        (
+                            int(pd.Timestamp(row.ts).value // 1000),
+                            int(row.event_id),
+                            int(row.user_id),
+                            float(row.value),
+                            row.event_type == "error",
+                        )
+                        for row in pdf.itertuples()
+                    ]
+                )
+        got = self._replay(timerValues.getCurrentWatermarkInMs() * 1000)
+        if got is not None:
+            yield got
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo) -> Iterator[pd.DataFrame]:
+        got = self._replay(timerValues.getCurrentWatermarkInMs() * 1000)
+        if got is not None:
+            yield got
+
+    def close(self) -> None:
+        pass
+
+
+def _scrambled_events_stream(
+    spark: SparkSession, sf_dir: str, sentinel_hours: int
+) -> DataFrame:
+    """The events table as a stream whose arrival order DISAGREES with
+    event-time order: even-``event_id`` rows in the first file,
+    odd-``event_id`` rows in the second (the two interleave in time,
+    so batch 2 delivers rows earlier than batch 1's), with the
+    watermark sentinel last — the adversarial fixture for
+    :class:`_OrderedAsofProcessor`.  Same single-file-per-trigger
+    (mtime, path) ordering as :func:`_sentinel_events_stream`."""
+    import glob
+    import os
+    import shutil
+
+    from aprs2influxdb_spark.queries import _t
+
+    events = _t(spark, sf_dir, "events")
+    max_ts = events.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    tmp = tempfile.mkdtemp(prefix="scrambled_fixture_")
+    data_dir = os.path.join(tmp, "data")
+    os.makedirs(data_dir)
+
+    def _write_single(df, dest_name):
+        staging = os.path.join(tmp, f"_stage_{dest_name}")
+        df.coalesce(1).write.parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        dest = os.path.join(data_dir, dest_name)
+        shutil.move(part, dest)
+        return dest
+
+    a = _write_single(events.filter(F.col("event_id") % 2 == 0), "a_even.parquet")
+    b = _write_single(events.filter(F.col("event_id") % 2 == 1), "b_odd.parquet")
+    sentinel = events.limit(1).select(
+        *[
+            (F.lit(max_ts + pd.Timedelta(hours=sentinel_hours)).cast("timestamp") if c == "ts"
+             else F.lit(None).cast(t) if c != "event_type"
+             else F.lit("__watermark_sentinel__"))
+            .alias(c)
+            for c, t in events.dtypes
+        ]
+    )
+    z = _write_single(sentinel, "z_sentinel.parquet")
+    os.utime(a, (1_700_000_000, 1_700_000_000))
+    os.utime(b, (1_700_000_100, 1_700_000_100))
+    os.utime(z, (1_700_000_200, 1_700_000_200))
+    return (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+
+
+def streaming_asof_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time-ORDERED streaming as-of calibration over
+    OUT-OF-ORDER delivery (see :class:`_OrderedAsofProcessor`): the
+    fixture scrambles arrival vs event time, the watermark delay spans
+    the whole corpus so nothing is dropped late, and the sentinel sits
+    past ``delay`` so the trailing timer batch flushes every buffered
+    row — the entry's oracle is the GLOBAL-order batch window
+    (``SQL_ASOF_CALIBRATION``), which arrival-order application over
+    this fixture provably fails (pinned in tests).
+
+    Raises ``RuntimeError`` where :func:`tws_available` is False."""
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas requires google.protobuf, not present "
+            "in this environment"
+        )
+    from aprs2influxdb_spark.queries import _t
+
+    events = _t(spark, sf_dir, "events")
+    lo, hi = events.agg(F.min("ts").alias("a"), F.max("ts").alias("b")).collect()[0]
+    delay_h = int((hi - lo).total_seconds() // 3600) + 2
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = (
+            _scrambled_events_stream(spark, sf_dir, sentinel_hours=delay_h + 3)
+            .withWatermark("ts", f"{delay_h} hours")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                _OrderedAsofProcessor(), ASOF_OUTPUT, "Append", "EventTime"
+            )
+        )
+        return run_bounded(spark, out, "append", "stream_asof_ordered")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 
 
 def streaming_ttl_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -463,3 +463,178 @@ class TestBPE:
         assert merges[0][1:] == ("x", "y", "xy", 6)
         # after merging, 'xy' runs pair as (xy,xy): 2+1 occurrences
         assert merges[1][1:] == ("xy", "xy", "xyxy", 3)
+
+
+class TestOrderedAsof:
+    def test_ordered_matches_global_order_arrival_diverges(self, spark, sf_dir):
+        """The entry's whole claim, pinned non-vacuously: over the
+        SCRAMBLED fixture (arrival order ≠ event-time order), the
+        watermark-gated replay processor reproduces the global-order
+        batch window EXACTLY, while the arrival-order processor (the
+        reference's semantics) provably does NOT — i.e. the fixture is
+        genuinely adversarial and the buffering does real work."""
+        from aprs2influxdb_spark.queries import q_asof_calibration
+        from aprs2influxdb_spark.streaming.bounded import (
+            ASOF_OUTPUT,
+            _AsofProcessor,
+            _scrambled_events_stream,
+            run_bounded,
+            streaming_asof_ordered,
+            tws_available,
+        )
+
+        if not tws_available():
+            pytest.skip("google.protobuf unavailable — transformWithState gated")
+
+        batch = {
+            r["event_id"]: r["calibrated"]
+            for r in q_asof_calibration(spark, sf_dir).collect()
+        }
+
+        ordered = {
+            r["event_id"]: r["calibrated"]
+            for r in streaming_asof_ordered(spark, sf_dir).collect()
+        }
+        assert ordered == batch
+
+        # arrival-order application over the SAME scrambled delivery:
+        # batch-2 'error' rows with earlier event times arrive after
+        # batch-1 data rows already emitted — divergence is structural
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        try:
+            arrival_df = (
+                _scrambled_events_stream(spark, sf_dir, sentinel_hours=3)
+                .filter(F.col("event_type") != "__watermark_sentinel__")
+                .groupBy("user_id")
+                .transformWithStateInPandas(
+                    _AsofProcessor(), ASOF_OUTPUT, "Append", "None"
+                )
+            )
+            arrival = {
+                r["event_id"]: r["calibrated"]
+                for r in run_bounded(
+                    spark, arrival_df, "append", "stream_asof_scrambled"
+                ).collect()
+            }
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+        assert set(arrival) == set(batch)
+        diverged = [k for k in batch if arrival[k] != batch[k]]
+        assert diverged, (
+            "scrambled fixture failed to separate arrival order from "
+            "event-time order — the ordered entry would be vacuous"
+        )
+
+
+class TestBPEDegenerateParity:
+    def _both_engines(self, spark, tmp_path, rows):
+        """Run Spark bpe_fertility and the DuckDB oracle over the same
+        tiny corpus; return both (lang → (n_words, bpe_per_word))."""
+        import duckdb
+
+        from aprs2influxdb_spark.operators.textanalysis import (
+            _BPE_CACHE,
+            bpe_fertility,
+        )
+        from aprs2influxdb_spark.queries import _bpe_fertility_sql
+
+        docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        path = str(tmp_path / "documents.parquet")
+        docs.coalesce(1).write.mode("overwrite").parquet(path)
+        _BPE_CACHE.clear()
+        got = {
+            r["lang"]: (r["n_words"], r["bpe_per_word"])
+            for r in bpe_fertility(spark.read.parquet(path)).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+        )
+        want = {
+            lang: (int(nw), float(bpw))
+            for lang, nw, bpw in con.execute(_bpe_fertility_sql(6)).fetchall()
+        }
+        con.close()
+        return got, want
+
+    def test_zero_learnable_merges(self, spark, tmp_path):
+        """Single-character words: round 1 has no adjacent pair, so
+        ZERO merges are learnable.  The oracle's empty-round scalar
+        subqueries go NULL; without the COALESCE identity-degrade the
+        whole repr chain would NULL-poison and every bpe_per_word
+        would come back NULL instead of 1.0."""
+        got, want = self._both_engines(
+            spark, tmp_path,
+            [(1, "en", "a b c"), (2, "de", "a b")],
+        )
+        assert got == want
+        assert got == {"en": (3, 1.0), "de": (2, 1.0)}
+
+    def test_fewer_than_k_learnable_merges(self, spark, tmp_path):
+        """Vocabulary that fuses to single symbols after one round
+        ('ab' → merge (a,b), then nothing pairs): rounds 2..6 are
+        empty on both engines, and the applied-merges chain must
+        degrade to identity, not NULL."""
+        got, want = self._both_engines(
+            spark, tmp_path,
+            [(1, "en", "ab ab ab"), (2, "fr", "ab")],
+        )
+        assert got == want
+        assert got == {"en": (3, 1.0), "fr": (1, 1.0)}
+
+
+class TestJpegErrorContract:
+    def _sample(self):
+        from aprs2influxdb_spark.functions.jpeg import encode_jpeg_gray
+
+        return encode_jpeg_gray(bytes([x * 3 % 256 for x in range(16 * 8)]), 16, 8)
+
+    def test_truncated_stream_raises_valueerror(self):
+        from aprs2influxdb_spark.functions.jpeg import decode_jpeg_gray
+
+        payload = self._sample()
+        for cut in (3, 8, len(payload) // 2):
+            with pytest.raises(ValueError):
+                decode_jpeg_gray(payload[:cut])
+
+    def test_missing_tables_raise_valueerror(self):
+        """Stripping the DQT (or DHT) segment makes the scan reference
+        an undefined table id — previously a KeyError escaping the
+        documented 'JPEG:' ValueError contract."""
+        from aprs2influxdb_spark.functions.jpeg import decode_jpeg_gray
+
+        payload = self._sample()
+
+        def strip(marker: int) -> bytes:
+            out, pos = bytearray(payload[:2]), 2
+            while pos < len(payload):
+                if payload[pos] == 0xFF and payload[pos + 1] == 0xDA:
+                    out.extend(payload[pos:])
+                    break
+                ln = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+                seg = payload[pos : pos + 2 + ln]
+                if payload[pos + 1] != marker:
+                    out.extend(seg)
+                pos += 2 + ln
+            return bytes(out)
+
+        for marker in (0xDB, 0xC4):  # DQT, DHT
+            with pytest.raises(ValueError):
+                decode_jpeg_gray(strip(marker))
+
+    def test_garbage_after_soi_raises_valueerror(self):
+        from aprs2influxdb_spark.functions.jpeg import decode_jpeg_gray
+
+        with pytest.raises(ValueError):
+            decode_jpeg_gray(b"\xff\xd8\x00\x01\x02")
+        with pytest.raises(ValueError):
+            decode_jpeg_gray(b"\xff\xd8\xff")
