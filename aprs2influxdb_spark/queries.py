@@ -3021,6 +3021,157 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_influx_cumulative(spark, sf):
+    """InfluxQL ``cumulative_sum(value)`` +
+    ``non_negative_difference(value)`` + ``spread(value)`` per series
+    — the last members of the transform family
+    (``derivative``/``moving_average`` in ``influx_derivative``,
+    ``difference``/``elapsed`` in ``influx_difference``,
+    ``integral`` in ``influx_integral``).
+
+    Same scale shape as its siblings: ONE shuffle on the series key,
+    one in-partition sort, all three functions riding the same window
+    family (the full-frame spread adds no exchange — same
+    partitioning).  The running sum is order-pinned by (ts, event_id)
+    on both engines; rhu(4) absorbs the segment-tree-vs-sequential
+    accumulation-order epsilon (the established house argument)."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wall = Window.partitionBy("user_id")
+    diff = F.col("value") - F.lag("value", 1).over(w)
+    return _t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        rhu(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4).alias("cum_sum"),
+        rhu(F.when(diff >= 0, diff), 4).alias("nn_difference"),
+        rhu(F.max("value").over(wall) - F.min("value").over(wall), 4).alias("spread"),
+    )
+
+
+SQL_INFLUX_CUMULATIVE = f"""
+SELECT event_id, user_id,
+       {rhu_sql('sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)', 4)} AS cum_sum,
+       {rhu_sql('CASE WHEN d >= 0 THEN d END', 4)} AS nn_difference,
+       {rhu_sql('max(value) OVER (PARTITION BY user_id) - min(value) OVER (PARTITION BY user_id)', 4)} AS spread
+FROM (
+  SELECT *, value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+  FROM events
+)
+"""
+
+
+def q_doremi_weights(spark, sf):
+    """DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    per-source excess loss against a reference drives exponential
+    upweighting of the hardest domains — the data-mixture lever a
+    100 TB curation pipeline tunes before training.
+
+    This is the one-step batch form with the corpus-wide unigram NLL
+    as the reference model: per-source mean per-token NLL in integer
+    micro-nats (the ``unigram_logprob`` integerization), excess =
+    max(0, source − corpus), weights ∝ exp(excess) quantized to
+    integer micro-units BEFORE the normalizing sum so the division is
+    exact-integer on both engines (no float-sum order in the
+    denominator).
+
+    Scale shape: one token scan → (source, term) aggregate, a vocab
+    shuffle join for collection frequencies (NOT broadcast — vocab is
+    unbounded on a web corpus), then everything is |sources| rows;
+    the three 1-row/|sources|-row frames ARE broadcast (bounded by
+    construction).  Output: (source, n_tokens, nll_micro,
+    excess_micro, weight)."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    # collection frequency as a term-partitioned window (one shuffle,
+    # no vocab self-join, no recompute of the token scan per branch)
+    scored = tf.withColumn(
+        "cf", F.sum("tf").over(Window.partitionBy("term"))
+    )
+    tot = docs.agg(
+        F.sum(F.size(F.split(F.lower("text"), " "))).alias("total_tokens")
+    )
+    scored = scored.crossJoin(F.broadcast(tot)).withColumn(
+        "inlp",
+        F.floor(
+            F.log(F.col("total_tokens").cast("double") / F.col("cf")) * 1e6 + 0.5
+        ).cast("long"),
+    )
+    src = scored.groupBy("source").agg(
+        F.sum(F.col("tf") * F.col("inlp")).alias("s_ip"),
+        F.sum("tf").alias("n_tokens"),
+    )
+    src = src.withColumn(
+        "nll_micro",
+        F.floor(F.col("s_ip").cast("double") / F.col("n_tokens") + 0.5).cast("long"),
+    ).localCheckpoint(eager=False)  # |sources| rows, consumed by ref/excess/norm
+    ref = src.agg(
+        F.floor(F.sum("s_ip").cast("double") / F.sum("n_tokens") + 0.5)
+        .cast("long")
+        .alias("ref_micro")
+    )
+    j = (
+        src.crossJoin(F.broadcast(ref))
+        .withColumn(
+            "excess_micro",
+            F.greatest(F.lit(0).cast("long"), F.col("nll_micro") - F.col("ref_micro")),
+        )
+        .withColumn(
+            "wq",
+            F.floor(
+                F.exp(F.col("excess_micro").cast("double") / 1e6) * 1e6 + 0.5
+            ).cast("long"),
+        )
+    )
+    tw = j.agg(F.sum("wq").alias("sum_wq"))
+    return j.crossJoin(F.broadcast(tw)).select(
+        "source",
+        "n_tokens",
+        "nll_micro",
+        "excess_micro",
+        rhu(F.col("wq").cast("double") / F.col("sum_wq"), 6).alias("weight"),
+    )
+
+
+SQL_DOREMI_WEIGHTS = f"""
+WITH tf AS (
+  SELECT source, term, count(*) AS tf FROM (
+    SELECT source, unnest(string_split(lower(text), ' ')) AS term FROM documents
+  ) GROUP BY 1, 2
+), cf AS (
+  SELECT term, sum(tf) AS cf FROM tf GROUP BY 1
+), tot AS (
+  SELECT sum(tf) AS total_tokens FROM tf
+), scored AS (
+  SELECT tf.source, tf.tf,
+         CAST(floor(ln(CAST(total_tokens AS DOUBLE) / cf) * 1000000 + 0.5) AS BIGINT) AS inlp
+  FROM tf JOIN cf USING (term), tot
+), src AS (
+  SELECT source, CAST(sum(tf * inlp) AS BIGINT) AS s_ip, CAST(sum(tf) AS BIGINT) AS n_tokens
+  FROM scored GROUP BY source
+), srcm AS (
+  SELECT source, s_ip, n_tokens,
+         CAST(floor(CAST(s_ip AS DOUBLE) / n_tokens + 0.5) AS BIGINT) AS nll_micro
+  FROM src
+), ref AS (
+  SELECT CAST(floor(CAST(sum(s_ip) AS DOUBLE) / sum(n_tokens) + 0.5) AS BIGINT) AS ref_micro
+  FROM srcm
+), ex AS (
+  SELECT source, n_tokens, nll_micro,
+         greatest(0, nll_micro - ref_micro) AS excess_micro
+  FROM srcm, ref
+), wq AS (
+  SELECT *, CAST(floor(exp(CAST(excess_micro AS DOUBLE) / 1000000.0) * 1000000 + 0.5) AS BIGINT) AS w
+  FROM ex
+)
+SELECT source, n_tokens, nll_micro, excess_micro,
+       {rhu_sql('CAST(w AS DOUBLE) / (SELECT sum(w) FROM wq)', 6)} AS weight
+FROM wq
+"""
+
+
 def q_hll_sketch(spark, sf):
     """PORTABLE HyperLogLog (Flajolet et al. 2007) under the exact
     oracle gate — unlike ``approx_distinct``'s KMV and the engine-
@@ -9168,7 +9319,9 @@ def registry() -> dict[str, tuple]:
         "bloom_decontaminate": (q_bloom_decontaminate, _sql_bloom_decontaminate()),
         "influx_derivative": (q_influx_derivative, SQL_INFLUX_DERIVATIVE),
         "influx_difference": (q_influx_difference, SQL_INFLUX_DIFFERENCE),
+        "influx_cumulative": (q_influx_cumulative, SQL_INFLUX_CUMULATIVE),
         "influx_integral": (q_influx_integral, SQL_INFLUX_INTEGRAL),
+        "doremi_weights": (q_doremi_weights, SQL_DOREMI_WEIGHTS),
         "alert_transitions": (q_alert_transitions, SQL_ALERT_TRANSITIONS),
         "bucket_first_last": (q_bucket_first_last, SQL_BUCKET_FIRST_LAST),
         "autocorr_series": (q_autocorr_series, SQL_AUTOCORR_SERIES),

@@ -220,6 +220,10 @@ HEADLINE = [
     # the distributed BPE learner
     "session_components",
     "bpe_merges",
+    # round-5c additions: InfluxQL transform-family completion and
+    # DoReMi-style domain reweighting
+    "influx_cumulative",
+    "doremi_weights",
 ]
 
 

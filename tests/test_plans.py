@@ -608,7 +608,9 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "incremental_dedup": 3,
     "influx_derivative": 3,
     "influx_difference": 3,
+    "influx_cumulative": 3,
     "influx_integral": 3,
+    "doremi_weights": 4,
     "ivf_kmeans_topk": 3,
     "ivf_topk": 2,
     "ivfpq_topk": 5,

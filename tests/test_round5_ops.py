@@ -638,3 +638,85 @@ class TestJpegErrorContract:
             decode_jpeg_gray(b"\xff\xd8\x00\x01\x02")
         with pytest.raises(ValueError):
             decode_jpeg_gray(b"\xff\xd8\xff")
+
+
+class TestDoremiWeights:
+    def test_weights_normalize_and_rank_hardness(self, spark, sf_dir):
+        """Metric sanity on the real corpus: weights form a
+        distribution (sum 1 within per-row quantization), every source
+        appears once, the max-excess (hardest) source carries the max
+        weight, and every at-or-below-reference source sits at the
+        shared exp(0) floor — the DoReMi upweighting direction."""
+        from aprs2influxdb_spark.queries import q_doremi_weights
+
+        rows = q_doremi_weights(spark, sf_dir).collect()
+        srcs = [r["source"] for r in rows]
+        assert len(srcs) == len(set(srcs)) > 1
+        assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+        hardest = max(rows, key=lambda r: r["excess_micro"])
+        assert hardest["weight"] == max(r["weight"] for r in rows)
+        floor_w = min(r["weight"] for r in rows)
+        for r in rows:
+            if r["excess_micro"] == 0:
+                assert r["weight"] == floor_w
+
+    def test_uniform_corpus_gives_uniform_weights(self, spark):
+        """Identical per-source content ⇒ every source's NLL equals
+        the corpus reference ⇒ zero excess everywhere ⇒ exactly
+        uniform weights."""
+        import aprs2influxdb_spark.queries as Q
+
+        docs = spark.createDataFrame(
+            [(i, f"src{i % 4}", "alpha beta gamma", "en") for i in range(8)],
+            "doc_id long, source string, text string, lang string",
+        )
+        orig_t = Q._t
+        try:
+            Q._t = lambda spark, sf, name: docs
+            rows = Q.q_doremi_weights(spark, "unused").collect()
+        finally:
+            Q._t = orig_t
+        assert len(rows) == 4
+        assert all(r["excess_micro"] == 0 for r in rows)
+        assert len({r["weight"] for r in rows}) == 1
+        assert rows[0]["weight"] == 0.25
+
+
+class TestInfluxCumulative:
+    def test_series_invariants(self, spark, sf_dir):
+        """Per series: the last cum_sum equals the series sum (to the
+        4 dp quantum), spread is the constant max−min, and
+        nn_difference is null exactly on first rows and negative
+        steps, else the non-negative step."""
+        import math
+
+        import pandas as pd
+
+        from aprs2influxdb_spark.queries import q_influx_cumulative
+
+        def rhu4(x: float) -> float:
+            return math.floor(x * 10000 + 0.5) / 10000
+
+        got = q_influx_cumulative(spark, sf_dir).toPandas()
+        raw = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("event_id", "user_id", "ts", "value")
+            .toPandas()
+        )
+        merged = got.merge(raw, on=["event_id", "user_id"])
+        assert len(merged) == len(got) == len(raw)
+        for _uid, g in merged.groupby("user_id"):
+            g = g.sort_values(["ts", "event_id"], kind="stable")
+            assert abs(g["cum_sum"].iloc[-1] - rhu4(g["value"].sum())) < 1e-3
+            assert g["spread"].nunique() == 1
+            assert abs(
+                g["spread"].iloc[0] - rhu4(g["value"].max() - g["value"].min())
+            ) < 1e-9
+            assert pd.isna(g["nn_difference"].iloc[0])
+            steps = g["value"].diff().iloc[1:]
+            nn = g["nn_difference"].iloc[1:]
+            for d, v in zip(steps, nn):
+                if d >= 0:
+                    assert abs(v - rhu4(d)) < 1e-9
+                else:
+                    assert pd.isna(v)
