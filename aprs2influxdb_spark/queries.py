@@ -8624,6 +8624,81 @@ GROUP BY true_label, assigned_label
 """
 
 
+def q_silhouette_centroid(spark, sf):
+    """Simplified (centroid-based) silhouette per label (Hruschka et
+    al. 2004 — the O(n·k) form of Rousseeuw's O(n²) silhouette):
+    a = distance to the own-label centroid, b = min distance to any
+    other label's centroid, s = (b − a) / max(a, b) — the standard
+    cluster-quality audit before trusting an embedding-space curation
+    pass (cluster_keep_best, semantic_dedup).
+
+    Determinism: centroids are the 4dp snapshots of
+    :func:`q_label_centroids`; the per-pair distance is the same
+    fixed-order L2 fold as ``centroid_assign`` under an IEEE-exact
+    ``sqrt`` and rhu(6); s is quantized to integer micro-units before
+    the per-label mean so the final division is exact-integer.
+
+    Scale shape: vectors × |labels| is a broadcast nested-loop with
+    the tiny centroid side broadcast (bounded by construction — label
+    cardinality, not corpus); the a/b reduction is one shuffle on
+    vec_id, the label rollup map-side combinable.  Output: (label,
+    n_vecs, mean_silhouette)."""
+    e = _t(spark, sf, "embeddings")
+    cents = q_label_centroids(spark, sf).select(
+        F.col("label").alias("c_label"), "centroid"
+    )
+    vec = F.col("embedding").cast("array<double>")
+    d2 = F.aggregate(
+        F.zip_with(vec, F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    per = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("dist", rhu(F.sqrt(d2), 6))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.min(F.when(F.col("c_label") == F.col("label"), F.col("dist"))).alias("a"),
+            F.min(F.when(F.col("c_label") != F.col("label"), F.col("dist"))).alias("b"),
+        )
+    )
+    s = (F.col("b") - F.col("a")) / F.nullif(F.greatest("a", "b"), F.lit(0.0))
+    per = per.withColumn(
+        "s_micro", F.floor(F.coalesce(s, F.lit(0.0)) * 1e6 + 0.5).cast("long")
+    )
+    return per.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        rhu(F.sum("s_micro").cast("double") / (F.count("*") * 1e6), 6).alias(
+            "mean_silhouette"
+        ),
+    )
+
+
+def _silhouette_centroid_sql() -> str:
+    d2 = "list_sum(list_transform(range(1, 65), i -> (embedding[i]::DOUBLE - centroid[i]) ** 2))"
+    return f"""
+WITH cents AS (
+  SELECT label AS c_label, centroid FROM ({_label_centroids_sql()})
+), d AS (
+  SELECT e.vec_id, e.label, c.c_label, {rhu_sql(f'sqrt({d2})', 6)} AS dist
+  FROM embeddings e CROSS JOIN cents c
+), ab AS (
+  SELECT vec_id, label,
+         min(CASE WHEN c_label = label THEN dist END) AS a,
+         min(CASE WHEN c_label <> label THEN dist END) AS b
+  FROM d GROUP BY 1, 2
+), s AS (
+  SELECT label,
+         CAST(floor(COALESCE((b - a) / nullif(greatest(a, b), 0.0), 0.0)
+              * 1000000 + 0.5) AS BIGINT) AS s_micro
+  FROM ab
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       {rhu_sql('CAST(sum(s_micro) AS DOUBLE) / (count(*) * 1000000.0)', 6)} AS mean_silhouette
+FROM s GROUP BY label
+"""
+
+
 def q_funnel_conversion(spark, sf):
     """Funnel analysis: of users whose first event-funnel entry is a
     ``signup``, how many reach a ``purchase`` within 24 hours —
@@ -9278,6 +9353,7 @@ def registry() -> dict[str, tuple]:
         "lsh_multiprobe_topk": (q_lsh_multiprobe_topk, _lsh_multiprobe_sql()),
         "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
         "label_centroids": (q_label_centroids, _label_centroids_sql()),
+        "silhouette_centroid": (q_silhouette_centroid, _silhouette_centroid_sql()),
         "centroid_assign": (q_centroid_assign, _centroid_assign_sql()),
         "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
         # text analysis

@@ -224,6 +224,7 @@ HEADLINE = [
     # DoReMi-style domain reweighting
     "influx_cumulative",
     "doremi_weights",
+    "silhouette_centroid",
 ]
 
 

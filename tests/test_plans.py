@@ -555,6 +555,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "bucket_first_last": 3,
     "bucket_percentiles": 3,
     "centroid_assign": 3,
+    "silhouette_centroid": 4,
     "char_entropy": 4,
     "chi2_independence": 4,
     "chunk_documents": 2,

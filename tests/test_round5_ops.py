@@ -720,3 +720,47 @@ class TestInfluxCumulative:
                     assert abs(v - rhu4(d)) < 1e-9
                 else:
                     assert pd.isna(v)
+
+
+class TestSilhouetteCentroid:
+    def test_bounds_and_label_coverage(self, spark, sf_dir):
+        from aprs2influxdb_spark.queries import q_silhouette_centroid
+
+        rows = q_silhouette_centroid(spark, sf_dir).collect()
+        labels = [r["label"] for r in rows]
+        assert len(labels) == len(set(labels)) > 1
+        for r in rows:
+            assert -1.0 <= r["mean_silhouette"] <= 1.0
+            assert r["n_vecs"] > 0
+
+    def test_separated_vs_coincident_clusters(self, spark):
+        """Two well-separated point clouds score near 1; two clouds
+        drawn from the SAME distribution score near 0 — the metric's
+        defining behavior, on a hand-built fixture."""
+        import aprs2influxdb_spark.queries as Q
+
+        def fixture(offset: float):
+            rows = []
+            vid = 0
+            for label in (0, 1):
+                base = label * offset
+                for j in range(20):
+                    vec = [base + (j % 5) * 0.01] * 64
+                    rows.append((vid, label, vec))
+                    vid += 1
+            return spark.createDataFrame(
+                rows, "vec_id long, label long, embedding array<double>"
+            )
+
+        orig_t = Q._t
+        try:
+            Q._t = lambda spark, sf, name: fixture(100.0)
+            sep = {r["label"]: r["mean_silhouette"]
+                   for r in Q.q_silhouette_centroid(spark, "unused").collect()}
+            Q._t = lambda spark, sf, name: fixture(0.0)
+            coin = {r["label"]: r["mean_silhouette"]
+                    for r in Q.q_silhouette_centroid(spark, "unused").collect()}
+        finally:
+            Q._t = orig_t
+        assert all(v > 0.99 for v in sep.values()), sep
+        assert all(abs(v) < 0.01 for v in coin.values()), coin
