@@ -76,6 +76,60 @@ AC_LUM_VALS = [
 
 UNIT_QUANT = [1] * 64  # the quality-100 limit; lossless for DC-only blocks
 
+# Annex K.3.3.1 / K.3.3.2 — standard CHROMINANCE huffman tables
+# (Tables K.4 / K.6), used for the Cb/Cr components of the color path.
+DC_CHR_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHR_VALS = list(range(12))
+AC_CHR_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHR_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _rhu_byte(x: float) -> int:
+    """floor(x + 0.5) clamped to [0, 255] — the ONE rounding rule both
+    color transforms use, chosen (over Python's banker's ``round``) so
+    a SQL oracle can mirror it as ``least(255, greatest(0,
+    floor(x + 0.5)))`` exactly."""
+    v = int(math.floor(x + 0.5))
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def rgb_to_ycbcr(r: int, g: int, b: int) -> tuple[int, int, int]:
+    """JFIF (BT.601 full-range) forward transform, floor(x+0.5)."""
+    y = _rhu_byte(0.299 * r + 0.587 * g + 0.114 * b)
+    cb = _rhu_byte(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0)
+    cr = _rhu_byte(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0)
+    return y, cb, cr
+
+
+def ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
+    """JFIF inverse transform, floor(x+0.5), clamped."""
+    r = _rhu_byte(y + 1.402 * (cr - 128))
+    g = _rhu_byte(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+    b = _rhu_byte(y + 1.772 * (cb - 128))
+    return r, g, b
+
 
 def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """Canonical huffman: value -> (code, length) per T.81 C.2."""
@@ -184,6 +238,54 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
+def _encode_block(
+    bw: _BitWriter,
+    block: np.ndarray,
+    qarr: np.ndarray,
+    dc_codes: dict,
+    ac_codes: dict,
+    prev_dc: int,
+) -> int:
+    """DCT → quantize → zigzag → huffman one 8×8 block; returns the
+    new DC predictor (shared by the gray and color encoders)."""
+    coeffs = np.round(_dct2(block - 128.0) / qarr).astype(np.int64)
+    zz = [int(coeffs.flat[ZIGZAG[i]]) for i in range(64)]
+    diff = zz[0] - prev_dc
+    s = _size_category(diff)
+    code, length = dc_codes[s]
+    bw.write(code, length)
+    if s:
+        bw.write(_amplitude_bits(diff, s), s)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, 64):
+        if i > last_nz:
+            code, length = ac_codes[0x00]  # EOB
+            bw.write(code, length)
+            break
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        s = _size_category(zz[i])
+        code, length = ac_codes[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(_amplitude_bits(zz[i], s), s)
+        run = 0
+    return zz[0]
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def _dht(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
+    return bytes([tc_th]) + bytes(bits) + bytes(vals)
+
+
 def encode_jpeg_gray(
     pixels: bytes, width: int, height: int, quant: list[int] | None = None
 ) -> bytes:
@@ -203,52 +305,84 @@ def encode_jpeg_gray(
     prev_dc = 0
     for by in range(height // 8):
         for bx in range(width // 8):
-            block = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.float64) - 128.0
-            coeffs = np.round(_dct2(block) / qarr).astype(np.int64)
-            zz = [int(coeffs.flat[ZIGZAG[i]]) for i in range(64)]
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            s = _size_category(diff)
-            code, length = dc_codes[s]
-            bw.write(code, length)
-            if s:
-                bw.write(_amplitude_bits(diff, s), s)
-            run = 0
-            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-            for i in range(1, 64):
-                if i > last_nz:
-                    code, length = ac_codes[0x00]  # EOB
-                    bw.write(code, length)
-                    break
-                if zz[i] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_codes[0xF0]  # ZRL
-                    bw.write(code, length)
-                    run -= 16
-                s = _size_category(zz[i])
-                code, length = ac_codes[(run << 4) | s]
-                bw.write(code, length)
-                bw.write(_amplitude_bits(zz[i], s), s)
-                run = 0
+            block = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.float64)
+            prev_dc = _encode_block(bw, block, qarr, dc_codes, ac_codes, prev_dc)
     bw.flush()
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
-
-    def dht(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
-        return bytes([tc_th]) + bytes(bits) + bytes(vals)
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     # DQT payload is in zigzag order; `q` is row-major
-    out += seg(0xFFDB, b"\x00" + bytes(q[ZIGZAG[i]] for i in range(64)))
-    out += seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
-    out += seg(0xFFC4, dht(0x00, DC_LUM_BITS, DC_LUM_VALS))
-    out += seg(0xFFC4, dht(0x10, AC_LUM_BITS, AC_LUM_VALS))
-    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += _seg(0xFFDB, b"\x00" + bytes(q[ZIGZAG[i]] for i in range(64)))
+    out += _seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+    out += _seg(0xFFC4, _dht(0x00, DC_LUM_BITS, DC_LUM_VALS))
+    out += _seg(0xFFC4, _dht(0x10, AC_LUM_BITS, AC_LUM_VALS))
+    out += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_color(
+    pixels_rgb: bytes, width: int, height: int, quant: list[int] | None = None
+) -> bytes:
+    """Encode interleaved 8-bit RGB ``pixels_rgb`` (row-major,
+    3 bytes/pixel, dimensions multiples of 8) as a baseline 4:4:4
+    YCbCr JFIF JPEG: component 1 (Y) uses the Annex K luminance
+    huffman pair + quant table 0; components 2/3 (Cb/Cr) the
+    chrominance pair + quant table 1.  MCUs interleave one 8×8 block
+    per component (no subsampling), each component carrying its own
+    DC predictor (T.81 F.1.1.5.1).
+
+    The RGB→YCbCr transform rounds with floor(x+0.5)
+    (:func:`rgb_to_ycbcr`), so per-block-constant RGB inputs produce
+    per-block-constant integer YCbCr planes — which the unit quant
+    table roundtrips EXACTLY, the same closed-form-oracle contract as
+    the grayscale path."""
+    if width % 8 or height % 8:
+        raise ValueError("encode_jpeg_color: dimensions must be multiples of 8")
+    if len(pixels_rgb) != width * height * 3:
+        raise ValueError("encode_jpeg_color: pixel buffer size mismatch")
+    q = list(quant or UNIT_QUANT)
+    rgb = np.frombuffer(bytes(pixels_rgb), dtype=np.uint8).reshape(height, width, 3)
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    # vectorized floor(x+0.5) — identical to rgb_to_ycbcr per pixel
+    y = np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+    cb = np.floor(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0 + 0.5)
+    cr = np.floor(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0 + 0.5)
+    planes = [np.clip(p, 0, 255) for p in (y, cb, cr)]
+    lum = (_build_codes(DC_LUM_BITS, DC_LUM_VALS), _build_codes(AC_LUM_BITS, AC_LUM_VALS))
+    chr_ = (_build_codes(DC_CHR_BITS, DC_CHR_VALS), _build_codes(AC_CHR_BITS, AC_CHR_VALS))
+    tables = [lum, chr_, chr_]
+    qarr = np.array(q, dtype=np.float64).reshape(8, 8)
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            for ci in range(3):  # interleaved MCU: Y, Cb, Cr
+                block = planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                dc_codes, ac_codes = tables[ci]
+                prev[ci] = _encode_block(bw, block, qarr, dc_codes, ac_codes, prev[ci])
+    bw.flush()
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zzq = bytes(q[ZIGZAG[i]] for i in range(64))
+    out += _seg(0xFFDB, b"\x00" + zzq)  # table 0 (Y)
+    out += _seg(0xFFDB, b"\x01" + zzq)  # table 1 (Cb/Cr), same values
+    out += _seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += _seg(0xFFC4, _dht(0x00, DC_LUM_BITS, DC_LUM_VALS))
+    out += _seg(0xFFC4, _dht(0x10, AC_LUM_BITS, AC_LUM_VALS))
+    out += _seg(0xFFC4, _dht(0x01, DC_CHR_BITS, DC_CHR_VALS))
+    out += _seg(0xFFC4, _dht(0x11, AC_CHR_BITS, AC_CHR_VALS))
+    out += _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     out += bw.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -266,14 +400,41 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
     ``decode_image_stdlib`` dead-letter path) that catch ValueError,
     the contract the PNG sibling already honors."""
     try:
-        return _decode_jpeg_gray_impl(payload)
+        w, h, planes = _decode_baseline_impl(payload)
     except ValueError:
         raise
     except (KeyError, IndexError, struct.error) as e:
         raise ValueError(f"JPEG: malformed stream ({type(e).__name__})") from e
+    if len(planes) != 1:
+        raise ValueError("JPEG: only single-component (grayscale) supported")
+    return w, h, planes[0]
 
 
-def _decode_jpeg_gray_impl(payload: bytes) -> tuple[int, int, bytes]:
+def decode_jpeg_color(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline 3-component 4:4:4 YCbCr JPEG to interleaved
+    RGB (row-major, 3 bytes/pixel) via :func:`ycbcr_to_rgb`'s
+    floor(x+0.5) inverse.  Same ``JPEG:`` ValueError contract as
+    :func:`decode_jpeg_gray`."""
+    try:
+        w, h, planes = _decode_baseline_impl(payload)
+    except ValueError:
+        raise
+    except (KeyError, IndexError, struct.error) as e:
+        raise ValueError(f"JPEG: malformed stream ({type(e).__name__})") from e
+    if len(planes) != 3:
+        raise ValueError("JPEG: expected a 3-component (YCbCr) stream")
+    y = np.frombuffer(planes[0], dtype=np.uint8).astype(np.float64)
+    cb = np.frombuffer(planes[1], dtype=np.uint8).astype(np.float64) - 128.0
+    cr = np.frombuffer(planes[2], dtype=np.uint8).astype(np.float64) - 128.0
+    r = np.clip(np.floor(y + 1.402 * cr + 0.5), 0, 255)
+    g = np.clip(np.floor(y - 0.344136 * cb - 0.714136 * cr + 0.5), 0, 255)
+    b = np.clip(np.floor(y + 1.772 * cb + 0.5), 0, 255)
+    out = np.empty((w * h, 3), dtype=np.uint8)
+    out[:, 0], out[:, 1], out[:, 2] = r, g, b
+    return w, h, out.tobytes()
+
+
+def _decode_baseline_impl(payload: bytes) -> tuple[int, int, list[bytes]]:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("JPEG: missing SOI")
     pos = 2
@@ -281,8 +442,8 @@ def _decode_jpeg_gray_impl(payload: bytes) -> tuple[int, int, bytes]:
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     width = height = 0
-    comp_q = 0
-    comp_dc = comp_ac = 0
+    comps: list[tuple[int, int]] = []  # SOF order: (component id, quant table id)
+    scan_tabs: dict[int, tuple[int, int]] = {}  # component id -> (dc, ac) table ids
     scan_data = b""
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -320,28 +481,42 @@ def _decode_jpeg_gray_impl(payload: bytes) -> tuple[int, int, bytes]:
                 b = b[17 + nv :]
         elif marker == 0xC0:  # SOF0 baseline
             _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
-            if ncomp != 1:
-                raise ValueError("JPEG: only single-component (grayscale) supported")
-            if body[7] != 0x11:
-                raise ValueError("JPEG: subsampling not supported")
-            comp_q = body[8]
+            if ncomp not in (1, 3):
+                raise ValueError("JPEG: only 1 (gray) or 3 (YCbCr 4:4:4) components supported")
+            for ci in range(ncomp):
+                cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if sampling != 0x11:
+                    raise ValueError("JPEG: subsampling not supported")
+                comps.append((cid, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("JPEG: only baseline (SOF0) supported")
         elif marker == 0xDD:
             raise ValueError("JPEG: restart intervals not supported")
         elif marker == 0xDA:  # SOS — entropy data follows to EOI
             ns = body[0]
-            if ns != 1:
-                raise ValueError("JPEG: single-scan grayscale only")
-            comp_dc, comp_ac = body[2] >> 4, body[2] & 0xF
+            if ns != len(comps) or ns not in (1, 3):
+                raise ValueError("JPEG: scan must cover all frame components")
+            for ci in range(ns):
+                cid = body[1 + 2 * ci]
+                tt = body[2 + 2 * ci]
+                scan_tabs[cid] = (tt >> 4, tt & 0xF)
             end = payload.rfind(b"\xff\xd9")
             scan_data = payload[pos + ln : end if end != -1 else len(payload)]
             break  # entropy data runs to EOI; nothing left to parse
         pos += ln
     if not scan_data or not width:
         raise ValueError("JPEG: no scan data")
-    q = np.array(quant[comp_q], dtype=np.float64).reshape(8, 8)
-    dct, act = dc_tables[comp_dc], ac_tables[comp_ac]
+    # per-component (quant, dc table, ac table), in SOF/interleave order
+    ctabs = []
+    for cid, tq in comps:
+        dc_id, ac_id = scan_tabs[cid]
+        ctabs.append(
+            (
+                np.array(quant[tq], dtype=np.float64).reshape(8, 8),
+                dc_tables[dc_id],
+                ac_tables[ac_id],
+            )
+        )
 
     def read_huff(br: _BitReader, table: dict) -> int:
         code, length = 0, 0
@@ -355,36 +530,44 @@ def _decode_jpeg_gray_impl(payload: bytes) -> tuple[int, int, bytes]:
 
     br = _BitReader(scan_data)
     bw_, bh_ = (width + 7) // 8, (height + 7) // 8
-    img = np.zeros((bh_ * 8, bw_ * 8), dtype=np.float64)
-    prev_dc = 0
+    planes = [np.zeros((bh_ * 8, bw_ * 8), dtype=np.float64) for _ in comps]
+    prev_dc = [0] * len(comps)
     for by in range(bh_):
         for bx in range(bw_):
-            zz = [0] * 64
-            s = read_huff(br, dct)
-            diff = _extend(br.read_bits(s), s) if s else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                rs = read_huff(br, act)
-                run, size = rs >> 4, rs & 0xF
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                i += run
-                if i > 63:
-                    raise ValueError("JPEG: AC index overflow")
-                zz[i] = _extend(br.read_bits(size), size)
-                i += 1
-            coeffs = np.zeros(64, dtype=np.float64)
-            for k in range(64):
-                coeffs[ZIGZAG[k]] = zz[k]
-            block = _idct2(coeffs.reshape(8, 8) * q) + 128.0
-            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    out = np.clip(np.round(img[:height, :width]), 0, 255).astype(np.uint8)
-    return width, height, out.tobytes()
+            for ci in range(len(comps)):  # interleaved MCU (F.1.1.5.1)
+                q, dct, act = ctabs[ci]
+                zz = [0] * 64
+                s = read_huff(br, dct)
+                diff = _extend(br.read_bits(s), s) if s else 0
+                prev_dc[ci] += diff
+                zz[0] = prev_dc[ci]
+                i = 1
+                while i < 64:
+                    rs = read_huff(br, act)
+                    run, size = rs >> 4, rs & 0xF
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        i += 16
+                        continue
+                    i += run
+                    if i > 63:
+                        raise ValueError("JPEG: AC index overflow")
+                    zz[i] = _extend(br.read_bits(size), size)
+                    i += 1
+                coeffs = np.zeros(64, dtype=np.float64)
+                for k in range(64):
+                    coeffs[ZIGZAG[k]] = zz[k]
+                block = _idct2(coeffs.reshape(8, 8) * q) + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    return (
+        width,
+        height,
+        [
+            np.clip(np.round(p[:height, :width]), 0, 255).astype(np.uint8).tobytes()
+            for p in planes
+        ],
+    )
 
 
 def is_jpeg(payload: bytes) -> bool:

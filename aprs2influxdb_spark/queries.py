@@ -5010,6 +5010,134 @@ FROM documents
 """
 
 
+def _jpeg_color_mapper():
+    from pyspark.sql.types import (
+        IntegerType as _Int,
+        LongType as _Long,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    out_schema = _ST([
+        _SF("media_id", _Long(), False),
+        _SF("width", _Int(), True),
+        _SF("height", _Int(), True),
+        _SF("mean_r", _Long(), True),
+        _SF("mean_g", _Long(), True),
+        _SF("mean_b", _Long(), True),
+    ])
+
+    def _roundtrip(batches):
+        import pandas as pd
+
+        from aprs2influxdb_spark.functions.jpeg import (
+            decode_jpeg_color,
+            encode_jpeg_color,
+            rgb_to_ycbcr,
+            ycbcr_to_rgb,
+        )
+
+        for pdf in batches:
+            feats = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rgb = bytearray(16 * 16 * 3)
+                want = []
+                for b in range(4):
+                    r = (d * 37 + b * 59) % 256
+                    g = (d * 53 + b * 31) % 256
+                    bl = (d * 29 + b * 17) % 256
+                    # the color transform is the lossy step; the codec
+                    # must reproduce its fixed point EXACTLY (flat
+                    # blocks + unit quant roundtrip integer YCbCr)
+                    want.append(ycbcr_to_rgb(*rgb_to_ycbcr(r, g, bl)))
+                    by, bx = divmod(b, 2)
+                    for y in range(8):
+                        row = ((by * 8 + y) * 16 + bx * 8) * 3
+                        rgb[row : row + 24] = bytes([r, g, bl] * 8)
+                blob = encode_jpeg_color(bytes(rgb), 16, 16)
+                w, h, dec = decode_jpeg_color(blob)
+                got = []
+                for b in range(4):
+                    by, bx = divmod(b, 2)
+                    i = ((by * 8) * 16 + bx * 8) * 3
+                    got.append(tuple(dec[i : i + 3]))
+                    blk = [
+                        tuple(dec[(((by * 8 + y) * 16) + bx * 8 + x) * 3 :][:3])
+                        for y in range(8)
+                        for x in range(8)
+                    ]
+                    if any(p != got[-1] for p in blk):
+                        raise ValueError(f"JPEG color block not constant, doc {d}")
+                if got != want:  # hard roundtrip guarantee
+                    raise ValueError(f"JPEG color roundtrip mismatch for doc {d}")
+                feats.append(
+                    (
+                        d, w, h,
+                        sum(p[0] for p in got) // 4,
+                        sum(p[1] for p in got) // 4,
+                        sum(p[2] for p in got) // 4,
+                    )
+                )
+            yield pd.DataFrame(
+                feats,
+                columns=["media_id", "width", "height", "mean_r", "mean_g", "mean_b"],
+            )
+
+    return _roundtrip, out_schema
+
+
+def q_multimodal_jpeg_color(spark, sf):
+    """The COLOR path of the baseline JPEG codec (4:4:4 YCbCr, three
+    interleaved components with per-component DC predictors, Annex K
+    luminance AND chrominance huffman tables) under the full oracle
+    gate: each document renders a 16×16 RGB image whose 8×8 blocks
+    are closed-form constants, encodes → decodes, asserts the decoded
+    blocks equal the EXACT fixed point of the JFIF color transform
+    (flat blocks + unit quant roundtrip the integer YCbCr planes
+    losslessly, so the only arithmetic is the floor(x+0.5) transform
+    pair the oracle replays in SQL), and emits per-channel means.
+    One ``mapInPandas`` pass; blobs never shuffle."""
+    fn, out_schema = _jpeg_color_mapper()
+    return _t(spark, sf, "documents").select("doc_id").mapInPandas(fn, out_schema)
+
+
+def _jpeg_color_sql() -> str:
+    # the same closed-form block constants and floor(x+0.5) transform
+    # pair the mapper runs; clamps mirror np.clip
+    # every literal cast to DOUBLE: DuckDB otherwise runs DECIMAL
+    # arithmetic, whose exact-decimal floor can flip vs the codec's
+    # IEEE-double floor on .5-boundary inputs
+    fwd = """struct_pack(
+      y  := least(255, greatest(0, floor(0.299::DOUBLE*r + 0.587::DOUBLE*g + 0.114::DOUBLE*b + 0.5::DOUBLE))),
+      cb := least(255, greatest(0, floor((-0.168736)::DOUBLE*r - 0.331264::DOUBLE*g + 0.5::DOUBLE*b + 128.0::DOUBLE + 0.5::DOUBLE))),
+      cr := least(255, greatest(0, floor(0.5::DOUBLE*r - 0.418688::DOUBLE*g - 0.081312::DOUBLE*b + 128.0::DOUBLE + 0.5::DOUBLE))))"""
+    return f"""
+WITH px AS (
+  SELECT doc_id, unnest(range(0, 4)) AS b FROM documents
+), rgb AS (
+  SELECT doc_id,
+         (doc_id * 37 + b * 59) % 256 AS r,
+         (doc_id * 53 + b * 31) % 256 AS g,
+         (doc_id * 29 + b * 17) % 256 AS b
+  FROM px
+), ycc AS (
+  SELECT doc_id, {fwd} AS t FROM rgb
+), back AS (
+  SELECT doc_id,
+         CAST(least(255, greatest(0, floor(t.y + 1.402::DOUBLE * (t.cr - 128) + 0.5::DOUBLE))) AS BIGINT) AS r2,
+         CAST(least(255, greatest(0, floor(t.y - 0.344136::DOUBLE * (t.cb - 128) - 0.714136::DOUBLE * (t.cr - 128) + 0.5::DOUBLE))) AS BIGINT) AS g2,
+         CAST(least(255, greatest(0, floor(t.y + 1.772::DOUBLE * (t.cb - 128) + 0.5::DOUBLE))) AS BIGINT) AS b2
+  FROM ycc
+)
+SELECT doc_id AS media_id, 16 AS width, 16 AS height,
+       CAST(sum(r2) // 4 AS BIGINT) AS mean_r,
+       CAST(sum(g2) // 4 AS BIGINT) AS mean_g,
+       CAST(sum(b2) // 4 AS BIGINT) AS mean_b
+FROM back GROUP BY doc_id
+"""
+
+
 def q_streaming_jpeg_features(spark, sf):
     """The JPEG codec AT INGEST: the encode→decode roundtrip of
     ``multimodal_jpeg_decode`` as a stateless append-mode stream
@@ -9412,6 +9540,7 @@ def registry() -> dict[str, tuple]:
         "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
         "multimodal_png_decode": (q_multimodal_png_decode, SQL_MULTIMODAL_PNG_DECODE),
         "multimodal_jpeg_decode": (q_multimodal_jpeg_decode, SQL_MULTIMODAL_JPEG_DECODE),
+        "multimodal_jpeg_color": (q_multimodal_jpeg_color, _jpeg_color_sql()),
         "multimodal_wav_features": (q_multimodal_wav_features, SQL_MULTIMODAL_WAV_FEATURES),
         "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
         "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),

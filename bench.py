@@ -225,6 +225,7 @@ HEADLINE = [
     "influx_cumulative",
     "doremi_weights",
     "silhouette_centroid",
+    "multimodal_jpeg_color",
 ]
 
 

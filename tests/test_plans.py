@@ -661,6 +661,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "multimodal_features": 2,
     "multimodal_png_decode": 2,
     "multimodal_jpeg_decode": 2,
+    "multimodal_jpeg_color": 2,
     "multimodal_wav_features": 2,
     "multimodal_frames": 2,
     "multimodal_meta": 2,

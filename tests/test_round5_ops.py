@@ -764,3 +764,92 @@ class TestSilhouetteCentroid:
             Q._t = orig_t
         assert all(v > 0.99 for v in sep.values()), sep
         assert all(abs(v) < 0.01 for v in coin.values()), coin
+
+
+class TestJpegColor:
+    def _flat_rgb(self, d: int) -> tuple[bytes, list]:
+        from aprs2influxdb_spark.functions.jpeg import rgb_to_ycbcr, ycbcr_to_rgb
+
+        rgb = bytearray(16 * 16 * 3)
+        want = []
+        for b in range(4):
+            r, g, bl = (d * 37 + b * 59) % 256, (d * 53 + b * 31) % 256, (d * 29 + b * 17) % 256
+            want.append(ycbcr_to_rgb(*rgb_to_ycbcr(r, g, bl)))
+            by, bx = divmod(b, 2)
+            for y in range(8):
+                row = ((by * 8 + y) * 16 + bx * 8) * 3
+                rgb[row : row + 24] = bytes([r, g, bl] * 8)
+        return bytes(rgb), want
+
+    def test_flat_blocks_hit_transform_fixed_point(self):
+        """Per-block-constant RGB + unit quant: the DCT stage is
+        lossless on the integer YCbCr planes, so decode must land
+        EXACTLY on the color transform's fixed point for every
+        block — across docs that exercise negative DC diffs and all
+        three components' predictors."""
+        from aprs2influxdb_spark.functions.jpeg import (
+            decode_jpeg_color,
+            encode_jpeg_color,
+        )
+
+        for d in (0, 1, 135, 188, 254, 9001):
+            rgb, want = self._flat_rgb(d)
+            w, h, dec = decode_jpeg_color(encode_jpeg_color(rgb, 16, 16))
+            assert (w, h) == (16, 16)
+            for b, exp in enumerate(want):
+                by, bx = divmod(b, 2)
+                for y in range(8):
+                    for x in range(8):
+                        i = (((by * 8 + y) * 16) + bx * 8 + x) * 3
+                        assert tuple(dec[i : i + 3]) == exp, (d, b, y, x)
+
+    def test_random_image_roundtrip_tolerance(self):
+        """Non-flat blocks exercise the chrominance AC huffman path;
+        unit quant bounds the per-channel error to the color-transform
+        rounding plus the integer-rounded DCT coefficients."""
+        import random
+
+        from aprs2influxdb_spark.functions.jpeg import (
+            decode_jpeg_color,
+            encode_jpeg_color,
+        )
+
+        rnd = random.Random(7)
+        rgb = bytes(rnd.randrange(256) for _ in range(16 * 16 * 3))
+        w, h, dec = decode_jpeg_color(encode_jpeg_color(rgb, 16, 16))
+        assert max(abs(a - b) for a, b in zip(rgb, dec)) <= 4
+
+    def test_component_count_mismatch_raises(self):
+        from aprs2influxdb_spark.functions.jpeg import (
+            decode_jpeg_color,
+            decode_jpeg_gray,
+            encode_jpeg_color,
+            encode_jpeg_gray,
+        )
+
+        gray = encode_jpeg_gray(bytes(range(256))[:256], 16, 16)
+        color = encode_jpeg_color(bytes(16 * 16 * 3), 16, 16)
+        with pytest.raises(ValueError):
+            decode_jpeg_color(gray)
+        with pytest.raises(ValueError):
+            decode_jpeg_gray(color)
+
+    def test_pillow_interop(self):
+        """Where Pillow exists, its decoder must read our color stream
+        back to the same pixels (flat blocks, exact)."""
+        try:
+            import io
+
+            from PIL import Image
+        except ImportError:
+            pytest.skip("Pillow not installed in this container")
+        from aprs2influxdb_spark.functions.jpeg import encode_jpeg_color
+
+        rgb, want = self._flat_rgb(135)
+        img = Image.open(io.BytesIO(encode_jpeg_color(rgb, 16, 16)))
+        got = img.convert("RGB").tobytes()
+        for b, exp in enumerate(want):
+            by, bx = divmod(b, 2)
+            i = (((by * 8) * 16) + bx * 8) * 3
+            # Pillow's IDCT/color path may differ by ±1 per channel
+            assert all(abs(got[i + k] - exp[k]) <= 1 for k in range(3))
