@@ -1039,6 +1039,74 @@ def exact_substring_spans(
     )
 
 
+def exact_substring_dedup(
+    docs: DataFrame, k: int = EXACT_SUBSTR_K,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """APPLY the Lee et al. 2022 exact-substring dedup: rewrite each
+    document with its non-canonical repeated spans CUT OUT — the
+    end-to-end form of :func:`exact_substring_spans` (which only
+    reports the spans).
+
+    Policy (deterministic, oracle-mirrorable): occurrences are
+    clustered by the exact content of the span (hash of its tokens);
+    within a cluster the first (doc_id, start) occurrence SURVIVES and
+    every later occurrence is removed — "all but one", the paper's
+    stated goal.  A span whose content is unique (an island that
+    merged several distinct overlapping repeats into one maximal
+    cover) forms a singleton cluster and is conservatively KEPT: its
+    duplicated sub-ranges are still reported by the spans operator,
+    but cutting them without an occurrence-level alignment could
+    remove BOTH copies of a repeat, which the policy forbids.
+
+    Scale shape: the spans frame (sparse — repeated spans only) joins
+    back to its documents on doc_id, content hashes rank in one
+    window partitioned by the 8-byte hash, and the rebuild is a
+    per-document in-row filter over token indices — linear in corpus
+    tokens, no stage beyond the spans operator's own.  Output:
+    (doc_id, n_tokens, n_removed, clean_text) over ALL documents
+    (clean_text lowercased, the operator's token domain)."""
+    from pyspark.sql import Window as W
+
+    spans = exact_substring_spans(docs, k, text_col, id_col)
+    base = docs.select(id_col, text_col)
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    ch = portable_hash64(
+        F.array_join(
+            F.slice(toks, F.col("start").cast("int"), F.col("len").cast("int")), " "
+        )
+    )
+    wc = W.partitionBy("ch").orderBy(F.col(id_col).asc(), F.col("start").asc())
+    cuts = (
+        base.join(spans, id_col)
+        .withColumn("ch", ch)
+        .withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") >= 2)
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct(F.col("start"), F.col("len"))).alias("cuts"))
+    )
+    out = base.join(cuts, id_col, "left")
+    cuts_arr = F.coalesce(
+        F.col("cuts"),
+        F.expr("CAST(array() AS array<struct<start:bigint,len:bigint>>)"),
+    )
+    idxs = F.sequence(F.lit(1), F.size(toks))
+    kept = F.filter(
+        idxs,
+        lambda i: ~F.exists(
+            cuts_arr, lambda c: (i >= c["start"]) & (i < c["start"] + c["len"])
+        ),
+    )
+    return out.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(F.transform(kept, lambda i: F.get(toks, i - 1)), " ").alias(
+            "clean_text"
+        ),
+    )
+
+
 # winnowing parameters, shared with the oracle SQL: window of W
 # consecutive shingle hashes; fingerprints encode (hash, position) in
 # one int64 (hash < 2^33 shifted past a 2^20 position field); the

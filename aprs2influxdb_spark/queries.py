@@ -7945,6 +7945,45 @@ FROM isl GROUP BY doc_id, isl
 """
 
 
+def q_exact_substring_dedup(spark, sf):
+    """Lee et al. 2022 APPLIED: documents rewritten with non-canonical
+    repeated spans cut out (first (doc_id, start) occurrence of each
+    span content survives) — see operators.dedup.exact_substring_dedup
+    for the policy and plan shape."""
+    return dd.exact_substring_dedup(_t(spark, sf, "documents"))
+
+
+SQL_EXACT_SUBSTRING_DEDUP = f"""
+WITH spans AS ({SQL_EXACT_SUBSTRING_SPANS}
+), base AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+), wsp AS (
+  SELECT s.doc_id, s.start, s.len,
+         ({portable_hash64_sql("array_to_string(b.ts[s.start:s.start + s.len - 1], ' ')")}) AS ch
+  FROM spans s JOIN base b USING (doc_id)
+), ranked AS (
+  SELECT doc_id, start, len,
+         row_number() OVER (PARTITION BY ch ORDER BY doc_id, start) AS rk
+  FROM wsp
+), cuts AS (
+  SELECT doc_id, list(struct_pack(s := start, l := len)) AS cuts
+  FROM ranked WHERE rk >= 2 GROUP BY doc_id
+), rebuilt AS (
+  SELECT b.doc_id, b.ts,
+         list_filter(range(1, len(b.ts) + 1), i ->
+           len(list_filter(COALESCE(c.cuts, CAST([] AS STRUCT(s BIGINT, l BIGINT)[])),
+                           x -> i >= x.s AND i < x.s + x.l)) = 0) AS kept
+  FROM base b LEFT JOIN cuts c USING (doc_id)
+)
+SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+       CAST(len(ts) - len(kept) AS BIGINT) AS n_removed,
+       -- COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
+       -- array_join([]) is '' — fully-cut documents must agree
+       COALESCE(array_to_string(list_transform(kept, i -> ts[i]), ' '), '') AS clean_text
+FROM rebuilt
+"""
+
+
 def q_repetition_stats(spark, sf):
     """Gopher-style repetition quality signals (top-bigram fraction +
     distinct-token ratio) — see operators.textanalysis.repetition_stats
@@ -9397,6 +9436,7 @@ def registry() -> dict[str, tuple]:
         "returned_items": (q_returned_items, SQL_RETURNED_ITEMS),
         "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
         "exact_substring_spans": (q_exact_substring_spans, SQL_EXACT_SUBSTRING_SPANS),
+        "exact_substring_dedup": (q_exact_substring_dedup, SQL_EXACT_SUBSTRING_DEDUP),
         "perplexity_bands": (q_perplexity_bands, SQL_PERPLEXITY_BANDS),
         "bm25_topk": (q_bm25_topk, _bm25_sql()),
         "rrf_fusion": (q_rrf_fusion, _rrf_fusion_sql()),

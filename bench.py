@@ -226,6 +226,7 @@ HEADLINE = [
     "doremi_weights",
     "silhouette_centroid",
     "multimodal_jpeg_color",
+    "exact_substring_dedup",
 ]
 
 

@@ -757,6 +757,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "user_event_sets": 4,
     "valuable_parts": 5,
     "exact_substring_spans": 3,
+    "exact_substring_dedup": 6,
     "tokenizer_fertility": 1,
     "vocab_top_terms": 4,
     "waiting_supplier": 5,

@@ -853,3 +853,44 @@ class TestJpegColor:
             i = (((by * 8) * 16) + bx * 8) * 3
             # Pillow's IDCT/color path may differ by ±1 per channel
             assert all(abs(got[i + k] - exp[k]) <= 1 for k in range(3))
+
+
+class TestExactSubstringDedupApply:
+    def test_cross_doc_canonical_survives(self, spark):
+        """Doc 0 (lower doc_id) holds the canonical occurrence of the
+        shared 24-token run; doc 1's copy is cut, leaving only its own
+        tokens.  Doc 0 is untouched."""
+        from aprs2influxdb_spark.operators.dedup import exact_substring_dedup
+
+        run = " ".join(f"dup{i:03d}" for i in range(24))
+        a = " ".join(f"a{i:03d}" for i in range(10)) + " " + run
+        b = run + " " + " ".join(f"b{i:03d}" for i in range(30))
+        docs = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+        got = {r["doc_id"]: r for r in exact_substring_dedup(docs).collect()}
+        assert got[0]["n_removed"] == 0
+        assert got[0]["clean_text"] == a.lower()
+        assert got[1]["n_removed"] == 24
+        assert got[1]["clean_text"] == " ".join(f"b{i:03d}" for i in range(30))
+
+    def test_intra_doc_second_occurrence_cut(self, spark):
+        """A doc repeating its own 16-token block keeps the first
+        occurrence and loses the second."""
+        from aprs2influxdb_spark.operators.dedup import exact_substring_dedup
+
+        block = " ".join(f"r{i:02d}" for i in range(16))
+        text = block + " xfiller1 xfiller2 " + block
+        docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        r = exact_substring_dedup(docs).collect()[0]
+        assert r["n_removed"] == 16
+        assert r["clean_text"] == block + " xfiller1 xfiller2"
+
+    def test_unique_docs_pass_through(self, spark):
+        from aprs2influxdb_spark.operators.dedup import exact_substring_dedup
+
+        docs = spark.createDataFrame(
+            [(0, "Alpha beta gamma"), (1, "delta epsilon zeta")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in exact_substring_dedup(docs).collect()}
+        assert got[0]["n_removed"] == got[1]["n_removed"] == 0
+        assert got[0]["clean_text"] == "alpha beta gamma"  # token domain is lowercased
