@@ -506,12 +506,19 @@ def _decode_baseline_impl(payload: bytes) -> tuple[int, int, list[bytes]]:
         pos += ln
     if not scan_data or not width:
         raise ValueError("JPEG: no scan data")
-    # per-component (quant, dc table, ac table), in SOF/interleave order
-    ctabs = []
-    for cid, tq in comps:
-        dc_id, ac_id = scan_tabs[cid]
-        ctabs.append(
+    # MCU interleave follows the SCAN header's component order (T.81
+    # F.1.1.5), which a spec-valid file may permute vs SOF order —
+    # decode in SOS order, but write each block to the plane of its
+    # SOF position so the output component order stays (Y, Cb, Cr)
+    sof_index = {cid: i for i, (cid, _tq) in enumerate(comps)}
+    if set(scan_tabs) != set(sof_index):
+        raise ValueError("JPEG: scan references a component missing from SOF")
+    scan_order = []  # (plane index, quant, dc table, ac table), SOS order
+    for cid, (dc_id, ac_id) in scan_tabs.items():
+        tq = comps[sof_index[cid]][1]
+        scan_order.append(
             (
+                sof_index[cid],
                 np.array(quant[tq], dtype=np.float64).reshape(8, 8),
                 dc_tables[dc_id],
                 ac_tables[ac_id],
@@ -534,8 +541,7 @@ def _decode_baseline_impl(payload: bytes) -> tuple[int, int, list[bytes]]:
     prev_dc = [0] * len(comps)
     for by in range(bh_):
         for bx in range(bw_):
-            for ci in range(len(comps)):  # interleaved MCU (F.1.1.5.1)
-                q, dct, act = ctabs[ci]
+            for ci, q, dct, act in scan_order:  # interleaved MCU (F.1.1.5.1)
                 zz = [0] * 64
                 s = read_huff(br, dct)
                 diff = _extend(br.read_bits(s), s) if s else 0

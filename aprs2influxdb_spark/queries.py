@@ -3090,17 +3090,22 @@ def q_doremi_weights(spark, sf):
     scored = tf.withColumn(
         "cf", F.sum("tf").over(Window.partitionBy("term"))
     )
-    tot = docs.agg(
-        F.sum(F.size(F.split(F.lower("text"), " "))).alias("total_tokens")
-    )
+    # total from the tf aggregate (shares the (source, term) subtree —
+    # ReusedExchange — instead of a second end-to-end corpus scan)
+    tot = tf.agg(F.sum("tf").alias("total_tokens"))
     scored = scored.crossJoin(F.broadcast(tot)).withColumn(
         "inlp",
         F.floor(
             F.log(F.col("total_tokens").cast("double") / F.col("cf")) * 1e6 + 0.5
         ).cast("long"),
     )
+    # DECIMAL(38,0) accumulator: sum(tf·inlp) reaches ~1e19 at the
+    # 100 TB design point (1e12 tokens × 1e7 micro-nats), past int64 —
+    # the house overflow convention (DuckDB's sum(BIGINT) is already
+    # HUGEINT); the division result still fits a double exactly enough
+    # for the micro-nat floor
     src = scored.groupBy("source").agg(
-        F.sum(F.col("tf") * F.col("inlp")).alias("s_ip"),
+        F.sum(F.col("tf").cast("decimal(38,0)") * F.col("inlp")).alias("s_ip"),
         F.sum("tf").alias("n_tokens"),
     )
     src = src.withColumn(
@@ -3116,7 +3121,13 @@ def q_doremi_weights(spark, sf):
         src.crossJoin(F.broadcast(ref))
         .withColumn(
             "excess_micro",
-            F.greatest(F.lit(0).cast("long"), F.col("nll_micro") - F.col("ref_micro")),
+            # capped at 20 nats: exp-weighting beyond that is degenerate
+            # (one domain takes ~all weight) and the cap keeps the
+            # micro-quantized wq inside int64 (exp(20)*1e6 ~ 4.9e14)
+            F.least(
+                F.greatest(F.lit(0).cast("long"), F.col("nll_micro") - F.col("ref_micro")),
+                F.lit(20_000_000).cast("long"),
+            ),
         )
         .withColumn(
             "wq",
@@ -3125,7 +3136,7 @@ def q_doremi_weights(spark, sf):
             ).cast("long"),
         )
     )
-    tw = j.agg(F.sum("wq").alias("sum_wq"))
+    tw = j.agg(F.sum(F.col("wq").cast("decimal(38,0)")).alias("sum_wq"))
     return j.crossJoin(F.broadcast(tw)).select(
         "source",
         "n_tokens",
@@ -3149,7 +3160,8 @@ WITH tf AS (
          CAST(floor(ln(CAST(total_tokens AS DOUBLE) / cf) * 1000000 + 0.5) AS BIGINT) AS inlp
   FROM tf JOIN cf USING (term), tot
 ), src AS (
-  SELECT source, CAST(sum(tf * inlp) AS BIGINT) AS s_ip, CAST(sum(tf) AS BIGINT) AS n_tokens
+  -- s_ip stays HUGEINT: sum(tf*inlp) passes int64 at 100 TB scale
+  SELECT source, sum(tf * inlp) AS s_ip, CAST(sum(tf) AS BIGINT) AS n_tokens
   FROM scored GROUP BY source
 ), srcm AS (
   SELECT source, s_ip, n_tokens,
@@ -3160,7 +3172,7 @@ WITH tf AS (
   FROM srcm
 ), ex AS (
   SELECT source, n_tokens, nll_micro,
-         greatest(0, nll_micro - ref_micro) AS excess_micro
+         least(greatest(0, nll_micro - ref_micro), 20000000) AS excess_micro
   FROM srcm, ref
 ), wq AS (
   SELECT *, CAST(floor(exp(CAST(excess_micro AS DOUBLE) / 1000000.0) * 1000000 + 0.5) AS BIGINT) AS w

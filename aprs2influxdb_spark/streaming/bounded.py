@@ -159,18 +159,17 @@ def streaming_time_bucket_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_bounded(spark, agg, "append", "stream_time_bucket_append")
 
 
-def _sentinel_events_stream(
-    spark: SparkSession, sf_dir: str, sentinel_hours: int = 3
+def _parted_events_stream(
+    spark: SparkSession, sf_dir: str, parts, sentinel_hours: int,
+    prefix: str = "append_fixture_",
 ) -> DataFrame:
-    """The events table as a stream whose LAST micro-batch is a single
-    watermark-advancing sentinel row ``sentinel_hours`` past the
-    corpus maximum — the shared fixture behind every append-mode
-    twin: after the sentinel batch the watermark exceeds every real
-    window/session end, so append mode emits them finalized, while
-    the sentinel's own group can never be emitted (its window end
-    always exceeds the final watermark; its non-ts columns are NULL
-    except ``event_type``).  ``maxFilesPerTrigger=1`` + mtime + the
-    'z' path prefix order the sentinel last."""
+    """Shared builder behind every sentinel fixture: write the events
+    table as the given ``parts`` — a list of (file name, filter column
+    or None) streamed one file per micro-batch in list order — then
+    the watermark-advancing sentinel row ``sentinel_hours`` past the
+    corpus maximum as the LAST batch (mtime ladder + path names order
+    the files; the sentinel's non-ts columns are NULL except
+    ``event_type``, so its group can never be emitted)."""
     import glob
     import os
     import shutil
@@ -179,7 +178,7 @@ def _sentinel_events_stream(
 
     events = _t(spark, sf_dir, "events")
     max_ts = events.agg(F.max("ts").alias("m")).collect()[0]["m"]
-    tmp = tempfile.mkdtemp(prefix="append_fixture_")
+    tmp = tempfile.mkdtemp(prefix=prefix)
     data_dir = os.path.join(tmp, "data")
     os.makedirs(data_dir)
 
@@ -191,7 +190,6 @@ def _sentinel_events_stream(
         shutil.move(part, dest)
         return dest
 
-    a = _write_single(events, "a_events.parquet")
     sentinel = events.limit(1).select(
         *[
             (F.lit(max_ts + pd.Timedelta(hours=sentinel_hours)).cast("timestamp") if c == "ts"
@@ -201,13 +199,33 @@ def _sentinel_events_stream(
             for c, t in events.dtypes
         ]
     )
-    z = _write_single(sentinel, "z_sentinel.parquet")
-    os.utime(a, (1_700_000_000, 1_700_000_000))
-    os.utime(z, (1_700_000_100, 1_700_000_100))
+    files = [
+        _write_single(events.filter(flt) if flt is not None else events, name)
+        for name, flt in parts
+    ]
+    files.append(_write_single(sentinel, "z_sentinel.parquet"))
+    for i, path in enumerate(files):
+        os.utime(path, (1_700_000_000 + 100 * i,) * 2)
     return (
         spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(data_dir)
+    )
+
+
+def _sentinel_events_stream(
+    spark: SparkSession, sf_dir: str, sentinel_hours: int = 3
+) -> DataFrame:
+    """The events table as a stream whose LAST micro-batch is a single
+    watermark-advancing sentinel row ``sentinel_hours`` past the
+    corpus maximum — the shared fixture behind every append-mode
+    twin: after the sentinel batch the watermark exceeds every real
+    window/session end, so append mode emits them finalized, while
+    the sentinel's own group can never be emitted (its window end
+    always exceeds the final watermark).  ``maxFilesPerTrigger=1`` +
+    mtime + the 'z' path prefix order the sentinel last."""
+    return _parted_events_stream(
+        spark, sf_dir, [("a_events.parquet", None)], sentinel_hours
     )
 
 
@@ -1143,8 +1161,11 @@ class _OrderedAsofProcessor(StatefulProcessor):
             self._handle.deleteTimer(t)
         if rest:
             self._buf.put(rest)
-            # flush when the watermark passes the earliest held row
-            self._handle.registerTimer(rest[0][0] // 1000)
+            # flush when the watermark passes the earliest held row —
+            # CEILING to ms: a floor-truncated timer could fire with
+            # wm_ms*1000 still below a sub-millisecond ts_us, leaving
+            # the row stranded (or the stale timer respinning)
+            self._handle.registerTimer(-(-rest[0][0] // 1000))
         if out:
             return pd.DataFrame(out, columns=["event_id", "user_id", "calibrated"])
         return None
@@ -1189,46 +1210,16 @@ def _scrambled_events_stream(
     so batch 2 delivers rows earlier than batch 1's), with the
     watermark sentinel last — the adversarial fixture for
     :class:`_OrderedAsofProcessor`.  Same single-file-per-trigger
-    (mtime, path) ordering as :func:`_sentinel_events_stream`."""
-    import glob
-    import os
-    import shutil
-
-    from aprs2influxdb_spark.queries import _t
-
-    events = _t(spark, sf_dir, "events")
-    max_ts = events.agg(F.max("ts").alias("m")).collect()[0]["m"]
-    tmp = tempfile.mkdtemp(prefix="scrambled_fixture_")
-    data_dir = os.path.join(tmp, "data")
-    os.makedirs(data_dir)
-
-    def _write_single(df, dest_name):
-        staging = os.path.join(tmp, f"_stage_{dest_name}")
-        df.coalesce(1).write.parquet(staging)
-        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
-        dest = os.path.join(data_dir, dest_name)
-        shutil.move(part, dest)
-        return dest
-
-    a = _write_single(events.filter(F.col("event_id") % 2 == 0), "a_even.parquet")
-    b = _write_single(events.filter(F.col("event_id") % 2 == 1), "b_odd.parquet")
-    sentinel = events.limit(1).select(
-        *[
-            (F.lit(max_ts + pd.Timedelta(hours=sentinel_hours)).cast("timestamp") if c == "ts"
-             else F.lit(None).cast(t) if c != "event_type"
-             else F.lit("__watermark_sentinel__"))
-            .alias(c)
-            for c, t in events.dtypes
-        ]
-    )
-    z = _write_single(sentinel, "z_sentinel.parquet")
-    os.utime(a, (1_700_000_000, 1_700_000_000))
-    os.utime(b, (1_700_000_100, 1_700_000_100))
-    os.utime(z, (1_700_000_200, 1_700_000_200))
-    return (
-        spark.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(data_dir)
+    (mtime, path) ordering as :func:`_sentinel_events_stream` — both
+    ride :func:`_parted_events_stream`."""
+    return _parted_events_stream(
+        spark, sf_dir,
+        [
+            ("a_even.parquet", F.col("event_id") % 2 == 0),
+            ("b_odd.parquet", F.col("event_id") % 2 == 1),
+        ],
+        sentinel_hours,
+        prefix="scrambled_fixture_",
     )
 
 

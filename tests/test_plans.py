@@ -555,7 +555,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "bucket_first_last": 3,
     "bucket_percentiles": 3,
     "centroid_assign": 3,
-    "silhouette_centroid": 4,
+    "silhouette_centroid": 5,  # measured 3 + 2 headroom
     "char_entropy": 4,
     "chi2_independence": 4,
     "chunk_documents": 2,
@@ -611,7 +611,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "influx_difference": 3,
     "influx_cumulative": 3,
     "influx_integral": 3,
-    "doremi_weights": 4,
+    "doremi_weights": 5,  # measured 3 + 2 headroom
     "ivf_kmeans_topk": 3,
     "ivf_topk": 2,
     "ivfpq_topk": 5,
@@ -651,7 +651,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "benford_deviation": 3,
     "interp_bigram_logprob": 5,
     "geo_cell_pairs": 3,
-    "cooccurrence_pmi": 4,
+    "cooccurrence_pmi": 6,  # measured 4 + 2 headroom (hints removed r5)
     "weighted_percentiles": 8,
     "temporal_split": 1,
     "label_prop_knn": 2,
@@ -757,7 +757,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "user_event_sets": 4,
     "valuable_parts": 5,
     "exact_substring_spans": 3,
-    "exact_substring_dedup": 6,
+    "exact_substring_dedup": 8,  # measured 6 + 2 headroom
     "tokenizer_fertility": 1,
     "vocab_top_terms": 4,
     "waiting_supplier": 5,

@@ -894,3 +894,70 @@ class TestExactSubstringDedupApply:
         got = {r["doc_id"]: r for r in exact_substring_dedup(docs).collect()}
         assert got[0]["n_removed"] == got[1]["n_removed"] == 0
         assert got[0]["clean_text"] == "alpha beta gamma"  # token domain is lowercased
+
+
+class TestJpegScanOrder:
+    def test_permuted_sos_component_order_decodes_correctly(self):
+        """T.81 F.1.1.5: MCU interleave follows the SCAN header's
+        component order, which may permute SOF order.  Hand-build a
+        spec-valid stream whose SOS lists (Cr, Cb, Y) — entropy data
+        interleaved to match — and assert the decoder routes each
+        block to the right plane (a SOF-order replay would swap Y and
+        Cr and return garbage)."""
+        import struct
+
+        import numpy as np
+
+        from aprs2influxdb_spark import functions as _f  # noqa: F401
+        from aprs2influxdb_spark.functions import jpeg as J
+
+        # one 8x8 block per component, flat values
+        yv, cbv, crv = 77, 150, 40
+        planes = {1: yv, 2: cbv, 3: crv}
+        lum = (J._build_codes(J.DC_LUM_BITS, J.DC_LUM_VALS),
+               J._build_codes(J.AC_LUM_BITS, J.AC_LUM_VALS))
+        chr_ = (J._build_codes(J.DC_CHR_BITS, J.DC_CHR_VALS),
+                J._build_codes(J.AC_CHR_BITS, J.AC_CHR_VALS))
+        tables = {1: lum, 2: chr_, 3: chr_}
+        qarr = np.ones((8, 8))
+        bw = J._BitWriter()
+        prev = {1: 0, 2: 0, 3: 0}
+        scan_order = [3, 2, 1]  # the permutation under test
+        for cid in scan_order:
+            block = np.full((8, 8), planes[cid], dtype=np.float64)
+            dc, ac = tables[cid]
+            prev[cid] = J._encode_block(bw, block, qarr, dc, ac, prev[cid])
+        bw.flush()
+        out = bytearray(b"\xff\xd8")
+        zzq = bytes([1] * 64)
+        out += J._seg(0xFFDB, b"\x00" + zzq)
+        out += J._seg(0xFFDB, b"\x01" + zzq)
+        out += J._seg(
+            0xFFC0,
+            struct.pack(">BHHB", 8, 8, 8, 3) + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+        out += J._seg(0xFFC4, J._dht(0x00, J.DC_LUM_BITS, J.DC_LUM_VALS))
+        out += J._seg(0xFFC4, J._dht(0x10, J.AC_LUM_BITS, J.AC_LUM_VALS))
+        out += J._seg(0xFFC4, J._dht(0x01, J.DC_CHR_BITS, J.DC_CHR_VALS))
+        out += J._seg(0xFFC4, J._dht(0x11, J.AC_CHR_BITS, J.AC_CHR_VALS))
+        out += J._seg(0xFFDA, bytes([3, 3, 0x11, 2, 0x11, 1, 0x00, 0, 63, 0]))
+        out += bw.out
+        out += b"\xff\xd9"
+        w, h, got = J._decode_baseline_impl(bytes(out))
+        assert (w, h) == (8, 8)
+        assert got[0][0] == yv and got[1][0] == cbv and got[2][0] == crv
+        # and every pixel of each plane
+        assert set(got[0]) == {yv} and set(got[1]) == {cbv} and set(got[2]) == {crv}
+
+    def test_scan_referencing_unknown_component_raises(self):
+        from aprs2influxdb_spark.functions.jpeg import (
+            decode_jpeg_color,
+            encode_jpeg_color,
+        )
+
+        blob = bytearray(encode_jpeg_color(bytes(8 * 8 * 3), 8, 8))
+        i = blob.find(b"\xff\xda")
+        assert i > 0
+        blob[i + 5] = 9  # first scan component id -> unknown
+        with pytest.raises(ValueError):
+            decode_jpeg_color(bytes(blob))
