@@ -5126,12 +5126,12 @@ def _jpeg_color_sql() -> str:
       cr := least(255, greatest(0, floor(0.5::DOUBLE*r - 0.418688::DOUBLE*g - 0.081312::DOUBLE*b + 128.0::DOUBLE + 0.5::DOUBLE))))"""
     return f"""
 WITH px AS (
-  SELECT doc_id, unnest(range(0, 4)) AS b FROM documents
+  SELECT doc_id, unnest(range(0, 4)) AS blk FROM documents
 ), rgb AS (
   SELECT doc_id,
-         (doc_id * 37 + b * 59) % 256 AS r,
-         (doc_id * 53 + b * 31) % 256 AS g,
-         (doc_id * 29 + b * 17) % 256 AS b
+         (doc_id * 37 + blk * 59) % 256 AS r,
+         (doc_id * 53 + blk * 31) % 256 AS g,
+         (doc_id * 29 + blk * 17) % 256 AS b
   FROM px
 ), ycc AS (
   SELECT doc_id, {fwd} AS t FROM rgb

@@ -908,7 +908,6 @@ class TestJpegScanOrder:
 
         import numpy as np
 
-        from aprs2influxdb_spark import functions as _f  # noqa: F401
         from aprs2influxdb_spark.functions import jpeg as J
 
         # one 8x8 block per component, flat values
