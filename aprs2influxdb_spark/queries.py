@@ -3285,6 +3285,66 @@ SELECT vid AS doc_id, min(label) AS cluster_id FROM reach GROUP BY vid
 """
 
 
+def q_soft_dedup_weights(spark, sf):
+    """SoftDeDup: duplicates DOWN-WEIGHTED instead of dropped — each
+    document carries weight 1/|its near-dup cluster|, so a cluster of
+    n copies contributes one document's worth of effective training
+    mass however large n grows (the soft alternative to
+    ``cluster_keep_best``'s hard selection).  Reported as the
+    per-source effective token count beside the raw count — the
+    mixture diagnostic that shows how much of a source survives
+    down-weighting.
+
+    Exactness: w_micro = floor(1e6/cluster_size + 0.5) is an exact
+    integer on both engines, and every sum is integer (the Spark
+    accumulator is DECIMAL(38,0) — n_tokens × 1e6 per doc overflows
+    int64 at web scale; DuckDB's sum(BIGINT) is HUGEINT already).
+
+    Scale shape: rides ``near_dup_clusters`` (pointer-jumping CC over
+    the banded-LSH pair graph — never all-pairs) plus one
+    cluster-keyed size aggregate and one doc-keyed join; the rollup
+    is map-side combinable on |sources| groups."""
+    docs = _t(spark, sf, "documents")
+    clusters = dd.near_dup_clusters(docs)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    per = (
+        docs.select(
+            "doc_id", "source",
+            F.size(F.split(F.lower("text"), " ")).alias("n_tokens"),
+        )
+        .join(clusters, "doc_id")
+        .join(sizes, "cluster_id")
+        .withColumn(
+            "w_micro",
+            F.floor(F.lit(1e6) / F.col("cluster_size") + 0.5).cast("long"),
+        )
+    )
+    return per.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.col("n_tokens").cast("decimal(38,0)") * F.col("w_micro"))
+        .cast("long")
+        .alias("eff_tokens_micro"),
+    )
+
+
+def _soft_dedup_weights_sql() -> str:
+    return f"""
+WITH c AS (SELECT * FROM ({_near_dup_clusters_sql()})),
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM c GROUP BY 1),
+per AS (
+  SELECT d.source,
+         len(string_split(lower(d.text), ' ')) AS n_tokens,
+         CAST(floor(1000000.0::DOUBLE / sz.cluster_size + 0.5) AS BIGINT) AS w_micro
+  FROM documents d JOIN c USING (doc_id) JOIN sz USING (cluster_id)
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(n_tokens * w_micro) AS BIGINT) AS eff_tokens_micro
+FROM per GROUP BY source
+"""
+
+
 def q_simhash(spark, sf):
     return dd.simhash(_t(spark, sf, "documents"), bits=16)
 
@@ -9514,6 +9574,7 @@ def registry() -> dict[str, tuple]:
         "streaming_simhash": (q_streaming_simhash, _simhash_sql()),
         "streaming_token_counts": (q_streaming_token_counts, SQL_TOKEN_COUNTS),
         "near_dup_clusters": (q_near_dup_clusters, _near_dup_clusters_sql()),
+        "soft_dedup_weights": (q_soft_dedup_weights, _soft_dedup_weights_sql()),
         # similarity
         "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
         "ts_similarity": (q_ts_similarity, SQL_TS_SIMILARITY),

@@ -227,6 +227,7 @@ HEADLINE = [
     "silhouette_centroid",
     "multimodal_jpeg_color",
     "exact_substring_dedup",
+    "soft_dedup_weights",
 ]
 
 

@@ -670,6 +670,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "nation_presence": 4,
     "nation_trade": 3,
     "near_dup_clusters": 2,
+    "soft_dedup_weights": 5,  # measured 3 + 2 headroom
     "session_components": 2,
     "bpe_merges": 0,
     "bpe_fertility": 2,

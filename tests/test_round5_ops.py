@@ -960,3 +960,39 @@ class TestJpegScanOrder:
         blob[i + 5] = 9  # first scan component id -> unknown
         with pytest.raises(ValueError):
             decode_jpeg_color(bytes(blob))
+
+
+class TestSoftDedupWeights:
+    def test_cluster_mass_conservation(self, spark, sf_dir):
+        """Invariants: every source appears; eff <= raw tokens
+        (weights <= 1); and on a hand fixture a 3-copy cluster
+        contributes ~one copy's mass while singletons keep full
+        weight."""
+        from aprs2influxdb_spark.queries import q_soft_dedup_weights
+
+        rows = q_soft_dedup_weights(spark, sf_dir).collect()
+        assert len(rows) > 1
+        for r in rows:
+            assert r["eff_tokens_micro"] <= r["n_tokens"] * 1_000_000
+            assert r["eff_tokens_micro"] > 0
+
+    def test_hand_fixture_three_copies(self, spark):
+        import aprs2influxdb_spark.queries as Q
+
+        text = " ".join(f"tok{i:02d}" for i in range(40))
+        other = " ".join(f"uniq{i:02d}" for i in range(40))
+        docs = spark.createDataFrame(
+            [(0, "a", text, "en"), (1, "a", text, "en"), (2, "a", text, "en"),
+             (3, "b", other, "en")],
+            "doc_id long, source string, text string, lang string",
+        )
+        orig = Q._t
+        try:
+            Q._t = lambda spark, sf, name: docs
+            got = {r["source"]: r for r in Q.q_soft_dedup_weights(spark, "x").collect()}
+        finally:
+            Q._t = orig
+        # 3 copies at weight floor(1e6/3+0.5)=333333 each
+        assert got["a"]["n_docs"] == 3 and got["a"]["n_tokens"] == 120
+        assert got["a"]["eff_tokens_micro"] == 40 * 333333 * 3
+        assert got["b"]["eff_tokens_micro"] == 40 * 1_000_000
