@@ -3295,14 +3295,20 @@ def q_soft_dedup_weights(spark, sf):
     mixture diagnostic that shows how much of a source survives
     down-weighting.
 
-    Exactness: w_micro = floor(1e6/cluster_size + 0.5) is an exact
-    integer on both engines, and every sum is integer (the Spark
-    accumulator is DECIMAL(38,0) — n_tokens × 1e6 per doc overflows
-    int64 at web scale; DuckDB's sum(BIGINT) is HUGEINT already).
+    Exactness at every scale (review-hardened): the effective mass is
+    computed per (source, cluster) — eff = floor(sum_tokens / n · 1e6
+    + 0.5) — so no per-document micro-weight can quantize to zero
+    however large the cluster (the per-doc w_micro form zeroed whole
+    clusters past 2e6 members); the per-(source, cluster) value is
+    bounded by the longest document × 1e6 (int64-safe by the doc-size
+    contract), the per-source sum runs in DECIMAL(38,0)/HUGEINT, and
+    the OUTPUT is whole tokens via exact integer division — bounded by
+    the raw token count, so it can never overflow int64 at any corpus
+    size.
 
     Scale shape: rides ``near_dup_clusters`` (pointer-jumping CC over
     the banded-LSH pair graph — never all-pairs) plus one
-    cluster-keyed size aggregate and one doc-keyed join; the rollup
+    (source, cluster) aggregate and one cluster-size join; the rollup
     is map-side combinable on |sources| groups."""
     docs = _t(spark, sf, "documents")
     clusters = dd.near_dup_clusters(docs)
@@ -3310,21 +3316,27 @@ def q_soft_dedup_weights(spark, sf):
     per = (
         docs.select(
             "doc_id", "source",
-            F.size(F.split(F.lower("text"), " ")).alias("n_tokens"),
+            F.size(dd.tokens_col("text")).alias("n_tokens"),
         )
         .join(clusters, "doc_id")
+        .groupBy("source", "cluster_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("st"))
         .join(sizes, "cluster_id")
         .withColumn(
-            "w_micro",
-            F.floor(F.lit(1e6) / F.col("cluster_size") + 0.5).cast("long"),
+            "eff_micro",
+            F.floor(
+                F.col("st").cast("double") / F.col("cluster_size") * 1e6 + 0.5
+            ).cast("long"),
         )
     )
-    return per.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("n_tokens"),
-        F.sum(F.col("n_tokens").cast("decimal(38,0)") * F.col("w_micro"))
-        .cast("long")
-        .alias("eff_tokens_micro"),
+    s = per.groupBy("source").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("st").cast("long").alias("n_tokens"),
+        F.sum(F.col("eff_micro").cast("decimal(38,0)")).alias("s_micro"),
+    )
+    return s.select(
+        "source", "n_docs", "n_tokens",
+        F.floor(F.col("s_micro") / F.lit(1000000)).cast("long").alias("eff_tokens"),
     )
 
 
@@ -3333,15 +3345,20 @@ def _soft_dedup_weights_sql() -> str:
 WITH c AS (SELECT * FROM ({_near_dup_clusters_sql()})),
 sz AS (SELECT cluster_id, count(*) AS cluster_size FROM c GROUP BY 1),
 per AS (
-  SELECT d.source,
-         len(string_split(lower(d.text), ' ')) AS n_tokens,
-         CAST(floor(1000000.0::DOUBLE / sz.cluster_size + 0.5) AS BIGINT) AS w_micro
-  FROM documents d JOIN c USING (doc_id) JOIN sz USING (cluster_id)
+  SELECT d.source, c.cluster_id,
+         count(*) AS n_docs,
+         CAST(sum(len(string_split(lower(d.text), ' '))) AS BIGINT) AS st
+  FROM documents d JOIN c USING (doc_id)
+  GROUP BY 1, 2
+), eff AS (
+  SELECT per.source, per.n_docs, per.st,
+         CAST(floor(CAST(per.st AS DOUBLE) / sz.cluster_size * 1000000.0 + 0.5) AS BIGINT) AS eff_micro
+  FROM per JOIN sz USING (cluster_id)
 )
-SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-       CAST(sum(n_tokens * w_micro) AS BIGINT) AS eff_tokens_micro
-FROM per GROUP BY source
+SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(st) AS BIGINT) AS n_tokens,
+       CAST(sum(eff_micro) // 1000000 AS BIGINT) AS eff_tokens
+FROM eff GROUP BY source
 """
 
 

@@ -965,18 +965,20 @@ class TestJpegScanOrder:
 class TestSoftDedupWeights:
     def test_cluster_mass_conservation(self, spark, sf_dir):
         """Invariants: every source appears; eff <= raw tokens
-        (weights <= 1); and on a hand fixture a 3-copy cluster
-        contributes ~one copy's mass while singletons keep full
-        weight."""
+        (weights <= 1) and eff > 0 (no cluster can quantize a
+        source's mass to nothing)."""
         from aprs2influxdb_spark.queries import q_soft_dedup_weights
 
         rows = q_soft_dedup_weights(spark, sf_dir).collect()
         assert len(rows) > 1
         for r in rows:
-            assert r["eff_tokens_micro"] <= r["n_tokens"] * 1_000_000
-            assert r["eff_tokens_micro"] > 0
+            assert 0 < r["eff_tokens"] <= r["n_tokens"]
 
     def test_hand_fixture_three_copies(self, spark):
+        """A 3-copy cluster contributes EXACTLY one copy's tokens (the
+        per-(source, cluster) formulation: floor(120/3·1e6+0.5) = one
+        doc's mass, no per-doc micro-weight rounding); singletons keep
+        full weight."""
         import aprs2influxdb_spark.queries as Q
 
         text = " ".join(f"tok{i:02d}" for i in range(40))
@@ -992,7 +994,6 @@ class TestSoftDedupWeights:
             got = {r["source"]: r for r in Q.q_soft_dedup_weights(spark, "x").collect()}
         finally:
             Q._t = orig
-        # 3 copies at weight floor(1e6/3+0.5)=333333 each
         assert got["a"]["n_docs"] == 3 and got["a"]["n_tokens"] == 120
-        assert got["a"]["eff_tokens_micro"] == 40 * 333333 * 3
-        assert got["b"]["eff_tokens_micro"] == 40 * 1_000_000
+        assert got["a"]["eff_tokens"] == 40
+        assert got["b"]["eff_tokens"] == 40
