@@ -3362,6 +3362,98 @@ FROM eff GROUP BY source
 """
 
 
+def q_contamination_report(spark, sf):
+    """Per-document contamination/duplication risk report — the
+    three independent evidence channels a curation pipeline consults
+    before a training run, joined into one verdict table:
+
+    - ``ngram_hits``: distinct 3-gram shingles shared with the
+      held-out eval slice (``decontaminate`` — lexical contamination);
+    - ``lex_dup``: member of a MinHash-LSH near-dup cluster of size
+      ≥ 2 (``near_dup_clusters`` — lexical duplication);
+    - ``sem_dup``: dropped by SemDeDup (``semantic_dedup`` via the
+      corpus' vec_id = doc_id convention — semantic duplication);
+    - ``flagged``: any of the above.
+
+    Eval-slice rows are marked ``is_eval`` (their training-side
+    channels are vacuous by construction).  Flags are int64 0/1 for
+    cross-engine dtype stability.
+
+    Scale shape: three already-audited operator plans joined on
+    doc_id (each left join is a shuffle on the 8-byte key; the
+    evidence frames are sparse subsets of the corpus); no new
+    pairwise stage is introduced."""
+    docs = _t(spark, sf, "documents")
+    dec = dd.decontaminate(docs).select("doc_id", "n_overlap")
+    clus = dd.near_dup_clusters(docs)
+    sizes = clus.groupBy("cluster_id").agg(F.count("*").alias("cs"))
+    lex = clus.join(sizes, "cluster_id").select(
+        "doc_id", (F.col("cs") >= 2).cast("long").alias("lex_dup")
+    )
+    sem = sim.semantic_dedup(_t(spark, sf, "embeddings"), threshold=0.35).select(
+        F.col("vec_id").alias("doc_id"),
+        (~F.col("kept")).cast("long").alias("sem_dup"),
+    )
+    is_eval = (
+        F.pmod(
+            portable_hash64(F.concat(F.lit("eval_"), F.col("doc_id").cast("string"))),
+            F.lit(20),
+        )
+        == 0
+    ).cast("long")
+    return (
+        docs.select("doc_id")
+        .join(dec, "doc_id", "left")
+        .join(lex, "doc_id", "left")
+        .join(sem, "doc_id", "left")
+        .select(
+            "doc_id",
+            is_eval.alias("is_eval"),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("ngram_hits"),
+            F.coalesce("lex_dup", F.lit(0)).cast("long").alias("lex_dup"),
+            F.coalesce("sem_dup", F.lit(0)).cast("long").alias("sem_dup"),
+        )
+        .withColumn(
+            "flagged",
+            (
+                (F.col("ngram_hits") > 0)
+                | (F.col("lex_dup") == 1)
+                | (F.col("sem_dup") == 1)
+            ).cast("long"),
+        )
+    )
+
+
+def _contamination_report_sql() -> str:
+    return f"""
+WITH dec AS ({SQL_DECONTAMINATE}),
+c AS (SELECT * FROM ({_near_dup_clusters_sql()})),
+sz AS (SELECT cluster_id, count(*) AS cs FROM c GROUP BY 1),
+lex AS (
+  SELECT c.doc_id, CASE WHEN sz.cs >= 2 THEN 1 ELSE 0 END AS lex_dup
+  FROM c JOIN sz USING (cluster_id)
+),
+sem AS (
+  SELECT vec_id AS doc_id, CASE WHEN kept THEN 0 ELSE 1 END AS sem_dup
+  FROM ({_semantic_dedup_sql()})
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN ({portable_hash64_sql("'eval_' || d.doc_id::VARCHAR")}) % 20 = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS is_eval,
+       CAST(COALESCE(dec.n_overlap, 0) AS BIGINT) AS ngram_hits,
+       CAST(COALESCE(lex.lex_dup, 0) AS BIGINT) AS lex_dup,
+       CAST(COALESCE(sem.sem_dup, 0) AS BIGINT) AS sem_dup,
+       CAST(CASE WHEN COALESCE(dec.n_overlap, 0) > 0
+                   OR COALESCE(lex.lex_dup, 0) = 1
+                   OR COALESCE(sem.sem_dup, 0) = 1
+            THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM documents d
+LEFT JOIN dec USING (doc_id)
+LEFT JOIN lex USING (doc_id)
+LEFT JOIN sem USING (doc_id)
+"""
+
+
 def q_simhash(spark, sf):
     return dd.simhash(_t(spark, sf, "documents"), bits=16)
 
@@ -9592,6 +9684,7 @@ def registry() -> dict[str, tuple]:
         "streaming_token_counts": (q_streaming_token_counts, SQL_TOKEN_COUNTS),
         "near_dup_clusters": (q_near_dup_clusters, _near_dup_clusters_sql()),
         "soft_dedup_weights": (q_soft_dedup_weights, _soft_dedup_weights_sql()),
+        "contamination_report": (q_contamination_report, _contamination_report_sql()),
         # similarity
         "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
         "ts_similarity": (q_ts_similarity, SQL_TS_SIMILARITY),

@@ -228,6 +228,7 @@ HEADLINE = [
     "multimodal_jpeg_color",
     "exact_substring_dedup",
     "soft_dedup_weights",
+    "contamination_report",
 ]
 
 

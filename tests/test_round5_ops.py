@@ -997,3 +997,40 @@ class TestSoftDedupWeights:
         assert got["a"]["n_docs"] == 3 and got["a"]["n_tokens"] == 120
         assert got["a"]["eff_tokens"] == 40
         assert got["b"]["eff_tokens"] == 40
+
+
+class TestContaminationReport:
+    def test_channels_agree_with_their_sources(self, spark, sf_dir):
+        """The report is a faithful join: every doc appears exactly
+        once; ngram_hits matches decontaminate; lex_dup matches
+        cluster sizes; sem_dup matches semantic_dedup's kept flags;
+        flagged is their OR; eval-slice rows carry no training-side
+        n-gram hits."""
+        from aprs2influxdb_spark.operators import dedup as dd
+        from aprs2influxdb_spark.operators import similarity as sim
+        from aprs2influxdb_spark.queries import q_contamination_report
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n_docs = docs.count()
+        rows = {r["doc_id"]: r for r in q_contamination_report(spark, sf_dir).collect()}
+        assert len(rows) == n_docs
+        dec = {r["doc_id"]: r["n_overlap"] for r in dd.decontaminate(docs).collect()}
+        clus = dd.near_dup_clusters(docs).collect()
+        from collections import Counter
+
+        csize = Counter(r["cluster_id"] for r in clus)
+        lex = {r["doc_id"]: int(csize[r["cluster_id"]] >= 2) for r in clus}
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        sem = {
+            r["vec_id"]: int(not r["kept"])
+            for r in sim.semantic_dedup(emb, threshold=0.35).collect()
+        }
+        for d, r in rows.items():
+            assert r["ngram_hits"] == dec.get(d, 0)
+            assert r["lex_dup"] == lex.get(d, 0)
+            assert r["sem_dup"] == sem.get(d, 0)
+            assert r["flagged"] == int(
+                r["ngram_hits"] > 0 or r["lex_dup"] or r["sem_dup"]
+            )
+            if r["is_eval"]:
+                assert r["ngram_hits"] == 0  # eval rows aren't training rows
