@@ -8680,6 +8680,82 @@ GROUP BY bucket, event_type
 """
 
 
+def q_deadman_alerts(spark, sf):
+    """Kapacitor/InfluxDB deadman alerting per series: every silence
+    longer than the threshold (no samples for > 2 hours) reported as
+    (user_id, silence_start, silence_end, silence_s) — the
+    station-went-quiet check an APRS operator runs first (the
+    reference's domain: a tracker that stops beaconing IS the
+    incident), plus each series' trailing silence against the corpus'
+    observation horizon (max ts — the batch stand-in for now()),
+    flagged separately because it is still OPEN.
+
+    One shuffle on the series key, one in-partition sort; the lag
+    window yields closed gaps and the per-series max feeds the open
+    trailing check via the same aggregate — no second scan of events
+    (the horizon is one broadcast row).  Integer epoch arithmetic on
+    both engines."""
+    thr_s = 2 * 3600
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    closed = (
+        ev.select(
+            "user_id",
+            F.lag("ts").over(w).alias("silence_start"),
+            F.col("ts").alias("silence_end"),
+            gap.alias("silence_s"),
+        )
+        .filter(F.col("silence_s") > thr_s)
+        .withColumn("open_alert", F.lit(0).cast("long"))
+    )
+    horizon = ev.agg(F.max("ts").alias("horizon"))
+    trailing = (
+        ev.groupBy("user_id")
+        .agg(F.max("ts").alias("silence_start"))
+        .crossJoin(F.broadcast(horizon))
+        .withColumn(
+            "silence_s",
+            F.unix_timestamp("horizon") - F.unix_timestamp("silence_start"),
+        )
+        .filter(F.col("silence_s") > thr_s)
+        .select(
+            "user_id",
+            "silence_start",
+            F.col("horizon").alias("silence_end"),
+            "silence_s",
+            F.lit(1).cast("long").alias("open_alert"),
+        )
+    )
+    return closed.unionByName(trailing).select(
+        "user_id", "silence_start", "silence_end",
+        F.col("silence_s").cast("long").alias("silence_s"), "open_alert",
+    )
+
+
+SQL_DEADMAN_ALERTS = """
+WITH g AS (
+  SELECT user_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS silence_start,
+         ts AS silence_end,
+         floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))::BIGINT AS silence_s
+  FROM events
+), h AS (SELECT max(ts) AS horizon FROM events),
+trail AS (
+  SELECT user_id, max(ts) AS silence_start FROM events GROUP BY user_id
+)
+SELECT user_id, silence_start, silence_end, CAST(silence_s AS BIGINT) AS silence_s,
+       CAST(0 AS BIGINT) AS open_alert
+FROM g WHERE silence_s > 7200
+UNION ALL
+SELECT t.user_id, t.silence_start, h.horizon AS silence_end,
+       CAST(floor(epoch(h.horizon))::BIGINT - floor(epoch(t.silence_start))::BIGINT AS BIGINT) AS silence_s,
+       CAST(1 AS BIGINT) AS open_alert
+FROM trail t, h
+WHERE floor(epoch(h.horizon))::BIGINT - floor(epoch(t.silence_start))::BIGINT > 7200
+"""
+
+
 def q_alert_transitions(spark, sf):
     """Kapacitor-style threshold alerting over each series: rising
     edges (value crosses ABOVE the threshold) and falling edges, with
@@ -9750,6 +9826,7 @@ def registry() -> dict[str, tuple]:
         "influx_integral": (q_influx_integral, SQL_INFLUX_INTEGRAL),
         "doremi_weights": (q_doremi_weights, SQL_DOREMI_WEIGHTS),
         "alert_transitions": (q_alert_transitions, SQL_ALERT_TRANSITIONS),
+        "deadman_alerts": (q_deadman_alerts, SQL_DEADMAN_ALERTS),
         "bucket_first_last": (q_bucket_first_last, SQL_BUCKET_FIRST_LAST),
         "autocorr_series": (q_autocorr_series, SQL_AUTOCORR_SERIES),
         "weekday_seasonality": (q_weekday_seasonality, SQL_WEEKDAY_SEASONALITY),

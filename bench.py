@@ -229,6 +229,7 @@ HEADLINE = [
     "exact_substring_dedup",
     "soft_dedup_weights",
     "contamination_report",
+    "deadman_alerts",
 ]
 
 

@@ -672,6 +672,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "near_dup_clusters": 2,
     "soft_dedup_weights": 5,  # measured 3 + 2 headroom
     "contamination_report": 10,  # measured 8 + 2 headroom
+    "deadman_alerts": 5,  # measured 3 + 2 headroom
     "session_components": 2,
     "bpe_merges": 0,
     "bpe_fertility": 2,

@@ -1034,3 +1034,41 @@ class TestContaminationReport:
             )
             if r["is_eval"]:
                 assert r["ngram_hits"] == 0  # eval rows aren't training rows
+
+
+class TestDeadmanAlerts:
+    def test_hand_fixture_gaps_and_open_trailing(self, spark):
+        """User 1: a 3 h mid-series gap (closed alert) then activity up
+        to the horizon (no open alert).  User 2: last sample 5 h before
+        the horizon (open alert, no closed gap).  User 3: steady — no
+        alerts."""
+        import pandas as pd
+
+        import aprs2influxdb_spark.queries as Q
+
+        t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+        def row(eid, uid, hours):
+            return (eid, (t0 + pd.Timedelta(hours=hours)).to_pydatetime(), uid, "view", 1.0, "{}")
+
+        rows = [
+            row(1, 1, 0), row(2, 1, 1), row(3, 1, 4), row(4, 1, 5),  # gap 1→4h
+            row(5, 2, 0),                                            # then silence
+            row(6, 3, 0), row(7, 3, 1), row(8, 3, 2), row(9, 3, 3),
+            row(10, 3, 4), row(11, 3, 5),                            # horizon = 5h
+        ]
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+        orig = Q._t
+        try:
+            Q._t = lambda spark, sf, name: ev
+            got = Q.q_deadman_alerts(spark, "x").collect()
+        finally:
+            Q._t = orig
+        closed = [(r["user_id"], r["silence_s"]) for r in got if r["open_alert"] == 0]
+        opened = [(r["user_id"], r["silence_s"]) for r in got if r["open_alert"] == 1]
+        assert closed == [(1, 3 * 3600)]
+        assert opened == [(2, 5 * 3600)]
+        assert not [r for r in got if r["user_id"] == 3]
