@@ -3530,6 +3530,153 @@ RRF_K = 60
 RRF_QUERY_MAP = [("q1", 0), ("q2", 1), ("q3", 2)]
 
 
+MMR_K = 5  # results returned per query
+MMR_POOL = 10  # bm25 candidate pool per query
+
+
+def q_mmr_rerank(spark, sf):
+    """Maximal Marginal Relevance diversification (Carbonell &
+    Goldstein 1998, SIGIR): greedily re-rank each query's BM25 top-10
+    pool so every pick trades relevance against redundancy —
+    pick = argmax λ·rel − (1−λ)·max_{s∈selected} cos(d, s) with
+    λ = 0.7 — the standard result-diversification pass between
+    retrieval and an LLM context window.
+
+    Determinism: rel is the per-query max-normalized BM25 in integer
+    micro-units; each pairwise cosine (doc embeddings via the
+    vec_id = doc_id convention) is floored to micro BEFORE the max, so
+    the MMR objective is pure int64 arithmetic (7·rel − 3·maxsim) and
+    ties break to the lowest doc_id — the oracle unrolls the IDENTICAL
+    five greedy rounds as CTEs (the ``bpe_merges`` pattern).
+
+    Scale shape: the pool is ≤ 10 rows per query (broadcast-sized by
+    construction — the expensive part is bm25_topk, already audited),
+    so the greedy runs as in-row array expressions over one collected
+    struct array per query: no shuffle beyond bm25's own, no
+    cross-query stage, no driver loop."""
+    cand = ta.bm25_topk(_t(spark, sf, "documents"), k=MMR_POOL).select(
+        "query_id", "doc_id", "bm25"
+    )
+    emb = _t(spark, sf, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    nrm = F.sqrt(
+        F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    wq = Window.partitionBy("query_id")
+    pool = (
+        cand.join(emb, "doc_id")
+        .withColumn(
+            "rel",
+            F.floor(
+                F.col("bm25") / F.max("bm25").over(wq) * 1e6 + 0.5
+            ).cast("long"),
+        )
+        .withColumn("nrm", nrm)
+        .groupBy("query_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "rel", "v", "nrm"))
+            ).alias("arr")
+        )
+    )
+
+    def _cos_micro(x, s):
+        dot = F.aggregate(
+            F.zip_with(x["v"], s["v"], lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        )
+        return F.floor(dot / (x["nrm"] * s["nrm"]) * 1e6 + 0.5).cast("long")
+
+    def _pick(arr, selected):
+        def mmr(x):
+            if not selected:
+                pen = F.lit(0).cast("long")
+            elif len(selected) == 1:
+                pen = _cos_micro(x, selected[0])
+            else:
+                pen = F.greatest(*[_cos_micro(x, s) for s in selected])
+            return F.lit(7) * x["rel"] - F.lit(3) * pen
+
+        scored = F.transform(
+            arr,
+            lambda x: F.struct(
+                mmr(x).alias("m"),
+                (-x["doc_id"]).alias("nd"),  # max(-id) == min(id) on m-ties
+                x["doc_id"].alias("doc_id"),
+                x["rel"].alias("rel"),
+                x["v"].alias("v"),
+                x["nrm"].alias("nrm"),
+            ),
+        )
+        return F.array_max(scored)
+
+    df = pool
+    sel = []
+    for r in range(1, MMR_K + 1):
+        df = df.withColumn(f"s{r}", _pick(F.col("arr"), sel))
+        df = df.withColumn(
+            "arr", F.filter(F.col("arr"), lambda x: x["doc_id"] != F.col(f"s{r}.doc_id"))
+        )
+        sel.append(F.col(f"s{r}"))
+    picks = F.filter(
+        F.array(*[F.col(f"s{r}") for r in range(1, MMR_K + 1)]),
+        lambda s: s["doc_id"].isNotNull(),
+    )
+    return df.select(
+        "query_id", F.posexplode(picks).alias("pos", "s")
+    ).select(
+        "query_id",
+        (F.col("pos") + 1).cast("long").alias("mmr_rank"),
+        F.col("s.doc_id").alias("doc_id"),
+        F.col("s.rel").alias("rel_micro"),
+        F.col("s.m").alias("mmr_micro"),
+    )
+
+
+def _mmr_rerank_sql() -> str:
+    cosm = (
+        "CAST(floor(list_dot_product({x}.v, {s}.v) / ({x}.nrm * {s}.nrm) "
+        "* 1000000 + 0.5) AS BIGINT)"
+    )
+    parts = [
+        f"""cand AS (
+  SELECT b.query_id, b.doc_id,
+         CAST(floor(b.bm25 / max(b.bm25) OVER (PARTITION BY b.query_id)
+              * 1000000 + 0.5) AS BIGINT) AS rel,
+         list_transform(e.embedding, x -> x::DOUBLE) AS v,
+         sqrt(list_dot_product(list_transform(e.embedding, x -> x::DOUBLE),
+                               list_transform(e.embedding, x -> x::DOUBLE))) AS nrm
+  FROM ({_bm25_sql(k=MMR_POOL)}) b
+  JOIN embeddings e ON e.vec_id = b.doc_id
+)"""
+    ]
+    for r in range(1, MMR_K + 1):
+        sims = [cosm.format(x="c", s=f"s{j}") for j in range(1, r)]
+        pen = f"greatest({', '.join(sims)})" if len(sims) > 1 else (sims[0] if sims else "0")
+        joins = "".join(
+            f" JOIN s{j} USING (query_id)" for j in range(1, r)
+        )
+        excl = " AND ".join(f"c.doc_id <> s{j}.doc_id" for j in range(1, r))
+        where = f"WHERE {excl}" if excl else ""
+        parts.append(f"""s{r} AS (
+  SELECT query_id, doc_id, rel, v, nrm, m FROM (
+    SELECT c.query_id, c.doc_id, c.rel, c.v, c.nrm,
+           7 * c.rel - 3 * ({pen}) AS m,
+           row_number() OVER (PARTITION BY c.query_id
+                              ORDER BY 7 * c.rel - 3 * ({pen}) DESC, c.doc_id) AS rk
+    FROM cand c{joins} {where}
+  ) WHERE rk = 1
+)""")
+    rows = "\nUNION ALL\n".join(
+        f"SELECT query_id, {r} AS mmr_rank, doc_id, rel AS rel_micro, m AS mmr_micro FROM s{r}"
+        for r in range(1, MMR_K + 1)
+    )
+    return f"WITH {', '.join(parts)}\n{rows}"
+
+
 def q_rrf_fusion(spark, sf):
     """Reciprocal-rank fusion of the lexical (BM25 over documents) and
     semantic (cosine over embeddings) rankings — the standard hybrid-
@@ -9696,6 +9843,7 @@ def registry() -> dict[str, tuple]:
         "exact_substring_dedup": (q_exact_substring_dedup, SQL_EXACT_SUBSTRING_DEDUP),
         "perplexity_bands": (q_perplexity_bands, SQL_PERPLEXITY_BANDS),
         "bm25_topk": (q_bm25_topk, _bm25_sql()),
+        "mmr_rerank": (q_mmr_rerank, _mmr_rerank_sql()),
         "rrf_fusion": (q_rrf_fusion, _rrf_fusion_sql()),
         "bigram_logprob": (q_bigram_logprob, SQL_BIGRAM_LOGPROB),
         "top_ngrams": (q_top_ngrams, _top_ngrams_sql()),

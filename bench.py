@@ -230,6 +230,7 @@ HEADLINE = [
     "soft_dedup_weights",
     "contamination_report",
     "deadman_alerts",
+    "mmr_rerank",
 ]
 
 

@@ -673,6 +673,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "soft_dedup_weights": 5,  # measured 3 + 2 headroom
     "contamination_report": 10,  # measured 8 + 2 headroom
     "deadman_alerts": 5,  # measured 3 + 2 headroom
+    "mmr_rerank": 10,  # measured 8 + 2 headroom
     "session_components": 2,
     "bpe_merges": 0,
     "bpe_fertility": 2,

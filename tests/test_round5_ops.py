@@ -1072,3 +1072,64 @@ class TestDeadmanAlerts:
         assert closed == [(1, 3 * 3600)]
         assert opened == [(2, 5 * 3600)]
         assert not [r for r in got if r["user_id"] == 3]
+
+
+class TestMmrRerank:
+    def test_redundant_runner_up_demoted(self, spark):
+        """The defining MMR behavior: doc 1 is the best match, doc 2 is
+        nearly as relevant but embedding-identical to doc 1 (pure
+        redundancy), doc 3 is less relevant but orthogonal.  Plain
+        BM25 ranks (1, 2, 3); MMR must pick the DIVERSE doc 3 second
+        and demote the redundant doc 2."""
+        import aprs2influxdb_spark.queries as Q
+
+        docs = spark.createDataFrame(
+            [
+                (1, "spark join spark join spark join", "a", "en"),
+                (2, "spark join spark join spark", "a", "en"),
+                (3, "spark join other words here pad", "a", "en"),
+            ],
+            "doc_id long, text string, source string, lang string",
+        )
+        e1 = [1.0] * 32 + [0.0] * 32
+        e3 = [0.0] * 32 + [1.0] * 32
+        emb = spark.createDataFrame(
+            [(1, e1, 0), (2, e1, 0), (3, e3, 1)],
+            "vec_id long, embedding array<double>, label long",
+        )
+        orig = Q._t
+        try:
+            Q._t = lambda spark, sf, name: docs if name == "documents" else emb
+            got = sorted(
+                (r["mmr_rank"], r["doc_id"])
+                for r in Q.q_mmr_rerank(spark, "x").collect()
+                if r["query_id"] == "q1"
+            )
+        finally:
+            Q._t = orig
+        assert got[0] == (1, 1)
+        assert got[1] == (2, 3), f"redundant doc not demoted: {got}"
+        assert got[2] == (3, 2)
+
+    def test_rank_count_and_pool_containment(self, spark, sf_dir):
+        """Each query returns min(MMR_K, pool) distinct docs, all from
+        its own bm25 pool, ranked 1..n without gaps."""
+        from aprs2influxdb_spark.operators import textanalysis as ta
+        from aprs2influxdb_spark.queries import MMR_K, MMR_POOL, q_mmr_rerank
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pool = {
+            (r["query_id"], r["doc_id"])
+            for r in ta.bm25_topk(docs, k=MMR_POOL).collect()
+        }
+        from collections import defaultdict
+
+        got = defaultdict(list)
+        for r in q_mmr_rerank(spark, sf_dir).collect():
+            got[r["query_id"]].append((r["mmr_rank"], r["doc_id"]))
+            assert (r["query_id"], r["doc_id"]) in pool
+        for q, picks in got.items():
+            ranks = sorted(rk for rk, _ in picks)
+            assert ranks == list(range(1, len(picks) + 1))
+            assert len({d for _, d in picks}) == len(picks)
+            assert len(picks) <= MMR_K
