@@ -3569,9 +3569,16 @@ def q_mmr_rerank(spark, sf):
         cand.join(emb, "doc_id")
         .withColumn(
             "rel",
-            F.floor(
-                F.col("bm25") / F.max("bm25").over(wq) * 1e6 + 0.5
-            ).cast("long"),
+            # nullif + coalesce: an all-zero pool (0/0 = NaN) must
+            # degrade identically on both engines (NaN floors to 0 in
+            # Spark but NULLs in DuckDB)
+            F.coalesce(
+                F.floor(
+                    F.col("bm25") / F.nullif(F.max("bm25").over(wq), F.lit(0.0))
+                    * 1e6 + 0.5
+                ).cast("long"),
+                F.lit(0).cast("long"),
+            ),
         )
         .withColumn("nrm", nrm)
         .groupBy("query_id")
@@ -3588,7 +3595,14 @@ def q_mmr_rerank(spark, sf):
             F.lit(0.0),
             lambda acc, y: acc + y,
         )
-        return F.floor(dot / (x["nrm"] * s["nrm"]) * 1e6 + 0.5).cast("long")
+        # zero-norm vectors count as orthogonal (penalty 0) on BOTH
+        # engines — unguarded 0/0 is NaN->0 in Spark but NULL in DuckDB
+        return F.coalesce(
+            F.floor(
+                dot / F.nullif(x["nrm"] * s["nrm"], F.lit(0.0)) * 1e6 + 0.5
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        )
 
     def _pick(arr, selected):
         def mmr(x):
@@ -3638,14 +3652,14 @@ def q_mmr_rerank(spark, sf):
 
 def _mmr_rerank_sql() -> str:
     cosm = (
-        "CAST(floor(list_dot_product({x}.v, {s}.v) / ({x}.nrm * {s}.nrm) "
-        "* 1000000 + 0.5) AS BIGINT)"
+        "COALESCE(CAST(floor(list_dot_product({x}.v, {s}.v) "
+        "/ nullif({x}.nrm * {s}.nrm, 0.0) * 1000000 + 0.5) AS BIGINT), 0)"
     )
     parts = [
         f"""cand AS (
   SELECT b.query_id, b.doc_id,
-         CAST(floor(b.bm25 / max(b.bm25) OVER (PARTITION BY b.query_id)
-              * 1000000 + 0.5) AS BIGINT) AS rel,
+         COALESCE(CAST(floor(b.bm25 / nullif(max(b.bm25) OVER (PARTITION BY b.query_id), 0.0)
+              * 1000000 + 0.5) AS BIGINT), 0) AS rel,
          list_transform(e.embedding, x -> x::DOUBLE) AS v,
          sqrt(list_dot_product(list_transform(e.embedding, x -> x::DOUBLE),
                                list_transform(e.embedding, x -> x::DOUBLE))) AS nrm
@@ -8837,11 +8851,11 @@ def q_deadman_alerts(spark, sf):
     observation horizon (max ts — the batch stand-in for now()),
     flagged separately because it is still OPEN.
 
-    One shuffle on the series key, one in-partition sort; the lag
-    window yields closed gaps and the per-series max feeds the open
-    trailing check via the same aggregate — no second scan of events
-    (the horizon is one broadcast row).  Integer epoch arithmetic on
-    both engines."""
+    One window pass (closed gaps) plus one per-series aggregate
+    (trailing silences); the corpus horizon derives from the trailing
+    aggregate's own max — a third end-to-end scan of events would buy
+    nothing (review-hardened).  Integer epoch arithmetic on both
+    engines."""
     thr_s = 2 * 3600
     ev = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
@@ -8856,10 +8870,14 @@ def q_deadman_alerts(spark, sf):
         .filter(F.col("silence_s") > thr_s)
         .withColumn("open_alert", F.lit(0).cast("long"))
     )
-    horizon = ev.agg(F.max("ts").alias("horizon"))
-    trailing = (
+    per_user = (
         ev.groupBy("user_id")
         .agg(F.max("ts").alias("silence_start"))
+        .localCheckpoint(eager=False)  # |users| rows, consumed twice
+    )
+    horizon = per_user.agg(F.max("silence_start").alias("horizon"))
+    trailing = (
+        per_user
         .crossJoin(F.broadcast(horizon))
         .withColumn(
             "silence_s",
@@ -8887,10 +8905,9 @@ WITH g AS (
          ts AS silence_end,
          floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))::BIGINT AS silence_s
   FROM events
-), h AS (SELECT max(ts) AS horizon FROM events),
-trail AS (
+), trail AS (
   SELECT user_id, max(ts) AS silence_start FROM events GROUP BY user_id
-)
+), h AS (SELECT max(silence_start) AS horizon FROM trail)
 SELECT user_id, silence_start, silence_end, CAST(silence_s AS BIGINT) AS silence_s,
        CAST(0 AS BIGINT) AS open_alert
 FROM g WHERE silence_s > 7200

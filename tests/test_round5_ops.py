@@ -1012,7 +1012,11 @@ class TestContaminationReport:
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         n_docs = docs.count()
-        rows = {r["doc_id"]: r for r in q_contamination_report(spark, sf_dir).collect()}
+        raw = q_contamination_report(spark, sf_dir).collect()
+        # raw row count BEFORE dicting: a left-join fanout would
+        # otherwise be collapsed by the doc_id keys and pass unseen
+        assert len(raw) == n_docs
+        rows = {r["doc_id"]: r for r in raw}
         assert len(rows) == n_docs
         dec = {r["doc_id"]: r["n_overlap"] for r in dd.decontaminate(docs).collect()}
         clus = dd.near_dup_clusters(docs).collect()
