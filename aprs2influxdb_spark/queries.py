@@ -8696,6 +8696,98 @@ FROM it
 """
 
 
+HW_ALPHA, HW_BETA, HW_GAMMA, HW_SEASON = 0.5, 0.3, 0.2, 24
+
+
+def q_holt_winters(spark, sf):
+    """Triple exponential smoothing per series — InfluxQL's literal
+    ``HOLT_WINTERS()`` (additive, season m=24 h on the hourly-profile
+    events), completing the smoothing ladder above ``ewma_smooth``
+    (single) and ``holt_linear`` (double):
+
+    l_t = α(x_t − s_{t−m}) + (1−α)(l+b);  b_t = β(l_t − l) + (1−β)b;
+    s_t = γ(x_t − l_t) + (1−γ)s_{t−m};  seeded l=x_1, b=0, s=0⃗ (the
+    deterministic convention both engines share — production seeding
+    refinements change constants, not the plan).  Emits each series'
+    final state and the h=1 forecast l+b+s_next.
+
+    Plan: ONE series-key shuffle; the three-variable recursion with
+    its 24-slot seasonal state runs as a single O(n) JVM fold whose
+    accumulator carries the season as an in-struct array (positional
+    ``transform`` updates one slot per step).  The oracle replays the
+    identical recursion as a recursive CTE carrying the same DOUBLE[]
+    — every float op sequence matches bit-for-bit before the 6 dp
+    rounding (the ``holt_linear`` argument, plus the array)."""
+    a, bta, g_, m = HW_ALPHA, HW_BETA, HW_GAMMA, HW_SEASON
+    ev = _t(spark, sf, "events")
+    grp = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))).alias("arr")
+    )
+    vals = F.transform(F.col("arr"), lambda s: s.value)
+
+    def step(acc, x):
+        t = acc.t + 1
+        idx = (t - 1) % m + 1
+        sv = F.element_at(acc.s, idx.cast("int"))
+        l_new = F.lit(a) * (x - sv) + F.lit(1 - a) * (acc.l + acc.b)
+        b_new = F.lit(bta) * (l_new - acc.l) + F.lit(1 - bta) * acc.b
+        s_new = F.transform(
+            acc.s,
+            lambda sx, i: F.when(
+                i == idx - 1,  # transform's i is 0-based
+                F.lit(g_) * (x - l_new) + F.lit(1 - g_) * sx,
+            ).otherwise(sx),
+        )
+        return F.struct(
+            l_new.alias("l"), b_new.alias("b"), s_new.alias("s"), t.alias("t")
+        )
+
+    x1 = F.element_at(vals, 1)
+    seed = F.struct(
+        x1.alias("l"),
+        F.lit(0.0).alias("b"),
+        F.array_repeat(F.lit(0.0), m).alias("s"),
+        F.lit(1).cast("long").alias("t"),
+    )
+    fin = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))), seed, step
+    )
+    n = F.size(vals)
+    fc = fin["l"] + fin["b"] + F.element_at(fin["s"], (n % m + 1).cast("int"))
+    return grp.select(
+        "user_id",
+        n.cast("long").alias("n_samples"),
+        rhu(fin["l"], 6).alias("level"),
+        rhu(fin["b"], 6).alias("trend"),
+        rhu(fc, 6).alias("forecast_h1"),
+    )
+
+
+SQL_HOLT_WINTERS = f"""
+WITH RECURSIVE s AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id
+), it AS (
+  SELECT user_id, vals, 1 AS p,
+         CAST(vals[1] AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b,
+         list_transform(range(1, {HW_SEASON + 1}), i -> 0.0::DOUBLE) AS sz
+  FROM s
+  UNION ALL
+  SELECT user_id, vals, p + 1,
+         {HW_ALPHA} * (vals[p + 1] - sz[(p % {HW_SEASON}) + 1]) + {1 - HW_ALPHA} * (l + b) AS l2,
+         {HW_BETA} * (({HW_ALPHA} * (vals[p + 1] - sz[(p % {HW_SEASON}) + 1]) + {1 - HW_ALPHA} * (l + b)) - l) + {1 - HW_BETA} * b,
+         list_transform(sz, (x, i) -> CASE WHEN i = (p % {HW_SEASON}) + 1
+           THEN {HW_GAMMA} * (vals[p + 1] - ({HW_ALPHA} * (vals[p + 1] - sz[(p % {HW_SEASON}) + 1]) + {1 - HW_ALPHA} * (l + b))) + {1 - HW_GAMMA} * x
+           ELSE x END)
+  FROM it WHERE p < len(vals)
+)
+SELECT user_id, CAST(len(vals) AS BIGINT) AS n_samples,
+       {rhu_sql('l', 6)} AS level, {rhu_sql('b', 6)} AS trend,
+       {rhu_sql('l + b + sz[(len(vals) % ' + str(HW_SEASON) + ') + 1]', 6)} AS forecast_h1
+FROM it WHERE p = len(vals)
+"""
+
+
 def q_weekday_seasonality(spark, sf):
     """Seasonality profile: mean value per (ISO weekday, series type)
     — the day-of-week shape a capacity planner reads off a dashboard.
@@ -9874,6 +9966,7 @@ def registry() -> dict[str, tuple]:
         "partition_skew": (q_partition_skew, _partition_skew_sql()),
         "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
         "holt_linear": (q_holt_linear, SQL_HOLT_LINEAR),
+        "holt_winters": (q_holt_winters, SQL_HOLT_WINTERS),
         "approx_distinct": (q_approx_distinct, _sql_approx_distinct()),
         "cms_heavy_hitters": (q_cms_heavy_hitters, _sql_cms_heavy_hitters()),
         "cms_join_estimate": (q_cms_join_estimate, _sql_cms_join_estimate()),

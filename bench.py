@@ -231,6 +231,7 @@ HEADLINE = [
     "contamination_report",
     "deadman_alerts",
     "mmr_rerank",
+    "holt_winters",
 ]
 
 

@@ -604,6 +604,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "histogram_equi_depth": 3,
     "histogram_prices": 3,
     "holt_linear": 3,
+    "holt_winters": 3,
     "idle_rich_customers": 4,
     "importance_sample": 2,
     "incremental_dedup": 3,

@@ -1137,3 +1137,62 @@ class TestMmrRerank:
             assert ranks == list(range(1, len(picks) + 1))
             assert len({d for _, d in picks}) == len(picks)
             assert len(picks) <= MMR_K
+
+
+class TestHoltWinters:
+    def test_matches_pure_python_replica(self, spark):
+        """The distributed struct-array fold must reproduce an
+        independent single-process implementation of the identical
+        recursion exactly (to the 6 dp rounding) — the BPE-style
+        replica pin."""
+        import math
+
+        import pandas as pd
+
+        import aprs2influxdb_spark.queries as Q
+        from aprs2influxdb_spark.queries import (
+            HW_ALPHA, HW_BETA, HW_GAMMA, HW_SEASON,
+        )
+
+        t0 = pd.Timestamp("2024-01-01")
+        vals = [50 + 20 * math.sin(2 * math.pi * (i % 24) / 24) + i * 0.1
+                for i in range(60)]
+        rows = [
+            (i, (t0 + pd.Timedelta(hours=i)).to_pydatetime(), 7, "view", v, "{}")
+            for i, v in enumerate(vals)
+        ]
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+        orig = Q._t
+        try:
+            Q._t = lambda spark, sf, name: ev
+            got = Q.q_holt_winters(spark, "x").collect()[0]
+        finally:
+            Q._t = orig
+        # replica
+        l, b = vals[0], 0.0
+        s = [0.0] * HW_SEASON
+        for t in range(2, len(vals) + 1):
+            x = vals[t - 1]
+            idx = (t - 1) % HW_SEASON
+            sv = s[idx]
+            l_new = HW_ALPHA * (x - sv) + (1 - HW_ALPHA) * (l + b)
+            b = HW_BETA * (l_new - l) + (1 - HW_BETA) * b
+            s[idx] = HW_GAMMA * (x - l_new) + (1 - HW_GAMMA) * sv
+            l = l_new
+        fc = l + b + s[len(vals) % HW_SEASON]
+
+        def rhu6(x):
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        assert got["n_samples"] == 60
+        assert got["level"] == rhu6(l)
+        assert got["trend"] == rhu6(b)
+        assert got["forecast_h1"] == rhu6(fc)
+        # with a strong 24-period signal the seasonal forecast must
+        # beat the trend-only extrapolation at predicting the next
+        # true value
+        nxt = 50 + 20 * math.sin(2 * math.pi * (60 % 24) / 24) + 60 * 0.1
+        assert abs(got["forecast_h1"] - nxt) < abs((l + b) - nxt)
