@@ -2618,6 +2618,111 @@ def q_cooccurrence_pmi(spark, sf):
     return cooccurrence_pmi(_t(spark, sf, "documents"))
 
 
+PMI_WINDOW = 4
+PMI_WIN_MIN_PAIRS = 5
+
+
+def q_windowed_pmi(spark, sf):
+    """Distance-bounded (skip-gram) PMI — the word-embedding-standard
+    co-occurrence form (Church & Hanks 1990; the SGNS objective's
+    implicit matrix, Levy & Goldberg 2014): token INSTANCES pair when
+    they sit within ``PMI_WINDOW`` positions in the same document,
+    pmi = ln(P(x,y)/(P(x)P(y))) with P(x,y) over the exact pair count
+    and P(x) over token instances — complementing the document-level
+    ``cooccurrence_pmi`` (whose df-set semantics ignore distance).
+
+    Scale shape: the pair stage is a POSITIONAL self-join — per token
+    at most ``PMI_WINDOW`` partners, so candidates are W·tokens
+    (linear, never |doc|²); the total-pair normalizer is CLOSED-FORM
+    from document lengths (n·W − W(W+1)/2 per long doc), costing one
+    narrow scan instead of a second pass over pairs; marginals join
+    WITHOUT broadcast hints (vocab is unbounded — AQE broadcasts at
+    test SF).  Determinism: all counts exact ints, the PMI argument
+    assembled in ONE fixed multiply/divide order in both engines,
+    micro-floored."""
+    w = PMI_WINDOW
+    docs = _t(spark, sf, "documents")
+    tk = docs.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "t")
+    )
+    a, b = tk.alias("a"), tk.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("b.pos") > F.col("a.pos"))
+        & (F.col("b.pos") <= F.col("a.pos") + w),
+    ).select(
+        F.least(F.col("a.t"), F.col("b.t")).alias("x"),
+        F.greatest(F.col("a.t"), F.col("b.t")).alias("y"),
+    )
+    pc = (
+        pairs.groupBy("x", "y")
+        .agg(F.count("*").alias("n_xy"))
+        .filter(F.col("n_xy") >= PMI_WIN_MIN_PAIRS)
+    )
+    cnt = tk.groupBy("t").agg(F.count("*").alias("c"))
+    ndoc = F.size(F.split(F.lower("text"), " "))
+    per_doc_pairs = F.when(
+        ndoc > w, ndoc * w - F.lit(w * (w + 1) // 2)
+    ).otherwise(ndoc * (ndoc - 1) / 2)
+    totals = docs.agg(
+        F.sum(ndoc).cast("long").alias("n_tok"),
+        F.sum(per_doc_pairs).cast("long").alias("n_pairs"),
+    )
+    pmi = F.floor(
+        F.log(
+            F.col("n_xy").cast("double")
+            * F.col("n_tok").cast("double")
+            * F.col("n_tok").cast("double")
+            / (
+                F.col("n_pairs").cast("double")
+                * F.col("cx").cast("double")
+                * F.col("cy").cast("double")
+            )
+        )
+        * 1e6
+        + 0.5
+    ).cast("long")
+    return (
+        pc.join(cnt.select(F.col("t").alias("x"), F.col("c").alias("cx")), "x")
+        .join(cnt.select(F.col("t").alias("y"), F.col("c").alias("cy")), "y")
+        .crossJoin(F.broadcast(totals))
+        .select("x", "y", "n_xy", pmi.alias("pmi_micro"))
+    )
+
+
+SQL_WINDOWED_PMI = f"""
+WITH tk AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t,
+         unnest(range(1, len(string_split(lower(text), ' ')) + 1)) AS pos
+  FROM documents
+), pairs AS (
+  SELECT least(a.t, b.t) AS x, greatest(a.t, b.t) AS y
+  FROM tk a JOIN tk b
+    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + {PMI_WINDOW}
+), pc AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy FROM pairs GROUP BY 1, 2
+  HAVING count(*) >= {PMI_WIN_MIN_PAIRS}
+), cnt AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1
+), totals AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_tok,
+         CAST(sum(CASE WHEN n > {PMI_WINDOW}
+                  THEN n * {PMI_WINDOW} - {PMI_WINDOW * (PMI_WINDOW + 1) // 2}
+                  ELSE n * (n - 1) / 2 END) AS BIGINT) AS n_pairs
+  FROM (SELECT len(string_split(lower(text), ' ')) AS n FROM documents)
+)
+SELECT pc.x, pc.y, pc.n_xy,
+       CAST(floor(ln(CAST(pc.n_xy AS DOUBLE) * CAST(t.n_tok AS DOUBLE) * CAST(t.n_tok AS DOUBLE)
+            / (CAST(t.n_pairs AS DOUBLE) * CAST(cx.c AS DOUBLE) * CAST(cy.c AS DOUBLE)))
+            * 1000000 + 0.5) AS BIGINT) AS pmi_micro
+FROM pc
+JOIN cnt cx ON cx.t = pc.x
+JOIN cnt cy ON cy.t = pc.y
+CROSS JOIN totals t
+"""
+
+
 SQL_COOCCURRENCE_PMI = f"""
 WITH toks AS (
   SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS t FROM documents
@@ -9994,6 +10099,7 @@ def registry() -> dict[str, tuple]:
         "pca_top_component": (q_pca_top_component, sim.pca_top_component_sql()),
         "geo_cell_pairs": (q_geo_cell_pairs, _geo_cell_sql()),
         "cooccurrence_pmi": (q_cooccurrence_pmi, SQL_COOCCURRENCE_PMI),
+        "windowed_pmi": (q_windowed_pmi, SQL_WINDOWED_PMI),
         "streaming_geo_cells": (q_streaming_geo_cells, _streaming_geo_cells_sql()),
         "weighted_percentiles": (q_weighted_percentiles, SQL_WEIGHTED_PERCENTILES),
         "sax_symbols": (q_sax_symbols, _sax_sql()),

@@ -232,6 +232,7 @@ HEADLINE = [
     "deadman_alerts",
     "mmr_rerank",
     "holt_winters",
+    "windowed_pmi",
 ]
 
 

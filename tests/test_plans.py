@@ -653,6 +653,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "interp_bigram_logprob": 5,
     "geo_cell_pairs": 3,
     "cooccurrence_pmi": 6,  # measured 4 + 2 headroom (hints removed r5)
+    "windowed_pmi": 6,  # measured 4 + 2 headroom
     "weighted_percentiles": 8,
     "temporal_split": 1,
     "label_prop_knn": 2,

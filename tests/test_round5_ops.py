@@ -1196,3 +1196,42 @@ class TestHoltWinters:
         # true value
         nxt = 50 + 20 * math.sin(2 * math.pi * (60 % 24) / 24) + 60 * 0.1
         assert abs(got["forecast_h1"] - nxt) < abs((l + b) - nxt)
+
+
+class TestWindowedPmi:
+    def test_hand_fixture_window_semantics(self, spark):
+        """'a b c a b' with W=4: every ordered position pair within
+        distance 4 counts once; pairs below the min-count floor drop.
+        Verify the (a,b) count and its exact closed-form PMI against
+        hand arithmetic (min_pairs lowered via the module constant on
+        a monkeypatched corpus is avoided — the fixture repeats the
+        text 5 times so real pairs clear the floor)."""
+        import math
+
+        import aprs2influxdb_spark.queries as Q
+        from aprs2influxdb_spark.queries import PMI_WINDOW
+
+        assert PMI_WINDOW == 4  # fixture arithmetic assumes it
+        docs = spark.createDataFrame(
+            [(i, "a b c a b") for i in range(5)], "doc_id long, text string"
+        )
+        orig = Q._t
+        try:
+            Q._t = lambda spark, sf, name: docs
+            got = {(r["x"], r["y"]): r for r in Q.q_windowed_pmi(spark, "x").collect()}
+        finally:
+            Q._t = orig
+        # per doc, n=5, W=4: positions pairs (i<j, j-i<=4) = 10 total.
+        # (a,b) instance pairs per doc: (1,2),(1,5),(4,5),(2,4)->(b,a)
+        # unordered = 4; (a,c):(1,3),(3,4)=2; (b,c):(2,3),(3,5)=2;
+        # (a,a):(1,4)=1; (b,b):(2,5)=1.
+        n_tok, n_pairs = 25 * 5 // 5, None  # per doc 5 tokens
+        N_tok, N_pairs = 5 * 5, 5 * 10
+        ca, cb, cc = 10, 10, 5
+        assert got[("a", "b")]["n_xy"] == 20
+        assert got[("a", "c")]["n_xy"] == 10
+        assert got[("a", "a")]["n_xy"] == 5
+        want = math.floor(
+            math.log((20 * N_tok * N_tok) / (N_pairs * ca * cb)) * 1e6 + 0.5
+        )
+        assert got[("a", "b")]["pmi_micro"] == want
