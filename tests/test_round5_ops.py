@@ -1225,13 +1225,33 @@ class TestWindowedPmi:
         # (a,b) instance pairs per doc: (1,2),(1,5),(4,5),(2,4)->(b,a)
         # unordered = 4; (a,c):(1,3),(3,4)=2; (b,c):(2,3),(3,5)=2;
         # (a,a):(1,4)=1; (b,b):(2,5)=1.
-        n_tok, n_pairs = 25 * 5 // 5, None  # per doc 5 tokens
         N_tok, N_pairs = 5 * 5, 5 * 10
-        ca, cb, cc = 10, 10, 5
+        ca, cb = 10, 10
         assert got[("a", "b")]["n_xy"] == 20
         assert got[("a", "c")]["n_xy"] == 10
         assert got[("a", "a")]["n_xy"] == 5
+        assert len(got) == 5  # exactly the five pair types, nothing else
         want = math.floor(
             math.log((20 * N_tok * N_tok) / (N_pairs * ca * cb)) * 1e6 + 0.5
         )
         assert got[("a", "b")]["pmi_micro"] == want
+
+    def test_min_pair_floor_drops_rare_pairs(self, spark):
+        """The PMI_WIN_MIN_PAIRS floor must actually DROP sub-threshold
+        pairs: a (q, r) pair occurring in only 2 docs stays below the
+        floor of 5 and must be absent, while the 5-doc (a, b) pair
+        survives — pinned here because a symmetric loosening on both
+        engines would keep the oracle sweep green."""
+        import aprs2influxdb_spark.queries as Q
+        from aprs2influxdb_spark.queries import PMI_WIN_MIN_PAIRS
+
+        assert PMI_WIN_MIN_PAIRS == 5
+        rows = [(i, "a b") for i in range(5)] + [(10, "q r"), (11, "q r")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        orig = Q._t
+        try:
+            Q._t = lambda spark, sf, name: docs
+            got = {(r["x"], r["y"]) for r in Q.q_windowed_pmi(spark, "x").collect()}
+        finally:
+            Q._t = orig
+        assert got == {("a", "b")}  # (q, r) with n_xy=2 is floored out
