@@ -1255,3 +1255,74 @@ class TestWindowedPmi:
         finally:
             Q._t = orig
         assert got == {("a", "b")}  # (q, r) with n_xy=2 is floored out
+
+
+class TestMmrReplica:
+    def test_greedy_matches_pure_python_replica(self, spark, sf_dir):
+        """Independent single-process replica of the MMR selection:
+        take the SAME bm25 pool and embeddings, rerun normalization +
+        five greedy rounds in plain Python (floor arithmetic, identical
+        tie-breaks), and require pick-for-pick equality with the
+        distributed in-row expression fold — on all three real
+        queries."""
+        import math
+
+        from aprs2influxdb_spark.operators import textanalysis as ta
+        from aprs2influxdb_spark.queries import (
+            MMR_K, MMR_POOL, q_mmr_rerank,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        emb = {
+            r["vec_id"]: r["embedding"]
+            for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+        }
+        pool = {}
+        for r in ta.bm25_topk(docs, k=MMR_POOL).collect():
+            pool.setdefault(r["query_id"], []).append((r["doc_id"], r["bm25"]))
+
+        def fl(x):
+            return math.floor(x)
+
+        want = {}
+        for q, cands in pool.items():
+            mx = max(s for _, s in cands)
+            items = []
+            for d, s in cands:
+                v = [float(x) for x in emb[d]]
+                nrm = math.sqrt(sum(x * x for x in v))
+                rel = fl(s / mx * 1e6 + 0.5) if mx != 0 else 0
+                items.append({"doc": d, "rel": rel, "v": v, "nrm": nrm})
+            items.sort(key=lambda it: it["doc"])
+            sel, out = [], []
+            for rank in range(1, MMR_K + 1):
+                if not items:
+                    break
+                best = None
+                for it in items:
+                    if not sel:
+                        pen = 0
+                    else:
+                        pen = max(
+                            fl(
+                                sum(a * b for a, b in zip(it["v"], s["v"]))
+                                / (it["nrm"] * s["nrm"]) * 1e6 + 0.5
+                            ) if it["nrm"] * s["nrm"] != 0 else 0
+                            for s in sel
+                        )
+                    m = 7 * it["rel"] - 3 * pen
+                    if best is None or m > best[0] or (m == best[0] and it["doc"] < best[1]["doc"]):
+                        best = (m, it)
+                sel.append(best[1])
+                out.append((rank, best[1]["doc"], best[0]))
+                items = [it for it in items if it["doc"] != best[1]["doc"]]
+            want[q] = out
+
+        got = {}
+        for r in q_mmr_rerank(spark, sf_dir).collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["mmr_rank"], r["doc_id"], r["mmr_micro"])
+            )
+        for q in got:
+            got[q].sort()
+        assert got == want
