@@ -8893,6 +8893,41 @@ FROM it WHERE p = len(vals)
 """
 
 
+def q_streaming_holt_winters(spark, sf):
+    """See :func:`streaming.bounded.streaming_holt_winters` — the
+    per-event (level, trend) emission of the Holt-Winters state
+    machine at ingest; oracle = the batch recursion's per-iteration
+    rows."""
+    from aprs2influxdb_spark.streaming.bounded import streaming_holt_winters
+
+    return streaming_holt_winters(spark, sf)
+
+
+SQL_STREAMING_HOLT_WINTERS = f"""
+WITH RECURSIVE s AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vals,
+         list(event_id ORDER BY ts, event_id) AS eids
+  FROM events GROUP BY user_id
+), it AS (
+  SELECT user_id, vals, eids, 1 AS p,
+         CAST(vals[1] AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b,
+         list_transform(range(1, {HW_SEASON + 1}), i -> 0.0::DOUBLE) AS sz
+  FROM s
+  UNION ALL
+  SELECT user_id, vals, eids, p + 1,
+         {HW_ALPHA} * (vals[p + 1] - sz[(p % {HW_SEASON}) + 1]) + {1 - HW_ALPHA} * (l + b) AS l2,
+         {HW_BETA} * (({HW_ALPHA} * (vals[p + 1] - sz[(p % {HW_SEASON}) + 1]) + {1 - HW_ALPHA} * (l + b)) - l) + {1 - HW_BETA} * b,
+         list_transform(sz, (x, i) -> CASE WHEN i = (p % {HW_SEASON}) + 1
+           THEN {HW_GAMMA} * (vals[p + 1] - ({HW_ALPHA} * (vals[p + 1] - sz[(p % {HW_SEASON}) + 1]) + {1 - HW_ALPHA} * (l + b))) + {1 - HW_GAMMA} * x
+           ELSE x END)
+  FROM it WHERE p < len(vals)
+)
+SELECT user_id, eids[p] AS event_id,
+       {rhu_sql('l', 6)} AS level, {rhu_sql('b', 6)} AS trend
+FROM it
+"""
+
+
 def q_weekday_seasonality(spark, sf):
     """Seasonality profile: mean value per (ISO weekday, series type)
     — the day-of-week shape a capacity planner reads off a dashboard.
@@ -10072,6 +10107,7 @@ def registry() -> dict[str, tuple]:
         "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
         "holt_linear": (q_holt_linear, SQL_HOLT_LINEAR),
         "holt_winters": (q_holt_winters, SQL_HOLT_WINTERS),
+        "streaming_holt_winters": (q_streaming_holt_winters, SQL_STREAMING_HOLT_WINTERS),
         "approx_distinct": (q_approx_distinct, _sql_approx_distinct()),
         "cms_heavy_hitters": (q_cms_heavy_hitters, _sql_cms_heavy_hitters()),
         "cms_join_estimate": (q_cms_join_estimate, _sql_cms_join_estimate()),

@@ -811,6 +811,93 @@ def _ewma_group(
     yield pd.DataFrame(out, columns=["user_id", "event_id", "ewma"])
 
 
+HW_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+    ]
+)
+
+
+def _hw_group(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user Holt-Winters (additive, m=24) with (level, trend,
+    season[24], t) as the per-key state — the stateful deployment
+    shape of the batch ``q_holt_winters`` fold.  Identical float op
+    sequence and seeding (l=x_1, b=0, s=0⃗), so the batch recursion's
+    per-iteration rows are the exact oracle.  Chunks concatenate
+    before the (ts, event_id) sort; across micro-batches state applies
+    in arrival order (the documented twin contract — the single-batch
+    gate run coincides with global order)."""
+    from aprs2influxdb_spark.queries import HW_ALPHA, HW_BETA, HW_GAMMA, HW_SEASON
+
+    if state.exists:
+        l, b, s, t = state.get
+        s = list(s)
+    else:
+        l, b, s, t = None, 0.0, [0.0] * HW_SEASON, 0
+    chunks = list(pdfs)
+    if not chunks:
+        state.update((l, b, s, t))
+        return
+    pdf = pd.concat(chunks, ignore_index=True).sort_values(
+        ["ts", "event_id"], kind="stable"
+    )
+    out: list[dict] = []
+    for row in pdf.itertuples():
+        x = float(row.value)
+        t += 1
+        if t == 1:
+            l = x
+        else:
+            idx = (t - 1) % HW_SEASON
+            sv = s[idx]
+            l_new = HW_ALPHA * (x - sv) + (1 - HW_ALPHA) * (l + b)
+            b = HW_BETA * (l_new - l) + (1 - HW_BETA) * b
+            s[idx] = HW_GAMMA * (x - l_new) + (1 - HW_GAMMA) * sv
+            l = l_new
+        out.append(
+            {
+                "user_id": int(row.user_id),
+                "event_id": int(row.event_id),
+                "level": math.floor(l * 1000000 + 0.5) / 1000000.0,
+                "trend": math.floor(b * 1000000 + 0.5) / 1000000.0,
+            }
+        )
+    state.update((l, b, s, t))
+    yield pd.DataFrame(out, columns=["user_id", "event_id", "level", "trend"])
+
+
+def streaming_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the Holt-Winters fold: keyed
+    ``applyInPandasWithState`` with the 24-slot seasonal array IN the
+    state schema (ArrayType state — the largest per-key state any
+    smoother here carries, still O(m) doubles).  The oracle is the
+    batch recursion's per-iteration rows."""
+    hw = (
+        stream_events(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _hw_group,
+            HW_OUTPUT,
+            StructType(
+                [
+                    StructField("l", DoubleType(), True),
+                    StructField("b", DoubleType(), True),
+                    StructField("s", ArrayType(DoubleType()), True),
+                    StructField("t", LongType(), True),
+                ]
+            ),
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_bounded(spark, hw, "append", "stream_holt_winters")
+
+
 def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of the batch EWMA fold: keyed
     ``applyInPandasWithState`` over the events stream, state = the

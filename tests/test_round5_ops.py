@@ -1326,3 +1326,93 @@ class TestMmrReplica:
         for q in got:
             got[q].sort()
         assert got == want
+
+
+class TestStreamingHoltWinters:
+    def test_state_carries_across_microbatches(self, spark, tmp_path):
+        """Two files → two micro-batches: the second batch's rows must
+        smooth from the FIRST batch's carried (level, trend, season)
+        state, not reseed — pinned against the batch replica over the
+        concatenated series."""
+        import math
+        import os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from aprs2influxdb_spark.queries import (
+            HW_ALPHA, HW_BETA, HW_GAMMA, HW_SEASON,
+        )
+        from aprs2influxdb_spark.streaming.bounded import (
+            HW_OUTPUT, _hw_group, run_bounded,
+        )
+        from pyspark.sql.streaming.state import GroupStateTimeout
+        from pyspark.sql.types import (
+            ArrayType, DoubleType, LongType, StructField, StructType,
+        )
+
+        t0 = pd.Timestamp("2024-01-01")
+        vals = [50.0, 60.0, 40.0, 55.0, 45.0, 65.0]
+
+        def write(name, lo, hi, mtime):
+            pdf = pd.DataFrame(
+                [
+                    (i, (t0 + pd.Timedelta(hours=i)).to_pydatetime(), 1, "view", vals[i], "{}")
+                    for i in range(lo, hi)
+                ],
+                columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+            )
+            pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+            path = str(tmp_path / name)
+            pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+            os.utime(path, (mtime, mtime))
+
+        write("a.parquet", 0, 3, 1_700_000_000)
+        write("b.parquet", 3, 6, 1_700_000_100)
+        schema = (
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path))
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _hw_group,
+                HW_OUTPUT,
+                StructType(
+                    [
+                        StructField("l", DoubleType(), True),
+                        StructField("b", DoubleType(), True),
+                        StructField("s", ArrayType(DoubleType()), True),
+                        StructField("t", LongType(), True),
+                    ]
+                ),
+                "append",
+                GroupStateTimeout.NoTimeout,
+            )
+        )
+        got = {
+            r["event_id"]: (r["level"], r["trend"])
+            for r in run_bounded(spark, stream, "append", "hw_two_batches").collect()
+        }
+        assert len(got) == 6
+        # replica over the FULL series (state must have carried)
+        l, b = vals[0], 0.0
+        s = [0.0] * HW_SEASON
+
+        def rhu6(x):
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        assert got[0] == (rhu6(l), rhu6(b))
+        for t in range(2, 7):
+            x = vals[t - 1]
+            idx = (t - 1) % HW_SEASON
+            sv = s[idx]
+            l_new = HW_ALPHA * (x - sv) + (1 - HW_ALPHA) * (l + b)
+            b = HW_BETA * (l_new - l) + (1 - HW_BETA) * b
+            s[idx] = HW_GAMMA * (x - l_new) + (1 - HW_GAMMA) * sv
+            l = l_new
+            assert got[t - 1] == (rhu6(l), rhu6(b)), f"event {t - 1}"
