@@ -570,7 +570,7 @@ def _decode_baseline_impl(payload: bytes) -> tuple[int, int, list[bytes]]:
         width,
         height,
         [
-            np.clip(np.round(p[:height, :width]), 0, 255).astype(np.uint8).tobytes()
+            np.clip(np.floor(p[:height, :width] + 0.5), 0, 255).astype(np.uint8).tobytes()
             for p in planes
         ],
     )

@@ -1190,7 +1190,37 @@ def zipf_fit(
 BPE_MERGES = 6
 _BPE_SEP = "·"  # '·' — cannot appear in whitespace-split ASCII tokens
 
-_BPE_CACHE: dict[tuple[str, int, int], list[tuple[int, str, str, str, int]]] = {}
+_BPE_CACHE: dict[tuple, list[tuple[int, str, str, str, int]]] = {}
+
+
+def _bpe_cache_key(docs: DataFrame, k: int):
+    """Data-aware memo key: (applicationId, sorted input files with
+    local (mtime_ns, size) stamps, logical plan hash, k).  Returns
+    ``None`` (→ no caching) when the DataFrame has no input files —
+    e.g. an in-memory ``createDataFrame`` — so stale hits are
+    impossible for data Spark can't fingerprint."""
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        files = docs.inputFiles()
+        if not files:
+            return None
+        stamps = []
+        for uri in sorted(files):
+            p = urlparse(uri)
+            if p.scheme not in ("", "file"):
+                return None  # remote storage: can't stat cheaply, don't cache
+            st = os.stat(p.path or uri)
+            stamps.append((uri, st.st_mtime_ns, st.st_size))
+        return (
+            docs.sparkSession.sparkContext.applicationId,
+            tuple(stamps),
+            docs.semanticHash(),
+            k,
+        )
+    except Exception:
+        return None
 
 
 def _bpe_repr(word):
@@ -1263,12 +1293,12 @@ def bpe_learn_merges(
     plus a narrow 3-pass replace over the checkpointed vocabulary,
     never the corpus.  The per-round driver pull is a single row (the
     argmax pair), the same O(1) pull the k-means entries make.
-    Memoized per (session, corpus plan, k) so the fertility entry
-    reuses the learn pass."""
-    try:
-        key = (docs.sparkSession.sparkContext.applicationId, docs.semanticHash(), k)
-    except Exception:
-        key = None
+    Memoized per (session, corpus files+mtimes, plan, k) so the
+    fertility entry reuses the learn pass.  The key is data-aware —
+    ``inputFiles()`` plus each local file's (mtime_ns, size) — so
+    regenerating a fixture under the same path invalidates the cache;
+    a DataFrame with no resolvable input files is never cached."""
+    key = _bpe_cache_key(docs, k)
     if key is not None and key in _BPE_CACHE:
         return _BPE_CACHE[key]
     wc = _bpe_word_counts(docs, text_col).localCheckpoint(eager=True)

@@ -129,7 +129,12 @@ def lttb_downsample(
     dependent; pass ``None`` only if (series, ts) is known unique.
     At 100 TB the series count provides the parallelism; a single
     pathological series is bounded by its own length, and the rendering
-    use case caps that by time-range predicates pushed to the scan."""
+    use case caps that by time-range predicates pushed to the scan.
+    SERIES-LENGTH CONTRACT (round 6): the Arrow group transfer is
+    LINEAR (numpy LTTB, no quadratic accumulator) but one key's series
+    must fit a pandas partition — ~32 bytes/event ⇒ keep per-key input
+    under ~10⁷ events (pre-filter by time range past that), the same
+    row-width class as ``holt_winters``'s collect_list."""
     out_schema = f"{id_col} long, {ts_col} timestamp, {val_col} double"
     sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
     in_cols = [id_col, ts_col, val_col] + ([tiebreak_col] if tiebreak_col else [])

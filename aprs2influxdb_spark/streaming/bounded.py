@@ -1124,10 +1124,19 @@ class _TtlCalibProcessor(StatefulProcessor):
     - EVICTION (test-pinned): an event-time timer re-armed at
       ``calib_ts + TTL`` on every calibration upsert; when the
       watermark passes it, :meth:`handleExpiredTimer` clears the
-      key's state.  A later row would see empty state and emit
-      identity — exactly what the boundary already dictates, since
-      any non-late row past the fired timer is past the TTL.  The
-      timer emits nothing, keeping the sink oracle-exact.
+      key's ``calib`` state and leaves an 8-byte TOMBSTONE (the
+      evicted ``calib_ts_us``) in a second value state.  A later
+      row reads the tombstone and still reports
+      ``was_expired=True`` — without it, post-eviction rows would
+      see empty state and emit ``was_expired=False`` while the
+      batch oracle (which keeps full history) says ``True``; the
+      ``calibrated`` value is identity either way, since any
+      non-late row past the fired timer is past the TTL (rows below
+      the watermark are dropped by the operator, and the timer only
+      fires once the watermark passes ``calib_ts + TTL``).  The
+      timer emits nothing, keeping the sink oracle-exact; eviction
+      is still observable via ``numRowsRemoved`` because the wide
+      ``calib`` row really does leave the store.
 
     Ordering contract: like :class:`_AsofProcessor`, the (ts,
     event_id) sort is batch-local and state applies in arrival order
@@ -1140,10 +1149,17 @@ class _TtlCalibProcessor(StatefulProcessor):
     def init(self, handle) -> None:
         self._handle = handle
         self._calib = handle.getValueState("calib", "calib double, calib_ts_us long")
+        # post-eviction marker: calib_ts of the last EVICTED calibration,
+        # so was_expired stays history-exact after the timer fires
+        self._tomb = handle.getValueState("tomb", "calib_ts_us long")
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
         got = self._calib.get()
-        calib, calib_ts = (got[0], got[1]) if got is not None else (None, None)
+        if got is not None:
+            calib, calib_ts = got[0], got[1]
+        else:
+            tomb = self._tomb.get()
+            calib, calib_ts = None, (tomb[0] if tomb is not None else None)
         chunks = list(rows)
         if not chunks:
             return
@@ -1163,7 +1179,7 @@ class _TtlCalibProcessor(StatefulProcessor):
                     self._handle.deleteTimer(t)
                 self._handle.registerTimer(ts_us // 1000 + TTL_HOURS * 3600 * 1000)
             else:
-                expired = calib is not None and (ts_us - calib_ts) > ttl_us
+                expired = calib_ts is not None and (ts_us - calib_ts) > ttl_us
                 c = calib if (calib is not None and not expired) else 1.0
                 out.append(
                     {
@@ -1182,7 +1198,11 @@ class _TtlCalibProcessor(StatefulProcessor):
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo) -> Iterator[pd.DataFrame]:
         # watermark passed calib_ts + TTL with no fresher calibration:
-        # the idle key's state leaves the store entirely
+        # the idle key's calibration leaves the store (numRowsRemoved),
+        # leaving only the 8-byte was-ever-calibrated tombstone behind
+        got = self._calib.get()
+        if got is not None:
+            self._tomb.update((got[1],))
         self._calib.clear()
         return iter(())
 

@@ -653,7 +653,8 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "interp_bigram_logprob": 5,
     "geo_cell_pairs": 3,
     "cooccurrence_pmi": 6,  # measured 4 + 2 headroom (hints removed r5)
-    "windowed_pmi": 6,  # measured 4 + 2 headroom
+    "windowed_pmi": 4,  # r6 in-row pair gen (no doc_id self-join); measured 4
+    "ewma_segmented": 5,  # r6 linear hot-key path: measured 2 (AQE broadcast) + scale headroom
     "weighted_percentiles": 8,
     "temporal_split": 1,
     "label_prop_knn": 2,

@@ -325,6 +325,111 @@ class TestStreamingTtlEviction:
             else:
                 spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 
+    def test_was_expired_survives_eviction(self, spark, tmp_path):
+        """Round-6 regression (ADVICE r5): a data row arriving AFTER
+        the eviction timer has fired must still report
+        was_expired=True — the tombstone (evicted calib_ts) carries
+        the was-ever-calibrated fact across eviction.  Feed order:
+        batch 1 calibrates (error ×2.0, click ×2 applies), batch 2 is
+        a sentinel that pushes the watermark past calib_ts+TTL (timer
+        fires, calib row EVICTED), batch 3 delivers a late-but-valid
+        click 35 h after the calibration — pre-fix it saw empty state
+        and emitted was_expired=False; the batch oracle (full
+        history) says True."""
+        import os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from aprs2influxdb_spark.streaming.bounded import (
+            TTL_OUTPUT,
+            _TtlCalibProcessor,
+            tws_available,
+        )
+
+        if not tws_available():
+            pytest.skip("google.protobuf unavailable — transformWithState gated")
+
+        t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+        def write(name, rows, mtime):
+            pdf = pd.DataFrame(
+                rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+            )
+            pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+            path = str(tmp_path / name)
+            pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+            os.utime(path, (mtime, mtime))
+            return path
+
+        write("a1.parquet", [
+            (1, t0, 1, "error", 2.0, "{}"),
+            (2, t0 + pd.Timedelta(hours=1), 1, "click", 10.0, "{}"),
+        ], 1_700_000_000)
+        # sentinel-only batch: watermark → t0+29h > calib_ts+12h ⇒ evict
+        write("b2.parquet", [
+            (8, t0 + pd.Timedelta(hours=30), 9, "__watermark_sentinel__", 0.0, "{}"),
+        ], 1_700_000_100)
+        # post-eviction data batch — the advisor's divergence case
+        write("c3.parquet", [
+            (3, t0 + pd.Timedelta(hours=35), 1, "click", 10.0, "{}"),
+        ], 1_700_000_200)
+        write("z4.parquet", [
+            (9, t0 + pd.Timedelta(hours=60), 9, "__watermark_sentinel__", 0.0, "{}"),
+        ], 1_700_000_300)
+
+        schema = (
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        try:
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(tmp_path))
+                .withWatermark("ts", "1 hour")
+                .groupBy("user_id")
+                .transformWithStateInPandas(
+                    _TtlCalibProcessor(), TTL_OUTPUT, "Append", "EventTime"
+                )
+            )
+            q = (
+                stream.writeStream.format("memory")
+                .queryName("ttl_tombstone_test")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .start()
+            )
+            q.awaitTermination()
+            rows = {
+                r["event_id"]: r
+                for r in spark.table("ttl_tombstone_test").collect()
+            }
+            assert rows[2]["calibrated"] == 20.0 and not rows[2]["was_expired"]
+            # the load-bearing assertion: eviction happened between the
+            # calibration and this row, yet history says expired
+            assert rows[3]["calibrated"] == 10.0 and rows[3]["was_expired"]
+            removed = sum(
+                op.get("numRowsRemoved", 0)
+                for p in q.recentProgress
+                for op in p.get("stateOperators", [])
+            )
+            assert removed >= 1, (
+                f"timer never evicted state (numRowsRemoved={removed})"
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
 
 class TestTokenizerFertility:
     def test_hand_computed_fixture(self, spark):
