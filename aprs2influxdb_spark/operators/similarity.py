@@ -293,6 +293,63 @@ def semantic_dedup(
     )
 
 
+def semantic_rescreen(
+    emb: DataFrame, probe_pred, threshold: float = 0.95,
+    n_centroids: int | None = None, n_planes: int | None = None,
+    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 7,
+    n: int | None = None,
+) -> DataFrame:
+    """Incremental SemDeDup screen (round 6, verdict-r5 item 7): for
+    every vector satisfying ``probe_pred`` (the NEW batch), a
+    ``sem_dup`` verdict — does ANY other corpus vector in the same
+    (IVF cluster, SRP bucket) have rounded cosine ≥ ``threshold``?
+
+    Production shape: the clustered+bucketed corpus table IS the
+    saved semantic-dedup state (the exact index
+    :func:`semantic_dedup` builds); a new batch assigns/buckets only
+    its own vectors and probes batch×index — never index×index.
+    Unlike :func:`semantic_dedup`'s id-asymmetric keep/drop (which
+    would let a NEW low-id vector retroactively flip an old verdict),
+    the rescreen verdict is SYMMETRIC — the right semantics for "is
+    this new doc a semantic duplicate of anything already here".
+    Output: (vec_id, sem_dup) for probe vectors only."""
+    if n_planes is None or n_centroids is None:
+        n = corpus_count(emb, n)
+        if n_planes is None:
+            n_planes = srp_planes_for(n, target_bucket_size=32)
+        if n_centroids is None:
+            n_centroids = ivf_centroids_for(n)
+    _cent, assign = ivf_assignments(emb, n_centroids, id_col, vec_col)
+    bucketed = assign.withColumn(
+        "bucket", srp_bucket("v", n_planes, seed)
+    ).withColumn("nrm", _norm(F.col("v"))).localCheckpoint(eager=False)
+    probe = bucketed.filter(probe_pred(F.col(id_col))).select(
+        F.col(id_col).alias("id_a"), F.col("c_id"), "bucket",
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    index = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col("c_id"), "bucket",
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    hits = (
+        probe.join(index, ["c_id", "bucket"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn(
+            "cos_sim",
+            rhu(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 8),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        bucketed.filter(probe_pred(F.col(id_col)))
+        .join(hits, id_col, "left")
+        .select(F.col(id_col), F.col("_hit").isNotNull().alias("sem_dup"))
+    )
+
+
 def quantize_embeddings(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:

@@ -260,12 +260,61 @@ def gen_docs_fast(sf: float, out: str, seed: int = 42) -> None:
     print(f"  embeddings: {nv} rows", flush=True)
 
 
+def gen_events_fast(sf: float, out: str, seed: int = 42) -> None:
+    """Vectorized events-only generator for the BIG scale decades
+    (round 6, verdict-r5 item 4: the window/state family needs its
+    third measured decade — sf100 events is 100M rows).  Identical
+    distribution family to :func:`gen`'s events block (same hourly
+    per-(user,hour) mean profile, exponential values, 30-day span,
+    users scaling with sf so per-key series length stays ~constant —
+    the fleet-of-series scaling model), with the per-row
+    ``json.dumps`` props loop replaced by ``np.char`` concatenation
+    and the table streamed through a ParquetWriter in 10M-row chunks
+    so peak memory stays bounded."""
+    rng = np.random.default_rng(seed)
+    k = sf / 0.1
+    ne, nu = int(BASE["events"] * k), int(BASE["users"] * k)
+    os.makedirs(out, exist_ok=True)
+    schema = pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string()),
+    ])
+    writer = pq.ParquetWriter(os.path.join(out, "events.parquet"), schema)
+    chunk, done = 10_000_000, 0
+    while done < ne:
+        m = min(chunk, ne - done)
+        ts = (np.datetime64("2024-01-01T00:00:00", "us")
+              + rng.integers(0, 30 * 86_400_000_000, m).astype("timedelta64[us]"))
+        user = rng.integers(0, nu, m)
+        hour = (ts.astype("datetime64[h]").astype("int64")) % 24
+        mean = 20.0 + 60.0 * ((user * 7 + hour * 13) % 57) / 56.0
+        value = np.round(rng.exponential(1.0, m) * mean * (50.0 / 49.5) * 0.99, 2)
+        props = np.char.add(
+            np.char.add('{"k": ', rng.integers(0, 100, m).astype("int64").astype(str)),
+            "}",
+        )
+        writer.write_table(pa.table({
+            "event_id": np.arange(done, done + m, dtype="int64"),
+            "ts": ts,
+            "user_id": user,
+            "event_type": rng.choice(EVENT_TYPES, m),
+            "value": value,
+            "props": props,
+        }, schema=schema))
+        done += m
+        print(f"  events: {done}/{ne}", flush=True)
+    writer.close()
+
+
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--docs-only"]
+    args = [a for a in sys.argv[1:] if a not in ("--docs-only", "--events-only")]
     sf = float(args[0]) if args else 1.0
     out = args[1] if len(args) > 1 else f"scaledata/sf{sf:g}"
     print(f"generating sf{sf:g} -> {out}")
     if "--docs-only" in sys.argv:
         gen_docs_fast(sf, out)
+    elif "--events-only" in sys.argv:
+        gen_events_fast(sf, out)
     else:
         gen(sf, out)
