@@ -5652,7 +5652,16 @@ def _jpeg_color_mapper():
             feats = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                rgb = bytearray(16 * 16 * 3)
+                # mixed corpus (round 6): even docs 16×16 4:4:4 with
+                # a restart every 2 MCUs; odd docs 32×32 4:2:0 (the
+                # shape real photos use) with a restart every MCU —
+                # each of the 4 cells (8×8 block / 16×16 MCU) is the
+                # same closed-form constant either way, so the means
+                # share one oracle formula
+                odd = d % 2 == 1
+                cell = 16 if odd else 8
+                side = 2 * cell
+                rgb = bytearray(side * side * 3)
                 want = []
                 for b in range(4):
                     r = (d * 37 + b * 59) % 256
@@ -5660,26 +5669,32 @@ def _jpeg_color_mapper():
                     bl = (d * 29 + b * 17) % 256
                     # the color transform is the lossy step; the codec
                     # must reproduce its fixed point EXACTLY (flat
-                    # blocks + unit quant roundtrip integer YCbCr)
+                    # cells + unit quant roundtrip integer YCbCr —
+                    # for 4:2:0, the 2×2 chroma average of a constant
+                    # MCU is the constant itself)
                     want.append(ycbcr_to_rgb(*rgb_to_ycbcr(r, g, bl)))
                     by, bx = divmod(b, 2)
-                    for y in range(8):
-                        row = ((by * 8 + y) * 16 + bx * 8) * 3
-                        rgb[row : row + 24] = bytes([r, g, bl] * 8)
-                blob = encode_jpeg_color(bytes(rgb), 16, 16)
+                    for y in range(cell):
+                        row = ((by * cell + y) * side + bx * cell) * 3
+                        rgb[row : row + 3 * cell] = bytes([r, g, bl] * cell)
+                blob = encode_jpeg_color(
+                    bytes(rgb), side, side,
+                    subsampling="420" if odd else "444",
+                    restart_interval=1 if odd else 2,
+                )
                 w, h, dec = decode_jpeg_color(blob)
                 got = []
                 for b in range(4):
                     by, bx = divmod(b, 2)
-                    i = ((by * 8) * 16 + bx * 8) * 3
+                    i = ((by * cell) * side + bx * cell) * 3
                     got.append(tuple(dec[i : i + 3]))
                     blk = [
-                        tuple(dec[(((by * 8 + y) * 16) + bx * 8 + x) * 3 :][:3])
-                        for y in range(8)
-                        for x in range(8)
+                        tuple(dec[(((by * cell + y) * side) + bx * cell + x) * 3 :][:3])
+                        for y in range(cell)
+                        for x in range(cell)
                     ]
                     if any(p != got[-1] for p in blk):
-                        raise ValueError(f"JPEG color block not constant, doc {d}")
+                        raise ValueError(f"JPEG color cell not constant, doc {d}")
                 if got != want:  # hard roundtrip guarantee
                     raise ValueError(f"JPEG color roundtrip mismatch for doc {d}")
                 feats.append(
@@ -5699,16 +5714,18 @@ def _jpeg_color_mapper():
 
 
 def q_multimodal_jpeg_color(spark, sf):
-    """The COLOR path of the baseline JPEG codec (4:4:4 YCbCr, three
-    interleaved components with per-component DC predictors, Annex K
-    luminance AND chrominance huffman tables) under the full oracle
-    gate: each document renders a 16×16 RGB image whose 8×8 blocks
-    are closed-form constants, encodes → decodes, asserts the decoded
-    blocks equal the EXACT fixed point of the JFIF color transform
-    (flat blocks + unit quant roundtrip the integer YCbCr planes
-    losslessly, so the only arithmetic is the floor(x+0.5) transform
-    pair the oracle replays in SQL), and emits per-channel means.
-    One ``mapInPandas`` pass; blobs never shuffle."""
+    """The COLOR path of the baseline JPEG codec under the full
+    oracle gate, over a MIXED corpus (round 6, verdict-r5 item 3):
+    even docs render 16×16 4:4:4 streams with a restart marker every
+    2 MCUs; odd docs render 32×32 4:2:0 streams (2×2-subsampled
+    chroma, four Y blocks + Cb + Cr per MCU — the shape nearly all
+    real photos use) with a restart every MCU.  Each of a doc's four
+    cells is a closed-form constant color, so the subsample average
+    and the unit-quant DCT both roundtrip exactly and the only
+    arithmetic left is the floor(x+0.5) JFIF transform pair the
+    oracle replays in SQL; the mapper hard-asserts the pixel-exact
+    roundtrip before emitting per-channel means.  One ``mapInPandas``
+    pass; blobs never shuffle."""
     fn, out_schema = _jpeg_color_mapper()
     return _t(spark, sf, "documents").select("doc_id").mapInPandas(fn, out_schema)
 
@@ -5741,7 +5758,9 @@ WITH px AS (
          CAST(least(255, greatest(0, floor(t.y + 1.772::DOUBLE * (t.cb - 128) + 0.5::DOUBLE))) AS BIGINT) AS b2
   FROM ycc
 )
-SELECT doc_id AS media_id, 16 AS width, 16 AS height,
+SELECT doc_id AS media_id,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 32 ELSE 16 END AS INTEGER) AS width,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 32 ELSE 16 END AS INTEGER) AS height,
        CAST(sum(r2) // 4 AS BIGINT) AS mean_r,
        CAST(sum(g2) // 4 AS BIGINT) AS mean_g,
        CAST(sum(b2) // 4 AS BIGINT) AS mean_b

