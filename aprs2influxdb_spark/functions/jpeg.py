@@ -585,6 +585,16 @@ def _decode_baseline_impl(payload: bytes) -> tuple[int, int, list[bytes]]:
     sof_index = {cid: i for i, (cid, _h, _v, _tq) in enumerate(comps)}
     if set(scan_tabs) != set(sof_index):
         raise ValueError("JPEG: scan references a component missing from SOF")
+    if len(comps) == 1:
+        # A single-component scan is NON-interleaved (T.81 A.2.2):
+        # data units arrive in pure raster order over the component's
+        # full sample grid, regardless of the SOF's declared sampling
+        # factors (e.g. `jpegtran -grayscale` keeps the luma 0x22) —
+        # walking it as tiled 2×2 MCUs would silently scramble blocks.
+        # For one component the sample grid IS the image, so normalize
+        # the factors to 1×1 and the MCU walk below becomes raster.
+        cid0, _h0, _v0, tq0 = comps[0]
+        comps = [(cid0, 1, 1, tq0)]
     scan_order = []  # (plane idx, h, v, quant, dc table, ac table), SOS order
     for cid, (dc_id, ac_id) in scan_tabs.items():
         _cid, h, v, tq = comps[sof_index[cid]]
@@ -667,9 +677,7 @@ def _decode_baseline_impl(payload: bytes) -> tuple[int, int, list[bytes]]:
         p = p[:ch, :cw]
         if h != hmax or v != vmax:
             p = np.repeat(np.repeat(p, vmax // v, axis=0), hmax // h, axis=1)
-            p = p[:height, :width]
-        else:
-            p = p[:height, :width]
+        p = p[:height, :width]
         out.append(
             np.clip(np.floor(p + 0.5), 0, 255).astype(np.uint8).tobytes()
         )

@@ -122,13 +122,17 @@ def mulaw_to_linear(code: int) -> int:
 
 
 def linear_to_alaw(pcm: int) -> int:
-    """int16 sample → 8-bit A-law code (with the 0x55 toggle)."""
+    """int16 sample → 8-bit A-law code (with the 0x55 toggle).
+    Out-of-int16 magnitudes clamp to the top segment (the μ-law
+    path's behavior) instead of exhausting the segment search."""
     pcm >>= 3  # 16 → 13 bit
     if pcm >= 0:
         mask = 0xD5
     else:
         mask = 0x55
         pcm = -pcm - 1
+    if pcm > 0xFFF:
+        pcm = 0xFFF
     seg = next(i for i, end in enumerate(_SEG_END_A) if pcm <= end)
     aval = seg << 4
     aval |= (pcm >> 1) & 0xF if seg < 2 else (pcm >> seg) & 0xF
@@ -160,6 +164,9 @@ def encode_wav_g711(
         raise ValueError(f"encode_wav_g711: unknown law {law!r}")
     if channels < 1 or len(samples) % channels:
         raise ValueError("encode_wav_g711: bad channel layout")
+    for s in samples:  # same loud contract as encode_wav_pcm16
+        if not -32768 <= s <= 32767:
+            raise ValueError(f"encode_wav_g711: sample {s} out of int16 range")
     conv = linear_to_mulaw if law == "mu" else linear_to_alaw
     data = bytes(conv(int(s)) for s in samples)
     fmt_code = 7 if law == "mu" else 6

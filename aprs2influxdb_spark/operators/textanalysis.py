@@ -1193,9 +1193,11 @@ _BPE_SEP = "·"  # '·' — cannot appear in whitespace-split ASCII tokens
 _BPE_CACHE: dict[tuple, list[tuple[int, str, str, str, int]]] = {}
 
 
-def _bpe_cache_key(docs: DataFrame, k: int):
+def _bpe_cache_key(docs: DataFrame, k: int, text_col: str):
     """Data-aware memo key: (applicationId, sorted input files with
-    local (mtime_ns, size) stamps, logical plan hash, k).  Returns
+    local (mtime_ns, size) stamps, logical plan hash, text column, k).
+    ``text_col`` must participate — ``semanticHash`` covers the source
+    plan, not which column the learner later reads.  Returns
     ``None`` (→ no caching) when the DataFrame has no input files —
     e.g. an in-memory ``createDataFrame`` — so stale hits are
     impossible for data Spark can't fingerprint."""
@@ -1217,6 +1219,7 @@ def _bpe_cache_key(docs: DataFrame, k: int):
             docs.sparkSession.sparkContext.applicationId,
             tuple(stamps),
             docs.semanticHash(),
+            text_col,
             k,
         )
     except Exception:
@@ -1320,7 +1323,7 @@ def bpe_learn_merges(
     a DataFrame with no resolvable input files is never cached."""
     if strategy not in ("auto", "delta", "recount"):
         raise ValueError(f"unknown BPE strategy: {strategy!r}")
-    key = _bpe_cache_key(docs, k)
+    key = _bpe_cache_key(docs, k, text_col)
     if key is not None and (key, strategy) in _BPE_CACHE:
         return _BPE_CACHE[(key, strategy)]
     wc = _bpe_word_counts(docs, text_col).localCheckpoint(eager=True)

@@ -233,6 +233,12 @@ HEADLINE = [
     "mmr_rerank",
     "holt_winters",
     "windowed_pmi",
+    # round-6 additions: the linear hot-key EWMA, the probe-based
+    # incremental contamination rescreen, and the G.711 compressed-audio
+    # roundtrip (windowed_pmi above now runs the in-row pair plan)
+    "ewma_segmented",
+    "incremental_contamination",
+    "multimodal_audio_g711",
 ]
 
 

@@ -830,3 +830,40 @@ def test_g711_wav_container_roundtrip_and_rejections():
             decode_wav_pcm16(blob)
     with _pytest.raises(ValueError, match="not G.711"):
         decode_wav_g711(encode_wav_pcm16([0, 1, 2, 3]))
+
+
+def test_jpeg_gray_with_422_sampling_decodes_raster_order():
+    """Code-review r6 finding: a single-component scan is
+    NON-interleaved (T.81 A.2.2) — data units arrive in raster order
+    over the full image even when SOF declares 2×2 sampling (what
+    `jpegtran -grayscale` leaves behind).  Patch a gray stream's SOF
+    to 0x22 and the decode must be IDENTICAL, not MCU-scrambled."""
+    import numpy as np
+
+    from aprs2influxdb_spark.functions.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+    rng = np.random.default_rng(5)
+    # 32x16: two 16x16 "MCUs" worth — the scramble case if mis-walked
+    g = np.repeat(np.repeat(rng.integers(0, 256, (2, 4)), 8, 0), 8, 1).astype(np.uint8)
+    enc = encode_jpeg_gray(g.tobytes(), 32, 16)
+    sof = enc.index(b"\xff\xc0")
+    assert enc[sof + 11] == 0x11
+    patched = enc[: sof + 11] + b"\x22" + enc[sof + 12 :]
+    w, h, px = decode_jpeg_gray(patched)
+    assert (w, h) == (32, 16)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(16, 32), g)
+
+
+def test_g711_encode_rejects_out_of_range_loudly():
+    """Code-review r6 finding: an out-of-int16 sample must raise the
+    module's ValueError (dead-letter contract), never a PEP 479
+    RuntimeError out of the A-law segment search."""
+    import pytest as _pytest
+
+    from aprs2influxdb_spark.functions.wav import encode_wav_g711, linear_to_alaw
+
+    for law in ("mu", "a"):
+        with _pytest.raises(ValueError, match="out of int16 range"):
+            encode_wav_g711([32768], law=law)
+    # the converter itself clamps rather than exhausting the search
+    assert linear_to_alaw(40000) == linear_to_alaw(32767)
