@@ -2651,7 +2651,16 @@ def q_windowed_pmi(spark, sf):
     partners of i are exactly positions i+1..i+w)."""
     w = PMI_WINDOW
     docs = _t(spark, sf, "documents")
-    toks = F.split(F.lower("text"), " ")
+    # bind the token array ONCE per row (a named column, not the split
+    # expression): a lambda body referencing the raw split() expression
+    # re-evaluates it per POSITION — O(n²) per document, measured 16×
+    # slower at sf10 — while an attribute reference is computed once.
+    # spread_for_compute: pair generation is per-row CPU; a byte-small
+    # single-row-group scan would otherwise run it on one core.
+    tk_src = spread_for_compute(
+        docs.select(F.split(F.lower("text"), " ").alias("toks"))
+    )
+    toks = F.col("toks")
     # per 0-based position i: partners are the next ≤w tokens —
     # slice(toks, i+2, w) in 1-based slice coordinates
     pair_structs = F.flatten(
@@ -2665,13 +2674,13 @@ def q_windowed_pmi(spark, sf):
             ),
         )
     )
-    pairs = docs.select(F.explode(pair_structs).alias("p")).select("p.x", "p.y")
+    pairs = tk_src.select(F.explode(pair_structs).alias("p")).select("p.x", "p.y")
     pc = (
         pairs.groupBy("x", "y")
         .agg(F.count("*").alias("n_xy"))
         .filter(F.col("n_xy") >= PMI_WIN_MIN_PAIRS)
     )
-    tk = docs.select(F.explode(toks).alias("t"))
+    tk = tk_src.select(F.explode(toks).alias("t"))
     cnt = tk.groupBy("t").agg(F.count("*").alias("c"))
     ndoc = F.size(F.split(F.lower("text"), " "))
     per_doc_pairs = F.when(

@@ -653,7 +653,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "interp_bigram_logprob": 5,
     "geo_cell_pairs": 3,
     "cooccurrence_pmi": 6,  # measured 4 + 2 headroom (hints removed r5)
-    "windowed_pmi": 4,  # r6 in-row pair gen (no doc_id self-join); measured 4
+    "windowed_pmi": 5,  # r6 in-row pair gen (no doc_id self-join); measured 4 + spread_for_compute's conditional round-robin
     "ewma_segmented": 5,  # r6 linear hot-key path: measured 2 (AQE broadcast) + scale headroom
     "incremental_contamination": 11,  # r6 probe-based rescreen: measured 9 + 2 headroom
     "weighted_percentiles": 8,

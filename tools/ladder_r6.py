@@ -39,7 +39,7 @@ NAMES = [
     "holt_winters",
     "influx_cumulative",
     "session_components",
-    "streaming_ttl_calibration",
+    "streaming_ttl_noop",
 ]
 
 
@@ -80,6 +80,49 @@ def mmr_pool_stage(spark, sf):
     )
 
 
+def streaming_ttl_noop(spark, sf):
+    """The transformWithState TTL pipeline measured to a NOOP streaming
+    sink: the registry twin funnels output through a memory sink (the
+    driver-side comparison harness), which at sf100 serializes 100M
+    rows to the driver and trips maxResultSize — a harness artifact,
+    not an operator cost.  This measures the operator itself."""
+    from aprs2influxdb_spark.streaming.bounded import (
+        TTL_OUTPUT,
+        _TtlCalibProcessor,
+        _sentinel_events_stream,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    import tempfile
+
+    try:
+        out = (
+            _sentinel_events_stream(spark, sf)
+            .withWatermark("ts", "1 hour")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                _TtlCalibProcessor(), TTL_OUTPUT, "Append", "EventTime"
+            )
+        )
+        q = (
+            out.writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ttl_ladder_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def main():
     spark = get_spark("ladder-r6")
     spark.sparkContext.setLogLevel("ERROR")
@@ -93,7 +136,12 @@ def main():
     for sf_dir, reps in DIRS:
         times: dict[str, float] = {}
         for name in names:
-            builder = mmr_pool_stage if name == "mmr_pool_stage" else reg[name][0]
+            if name == "mmr_pool_stage":
+                builder = mmr_pool_stage
+            elif name == "streaming_ttl_noop":
+                builder = streaming_ttl_noop
+            else:
+                builder = reg[name][0]
             best = float("inf")
             try:
                 for _ in range(reps):
@@ -102,7 +150,9 @@ def main():
                     ):
                         rdd.unpersist()
                     t0 = time.perf_counter()
-                    builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                    res = builder(spark, sf_dir)
+                    if res is not None:
+                        res.write.format("noop").mode("overwrite").save()
                     best = min(best, time.perf_counter() - t0)
             except Exception as e:  # keep the ladder going; record the miss
                 print(f"!! {name} @ {sf_dir}: {type(e).__name__}: {e}", flush=True)
