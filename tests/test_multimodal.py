@@ -867,3 +867,60 @@ def test_g711_encode_rejects_out_of_range_loudly():
             encode_wav_g711([32768], law=law)
     # the converter itself clamps rather than exhausting the search
     assert linear_to_alaw(40000) == linear_to_alaw(32767)
+
+
+def test_adpcm_roundtrip_equals_state_machine_and_rejections():
+    """Round 6: IMA ADPCM (format 0x0011) — the STATEFUL compressed
+    codec.  Decoding real container bytes must reproduce the encoder's
+    own predictor sequence exactly (single block, multi-block with
+    carried step index, short last block); PCM16/G.711 decoders reject
+    the format code loudly and vice versa; a corrupted step index in
+    the block header raises the WAV: ValueError."""
+    import math
+    import struct
+
+    import pytest as _pytest
+
+    from aprs2influxdb_spark.functions.wav import (
+        _adpcm_step,
+        decode_wav_adpcm,
+        decode_wav_g711,
+        decode_wav_pcm16,
+        encode_wav_adpcm,
+        encode_wav_pcm16,
+    )
+
+    for n, align in ((65, 36), (150, 36), (7, 8)):
+        src = [((i * 211 + 7) % 65536) - 32768 for i in range(n)]
+        enc = encode_wav_adpcm(src, block_align=align)
+        sr, nd, dec = decode_wav_adpcm(enc)
+        assert nd == n and len(dec) == n
+        # replay the encoder state machine (index persists across blocks)
+        spb = 2 * (align - 4) + 1
+        idx, want = 0, []
+        for off in range(0, n, spb):
+            blk = src[off : off + spb]
+            pred = blk[0]
+            want.append(pred)
+            for x in blk[1:]:
+                _nib, pred, idx = _adpcm_step(pred, idx, x)
+                want.append(pred)
+        assert dec == want
+    # 4:1 compression is real
+    smooth = [int(8000 * math.sin(i / 10)) for i in range(400)]
+    assert len(encode_wav_adpcm(smooth)) < 450  # ~4:1 on PCM16's 800 data bytes
+    # tracks a smooth signal within 4-bit adaptation error
+    _, _, dsm = decode_wav_adpcm(encode_wav_adpcm(smooth))
+    assert max(abs(a - b) for a, b in zip(dsm[20:], smooth[20:])) < 4096
+    with _pytest.raises(ValueError, match="not IMA ADPCM"):
+        decode_wav_adpcm(encode_wav_pcm16([0, 1, 2, 3]))
+    with _pytest.raises(ValueError, match="PCM only"):
+        decode_wav_pcm16(encode_wav_adpcm([0] * 65, block_align=36))
+    with _pytest.raises(ValueError, match="not G.711"):
+        decode_wav_g711(encode_wav_adpcm([0] * 65, block_align=36))
+    # corrupt step index (>88) in the first block header
+    enc = bytearray(encode_wav_adpcm([0] * 65, block_align=36))
+    di = bytes(enc).index(b"data") + 8
+    enc[di + 2] = 99
+    with _pytest.raises(ValueError, match="step index"):
+        decode_wav_adpcm(bytes(enc))

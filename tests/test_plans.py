@@ -658,6 +658,8 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "incremental_contamination": 11,  # r6 probe-based rescreen: measured 9 + 2 headroom
     "gopher_repetition": 4,  # r6: measured 2 (bigram mode aggs) + spread round-robin headroom
     "pii_redact": 1,  # r6: measured 0 (pure per-row regex) + headroom
+    "holt_linear_segmented": 5,  # r6 linear hot-key Holt: measured 2 (AQE broadcast) + scale headroom
+    "multimodal_audio_adpcm": 2,  # r6 IMA ADPCM: one mapInPandas pass, no shuffle needed
     "weighted_percentiles": 8,
     "temporal_split": 1,
     "label_prop_knn": 2,

@@ -164,3 +164,97 @@ class TestPiiRedact:
         )
         assert sum(r["n_emails"] for r in rows) > 0
         assert sum(r["n_ipv4"] for r in rows) > 0
+
+
+class TestHoltLinearSegmented:
+    def test_matches_whole_series_fold(self, spark, sf_dir):
+        from aprs2influxdb_spark.queries import registry
+
+        reg = registry()
+        a = (
+            reg["holt_linear"][0](spark, sf_dir)
+            .withColumnRenamed("level", "l1").withColumnRenamed("trend", "t1")
+        )
+        b = (
+            reg["holt_linear_segmented"][0](spark, sf_dir)
+            .withColumnRenamed("level", "l2").withColumnRenamed("trend", "t2")
+        )
+        j = a.join(b, ["user_id", "event_id"]).agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (
+                    (F.col("l1") != F.col("l2")) | (F.col("t1") != F.col("t2"))
+                ).cast("int")
+            ).alias("ndiff"),
+        ).collect()[0]
+        assert j["n"] > 0 and j["ndiff"] == 0
+
+    def test_hot_key_1e6_vs_python_replica(self, spark):
+        """1M-event single key through the segmented Holt path, every
+        output pinned against a pure-Python replica of the same
+        segmented op order (matrix carries composed with the identical
+        fixed dot-product order, per-segment replay)."""
+        import math
+
+        import numpy as np
+
+        from aprs2influxdb_spark.queries import holt_linear_segmented
+
+        n, L, a_, bta = 1_000_000, 512, 0.5, 0.3
+        df = spark.range(n).select(
+            F.lit(3).cast("long").alias("user_id"),
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(F.col("id")).alias("ts"),
+            (((F.col("id") * 2654435761) % 1000) / F.lit(7.0)).alias("value"),
+        )
+        got = holt_linear_segmented(df, L=L).orderBy("event_id").toPandas()
+        assert len(got) == n
+
+        xs = [((i * 2654435761) % 1000) / 7.0 for i in range(n)]
+        segs = [xs[i : i + L] for i in range(0, n, L)]
+        m11 = m12 = 1.0 - a_
+        m21, m22 = bta * (1.0 - a_) - bta, bta * (1.0 - a_) + 1.0 - bta
+
+        def step(l, b, x):
+            ln = a_ * x + (1.0 - a_) * (l + b)
+            bn = bta * (ln - l) + (1.0 - bta) * b
+            return ln, bn
+
+        # per-segment summaries
+        summaries = []
+        for s in segs:
+            dl = db = 0.0
+            for x in s:
+                dl, db = step(dl, db, x)
+            a11, a12, a21, a22 = 1.0, 0.0, 0.0, 1.0
+            for _ in s:
+                a11, a12, a21, a22 = (
+                    m11 * a11 + m12 * a21, m11 * a12 + m12 * a22,
+                    m21 * a11 + m22 * a21, m21 * a12 + m22 * a22,
+                )
+            summaries.append((dl, db, a11, a12, a21, a22))
+        # carries: segment 0's exact tail, then the affine composition
+        el, eb = segs[0][0], 0.0
+        for x in segs[0][1:]:
+            el, eb = step(el, eb, x)
+        carries = [(el, eb)]
+        for si in range(1, len(segs)):
+            dl, db, a11, a12, a21, a22 = summaries[si]
+            pl, pb = carries[-1]
+            carries.append((a11 * pl + a12 * pb + dl, a21 * pl + a22 * pb + db))
+        # per-segment replay
+        exp_l, exp_b = [], []
+        for si, s in enumerate(segs):
+            if si == 0:
+                l, b = s[0], 0.0
+                exp_l.append(l); exp_b.append(b)
+                rest = s[1:]
+            else:
+                l, b = carries[si - 1]
+                rest = s
+            for x in rest:
+                l, b = step(l, b, x)
+                exp_l.append(l); exp_b.append(b)
+        r6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+        assert np.array_equal(got["level"].to_numpy(), np.array([r6(v) for v in exp_l]))
+        assert np.array_equal(got["trend"].to_numpy(), np.array([r6(v) for v in exp_b]))
