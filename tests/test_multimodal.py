@@ -924,3 +924,53 @@ def test_adpcm_roundtrip_equals_state_machine_and_rejections():
     enc[di + 2] = 99
     with _pytest.raises(ValueError, match="step index"):
         decode_wav_adpcm(bytes(enc))
+
+
+def test_mp4_box_walker_roundtrip_and_rejections():
+    """Round 6: the ISO BMFF skeleton writer + box walker.  Roundtrip
+    of duration/timescale/tracks/handlers/16.16 dimensions; version-1
+    mvhd (64-bit times) parses; unknown boxes skip by size; malformed
+    streams (truncation, bad size, zero timescale, missing moov)
+    raise the MP4: ValueError dead-letter contract."""
+    import struct
+
+    import pytest as _pytest
+
+    from aprs2influxdb_spark.functions.mp4 import (
+        encode_mp4_skeleton,
+        is_mp4,
+        parse_mp4,
+    )
+
+    b = encode_mp4_skeleton(61500, 640, 360, n_audio_tracks=1)
+    assert is_mp4(b)
+    m = parse_mp4(b)
+    assert m == {
+        "duration_ms": 61500, "timescale": 1000, "n_tracks": 2,
+        "handlers": ["vide", "soun"], "width": 640, "height": 360,
+    }
+    # unknown top-level box (after the 24-byte ftyp) skips by its size
+    free = struct.pack(">I", 16) + b"free" + b"\x00" * 8
+    assert parse_mp4(b[:24] + free + b[24:])["duration_ms"] == 61500
+
+    # version-1 mvhd: 64-bit creation/modification/duration
+    v1 = (
+        struct.pack(">B3x", 1)
+        + struct.pack(">QQIQ", 0, 0, 90000, 90000 * 7)
+        + b"\x00" * 80
+    )
+    blob = (
+        struct.pack(">I", 24) + b"ftyp" + b"isom" + struct.pack(">I", 0) + b"isomiso2"
+        + struct.pack(">I", 8 + 8 + len(v1)) + b"moov"
+        + struct.pack(">I", 8 + len(v1)) + b"mvhd" + v1
+    )
+    assert parse_mp4(blob)["duration_ms"] == 7000
+
+    for bad in (
+        b"",
+        b[:20],
+        b[:8] + struct.pack(">I", 2) + b"zzzz",
+        struct.pack(">I", 24) + b"ftyp" + b"isom" + struct.pack(">I", 0) + b"isomiso2",
+    ):
+        with _pytest.raises(ValueError, match="MP4"):
+            parse_mp4(bad)

@@ -660,6 +660,8 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "pii_redact": 1,  # r6: measured 0 (pure per-row regex) + headroom
     "holt_linear_segmented": 5,  # r6 linear hot-key Holt: measured 2 (AQE broadcast) + scale headroom
     "multimodal_audio_adpcm": 2,  # r6 IMA ADPCM: one mapInPandas pass, no shuffle needed
+    "multimodal_mp4_meta": 2,  # r6 ISO BMFF parse: one mapInPandas pass
+    "multimodal_frames_mp4": 2,  # r6 parsed-duration frame fan-out: one mapInPandas pass
     "weighted_percentiles": 8,
     "temporal_split": 1,
     "label_prop_knn": 2,
