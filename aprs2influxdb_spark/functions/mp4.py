@@ -52,9 +52,12 @@ def encode_mp4_skeleton(
     traks = b""
     for ti, handler in enumerate([b"vide"] + [b"soun"] * n_audio_tracks):
         w, h = (width, height) if handler == b"vide" else (0, 0)
+        # v0 tkhd is exactly 84 payload bytes: ver/flags, ctime, mtime,
+        # track_id, reserved(4), duration, reserved(8), layer/altgroup/
+        # volume/reserved(8), matrix(36), width/height (16.16)
         tkhd = _box(
             b"tkhd",
-            struct.pack(">B3xIIII4xI8x", 0, 0, 0, ti + 1, 0, dur)
+            struct.pack(">B3xIIIII8x", 0, 0, 0, ti + 1, 0, dur)
             + struct.pack(">HHH2x", 0, 0, 0x0100 if handler == b"soun" else 0)
             + matrix
             + struct.pack(">II", w << 16, h << 16),
@@ -84,27 +87,39 @@ def parse_mp4(payload: bytes) -> dict:
     }
     saw_ftyp = False
 
-    def walk(lo: int, hi: int) -> None:
+    def walk(lo: int, hi: int, depth: int = 0) -> None:
         nonlocal saw_ftyp
+        if depth > 32:  # bound adversarial nesting before RecursionError
+            raise ValueError("MP4: box tree too deep")
         pos = lo
         while pos < hi:
             if pos + 8 > hi:
                 raise ValueError("MP4: truncated box header")
             (size,) = struct.unpack(">I", payload[pos : pos + 4])
             btype = payload[pos + 4 : pos + 8]
+            hdr = 8
             if size == 0:  # box extends to end of enclosing scope
                 size = hi - pos
-            if size < 8 or pos + size > hi:
+            elif size == 1:  # 64-bit largesize follows the type (B.1)
+                if pos + 16 > hi:
+                    raise ValueError("MP4: truncated largesize")
+                (size,) = struct.unpack(">Q", payload[pos + 8 : pos + 16])
+                hdr = 16
+            if size < hdr or pos + size > hi:
                 raise ValueError(f"MP4: bad box size {size} for {btype!r}")
-            body_lo, body_hi = pos + 8, pos + size
+            body_lo, body_hi = pos + hdr, pos + size
             if btype == b"ftyp":
                 saw_ftyp = True
             elif btype in _CONTAINERS:
                 if btype == b"trak":
                     out["n_tracks"] += 1
-                walk(body_lo, body_hi)
+                walk(body_lo, body_hi, depth + 1)
             elif btype == b"mvhd":
+                if body_hi - body_lo < 20:
+                    raise ValueError("MP4: mvhd body too short")
                 ver = payload[body_lo]
+                if ver == 1 and body_hi - body_lo < 32:
+                    raise ValueError("MP4: mvhd v1 body too short")
                 if ver == 0:
                     ts, dur = struct.unpack(
                         ">II", payload[body_lo + 12 : body_lo + 20]
@@ -118,16 +133,28 @@ def parse_mp4(payload: bytes) -> dict:
                 out["timescale"] = ts
                 out["duration_ms"] = dur * 1000 // ts
             elif btype == b"hdlr":
+                if body_hi - body_lo < 12:
+                    raise ValueError("MP4: hdlr body too short")
                 out["handlers"].append(
                     payload[body_lo + 8 : body_lo + 12].decode("latin1")
                 )
             elif btype == b"tkhd":
+                if body_hi - body_lo < 84:  # v0 fixed layout
+                    raise ValueError("MP4: tkhd body too short")
                 w16, h16 = struct.unpack(">II", payload[body_hi - 8 : body_hi])
                 if w16 and h16 and out["width"] is None:
                     out["width"], out["height"] = w16 >> 16, h16 >> 16
             pos += size
 
-    walk(0, len(payload))
+    try:
+        walk(0, len(payload))
+    except ValueError:
+        raise
+    except (struct.error, IndexError) as e:
+        # a truncated fixed-layout body (short mvhd/tkhd) must still
+        # surface as the family's dead-letter ValueError, never escape
+        # as struct.error/IndexError (the JPEG/WAV decoders' contract)
+        raise ValueError(f"MP4: malformed box body ({type(e).__name__})") from e
     if not saw_ftyp or out["timescale"] is None:
         raise ValueError("MP4: missing ftyp or mvhd")
     return out

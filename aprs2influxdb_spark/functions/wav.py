@@ -310,10 +310,13 @@ def encode_wav_adpcm(
 
 def decode_wav_adpcm(payload: bytes) -> tuple[int, int, list[int]]:
     """Decode an IMA ADPCM (format 0x0011) mono RIFF/WAVE stream →
-    (sample_rate, n_samples_declared, int16 samples).  The per-block
-    state machine mirrors :func:`_adpcm_step`'s decoder half exactly;
-    the ``fact`` chunk's sample count truncates the final block's
-    padding nibbles."""
+    (sample_rate, channels, int16 samples) — the SAME tuple shape as
+    :func:`decode_wav_pcm16` / :func:`decode_wav_g711` (review r6:
+    a declared-count second element would silently read as a channel
+    count in sibling-shaped callers).  The per-block state machine
+    mirrors :func:`_adpcm_step`'s decoder half exactly; the ``fact``
+    chunk's sample count truncates the final block's padding nibbles,
+    and a count EXCEEDING the decoded data raises (corrupt fact)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("WAV: missing RIFF/WAVE header")
     pos = 12
@@ -362,5 +365,9 @@ def decode_wav_adpcm(payload: bytes) -> tuple[int, int, list[int]]:
                 idx = 0 if idx < 0 else 88 if idx > 88 else idx
                 out.append(pred)
     if n_declared is not None:
+        if n_declared > len(out):
+            raise ValueError(
+                f"WAV: fact declares {n_declared} samples but data decodes {len(out)}"
+            )
         out = out[:n_declared]
-    return sample_rate, (n_declared if n_declared is not None else len(out)), out
+    return sample_rate, 1, out

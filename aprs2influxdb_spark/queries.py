@@ -4965,13 +4965,19 @@ def q_gopher_repetition(spark, sf):
         "doc_id", n.cast("long").alias("n_words"), n_chunks.alias("n_chunks"),
         dup_micro.alias("dup_chunk_micro"),
     )
+    # guard 1-token docs: sequence(0, -1) yields the DESCENDING [0, -1]
+    # (two phantom bigrams via null-dropping concat_ws), where DuckDB's
+    # range(1, 1) is empty — the review-caught oracle divergence
     bigrams = tk_src.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 2),
-                lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
-            )
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("bg"),
     )
     top = (
@@ -6228,7 +6234,7 @@ def _adpcm_mapper():
                 d = int(doc_id)
                 src = [((d * 31 + i * 97) % 65536) - 32768 for i in range(ADPCM_N)]
                 blob = encode_wav_adpcm(src, block_align=36)
-                _rate, n, dec = decode_wav_adpcm(blob)
+                _rate, _ch, dec = decode_wav_adpcm(blob)
                 # the decode must equal the encoder's own state machine
                 pred, idx = src[0], 0
                 want = [pred]
@@ -6239,7 +6245,7 @@ def _adpcm_mapper():
                     raise ValueError(f"ADPCM roundtrip mismatch, doc {d}")
                 feats.append(
                     (
-                        d, n, len(blob),
+                        d, len(dec), len(blob),
                         sum(abs(v) for v in dec) // len(dec),
                         max(abs(v) for v in dec),
                         sum(abs(a - b) for a, b in zip(dec, src)) // len(dec),
@@ -9555,10 +9561,14 @@ def ewma_segmented(ev: "DataFrame", L: int = 512) -> "DataFrame":
     xs = F.transform(F.col("arr"), lambda r: r.value)
     d = F.aggregate(xs, F.lit(0.0), lambda acc, x: F.lit(a) * x + F.lit(b) * acc)
     pw = F.aggregate(xs, F.lit(1.0), lambda acc, x: F.lit(b) * acc)
-    e0 = F.aggregate(
-        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
-        F.element_at(xs, 1).cast("double"),
-        lambda acc, x: F.lit(a) * x + F.lit(b) * acc,
+    # only segment 0's e0 seeds the carries — gate the O(L) fold (r6 review)
+    e0 = F.when(
+        F.col("s") == 0,
+        F.aggregate(
+            F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+            F.element_at(xs, 1).cast("double"),
+            lambda acc, x: F.lit(a) * x + F.lit(b) * acc,
+        ),
     )
     summ = segs.select(
         "user_id", "s", d.alias("d"), pw.alias("pw"), e0.alias("e0")
@@ -9720,10 +9730,15 @@ def holt_linear_segmented(ev: "DataFrame", L: int = 512) -> "DataFrame":
             (F.lit(m21) * acc.a12 + F.lit(m22) * acc.a22).alias("a22"),
         ),
     )
-    e0 = F.aggregate(
-        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
-        lb_struct(F.element_at(xs, 1).cast("double"), F.lit(0.0)),
-        lambda acc, x: lb_struct(*step(acc.l, acc.b, x)),
+    # only segment 0's e0 is ever consumed (the carry seed) — gate the
+    # O(L) fold behind s=0 so the other segments skip it (review r6)
+    e0 = F.when(
+        F.col("s") == 0,
+        F.aggregate(
+            F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+            lb_struct(F.element_at(xs, 1).cast("double"), F.lit(0.0)),
+            lambda acc, x: lb_struct(*step(acc.l, acc.b, x)),
+        ),
     )
     summ = segs.select("user_id", "s", d.alias("d"), A.alias("ma"), e0.alias("e0"))
     per_key = summ.groupBy("user_id").agg(

@@ -239,6 +239,11 @@ HEADLINE = [
     "ewma_segmented",
     "incremental_contamination",
     "multimodal_audio_g711",
+    "multimodal_audio_adpcm",
+    "multimodal_mp4_meta",
+    "gopher_repetition",
+    "pii_redact",
+    "holt_linear_segmented",
 ]
 
 

@@ -893,8 +893,8 @@ def test_adpcm_roundtrip_equals_state_machine_and_rejections():
     for n, align in ((65, 36), (150, 36), (7, 8)):
         src = [((i * 211 + 7) % 65536) - 32768 for i in range(n)]
         enc = encode_wav_adpcm(src, block_align=align)
-        sr, nd, dec = decode_wav_adpcm(enc)
-        assert nd == n and len(dec) == n
+        sr, ch, dec = decode_wav_adpcm(enc)
+        assert ch == 1 and len(dec) == n
         # replay the encoder state machine (index persists across blocks)
         spb = 2 * (align - 4) + 1
         idx, want = 0, []
@@ -918,6 +918,12 @@ def test_adpcm_roundtrip_equals_state_machine_and_rejections():
         decode_wav_pcm16(encode_wav_adpcm([0] * 65, block_align=36))
     with _pytest.raises(ValueError, match="not G.711"):
         decode_wav_g711(encode_wav_adpcm([0] * 65, block_align=36))
+    # corrupt fact chunk declaring more samples than the data holds
+    enc = bytearray(encode_wav_adpcm([0] * 65, block_align=36))
+    fi = bytes(enc).index(b"fact") + 8
+    enc[fi:fi + 4] = struct.pack("<I", 9999)
+    with _pytest.raises(ValueError, match="fact declares"):
+        decode_wav_adpcm(bytes(enc))
     # corrupt step index (>88) in the first block header
     enc = bytearray(encode_wav_adpcm([0] * 65, block_align=36))
     di = bytes(enc).index(b"data") + 8

@@ -146,6 +146,24 @@ class TestGopherRepetition:
         assert rows[1]["top_bigram_micro"] == math.floor(1 / 31 * 1e6 + 0.5)
         assert rows[1]["rep_flagged"] == 0
 
+    def test_one_token_doc_has_no_bigrams(self, spark):
+        """Review r6 regression: Spark sequence(0, -1) yields the
+        DESCENDING [0, -1], which minted two phantom bigrams for a
+        1-token doc (top fraction 1.0, flagged) where DuckDB's
+        range(1,1) is empty — the guarded transform must emit none."""
+        from aprs2influxdb_spark.queries import q_gopher_repetition
+
+        import aprs2influxdb_spark.queries as Q
+        docs = spark.createDataFrame([(0, "lonely")], "doc_id long, text string")
+        orig = Q._t
+        Q._t = lambda spark, sf, name: docs
+        try:
+            r = q_gopher_repetition(spark, "x").collect()[0]
+        finally:
+            Q._t = orig
+        assert r["n_words"] == 1 and r["top_bigram_micro"] == 0
+        assert r["rep_flagged"] == 0
+
 
 class TestPiiRedact:
     def test_planted_pii_detected_and_redacted(self, spark, sf_dir):
