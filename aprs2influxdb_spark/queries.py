@@ -5125,6 +5125,72 @@ FROM red
 """
 
 
+def q_streaming_gopher_repetition(spark, sf):
+    """Gopher repetition signals AT INGEST — the placement a real
+    pipeline uses (filter before anything persists).  The batch
+    entry's bigram mode is a groupBy (stateful on a stream), so the
+    streaming twin computes the SAME number in-row: sort the doc's
+    bigram array and take the longest equal run via one fold —
+    identical value (the mode's multiplicity), stateless, sharing the
+    batch oracle verbatim."""
+    from aprs2influxdb_spark.streaming.bounded import run_bounded, stream_docs
+
+    docs = stream_docs(spark, sf)
+    toks = F.split(F.lower("text"), " ")
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(16.0)).cast("long")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        lambda i: F.array_join(F.slice(toks, i * 16 + 1, 16), " "),
+    )
+    dup_micro = F.floor(
+        (F.lit(1.0) - F.size(F.array_distinct(chunks)) / n_chunks.cast("double"))
+        * 1e6 + 0.5
+    ).cast("long")
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    srt = F.array_sort(bigrams)
+    # longest equal run in the sorted array == the mode's multiplicity
+    top_c = F.aggregate(
+        srt,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+    ).best
+    top_micro = F.when(
+        F.size(srt) > 0,
+        F.floor(top_c / F.size(srt).cast("double") * 1e6 + 0.5).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    est = docs.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        n_chunks.alias("n_chunks"),
+        dup_micro.alias("dup_chunk_micro"),
+        top_micro.alias("top_bigram_micro"),
+    ).withColumn(
+        "rep_flagged",
+        (
+            (F.col("dup_chunk_micro") > 300000)
+            | (F.col("top_bigram_micro") > 200000)
+        ).cast("long"),
+    )
+    return run_bounded(spark, est, "append", "stream_gopher_rep")
+
+
 def q_streaming_pii_redact(spark, sf):
     """PII scrubbing AT INGEST: the detection/redaction pass of
     ``pii_redact`` as a stateless append-mode stream transform (the
@@ -11460,6 +11526,10 @@ def registry() -> dict[str, tuple]:
         "gopher_repetition": (q_gopher_repetition, SQL_GOPHER_REPETITION),
         "pii_redact": (q_pii_redact, SQL_PII_REDACT),
         "streaming_pii_redact": (q_streaming_pii_redact, SQL_PII_REDACT),
+        "streaming_gopher_repetition": (
+            q_streaming_gopher_repetition,
+            SQL_GOPHER_REPETITION,
+        ),
         "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
         "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
         # streaming (bounded-stream execution of the streaming plans)
