@@ -63,6 +63,8 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, int, list[int]]:
         (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + ln]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("WAV: truncated fmt chunk")
             fmt_code, channels, sample_rate, _br, _ba, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
@@ -195,6 +197,8 @@ def decode_wav_g711(payload: bytes) -> tuple[int, int, list[int]]:
         (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + ln]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("WAV: truncated fmt chunk")
             fmt_code, channels, sample_rate, _br, _ba, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
@@ -327,6 +331,8 @@ def decode_wav_adpcm(payload: bytes) -> tuple[int, int, list[int]]:
         (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + ln]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("WAV: truncated fmt chunk")
             fmt_code, channels, sample_rate, _br, block_align, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
@@ -334,7 +340,15 @@ def decode_wav_adpcm(payload: bytes) -> tuple[int, int, list[int]]:
                 raise ValueError(f"WAV: format code {fmt_code} is not IMA ADPCM (17)")
             if channels != 1 or bits != 4:
                 raise ValueError("WAV: only mono 4-bit IMA ADPCM supported")
+            # ADVICE r6: block_align=0 previously leaked a bare
+            # "range() arg 3 must not be zero" out of the block loop —
+            # an unhelpful dead-letter reason.  Mirror the encoder's
+            # block shape: 4-byte header + whole nibble-pair bytes.
+            if block_align < 8 or block_align % 4:
+                raise ValueError("WAV: bad ADPCM block_align")
         elif cid == b"fact":
+            if len(body) < 4:
+                raise ValueError("WAV: truncated fact chunk")
             (n_declared,) = struct.unpack("<I", body[:4])
         elif cid == b"data":
             data = body

@@ -585,6 +585,67 @@ def test_wav_rejects_unsupported():
         encode_wav_pcm16([40000], 8000)  # out of int16 range
 
 
+def test_wav_truncated_fmt_and_bad_block_align_are_dead_letterable():
+    """ADVICE r6: a truncated fmt chunk leaked struct.error ("unpack
+    requires a buffer of 16 bytes") and an ADPCM block_align=0 leaked
+    "range() arg 3 must not be zero" — neither is the documented
+    'WAV:' ValueError, so a per-record dead-letter handler catching
+    ValueError would crash the whole Arrow batch.  All three decoders
+    must now raise the family contract's ValueError."""
+    import struct
+
+    import pytest as _pytest
+
+    from aprs2influxdb_spark.functions.wav import (
+        decode_wav_adpcm,
+        decode_wav_g711,
+        decode_wav_pcm16,
+        encode_wav_adpcm,
+        encode_wav_g711,
+        encode_wav_pcm16,
+    )
+
+    def _truncate_fmt(blob: bytes) -> bytes:
+        # rewrite the fmt chunk to declare (and carry) only 8 body bytes
+        cut = 12  # RIFF(4)+size(4)+WAVE(4)
+        assert blob[cut : cut + 4] == b"fmt "
+        (ln,) = struct.unpack("<I", blob[cut + 4 : cut + 8])
+        short = (
+            blob[: cut + 4]
+            + struct.pack("<I", 8)
+            + blob[cut + 8 : cut + 16]
+            + blob[cut + 8 + ln :]
+        )
+        return short[:4] + struct.pack("<I", len(short) - 8) + short[8:]
+
+    for enc, dec in [
+        (lambda: encode_wav_pcm16([1, -2], 8000), decode_wav_pcm16),
+        (lambda: encode_wav_g711([1, -2], law="mu"), decode_wav_g711),
+        (lambda: encode_wav_adpcm([1, -2], 8000), decode_wav_adpcm),
+    ]:
+        with _pytest.raises(ValueError, match="WAV: truncated fmt chunk"):
+            dec(_truncate_fmt(enc()))
+
+    # block_align=0 (and other non-encoder-shaped values) → 'WAV:' error
+    blob = bytearray(encode_wav_adpcm(list(range(-5, 6)), 8000))
+    for bad in (0, 2, 6, 10):
+        struct.pack_into("<H", blob, 32, bad)  # fmt body offset 12 → blockalign
+        with _pytest.raises(ValueError, match="WAV: bad ADPCM block_align"):
+            decode_wav_adpcm(bytes(blob))
+
+    # truncated fact chunk → 'WAV:' error, not struct.error
+    good = encode_wav_adpcm(list(range(-5, 6)), 8000)
+    fact = good.index(b"fact")
+    cutblob = (
+        good[:fact]
+        + b"fact" + struct.pack("<I", 2) + good[fact + 8 : fact + 10]
+        + good[fact + 12 :]
+    )
+    cutblob = cutblob[:4] + struct.pack("<I", len(cutblob) - 8) + cutblob[8:]
+    with _pytest.raises(ValueError, match="WAV: truncated fact chunk"):
+        decode_wav_adpcm(cutblob)
+
+
 def test_jpeg_420_mcu_constant_roundtrip_exact():
     """Round 6 (verdict-r5 item 3): 4:2:0 — four Y blocks + 2×2
     averaged chroma per 16×16 MCU.  MCU-constant colors survive the
@@ -753,7 +814,7 @@ def test_g711_code_domain_idempotent_and_bounded():
     8-bit code decode→re-encodes to itself (μ-law's negative zero 0x7F
     canonicalizes to +0 0xFF — the standard's one non-injective
     point); quantization error over the FULL int16 domain stays within
-    the top-segment half-step (μ: 643 at the clip edge, A: 512); and
+    the top-segment half-step (μ: 644 at the clip edge, A: 512); and
     the closed-form integer arithmetic the DuckDB oracle uses matches
     the table codec on every one of the 65536 inputs."""
     import duckdb
@@ -770,10 +831,11 @@ def test_g711_code_domain_idempotent_and_bounded():
         assert got == c or (c == 0x7F and got == 0xFF)
         assert linear_to_alaw(alaw_to_linear(c)) == c
     worst_mu = worst_a = 0
-    for s in range(-32768, 32768, 17):
+    for s in range(-32768, 32768):  # full domain (ADVICE r6: stride-17
+        # missed that the true full-domain worst is 644, not 643)
         worst_mu = max(worst_mu, abs(mulaw_to_linear(linear_to_mulaw(s)) - s))
         worst_a = max(worst_a, abs(alaw_to_linear(linear_to_alaw(s)) - s))
-    assert worst_mu <= 644 and worst_a <= 512
+    assert worst_mu == 644 and worst_a == 512
 
     # oracle arithmetic == table codec, full domain
     q = """
