@@ -244,6 +244,9 @@ HEADLINE = [
     "gopher_repetition",
     "pii_redact",
     "holt_linear_segmented",
+    # round-7 additions: progressive (SOF2) JPEG over the mixed
+    # baseline/progressive corpus
+    "multimodal_jpeg_progressive",
 ]
 
 

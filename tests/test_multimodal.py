@@ -464,7 +464,12 @@ def test_jpeg_rejects_unsupported():
     with _pytest.raises(ValueError):
         decode_jpeg_gray(b"not a jpeg")
     with _pytest.raises(ValueError):
-        decode_jpeg_gray(b"\xff\xd8\xff\xc2\x00\x05aaa\xff\xd9")  # progressive SOF2
+        # SOF2 with a truncated frame header (progressive DECODING is
+        # supported since round 7; malformed frames still dead-letter)
+        decode_jpeg_gray(b"\xff\xd8\xff\xc2\x00\x05aaa\xff\xd9")
+    with _pytest.raises(ValueError):
+        # SOF1 (extended sequential) remains unsupported
+        decode_jpeg_gray(b"\xff\xd8\xff\xc1\x00\x0b" + bytes(9) + b"\xff\xd9")
 
 
 def test_jpeg_tolerates_fill_bytes_before_markers():
@@ -764,13 +769,14 @@ def test_jpeg_restart_intervals_roundtrip_and_reject_missing():
         decode_jpeg_gray(with_bad_dri)
 
 
-def test_jpeg_sof2_dead_letters_gracefully(spark):
-    """A progressive (SOF2) blob in a batch must dead-letter with the
-    JPEG: reason while its neighbors decode — the real-corpus behavior
-    the verdict asked to pin (most web photos are progressive; one of
-    them must never crash the batch).  The ValueError contract is what
-    makes the per-record isolation possible; this drives it through an
-    actual Arrow-batched mapInPandas."""
+def test_jpeg_malformed_sof2_dead_letters_gracefully(spark):
+    """Round 7 flips the round-6 pin: a REAL progressive (SOF2)
+    stream now DECODES, so the dead-letter case is a MALFORMED one —
+    here a baseline stream relabeled SOF2, whose baseline SOS header
+    (Ss=0, Se=63) is invalid for a progressive DC scan.  It must
+    dead-letter with the JPEG: reason while its neighbors decode; the
+    ValueError contract is what makes the per-record isolation
+    possible, driven through an actual Arrow-batched mapInPandas."""
     from aprs2influxdb_spark.functions.jpeg import encode_jpeg_gray
     from aprs2influxdb_spark.operators.multimodal import decode_image_stdlib
 
@@ -778,8 +784,8 @@ def test_jpeg_sof2_dead_letters_gracefully(spark):
     sof0 = good.index(b"\xff\xc0")
     progressive = good[:sof0] + b"\xff\xc2" + good[sof0 + 2 :]
 
-    # bytes-level contract: graceful ValueError naming the gap
-    with pytest.raises(ValueError, match="SOF0"):
+    # bytes-level contract: graceful ValueError with the JPEG: reason
+    with pytest.raises(ValueError, match="JPEG"):
         decode_image_stdlib(progressive)
 
     def _decode(batches):
@@ -806,7 +812,7 @@ def test_jpeg_sof2_dead_letters_gracefully(spark):
         ).collect()
     }
     assert out[0]["error"] is None and out[0]["feat_mean"] is not None
-    assert out[1]["feat_mean"] is None and "SOF0" in out[1]["error"]
+    assert out[1]["feat_mean"] is None and "JPEG" in out[1]["error"]
 
 
 def test_g711_code_domain_idempotent_and_bounded():
