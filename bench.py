@@ -245,8 +245,9 @@ HEADLINE = [
     "pii_redact",
     "holt_linear_segmented",
     # round-7 additions: progressive (SOF2) JPEG over the mixed
-    # baseline/progressive corpus
+    # baseline/progressive corpus, and real MJPEG-in-MP4 frame payloads
     "multimodal_jpeg_progressive",
+    "multimodal_frames_mjpeg",
 ]
 
 
