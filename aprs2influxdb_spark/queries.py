@@ -10195,6 +10195,354 @@ FROM outp
 """
 
 
+def _hw_carry_matrix(
+    L: int,
+    alpha: float | None = None,
+    beta: float | None = None,
+    gamma: float | None = None,
+) -> list[list[float]]:
+    """The 26×26 carry matrix of ``L`` Holt-Winters steps (state
+    v = [l, b, s₁..s₂₄]) — the seasonal generalization of
+    ``holt_linear_segmented``'s 2×2 (round 7, verdict-r6 item 6).
+
+    The HW recurrence is affine in the state: each step's matrix M_q
+    depends only on which seasonal slot q it touches, and the slot
+    sequence is 24-periodic, so with ``L`` a MULTIPLE of the season
+    every full segment shares ONE constant matrix
+    A* = (M₂₄·…·M₁)^(L/24).  Computed here in pure Python with naive
+    fixed-order loops (never numpy matmul — BLAS reorders sums) so the
+    float result is deterministic and the SAME literals embed in the
+    Spark plan, the DuckDB oracle, and the test replica."""
+    a = HW_ALPHA if alpha is None else alpha
+    bt = HW_BETA if beta is None else beta
+    g = HW_GAMMA if gamma is None else gamma
+    m = HW_SEASON
+    if L % m:
+        raise ValueError("_hw_carry_matrix: L must be a multiple of the season")
+    n = m + 2
+
+    def stepmat(q: int) -> list[list[float]]:
+        # columns = step applied to basis vectors with x=0, using the
+        # exact float expression order of the recurrence
+        M = [[0.0] * n for _ in range(n)]
+        for j in range(n):
+            v = [0.0] * n
+            v[j] = 1.0
+            l, b = v[0], v[1]
+            sv = v[2 + q - 1]
+            ln = a * (0.0 - sv) + (1 - a) * (l + b)
+            bn = bt * (ln - l) + (1 - bt) * b
+            sq = g * (0.0 - ln) + (1 - g) * sv
+            out = [ln, bn] + v[2:]
+            out[2 + q - 1] = sq
+            for i in range(n):
+                M[i][j] = out[i]
+        return M
+
+    def matmul(X: list[list[float]], Y: list[list[float]]) -> list[list[float]]:
+        Z = [[0.0] * n for _ in range(n)]
+        for i in range(n):
+            Xi = X[i]
+            for c in range(n):
+                acc = 0.0
+                for k in range(n):
+                    acc += Xi[k] * Y[k][c]
+                Z[i][c] = acc
+        return Z
+
+    P: list[list[float]] | None = None
+    for q in range(1, m + 1):
+        Mq = stepmat(q)
+        P = Mq if P is None else matmul(Mq, P)
+    A = P
+    for _ in range(L // m - 1):
+        A = matmul(P, A)
+    return A
+
+
+def holt_winters_segmented(
+    ev: "DataFrame",
+    L: int = 504,
+    alpha: float | None = None,
+    beta: float | None = None,
+    gamma: float | None = None,
+) -> "DataFrame":
+    """LINEAR-scan Holt-Winters triple exponential smoothing for hot
+    series keys — the SEASONAL member of the segmented-fold family
+    (round 7, verdict-r6 item 6: ``q_holt_winters``'s bound on the
+    per-key ``collect_list`` row was documented but not enforced; a
+    10⁷-event hot key built a ~240 MB row).  Emits per-event
+    (level, trend) like ``streaming_holt_winters``.
+
+    Same four-phase scan decomposition as
+    :func:`holt_linear_segmented`, with two generalizations:
+
+    - the carry is the 26-dim state (l, b, s₁..s₂₄); a segment's
+      effect is state_out = A*·state_in + d where d is the
+      zero-seeded recurrence fold over the segment;
+    - because ``L`` is a MULTIPLE of the 24-slot season, every full
+      segment touches the slots in the same phase, so A* is ONE
+      CONSTANT matrix (:func:`_hw_carry_matrix`) embedded as
+      literals — no in-plan matrix products at all, which is what
+      makes the seasonal carry cheaper than the 2×2 in-fold product
+      of the Holt-linear sibling.
+
+    Phases: (1) one series-key shuffle → per-segment summaries (the
+    O(L) fixed-width d fold; segment 0's true-seeded e₀); (2) per-key
+    carry chain — (n/L) constant-matrix·vector steps; (3) carries
+    join back to segments; (4) per-segment REPLAY of the real
+    recurrence from the carry, so within-segment op order equals the
+    whole-series fold given the carry.  Carry composition reorders
+    float ops vs the whole-series fold (~1e−12 relative, damped by
+    the contractive dynamics — the documented sibling contract); the
+    oracle mirrors THIS op order exactly (per-segment recursive-CTE
+    folds, the same literal matrix terms in the same chain order), so
+    the entry is hash-exact.  No row ever exceeds O(L·24) floats —
+    the 240 MB hot-key row class is gone.
+
+    STABILITY NOTE (discovered building the 10⁶-event hot-key test):
+    the registry's default parameters (α=0.5, β=0.3, γ=0.2) sit
+    OUTSIDE the additive-HW stability region — the 24-step monodromy
+    matrix has spectral radius ≈ 1.0255, so on a 10⁶-event key the
+    STATISTIC ITSELF overflows (~1e450) in any engine and any plan;
+    the gate corpus' ~67-event series never see it.  The parameters
+    are therefore overridable; the hot-key test pins the plan at
+    (α=0.3, β=0.05, γ=0.1), whose second eigenvalue is 0.976 (the
+    unit eigenvalue is the level's random-walk mode, bounded for
+    bounded inputs)."""
+    a = HW_ALPHA if alpha is None else alpha
+    bta = HW_BETA if beta is None else beta
+    g_ = HW_GAMMA if gamma is None else gamma
+    m = HW_SEASON
+    if L % m:
+        raise ValueError("holt_winters_segmented: L must be a multiple of the season")
+    A = _hw_carry_matrix(L, a, bta, g_)
+
+    w_key = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pos = ev.select(
+        "user_id", "event_id", "value", F.row_number().over(w_key).alias("p")
+    ).withColumn("s", F.expr(f"CAST((p - 1) DIV {L} AS BIGINT)"))
+    segs = pos.groupBy("user_id", "s").agg(
+        F.array_sort(F.collect_list(F.struct("p", "event_id", "value"))).alias("arr")
+    )
+    xs = F.transform(F.col("arr"), lambda r: r.value)
+    zeros = F.array_repeat(F.lit(0.0), m)
+
+    def core(acc, x):
+        # identical float ops to q_holt_winters's step
+        t = acc.t + 1
+        idx = ((t - 1) % m + 1).cast("int")
+        sv = F.element_at(acc.sz, idx)
+        l_new = F.lit(a) * (x - sv) + F.lit(1 - a) * (acc.l + acc.b)
+        b_new = F.lit(bta) * (l_new - acc.l) + F.lit(1 - bta) * acc.b
+        s_new = F.transform(
+            acc.sz,
+            lambda sx, i: F.when(
+                i == idx - 1,
+                F.lit(g_) * (x - l_new) + F.lit(1 - g_) * sx,
+            ).otherwise(sx),
+        )
+        return l_new, b_new, s_new, t
+
+    def state(l, b, sz, t):
+        return F.struct(l.alias("l"), b.alias("b"), sz.alias("sz"), t.alias("t"))
+
+    def fold_step(acc, x):
+        return state(*core(acc, x))
+
+    # phase 1: per-segment summaries.  d = fold from the ZERO state
+    # (slot phase is segment-independent because L % 24 == 0); e0 =
+    # segment 0's true-seeded fold (only ever consumed for s=0)
+    d = F.aggregate(
+        xs, state(F.lit(0.0), F.lit(0.0), zeros, F.lit(0).cast("long")), fold_step
+    )
+    x1 = F.element_at(xs, 1).cast("double")
+    e0 = F.when(
+        F.col("s") == 0,
+        F.aggregate(
+            F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+            state(x1, F.lit(0.0), zeros, F.lit(1).cast("long")),
+            fold_step,
+        ),
+    )
+
+    def lbsz(c):
+        return F.struct(c["l"].alias("l"), c["b"].alias("b"), c["sz"].alias("sz"))
+
+    summ = segs.select(
+        "user_id", "s", lbsz(d).alias("d"), lbsz(e0).alias("e0")
+    )
+
+    # phase 2: per-key carry chain — ONE generated SQL expression so
+    # the 26×26 literal matrix costs one py4j round-trip, with the
+    # flat left-associative term chains the oracle mirrors verbatim
+    def chain(i: int, dref: str) -> str:
+        terms = [f"({A[i][0]:.17e}) * prev.l", f"({A[i][1]:.17e}) * prev.b"]
+        terms += [
+            f"({A[i][j + 2]:.17e}) * element_at(prev.sz, {j + 1})" for j in range(m)
+        ]
+        return "(" + " + ".join(terms) + f") + {dref}"
+
+    sz_items = ", ".join(
+        chain(2 + j, f"element_at(g.d.sz, {j + 1})") for j in range(m)
+    )
+    carry_expr = f"""aggregate(
+      slice(gs, 2, greatest(size(gs) - 1, 0)),
+      array(element_at(gs, 1).e0),
+      (acc, g) -> concat(acc, transform(array(element_at(acc, -1)), prev -> named_struct(
+        'l', {chain(0, "g.d.l")},
+        'b', {chain(1, "g.d.b")},
+        'sz', array({sz_items})
+      )))
+    )"""
+    per_key = summ.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "d", "e0"))).alias("gs")
+    )
+    carried = per_key.select(
+        "user_id", F.posexplode(F.expr(carry_expr)).alias("i", "e")
+    ).select(
+        "user_id", (F.col("i") + 1).alias("s"),
+        F.col("e.l").alias("cl"), F.col("e.b").alias("cb"),
+        F.col("e.sz").alias("csz"),
+    )
+
+    # phases 3+4: join carries back, replay the true recurrence
+    seg2 = segs.join(carried, ["user_id", "s"], "left")
+    first = F.col("s") == 0
+    body = F.when(
+        first, F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0)))
+    ).otherwise(xs)
+
+    def lb(l, b):
+        return F.struct(l.alias("l"), b.alias("b"))
+
+    init = F.struct(
+        F.when(first, x1).otherwise(F.col("cl")).alias("l"),
+        F.when(first, F.lit(0.0)).otherwise(F.col("cb")).alias("b"),
+        F.when(first, zeros).otherwise(F.col("csz")).alias("sz"),
+        F.when(first, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("t"),
+        F.when(first, F.array(lb(x1, F.lit(0.0))))
+        .otherwise(F.array().cast("array<struct<l:double,b:double>>"))
+        .alias("out"),
+    )
+
+    def replay_step(acc, x):
+        l_new, b_new, s_new, t = core(acc, x)
+        return F.struct(
+            l_new.alias("l"), b_new.alias("b"), s_new.alias("sz"), t.alias("t"),
+            F.concat(acc.out, F.array(lb(l_new, b_new))).alias("out"),
+        )
+
+    folded = F.aggregate(body, init, replay_step)["out"]
+    zipped = F.arrays_zip(
+        F.transform(F.col("arr"), lambda r: r.event_id).alias("eid"),
+        folded.alias("lb"),
+    )
+    return seg2.select("user_id", F.explode(zipped).alias("z")).select(
+        "user_id",
+        F.col("z.eid").alias("event_id"),
+        rhu(F.col("z.lb.l"), 6).alias("level"),
+        rhu(F.col("z.lb.b"), 6).alias("trend"),
+    )
+
+
+HW_SEG_L = 24  # gate-scale segment length: one season per segment, so
+# the ~70-row gate series spans ≥2 segments and the constant-matrix
+# carry is oracle-verified; production hot keys use the default L=504
+
+
+def q_holt_winters_segmented(spark, sf):
+    """Registry wrapper over :func:`holt_winters_segmented` at
+    L=HW_SEG_L, the seasonal sibling of ``holt_linear_segmented``."""
+    return holt_winters_segmented(_t(spark, sf, "events"), L=HW_SEG_L)
+
+
+def _holt_winters_segmented_sql() -> str:
+    """DuckDB twin of :func:`holt_winters_segmented` at L=HW_SEG_L —
+    the same four phases: per-segment recursive folds (zero-seeded d;
+    segment 0's true-seeded state), the carry chain with the SAME
+    26×26 literal matrix (:func:`_hw_carry_matrix` output serialized
+    at 17 significant digits — exact double round-trip, parsed as
+    DOUBLE by both engines via exponent notation), and a per-segment
+    replay emitting per-event rows.  Term chains are flat and
+    left-associative in the identical order as the Spark expression."""
+    a, bta, g_, m = HW_ALPHA, HW_BETA, HW_GAMMA, HW_SEASON
+    L = HW_SEG_L
+    A = _hw_carry_matrix(L)
+
+    def sl(l, b, sz, x, p):
+        return f"{a} * ({x} - {sz}[(({p}) % {m}) + 1]) + {1 - a} * ({l} + {b})"
+
+    def sb(l, b, sz, x, p):
+        return f"{bta} * (({sl(l, b, sz, x, p)}) - {l}) + {1 - bta} * {b}"
+
+    def ssz(l, b, sz, x, p):
+        return (
+            f"list_transform({sz}, (x0, i) -> CASE WHEN i = (({p}) % {m}) + 1 "
+            f"THEN {g_} * ({x} - ({sl(l, b, sz, x, p)})) + {1 - g_} * x0 "
+            f"ELSE x0 END)"
+        )
+
+    def chain(i: int, dref: str) -> str:
+        terms = [f"({A[i][0]:.17e}) * c.l", f"({A[i][1]:.17e}) * c.b"]
+        terms += [f"({A[i][j + 2]:.17e}) * c.sz[{j + 1}]" for j in range(m)]
+        return "(" + " + ".join(terms) + f") + {dref}"
+
+    carr_sz = ", ".join(chain(2 + j, f"m.sz[{j + 1}]") for j in range(m))
+    zeros = f"list_transform(range(1, {m + 1}), i -> 0.0::DOUBLE)"
+    return f"""
+WITH RECURSIVE pos AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
+  FROM events
+), seg AS (
+  SELECT user_id, CAST((p - 1) // {L} AS BIGINT) AS s,
+         list(value ORDER BY p) AS xs,
+         list(event_id ORDER BY p) AS eids
+  FROM pos GROUP BY 1, 2
+), fold AS (
+  SELECT user_id, s, xs,
+         CASE WHEN s = 0 THEN 1 ELSE 0 END AS p,
+         CASE WHEN s = 0 THEN CAST(xs[1] AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS l,
+         CAST(0.0 AS DOUBLE) AS b,
+         {zeros} AS sz
+  FROM seg
+  UNION ALL
+  SELECT user_id, s, xs, p + 1,
+         {sl('l', 'b', 'sz', 'xs[p + 1]', 'p')},
+         {sb('l', 'b', 'sz', 'xs[p + 1]', 'p')},
+         {ssz('l', 'b', 'sz', 'xs[p + 1]', 'p')}
+  FROM fold WHERE p < len(xs)
+), dsum AS (
+  SELECT user_id, s, l, b, sz FROM fold WHERE p = len(xs)
+), carr AS (
+  SELECT user_id, s, l, b, sz FROM dsum WHERE s = 0
+  UNION ALL
+  SELECT m.user_id, m.s,
+         {chain(0, 'm.l')},
+         {chain(1, 'm.b')},
+         [{carr_sz}]
+  FROM dsum m JOIN carr c ON m.user_id = c.user_id AND m.s = c.s + 1
+), replay AS (
+  SELECT f.user_id, f.s, f.xs, f.eids,
+         CASE WHEN f.s = 0 THEN 1 ELSE 0 END AS p,
+         CASE WHEN f.s = 0 THEN CAST(f.xs[1] AS DOUBLE) ELSE c.l END AS l,
+         CASE WHEN f.s = 0 THEN CAST(0.0 AS DOUBLE) ELSE c.b END AS b,
+         CASE WHEN f.s = 0 THEN {zeros} ELSE c.sz END AS sz
+  FROM seg f LEFT JOIN carr c ON c.user_id = f.user_id AND c.s = f.s - 1
+  UNION ALL
+  SELECT user_id, s, xs, eids, p + 1,
+         {sl('l', 'b', 'sz', 'xs[p + 1]', 'p')},
+         {sb('l', 'b', 'sz', 'xs[p + 1]', 'p')},
+         {ssz('l', 'b', 'sz', 'xs[p + 1]', 'p')}
+  FROM replay WHERE p < len(xs)
+)
+SELECT user_id, eids[p] AS event_id,
+       {rhu_sql('l', 6)} AS level, {rhu_sql('b', 6)} AS trend
+FROM replay WHERE p >= 1
+"""
+
+
 def q_sliding_window_agg(spark, sf):
     """Sliding (hopping) event-time windows: 2-hour windows advancing
     hourly, per event type — the overlapping-window aggregate
@@ -10325,9 +10673,14 @@ def q_holt_winters(spark, sf):
     unlike ``ewma_smooth``/``holt_linear`` the accumulator is FIXED
     width (no per-step concat) so the fold itself is linear; the bound
     is the ``collect_list`` row width — ~24 bytes/event, so a 10⁷-event
-    hot key is a ~240 MB row: cap per-key input (or pre-aggregate to
-    hourly) past ~10⁶ events per key, or use the streaming twin whose
-    keyed state is O(m).  The oracle replays the
+    hot key is a ~240 MB row: past ~10⁶ events per key use
+    :func:`holt_winters_segmented` (round 7 — O(L·24) max row width,
+    constant-matrix carries), or the streaming twin whose keyed state
+    is O(m).  STABILITY: these default (α, β, γ) sit OUTSIDE the
+    additive-HW stability region (monodromy spectral radius ≈ 1.0255
+    — see the segmented sibling's docstring), so on a 10⁶-event key
+    the statistic itself overflows regardless of plan; long-series
+    use needs in-region parameters.  The oracle replays the
     identical recursion as a recursive CTE carrying the same DOUBLE[]
     — every float op sequence matches bit-for-bit before the 6 dp
     rounding (the ``holt_linear`` argument, plus the array)."""
@@ -11615,6 +11968,10 @@ def registry() -> dict[str, tuple]:
         "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
         "holt_linear": (q_holt_linear, SQL_HOLT_LINEAR),
         "holt_winters": (q_holt_winters, SQL_HOLT_WINTERS),
+        "holt_winters_segmented": (
+            q_holt_winters_segmented,
+            _holt_winters_segmented_sql(),
+        ),
         "streaming_holt_winters": (q_streaming_holt_winters, SQL_STREAMING_HOLT_WINTERS),
         "approx_distinct": (q_approx_distinct, _sql_approx_distinct()),
         "cms_heavy_hitters": (q_cms_heavy_hitters, _sql_cms_heavy_hitters()),

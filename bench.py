@@ -248,6 +248,7 @@ HEADLINE = [
     # baseline/progressive corpus, and real MJPEG-in-MP4 frame payloads
     "multimodal_jpeg_progressive",
     "multimodal_frames_mjpeg",
+    "holt_winters_segmented",
 ]
 
 

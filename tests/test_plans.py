@@ -659,6 +659,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "gopher_repetition": 4,  # r6: measured 2 (bigram mode aggs) + spread round-robin headroom
     "pii_redact": 1,  # r6: measured 0 (pure per-row regex) + headroom
     "holt_linear_segmented": 5,  # r6 linear hot-key Holt: measured 2 (AQE broadcast) + scale headroom
+    "holt_winters_segmented": 5,  # r7 seasonal hot-key HW: same 4-phase shape as the linear sibling
     "multimodal_audio_adpcm": 2,  # r6 IMA ADPCM: one mapInPandas pass, no shuffle needed
     "multimodal_mp4_meta": 2,  # r6 ISO BMFF parse: one mapInPandas pass
     "multimodal_frames_mp4": 2,  # r6 parsed-duration frame fan-out: one mapInPandas pass

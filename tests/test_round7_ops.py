@@ -114,6 +114,187 @@ def test_mjpeg_malformed_sample_tables_dead_letter():
         encode_mp4_mjpeg([], 16, 16)
 
 
+class TestHoltWintersSegmented:
+    """Round 7, verdict-r6 item 6: the seasonal member of the
+    segmented-fold family closes the q_holt_winters hot-key hole
+    in-plan (no more ~240 MB collect_list rows on 10⁷-event keys)."""
+
+    def test_matches_whole_series_final_state(self, spark, sf_dir):
+        """The segmented per-event emission's LAST row per key must
+        agree with q_holt_winters' whole-series final (level, trend)
+        after the shared 6-dp rounding — the ~1e-12 carry-composition
+        divergence never reaches the 6th decimal on the gate corpus."""
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+
+        from aprs2influxdb_spark.queries import registry
+
+        reg = registry()
+        whole = reg["holt_winters"][0](spark, sf_dir).select(
+            "user_id", F.col("level").alias("l1"), F.col("trend").alias("t1")
+        )
+        segd = reg["holt_winters_segmented"][0](spark, sf_dir)
+        w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+        last = (
+            segd.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("user_id", F.col("level").alias("l2"), F.col("trend").alias("t2"))
+        )
+        j = whole.join(last, "user_id").agg(
+            F.count("*").alias("n"),
+            F.sum(
+                ((F.col("l1") != F.col("l2")) | (F.col("t1") != F.col("t2"))).cast("int")
+            ).alias("ndiff"),
+        ).collect()[0]
+        assert j["n"] > 0 and j["ndiff"] == 0
+
+    def test_hot_key_1e6_vs_python_replica(self, spark):
+        """1M-event single key through the segmented Holt-Winters
+        path (L=504, 21 seasons/segment), every output pinned against
+        a pure-Python replica of the same decomposition: zero-seeded
+        per-segment folds, the SAME literal carry matrix
+        (_hw_carry_matrix — shared generation, not re-derivation),
+        flat left-to-right matrix·vector chains, per-segment replay.
+        No 240 MB row exists anywhere in the plan: the widest state is
+        O(L·24) floats.
+
+        Runs at STABLE parameters (α=0.3, β=0.05, γ=0.1): the
+        registry defaults sit outside the additive-HW stability
+        region, so on 10⁶ events the statistic itself overflows in
+        ANY engine (discovered building this test; documented in both
+        docstrings) — the plan-memory claim needs a finite series."""
+        import math
+
+        import pyspark.sql.functions as F
+
+        from aprs2influxdb_spark.queries import (
+            HW_SEASON,
+            _hw_carry_matrix,
+            holt_winters_segmented,
+        )
+
+        n, L = 1_000_000, 504
+        a_, bta, g_, m = 0.3, 0.05, 0.1, HW_SEASON
+        df = spark.range(n).select(
+            F.lit(3).cast("long").alias("user_id"),
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(F.col("id")).alias("ts"),
+            (((F.col("id") * 2654435761) % 1000) / F.lit(7.0)).alias("value"),
+        )
+        got = (
+            holt_winters_segmented(df, L=L, alpha=a_, beta=bta, gamma=g_)
+            .orderBy("event_id")
+            .toPandas()
+        )
+        assert len(got) == n
+
+        xs = [((i * 2654435761) % 1000) / 7.0 for i in range(n)]
+        segs = [xs[i : i + L] for i in range(0, n, L)]
+        A = _hw_carry_matrix(L, a_, bta, g_)
+
+        def step(l, b, sz, t, x):
+            # t is the pre-step counter (Spark acc.t); slot (t % 24)+1
+            q = t % m
+            sv = sz[q]
+            ln = a_ * (x - sv) + (1 - a_) * (l + b)
+            bn = bta * (ln - l) + (1 - bta) * b
+            sz2 = sz[:]
+            sz2[q] = g_ * (x - ln) + (1 - g_) * sv
+            return ln, bn, sz2, t + 1
+
+        def matvec(v, d):
+            out = []
+            for i in range(m + 2):
+                acc = A[i][0] * v[0] + A[i][1] * v[1]
+                for j in range(m):
+                    acc = acc + A[i][j + 2] * v[2 + j]
+                out.append(acc + d[i])
+            return out
+
+        # phase 1: summaries
+        dsum = []
+        for si, s in enumerate(segs):
+            if si == 0:
+                l, b, sz, t = s[0], 0.0, [0.0] * m, 1
+                for x in s[1:]:
+                    l, b, sz, t = step(l, b, sz, t, x)
+            else:
+                l, b, sz, t = 0.0, 0.0, [0.0] * m, 0
+                for x in s:
+                    l, b, sz, t = step(l, b, sz, t, x)
+            dsum.append([l, b] + sz)
+        # phase 2: carries (out-state per segment)
+        carries = [dsum[0]]
+        for si in range(1, len(segs)):
+            carries.append(matvec(carries[-1], dsum[si]))
+        # phase 4: replay
+        exp_l, exp_b = [], []
+        for si, s in enumerate(segs):
+            if si == 0:
+                l, b, sz, t = s[0], 0.0, [0.0] * m, 1
+                exp_l.append(l)
+                exp_b.append(b)
+                rest = s[1:]
+            else:
+                v = carries[si - 1]
+                l, b, sz, t = v[0], v[1], v[2:], 0
+                rest = s
+            for x in rest:
+                l, b, sz, t = step(l, b, sz, t, x)
+                exp_l.append(l)
+                exp_b.append(b)
+        r6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+        assert np.array_equal(
+            got["level"].to_numpy(), np.array([r6(v) for v in exp_l])
+        )
+        assert np.array_equal(
+            got["trend"].to_numpy(), np.array([r6(v) for v in exp_b])
+        )
+
+    def test_close_to_true_recurrence(self, spark):
+        """The decomposition is float-reordered but must track the
+        TRUE whole-series recurrence to ~1e-9 relative on a 10k-event
+        key (contractive dynamics damp carry round-off)."""
+        import pyspark.sql.functions as F
+
+        from aprs2influxdb_spark.queries import HW_SEASON, holt_winters_segmented
+
+        n, L = 10_000, 48
+        a_, bta, g_, m = 0.3, 0.05, 0.1, HW_SEASON
+        df = spark.range(n).select(
+            F.lit(1).cast("long").alias("user_id"),
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(F.col("id")).alias("ts"),
+            (((F.col("id") * 48271) % 997) / F.lit(3.0)).alias("value"),
+        )
+        got = (
+            holt_winters_segmented(df, L=L, alpha=a_, beta=bta, gamma=g_)
+            .orderBy("event_id")
+            .toPandas()
+        )
+        xs = [((i * 48271) % 997) / 3.0 for i in range(n)]
+        l, b, sz = xs[0], 0.0, [0.0] * m
+        exp = [(l, b)]
+        for t0, x in enumerate(xs[1:], start=1):
+            q = t0 % m
+            sv = sz[q]
+            ln = a_ * (x - sv) + (1 - a_) * (l + b)
+            bn = bta * (ln - l) + (1 - bta) * b
+            sz[q] = g_ * (x - ln) + (1 - g_) * sv
+            l, b = ln, bn
+            exp.append((l, b))
+        lv = got["level"].to_numpy()
+        tv = got["trend"].to_numpy()
+        el = np.array([e[0] for e in exp])
+        eb = np.array([e[1] for e in exp])
+        # outputs are rhu(·, 6)-rounded: budget the half-ulp of the 6th
+        # decimal plus the scaled carry-composition round-off
+        tol_l = 5.0e-7 + 1e-9 * (1 + np.abs(el).max())
+        tol_b = 5.0e-7 + 1e-9 * (1 + np.abs(eb).max())
+        assert np.abs(lv - el).max() <= tol_l
+        assert np.abs(tv - eb).max() <= tol_b
+
+
 def test_mp4_skeleton_now_carries_minf_stbl_chain():
     """ADVICE r6: ISO 14496-12 requires minf/stbl children inside
     mdia; the skeleton writer now emits vmhd|smhd + dinf/dref + a
