@@ -175,15 +175,43 @@ def lsh_rescreen_pairs(
     touching the batch — the oracle recomputes exactly that from the
     unioned corpus."""
     arr, banded = _lsh_index(docs, text_col, id_col, num_hashes, bands, shingle_n)
-    probe = banded.filter(probe_pred(F.col(id_col))).alias("l").hint("shuffle_hash")
+    return lsh_rescreen_from_state(arr, banded, probe_pred, id_col, threshold)
+
+
+def lsh_rescreen_from_state(
+    arr: DataFrame, banded: DataFrame, probe_pred,
+    id_col: str = "doc_id", threshold: float = 0.5,
+    probe_banded: DataFrame | None = None, probe_arr: DataFrame | None = None,
+) -> DataFrame:
+    """The probe half of :func:`lsh_rescreen_pairs`, taking the two
+    saved-state tables (``arr``: per-doc shingle sets, ``banded``:
+    banded signatures) as arguments so PERSISTED epoch state can feed
+    it (round 7, verdict-r6 item 4 — see :mod:`operators.epoch_state`).
+
+    Two probe modes: by default the probe rows are
+    ``banded.filter(probe_pred)`` (the batch is part of the index, the
+    gate-harness shape); passing ``probe_banded``/``probe_arr`` bands
+    a batch that is NOT in the saved index (the frozen-epoch
+    production shape) — candidates then pair the probe against the
+    index AND against the probe itself (batch-internal near-dups)."""
+    if probe_banded is None:
+        probe_rows = banded.filter(probe_pred(F.col(id_col)))
+        index_rows = banded
+        arr_a, arr_b = arr, arr
+    else:
+        probe_rows = probe_banded
+        index_rows = banded.unionByName(probe_banded)
+        arr_a = probe_arr
+        arr_b = arr.unionByName(probe_arr)
+    probe = probe_rows.alias("l").hint("shuffle_hash")
     cand = (
-        probe.join(banded.alias("r"), ["band", "key"])
+        probe.join(index_rows.alias("r"), ["band", "key"])
         .filter(F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .distinct()
     )
-    a = arr.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = arr.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    a = arr_a.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = arr_b.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     return (
         cand.join(a, "id_a").join(b, "id_b")
         .withColumn(

@@ -323,11 +323,36 @@ def semantic_rescreen(
     bucketed = assign.withColumn(
         "bucket", srp_bucket("v", n_planes, seed)
     ).withColumn("nrm", _norm(F.col("v"))).localCheckpoint(eager=False)
-    probe = bucketed.filter(probe_pred(F.col(id_col))).select(
+    return semantic_rescreen_from_state(bucketed, probe_pred, threshold, id_col)
+
+
+def semantic_rescreen_from_state(
+    bucketed: DataFrame, probe_pred, threshold: float = 0.95,
+    id_col: str = "vec_id", probe_bucketed: DataFrame | None = None,
+) -> DataFrame:
+    """The probe half of :func:`semantic_rescreen`, taking the
+    clustered+bucketed corpus table — (id, v, c_id, bucket, nrm) — as
+    an argument so PERSISTED epoch state can feed it (round 7,
+    verdict-r6 item 4: the production workflow loads this table from
+    parquet in a fresh session instead of rebuilding in-plan; see
+    :mod:`operators.epoch_state`).
+
+    Two probe modes: by default the probe rows are
+    ``bucketed.filter(probe_pred)`` (the batch is part of the index);
+    passing ``probe_bucketed`` probes a batch NOT in the saved index
+    (the frozen-epoch shape) — the verdict then covers batch×index
+    AND batch×batch collisions."""
+    if probe_bucketed is None:
+        probe_src = bucketed.filter(probe_pred(F.col(id_col)))
+        index_src = bucketed
+    else:
+        probe_src = probe_bucketed
+        index_src = bucketed.unionByName(probe_bucketed)
+    probe = probe_src.select(
         F.col(id_col).alias("id_a"), F.col("c_id"), "bucket",
         F.col("v").alias("va"), F.col("nrm").alias("na"),
     )
-    index = bucketed.select(
+    index = index_src.select(
         F.col(id_col).alias("id_b"), F.col("c_id"), "bucket",
         F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )
@@ -344,8 +369,7 @@ def semantic_rescreen(
         .withColumn("_hit", F.lit(1))
     )
     return (
-        bucketed.filter(probe_pred(F.col(id_col)))
-        .join(hits, id_col, "left")
+        probe_src.join(hits, id_col, "left")
         .select(F.col(id_col), F.col("_hit").isNotNull().alias("sem_dup"))
     )
 
@@ -386,6 +410,7 @@ def ivf_assignments(
     emb: DataFrame, n_centroids: int | None = None,
     id_col: str = "vec_id", vec_col: str = "embedding",
     n: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantization: the ``n_centroids`` lowest-id vectors
     serve as deterministic centroids (a k-means step would converge
@@ -417,12 +442,18 @@ def ivf_assignments(
     """
     import numpy as np
 
-    if n_centroids is None:
-        n_centroids = ivf_centroids_for(corpus_count(emb, n))
-    cent = (
-        emb.orderBy(F.col(id_col)).limit(n_centroids)
-        .select(F.col(id_col).alias("c_id"), F.col(vec_col).cast("array<double>").alias("cv"))
-    )
+    if centroids is not None:
+        # FROZEN centroids (round 7, epoch_state): assign to a saved
+        # epoch's centroid set instead of re-deriving from the corpus —
+        # new vectors never shift old assignments
+        cent = centroids.select("c_id", F.col("cv").cast("array<double>").alias("cv"))
+    else:
+        if n_centroids is None:
+            n_centroids = ivf_centroids_for(corpus_count(emb, n))
+        cent = (
+            emb.orderBy(F.col(id_col)).limit(n_centroids)
+            .select(F.col(id_col).alias("c_id"), F.col(vec_col).cast("array<double>").alias("cv"))
+        )
     cent_rows = cent.collect()  # O(sqrt(n) · d) — broadcast-sized by construction
     c_ids = np.array([r["c_id"] for r in cent_rows], dtype=np.int64)
     order = np.argsort(c_ids, kind="stable")  # argmax first-hit == lowest c_id

@@ -3611,9 +3611,13 @@ def q_incremental_contamination(spark, sf):
     property (degree ≥ 1 in the verified-pair graph, membership of a
     shingle/bucket neighborhood), not a function of computation
     order.  In the gate harness the "saved" structures are rebuilt
-    in-plan (the driver has no cross-run state); production persists
-    ``_lsh_index``'s two tables and the bucketed embedding table per
-    epoch."""
+    in-plan (the driver has no cross-run state); the PRODUCTION
+    workflow — persist the epoch to parquet, reload in a brand-new
+    session, probe — is :mod:`operators.epoch_state` (round 7), whose
+    cross-session round-trip is pinned row-equal to this in-plan
+    rebuild in tests/test_round7_ops.py, including the frozen-epoch
+    path where the batch is banded/assigned against saved centroids
+    it was never part of."""
     docs = _t(spark, sf, "documents")
 
     def is_new(c):
