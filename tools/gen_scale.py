@@ -307,8 +307,145 @@ def gen_events_fast(sf: float, out: str, seed: int = 42) -> None:
     writer.close()
 
 
+def gen_rel_fast(sf: float, out: str, seed: int = 42) -> None:
+    """Vectorized RELATIONAL-only generator for the BIG scale decades
+    (round 7, verdict-r6 item 3: the 22-query join/subquery family —
+    the bulk of the analytics surface — was measured only to sf10; at
+    sf100 lineitem is 600M rows).  Identical distribution families to
+    :func:`gen`'s relational block; per-row Python formatting replaced
+    by ``np.char`` vectorization and orders/lineitem streamed through
+    ParquetWriters in bounded chunks.  The one cross-chunk dependency
+    — lineitem's ship date derives from its order's date — is served
+    from an in-memory int32 day array (150M orders ≈ 600 MB), the
+    same bounded-driver-state class as the ladder harness itself."""
+    rng = np.random.default_rng(seed)
+    k = sf / 0.1
+    n = {t: int(c * k) for t, c in BASE.items()}
+    os.makedirs(out, exist_ok=True)
+
+    def write(name, **cols):
+        pq.write_table(pa.table(cols), os.path.join(out, f"{name}.parquet"))
+        print(f"  {name}: {len(next(iter(cols.values())))} rows", flush=True)
+
+    write("region", r_regionkey=np.arange(5, dtype="int64"),
+          r_name=np.array(["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]))
+    nk = np.arange(25, dtype="int64")
+    write("nation", n_nationkey=nk, n_name=np.array([f"NATION_{i:02d}" for i in nk]),
+          n_regionkey=(nk % 5).astype("int64"))
+
+    nc = n["customer"]
+    ids = np.arange(nc, dtype="int64")
+    write("customer",
+          c_custkey=ids,
+          c_name=np.char.add("Customer#", np.char.zfill(ids.astype(str), 9)),
+          c_nationkey=rng.integers(0, 25, nc),
+          c_acctbal=np.round(rng.uniform(-999.99, 9999.99, nc), 2),
+          c_mktsegment=np.array(SEGMENTS)[rng.integers(0, 5, nc)])
+
+    ns = n["supplier"]
+    ids = np.arange(ns, dtype="int64")
+    write("supplier",
+          s_suppkey=ids,
+          s_name=np.char.add("Supplier#", np.char.zfill(ids.astype(str), 9)),
+          s_nationkey=rng.integers(0, 25, ns),
+          s_acctbal=np.round(rng.uniform(-999.99, 9999.99, ns), 2))
+
+    npart = n["part"]
+    ids = np.arange(npart, dtype="int64")
+    adjs = np.array(["small", "large", "economy", "standard", "promo", "medium"])
+    mats = np.array(["brass", "steel", "tin", "nickel", "copper"])
+    p_name = np.char.add(
+        np.char.add(np.char.add(adjs[ids % 6], " "), mats[ids % 5]),
+        np.char.add(" part ", ids.astype(str)),
+    )
+    p_brand = np.char.add(
+        "Brand#",
+        np.char.add(((ids % 5) + 1).astype(str), ((ids // 5) % 5 + 1).astype(str)),
+    )
+    p_type = np.char.add(
+        np.char.add(np.char.upper(adjs[(ids * 7) % 6]), " "),
+        np.char.upper(mats[(ids * 3) % 5]),
+    )
+    write("part",
+          p_partkey=ids, p_name=p_name, p_brand=p_brand, p_type=p_type,
+          p_size=rng.integers(1, 51, npart),
+          p_retailprice=np.round(900 + (ids % 200) + rng.uniform(0, 100, npart), 2))
+
+    # orders: keep the day array for lineitem's ship dates
+    no = n["orders"]
+    oday = rng.integers(0, 2405, no).astype("int32")  # days since 1995-01-01
+    epoch = np.datetime64("1995-01-01")
+    oschema = pa.schema([
+        ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+        ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
+        ("o_orderdate", pa.date32()), ("o_orderpriority", pa.string()),
+    ])
+    owriter = pq.ParquetWriter(os.path.join(out, "orders.parquet"), oschema)
+    statuses, prios = np.array(["F", "O", "P"]), np.array(PRIORITIES)
+    chunk, done = 10_000_000, 0
+    while done < no:
+        m = min(chunk, no - done)
+        sl = slice(done, done + m)
+        owriter.write_table(pa.table({
+            "o_orderkey": np.arange(done, done + m, dtype="int64"),
+            "o_custkey": rng.integers(0, nc, m),
+            "o_orderstatus": statuses[rng.integers(0, 3, m)],
+            "o_totalprice": np.round(rng.uniform(850.0, 450_000.0, m), 2),
+            "o_orderdate": (epoch + oday[sl]).astype("datetime64[D]"),
+            "o_orderpriority": prios[rng.integers(0, 5, m)],
+        }, schema=oschema))
+        done += m
+        print(f"  orders: {done}/{no}", flush=True)
+    owriter.close()
+
+    # lineitem: globally sorted orderkeys + per-order line numbers,
+    # computed vectorized over the whole key array, written chunked
+    nl = n["lineitem"]
+    l_ok = rng.integers(0, no, nl, dtype="int64")
+    l_ok.sort(kind="stable")
+    newrun = np.empty(nl, dtype=bool)
+    newrun[0] = True
+    np.not_equal(l_ok[1:], l_ok[:-1], out=newrun[1:])
+    starts = np.flatnonzero(newrun)
+    run_starts = np.repeat(starts, np.diff(np.r_[starts, nl]))
+    l_ln = (np.arange(nl, dtype="int64") - run_starts + 1)
+    del newrun, starts, run_starts
+    lschema = pa.schema([
+        ("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+        ("l_suppkey", pa.int64()), ("l_linenumber", pa.int64()),
+        ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+        ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+        ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+        ("l_shipdate", pa.date32()),
+    ])
+    lwriter = pq.ParquetWriter(os.path.join(out, "lineitem.parquet"), lschema)
+    flags, lss = np.array(["A", "N", "R"]), np.array(["F", "O"])
+    done = 0
+    while done < nl:
+        m = min(chunk, nl - done)
+        ok = l_ok[done : done + m]
+        sday = oday[ok].astype("int64") + rng.integers(1, 122, m)
+        lwriter.write_table(pa.table({
+            "l_orderkey": ok,
+            "l_partkey": rng.integers(0, npart, m),
+            "l_suppkey": rng.integers(0, ns, m),
+            "l_linenumber": l_ln[done : done + m],
+            "l_quantity": rng.integers(1, 51, m).astype("float64"),
+            "l_extendedprice": np.round(rng.uniform(900.0, 100_000.0, m), 2),
+            "l_discount": np.round(rng.integers(0, 11, m) / 100.0, 2),
+            "l_tax": np.round(rng.integers(0, 9, m) / 100.0, 2),
+            "l_returnflag": flags[rng.integers(0, 3, m)],
+            "l_linestatus": lss[rng.integers(0, 2, m)],
+            "l_shipdate": (epoch + sday).astype("datetime64[D]"),
+        }, schema=lschema))
+        done += m
+        print(f"  lineitem: {done}/{nl}", flush=True)
+    lwriter.close()
+
+
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a not in ("--docs-only", "--events-only")]
+    flags_ = ("--docs-only", "--events-only", "--rel-only")
+    args = [a for a in sys.argv[1:] if a not in flags_]
     sf = float(args[0]) if args else 1.0
     out = args[1] if len(args) > 1 else f"scaledata/sf{sf:g}"
     print(f"generating sf{sf:g} -> {out}")
@@ -316,5 +453,7 @@ if __name__ == "__main__":
         gen_docs_fast(sf, out)
     elif "--events-only" in sys.argv:
         gen_events_fast(sf, out)
+    elif "--rel-only" in sys.argv:
+        gen_rel_fast(sf, out)
     else:
         gen(sf, out)
