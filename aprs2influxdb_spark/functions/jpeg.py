@@ -293,6 +293,69 @@ def _encode_block(
     return zz[0]
 
 
+# dead-letter bound: the largest frame either decoder will hold
+# in memory (≈2048×2048 gray / 1170×1170 4:4:4 color).  A ~30-byte
+# crafted SOF declaring 65535×65535 would otherwise force a multi-GB
+# coefficient-store allocation (MemoryError, not the 'JPEG:'
+# ValueError the mapInPandas dead-letter path catches) — review r7.
+MAX_DECODE_BLOCKS = 1 << 16
+
+
+def _check_frame_size(width: int, height: int, comps) -> None:
+    blocks = 0
+    hmax = max(h for _cid, h, _v, _tq in comps)
+    vmax = max(v for _cid, _h, v, _tq in comps)
+    n_mx = (width + 8 * hmax - 1) // (8 * hmax)
+    n_my = (height + 8 * vmax - 1) // (8 * vmax)
+    for _cid, h, v, _tq in comps:
+        blocks += n_mx * h * n_my * v
+    if blocks > MAX_DECODE_BLOCKS:
+        raise ValueError(
+            f"JPEG: frame too large for in-memory decode ({blocks} blocks)"
+        )
+
+
+def _read_huff(br: _BitReader, table: dict) -> int:
+    """Shared huffman symbol reader (baseline + progressive scans)."""
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.read_bit()
+        length += 1
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("JPEG: invalid huffman code")
+
+
+def _parse_dqt_segment(body: bytes, quant: dict[int, list[int]]) -> None:
+    """DQT: possibly several tables per segment, payload zigzag order."""
+    b = body
+    while b:
+        pq, tq = b[0] >> 4, b[0] & 0xF
+        n = 64 * (2 if pq else 1)
+        raw = b[1 : 1 + n]
+        tbl = list(struct.unpack(">64H", raw)) if pq else list(raw)
+        dz = [0] * 64
+        for i in range(64):
+            dz[ZIGZAG[i]] = tbl[i]
+        quant[tq] = dz
+        b = b[1 + n :]
+
+
+def _parse_dht_segment(
+    body: bytes, dc_tables: dict[int, dict], ac_tables: dict[int, dict]
+) -> None:
+    """DHT: possibly several tables per segment."""
+    b = body
+    while b:
+        tc, th = b[0] >> 4, b[0] & 0xF
+        bits = list(b[1:17])
+        nv = sum(bits)
+        vals = list(b[17 : 17 + nv])
+        (ac_tables if tc else dc_tables)[th] = _build_decode(bits, vals)
+        b = b[17 + nv :]
+
+
 def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
@@ -564,29 +627,10 @@ def _decode_baseline_impl(payload: bytes) -> tuple[int, int, list[bytes]]:
             break
         ln = struct.unpack(">H", payload[pos : pos + 2])[0]
         body = payload[pos + 2 : pos + ln]
-        if marker == 0xDB:  # DQT (possibly several tables per segment)
-            b = body
-            while b:
-                pq, tq = b[0] >> 4, b[0] & 0xF
-                n = 64 * (2 if pq else 1)
-                raw = b[1 : 1 + n]
-                tbl = (
-                    list(struct.unpack(f">{64}H", raw)) if pq else list(raw)
-                )
-                dz = [0] * 64
-                for i in range(64):
-                    dz[ZIGZAG[i]] = tbl[i]
-                quant[tq] = dz
-                b = b[1 + n :]
-        elif marker == 0xC4:  # DHT (possibly several tables per segment)
-            b = body
-            while b:
-                tc, th = b[0] >> 4, b[0] & 0xF
-                bits = list(b[1:17])
-                nv = sum(bits)
-                vals = list(b[17 : 17 + nv])
-                (ac_tables if tc else dc_tables)[th] = _build_decode(bits, vals)
-                b = b[17 + nv :]
+        if marker == 0xDB:
+            _parse_dqt_segment(body, quant)
+        elif marker == 0xC4:
+            _parse_dht_segment(body, dc_tables, ac_tables)
         elif marker == 0xC0:  # SOF0 baseline
             _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             if ncomp not in (1, 3):
@@ -597,6 +641,7 @@ def _decode_baseline_impl(payload: bytes) -> tuple[int, int, list[bytes]]:
                 if h not in (1, 2) or v not in (1, 2):
                     raise ValueError("JPEG: sampling factors above 2 not supported")
                 comps.append((cid, h, v, tq))
+            _check_frame_size(width, height, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("JPEG: only baseline (SOF0) supported")
         elif marker == 0xDD:  # DRI (B.2.4.4)
@@ -646,16 +691,7 @@ def _decode_baseline_impl(payload: bytes) -> tuple[int, int, list[bytes]]:
             )
         )
 
-    def read_huff(br: _BitReader, table: dict) -> int:
-        code, length = 0, 0
-        while length < 16:
-            code = (code << 1) | br.read_bit()
-            length += 1
-            v = table.get((length, code))
-            if v is not None:
-                return v
-        raise ValueError("JPEG: invalid huffman code")
-
+    read_huff = _read_huff
     br = _BitReader(scan_data)
     hmax = max(h for _cid, h, _v, _tq in comps)
     vmax = max(v for _cid, _h, v, _tq in comps)
@@ -799,16 +835,7 @@ def _decode_progressive_impl(payload: bytes) -> tuple[int, int, list[bytes]]:
     hmax = vmax = 1
     n_mx = n_my = 0
     saw_scan = saw_eoi = False
-
-    def read_huff(br: _BitReader, table: dict) -> int:
-        code, length = 0, 0
-        while length < 16:
-            code = (code << 1) | br.read_bit()
-            length += 1
-            v = table.get((length, code))
-            if v is not None:
-                return v
-        raise ValueError("JPEG: invalid huffman code")
+    read_huff = _read_huff
 
     def comp_grid(ci: int) -> tuple[int, int]:
         # the component's true block grid (ceil of its sample grid /8)
@@ -958,26 +985,9 @@ def _decode_progressive_impl(payload: bytes) -> tuple[int, int, list[bytes]]:
         ln = struct.unpack(">H", payload[pos : pos + 2])[0]
         body = payload[pos + 2 : pos + ln]
         if marker == 0xDB:
-            b = body
-            while b:
-                pq, tq = b[0] >> 4, b[0] & 0xF
-                n = 64 * (2 if pq else 1)
-                raw = b[1 : 1 + n]
-                tbl = list(struct.unpack(">64H", raw)) if pq else list(raw)
-                dz = [0] * 64
-                for i in range(64):
-                    dz[ZIGZAG[i]] = tbl[i]
-                quant[tq] = dz
-                b = b[1 + n :]
+            _parse_dqt_segment(body, quant)
         elif marker == 0xC4:
-            b = body
-            while b:
-                tc, th = b[0] >> 4, b[0] & 0xF
-                bits = list(b[1:17])
-                nv = sum(bits)
-                vals = list(b[17 : 17 + nv])
-                (ac_tables if tc else dc_tables)[th] = _build_decode(bits, vals)
-                b = b[17 + nv :]
+            _parse_dht_segment(body, dc_tables, ac_tables)
         elif marker == 0xC2:
             _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             if ncomp not in (1, 3):
@@ -988,6 +998,7 @@ def _decode_progressive_impl(payload: bytes) -> tuple[int, int, list[bytes]]:
                 if h not in (1, 2) or v not in (1, 2):
                     raise ValueError("JPEG: sampling factors above 2 not supported")
                 comps.append((cid, h, v, tq))
+            _check_frame_size(width, height, comps)
             hmax = max(h for _cid, h, _v, _tq in comps)
             vmax = max(v for _cid, _h, v, _tq in comps)
             n_mx = (width + 8 * hmax - 1) // (8 * hmax)

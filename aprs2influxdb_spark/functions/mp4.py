@@ -254,7 +254,13 @@ def parse_mp4(payload: bytes) -> dict:
                     out["n_tracks"] += 1
                     cur = {"handler": None}
                     traks.append(cur)
-                walk(body_lo, body_hi, depth + 1)
+                    walk(body_lo, body_hi, depth + 1)
+                    # a moov-level full box AFTER the trak must not be
+                    # attributed to it (review r7: a stray sibling mdhd
+                    # would silently rescale every sample timestamp)
+                    cur = None
+                else:
+                    walk(body_lo, body_hi, depth + 1)
             elif btype == b"mvhd":
                 if body_hi - body_lo < 20:
                     raise ValueError("MP4: mvhd body too short")
@@ -301,29 +307,47 @@ def parse_mp4(payload: bytes) -> dict:
                 if body_hi - body_lo < 8:
                     raise ValueError(f"MP4: {btype.decode()} body too short")
                 b = payload[body_lo + 4 : body_hi]  # skip version/flags
+                # entry/sample COUNTS are attacker-controlled 32-bit
+                # ints: validate against what the file could possibly
+                # hold BEFORE any list expansion, or a ~30-byte header
+                # forces a multi-GB allocation (MemoryError, not the
+                # 'MP4:' dead-letter ValueError) — review r7
                 if btype == b"stts":
                     (ne,) = struct.unpack(">I", b[:4])
-                    cur["stts"] = [
+                    if 4 + 8 * ne > len(b):
+                        raise ValueError("MP4: stts entry count exceeds box size")
+                    ents = [
                         struct.unpack(">II", b[4 + 8 * i : 12 + 8 * i])
                         for i in range(ne)
                     ]
+                    if sum(c for c, _d in ents) > len(payload):
+                        raise ValueError("MP4: stts sample count exceeds file size")
+                    cur["stts"] = ents
                 elif btype == b"stsc":
                     (ne,) = struct.unpack(">I", b[:4])
+                    if 4 + 12 * ne > len(b):
+                        raise ValueError("MP4: stsc entry count exceeds box size")
                     cur["stsc"] = [
                         struct.unpack(">III", b[4 + 12 * i : 16 + 12 * i])
                         for i in range(ne)
                     ]
                 elif btype == b"stsz":
                     fixed, cnt = struct.unpack(">II", b[:8])
+                    if cnt > len(payload):
+                        raise ValueError("MP4: stsz sample count exceeds file size")
                     if fixed:
                         cur["stsz"] = [fixed] * cnt
                     else:
+                        if 8 + 4 * cnt > len(b):
+                            raise ValueError("MP4: stsz entry count exceeds box size")
                         cur["stsz"] = [
                             struct.unpack(">I", b[8 + 4 * i : 12 + 4 * i])[0]
                             for i in range(cnt)
                         ]
                 else:  # stco
                     (ne,) = struct.unpack(">I", b[:4])
+                    if 4 + 4 * ne > len(b):
+                        raise ValueError("MP4: stco entry count exceeds box size")
                     cur["stco"] = [
                         struct.unpack(">I", b[4 + 4 * i : 8 + 4 * i])[0]
                         for i in range(ne)
@@ -356,8 +380,13 @@ def parse_mp4(payload: bytes) -> dict:
         spc: list[int] = []
         for ri, (first, per, _sdi) in enumerate(stsc):
             until = stsc[ri + 1][0] if ri + 1 < len(stsc) else len(stco) + 1
-            if first < 1 or until <= first and ri + 1 < len(stsc):
+            # runs must partition [1, n_chunks]: forged first_chunk
+            # values would otherwise expand an unbounded list or skip
+            # chunks silently (review r7)
+            if first < 1 or until <= first or until > len(stco) + 1:
                 raise ValueError("MP4: bad stsc run")
+            if per > len(payload):
+                raise ValueError("MP4: stsc samples-per-chunk exceeds file size")
             spc.extend([per] * (until - first))
         if len(spc) != len(stco):
             raise ValueError("MP4: stsc runs do not cover the chunks")

@@ -222,9 +222,34 @@ def rescreen_new_batch(
     batch×index ∪ batch×batch (a new doc can collide with the saved
     corpus or with another doc of its own batch).  Cost is
     O(batch × bucket occupancy) — the saved corpus is touched only
-    through the bucket-join keys."""
+    through the bucket-join keys.
+
+    PRECONDITION: batch ids must be FRESH — a doc re-ingested under
+    its saved id would union into a duplicate-id table where the
+    ``id_a != id_b`` pair filter silently suppresses the batch-vs-
+    saved comparison for that id (review r7).  Validated here with a
+    semi-join (cost O(batch)); a keyed upsert epoch merge is a
+    different operation."""
     st = load_contamination_state(spark, path)
     meta = st["meta"]
+
+    clash = (
+        new_docs.select(F.col(id_col))
+        .join(st["shingles"].select(id_col), id_col, "left_semi")
+        .limit(1)
+        .count()
+    )
+    vclash = (
+        new_emb.select(F.col(vec_id_col).alias("vec_id"))
+        .join(st["semantic_index"].select("vec_id"), "vec_id", "left_semi")
+        .limit(1)
+        .count()
+    )
+    if clash or vclash:
+        raise ValueError(
+            "rescreen_new_batch: batch ids collide with the saved epoch "
+            "(re-ingest under an existing id needs an epoch merge, not a probe)"
+        )
 
     batch_arr, batch_banded = _lsh_index(
         new_docs, text_col, id_col,

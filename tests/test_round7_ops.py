@@ -90,6 +90,75 @@ def test_mjpeg_multi_chunk_stsc_expansion():
             assert s[2] == k * 25
 
 
+def test_mp4_forged_counts_dead_letter_not_oom():
+    """Review r7: stts/stsz/stsc counts are attacker-controlled 32-bit
+    ints; a tiny file declaring 2^32 samples must raise the MP4:
+    ValueError BEFORE any list expansion, never MemoryError."""
+    blobs, _ = _mk_frames(2, seed=9)
+    good = encode_mp4_mjpeg(blobs, 16, 16)
+
+    for tag, off in ((b"stts", 12), (b"stsz", 16), (b"stco", 12)):
+        bad = bytearray(good)
+        struct.pack_into(">I", bad, bad.index(tag) + off, 0xFFFFFFFF)
+        with pytest.raises(ValueError, match="MP4"):
+            parse_mp4(bytes(bad))
+    # stsz fixed-size mode: fixed != 0 with a forged count
+    bad = bytearray(good)
+    i = bad.index(b"stsz")
+    struct.pack_into(">II", bad, i + 8, 100, 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="MP4"):
+        parse_mp4(bytes(bad))
+    # stsc samples-per-chunk forged huge
+    bad = bytearray(good)
+    i = bad.index(b"stsc")
+    struct.pack_into(">I", bad, i + 16, 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="MP4"):
+        parse_mp4(bytes(bad))
+
+
+def test_mp4_sibling_fullbox_after_trak_not_attributed():
+    """Review r7: a moov-level mdhd AFTER the trak must not overwrite
+    the closed trak's timescale (it would silently rescale every
+    sample timestamp)."""
+    blobs, _ = _mk_frames(2, seed=10)
+    good = encode_mp4_mjpeg(blobs, 16, 16, frame_delta=40)
+    # splice a stray mdhd (timescale=90000) as a moov-level sibling
+    # after the trak: rebuild moov = mvhd + trak + stray
+    stray = struct.pack(">I", 8 + 24) + b"mdhd" + struct.pack(
+        ">B3xIIIIH2x", 0, 0, 0, 90000, 1, 0x55C4
+    )
+    i = good.index(b"moov")
+    moov_start = i - 4
+    (moov_size,) = struct.unpack(">I", good[moov_start : moov_start + 4])
+    rebuilt = (
+        good[:moov_start]
+        + struct.pack(">I", moov_size + len(stray))
+        + good[moov_start + 4 : moov_start + moov_size]
+        + stray
+        + good[moov_start + moov_size :]
+    )
+    m = parse_mp4(rebuilt)
+    assert [s[2] for s in m["samples"]] == [0, 40]  # not rescaled by 90000
+
+
+def test_jpeg_giant_sof_dead_letters_not_oom():
+    """Review r7: a ~30-byte SOF2/SOF0 declaring 65535x65535 must
+    raise the JPEG: ValueError before allocating the coefficient
+    store / planes."""
+    import struct as _struct
+
+    for sof in (0xFFC0, 0xFFC2):
+        blob = (
+            b"\xff\xd8"
+            + _struct.pack(">HH", 0xFFDB, 2 + 65) + b"\x00" + bytes([1] * 64)
+            + _struct.pack(">HH", sof, 2 + 9)
+            + _struct.pack(">BHHB", 8, 65535, 65535, 1) + bytes([1, 0x11, 0])
+            + b"\xff\xd9"
+        )
+        with pytest.raises(ValueError, match="frame too large"):
+            decode_jpeg_gray(blob)
+
+
 def test_mjpeg_malformed_sample_tables_dead_letter():
     blobs, _ = _mk_frames(3, seed=4)
     good = encode_mp4_mjpeg(blobs, 16, 16)
@@ -416,6 +485,18 @@ spark.stop()
         # and the saved index was never rebuilt: state predates the batch
         saved = spark.read.parquet(f"{state}/shingles")
         assert saved.filter(F.col("doc_id").isin(ids)).count() == 0
+
+        # review r7: a batch id colliding with the saved epoch must be
+        # rejected (the pair filter would silently suppress the
+        # batch-vs-saved comparison for that id)
+        colliding = spark.createDataFrame(
+            [(int(src["doc_id"]), "some text")], "doc_id long, text string"
+        )
+        cemb = spark.createDataFrame(
+            [(ids[0] + 1000, [0.0] * 64)], "vec_id long, embedding array<float>"
+        )
+        with pytest.raises(ValueError, match="collide with the saved epoch"):
+            rescreen_new_batch(spark, state, colliding, cemb).collect()
 
 
 def test_mp4_skeleton_now_carries_minf_stbl_chain():

@@ -80,7 +80,7 @@ def gen(sf: float, out: str, seed: int = 42) -> None:
     write("region", r_regionkey=np.arange(5, dtype="int64"),
           r_name=np.array(["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]))
     nk = np.arange(25, dtype="int64")
-    write("nation", n_nationkey=nk, n_name=np.array([f"NATION_{i:02d}" for i in nk]),
+    write("nation", n_nationkey=nk, n_name=np.array([f"NATION_{i}" for i in nk]),
           n_regionkey=(nk % 5).astype("int64"))
 
     nc = n["customer"]
@@ -99,13 +99,19 @@ def gen(sf: float, out: str, seed: int = 42) -> None:
           s_acctbal=np.round(rng.uniform(-999.99, 9999.99, ns), 2))
 
     npart = n["part"]
+    # literal conventions MUST match the driver's gate tables (review
+    # r7: the first cut wrote 'ECONOMY TIN' / 'NATION_05', so every
+    # query filtering p_type = 'ECONOMY' or n_name = 'NATION_5'
+    # (market_share, waiting_supplier, …) was DEGENERATE on scaledata):
+    # single-word uppercase p_type, Brand#1..25, two-word p_name with
+    # 'large'/'widget' present for the LIKE filters
     adjs = ["small", "large", "economy", "standard", "promo", "medium"]
-    mats = ["brass", "steel", "tin", "nickel", "copper"]
+    nouns = ["ring", "bolt", "widget", "cog", "plate"]
     write("part",
           p_partkey=np.arange(npart, dtype="int64"),
-          p_name=np.array([f"{adjs[i % 6]} {mats[i % 5]} part {i}" for i in range(npart)]),
-          p_brand=np.array([f"Brand#{(i % 5) + 1}{(i // 5) % 5 + 1}" for i in range(npart)]),
-          p_type=np.array([f"{adjs[(i * 7) % 6].upper()} {mats[(i * 3) % 5].upper()}" for i in range(npart)]),
+          p_name=np.array([f"{adjs[i % 6]} {nouns[(i * 3) % 5]}" for i in range(npart)]),
+          p_brand=np.array([f"Brand#{(i % 25) + 1}" for i in range(npart)]),
+          p_type=np.array([adjs[(i * 7) % 6].upper() for i in range(npart)]),
           p_size=rng.integers(1, 51, npart),
           p_retailprice=np.round(900 + (np.arange(npart) % 200) + rng.uniform(0, 100, npart), 2))
 
@@ -307,17 +313,17 @@ def gen_events_fast(sf: float, out: str, seed: int = 42) -> None:
     writer.close()
 
 
-def gen_rel_fast(sf: float, out: str, seed: int = 42) -> None:
-    """Vectorized RELATIONAL-only generator for the BIG scale decades
-    (round 7, verdict-r6 item 3: the 22-query join/subquery family —
-    the bulk of the analytics surface — was measured only to sf10; at
-    sf100 lineitem is 600M rows).  Identical distribution families to
-    :func:`gen`'s relational block; per-row Python formatting replaced
-    by ``np.char`` vectorization and orders/lineitem streamed through
-    ParquetWriters in bounded chunks.  The one cross-chunk dependency
-    — lineitem's ship date derives from its order's date — is served
-    from an in-memory int32 day array (150M orders ≈ 600 MB), the
-    same bounded-driver-state class as the ladder harness itself."""
+def gen_rel_dims(sf: float, out: str, seed: int = 42) -> None:
+    """The relational DIMENSION tables (region/nation/customer/
+    supplier/part), vectorized — callable standalone so the small
+    tables can be regenerated (e.g. after a literal-convention fix)
+    without redoing the 600M-row fact tables.  Literal conventions
+    match the driver's gate tables (review r7: the first cut wrote
+    'ECONOMY TIN' / 'NATION_05', so every query filtering
+    p_type = 'ECONOMY' or n_name = 'NATION_5' — market_share,
+    waiting_supplier, … — was DEGENERATE on scaledata): single-word
+    uppercase p_type, Brand#1..25, two-word p_name carrying the
+    'large'/'widget' LIKE targets, unpadded NATION_{i}."""
     rng = np.random.default_rng(seed)
     k = sf / 0.1
     n = {t: int(c * k) for t, c in BASE.items()}
@@ -330,7 +336,7 @@ def gen_rel_fast(sf: float, out: str, seed: int = 42) -> None:
     write("region", r_regionkey=np.arange(5, dtype="int64"),
           r_name=np.array(["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]))
     nk = np.arange(25, dtype="int64")
-    write("nation", n_nationkey=nk, n_name=np.array([f"NATION_{i:02d}" for i in nk]),
+    write("nation", n_nationkey=nk, n_name=np.array([f"NATION_{i}" for i in nk]),
           n_regionkey=(nk % 5).astype("int64"))
 
     nc = n["customer"]
@@ -353,23 +359,38 @@ def gen_rel_fast(sf: float, out: str, seed: int = 42) -> None:
     npart = n["part"]
     ids = np.arange(npart, dtype="int64")
     adjs = np.array(["small", "large", "economy", "standard", "promo", "medium"])
-    mats = np.array(["brass", "steel", "tin", "nickel", "copper"])
-    p_name = np.char.add(
-        np.char.add(np.char.add(adjs[ids % 6], " "), mats[ids % 5]),
-        np.char.add(" part ", ids.astype(str)),
-    )
-    p_brand = np.char.add(
-        "Brand#",
-        np.char.add(((ids % 5) + 1).astype(str), ((ids // 5) % 5 + 1).astype(str)),
-    )
-    p_type = np.char.add(
-        np.char.add(np.char.upper(adjs[(ids * 7) % 6]), " "),
-        np.char.upper(mats[(ids * 3) % 5]),
-    )
+    nouns = np.array(["ring", "bolt", "widget", "cog", "plate"])
+    p_name = np.char.add(np.char.add(adjs[ids % 6], " "), nouns[(ids * 3) % 5])
+    p_brand = np.char.add("Brand#", ((ids % 25) + 1).astype(str))
+    p_type = np.char.upper(adjs[(ids * 7) % 6])
     write("part",
           p_partkey=ids, p_name=p_name, p_brand=p_brand, p_type=p_type,
           p_size=rng.integers(1, 51, npart),
           p_retailprice=np.round(900 + (ids % 200) + rng.uniform(0, 100, npart), 2))
+
+
+def gen_rel_fast(sf: float, out: str, seed: int = 42) -> None:
+    """Vectorized RELATIONAL-only generator for the BIG scale decades
+    (round 7, verdict-r6 item 3: the 22-query join/subquery family —
+    the bulk of the analytics surface — was measured only to sf10; at
+    sf100 lineitem is 600M rows).  Identical distribution families to
+    :func:`gen`'s relational block; per-row Python formatting replaced
+    by ``np.char`` vectorization and orders/lineitem streamed through
+    ParquetWriters in bounded chunks.  The one cross-chunk dependency
+    — lineitem's ship date derives from its order's date — is served
+    from an in-memory int32 day array (150M orders ≈ 600 MB), the
+    same bounded-driver-state class as the ladder harness itself."""
+    rng = np.random.default_rng(seed)
+    k = sf / 0.1
+    n = {t: int(c * k) for t, c in BASE.items()}
+    os.makedirs(out, exist_ok=True)
+
+    def write(name, **cols):
+        pq.write_table(pa.table(cols), os.path.join(out, f"{name}.parquet"))
+        print(f"  {name}: {len(next(iter(cols.values())))} rows", flush=True)
+
+    gen_rel_dims(sf, out, seed)
+    nc, ns, npart = n["customer"], n["supplier"], n["part"]
 
     # orders: keep the day array for lineitem's ship dates
     no = n["orders"]

@@ -97,8 +97,10 @@ def streaming_ttl_noop(spark, sf):
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
+    import shutil
     import tempfile
 
+    ckpt = tempfile.mkdtemp(prefix="ttl_ladder_")
     try:
         out = (
             _sentinel_events_stream(spark, sf)
@@ -111,12 +113,13 @@ def streaming_ttl_noop(spark, sf):
         q = (
             out.writeStream.format("noop")
             .outputMode("append")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ttl_ladder_"))
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
     finally:
+        shutil.rmtree(ckpt, ignore_errors=True)  # GB-scale RocksDB state at sf100
         if prev is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:

@@ -22,6 +22,7 @@ Usage: python tools/ladder_r7.py [names...]   # default: the r7 set
 from __future__ import annotations
 
 import json
+import shutil
 import sys
 import tempfile
 import time
@@ -65,12 +66,13 @@ def _noop_stream(spark, stream_df, mode: str, rocksdb: bool = True) -> None:
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
+    ckpt = tempfile.mkdtemp(prefix="ladder_r7_")
     try:
         q = (
             stream_df.writeStream.format("noop")
             .outputMode(mode)
             .trigger(availableNow=True)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ladder_r7_"))
+            .option("checkpointLocation", ckpt)
             .start()
         )
         q.awaitTermination()
@@ -85,6 +87,7 @@ def _noop_stream(spark, stream_df, mode: str, rocksdb: bool = True) -> None:
                     total = so["numRowsTotal"]
         _LAST_STATE = {"updated": updated, "removed": removed, "total": total}
     finally:
+        shutil.rmtree(ckpt, ignore_errors=True)  # GB-scale RocksDB state at sf100
         if prev is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:

@@ -111,6 +111,11 @@ def run_soak(n_frames: int, n_files: int, ref_frames: int) -> dict:
 
     spark = get_spark("soak", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
+    # recentProgress is capped (default 100): raise it past the batch
+    # count or rows/percentiles silently undercount (review r7)
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates", str(n_files + 50)
+    )
     state = _StubState()
     srv, port = start_influx_stub(state)
     url = f"http://127.0.0.1:{port}"
