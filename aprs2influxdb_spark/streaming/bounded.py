@@ -170,6 +170,7 @@ def _parted_events_stream(
     corpus maximum as the LAST batch (mtime ladder + path names order
     the files; the sentinel's non-ts columns are NULL except
     ``event_type``, so its group can never be emitted)."""
+    import atexit
     import glob
     import os
     import shutil
@@ -179,6 +180,11 @@ def _parted_events_stream(
     events = _t(spark, sf_dir, "events")
     max_ts = events.agg(F.max("ts").alias("m")).collect()[0]["m"]
     tmp = tempfile.mkdtemp(prefix=prefix)
+    # the staged copy is a full events table (2.1 GB at sf100) read
+    # lazily by the stream — clean at process exit, not eagerly
+    # (review r7: repeated ladder/test invocations leaked one copy
+    # per append twin per scale until the scratch disk filled)
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     data_dir = os.path.join(tmp, "data")
     os.makedirs(data_dir)
 

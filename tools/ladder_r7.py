@@ -22,10 +22,13 @@ Usage: python tools/ladder_r7.py [names...]   # default: the r7 set
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import tempfile
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
