@@ -9314,24 +9314,37 @@ def q_waiting_supplier(spark, sf):
 
     Plan shape: the two correlated subqueries (EXISTS another
     supplier's line; NOT EXISTS another supplier's LATE line)
-    decorrelate into ONE per-order aggregate — distinct-supplier
-    count, distinct-late-supplier count, late-line count — instead of
-    three passes over the joined fact (the classic semi + anti plan
-    scans it thrice and shuffles the order key twice more).  Orders
-    where n_supp > 1 and exactly one supplier is late attribute all
-    their late lines to that supplier.  The oracle keeps the classic
-    EXISTS/NOT-EXISTS form, pinning the rewrite's equivalence."""
+    decorrelate into per-order aggregates instead of three passes
+    over the joined fact (the classic semi + anti plan scans it
+    thrice and shuffles the order key twice more).  Orders where
+    n_supp > 1 and exactly one supplier is late attribute all their
+    late lines to that supplier.  The oracle keeps the classic
+    EXISTS/NOT-EXISTS form, pinning the rewrite's equivalence.
+
+    Round 7: the aggregate is TWO-LEVEL — (order, supplier) partials
+    first (any-late flag + late-line count, plain aggregates), then
+    the per-order rollup as counts/sums over the partials.  The
+    round-6 single-level form used two ``countDistinct``s in one agg,
+    which Spark plans as an Expand ×3 of the 600M-row joined fact —
+    at sf100 that tripled shuffle bytes past this host's scratch disk
+    (the measured failure in BASELINE.md).  The second groupBy reuses
+    the first's hash partitioning (orderkey ⊂ (orderkey, suppkey)
+    clustering), so the whole query shuffles lineitem ONCE."""
     o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
     li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     lines = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
         "l_orderkey", "l_suppkey",
         (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("late"),
     )
-    per_order = lines.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
-        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late_lines"),
-        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
+    per_os = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("supp_late"),
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("late_lines"),
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.col("supp_late").cast("long")).alias("n_late_supp"),
+        F.sum("late_lines").alias("n_late_lines"),
+        F.max(F.when(F.col("supp_late"), F.col("l_suppkey"))).alias("late_supp"),
     )
     s = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
     return (

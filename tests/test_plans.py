@@ -778,7 +778,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "exact_substring_dedup": 8,  # measured 6 + 2 headroom
     "tokenizer_fertility": 1,
     "vocab_top_terms": 4,
-    "waiting_supplier": 5,
+    "waiting_supplier": 4,  # r7 two-level agg: Expand x3 gone, lineitem shuffles once
     "weekday_seasonality": 3,
     "winnowing": 2,
     "winnowing_match_pairs": 5,
