@@ -206,6 +206,120 @@ def encode_mp4_mjpeg(
     return ftyp + _box(b"mdat", mdat_payload) + moov
 
 
+def encode_mp4_av(
+    frames: list[bytes], pcm: list[int], width: int, height: int,
+    sample_rate: int = 8000, timescale: int = 1000, frame_delta: int = 40,
+) -> bytes:
+    """Round 7, the A/V step past :func:`encode_mp4_mjpeg`: a REAL
+    two-track MP4 whose ``mdat`` INTERLEAVES video and audio chunks —
+    [V0][A0][V1][A1]… with one audio chunk per video frame period —
+    each track behind its own sample table.  Video: 'jpeg' samples as
+    in the MJPEG writer.  Audio: mono PCM16 little-endian ('sowt'
+    sample entry), track timescale = ``sample_rate``, one SAMPLE per
+    PCM frame (stsz fixed=2, stts delta=1 — the real layout), chunked
+    by the interleave via stsc runs.  The pcm list is split evenly
+    across the video frames (its length must divide by len(frames))."""
+    if not frames or not pcm:
+        raise ValueError("encode_mp4_av: need at least one frame and one sample")
+    if len(pcm) % len(frames):
+        raise ValueError("encode_mp4_av: pcm length must divide by frame count")
+    nf = len(frames)
+    spc = len(pcm) // nf  # audio samples per chunk (per video frame)
+    for s in pcm:
+        if not -32768 <= s <= 32767:
+            raise ValueError("encode_mp4_av: sample out of int16 range")
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+    # interleaved mdat: video frame k, then its audio chunk
+    mdat_payload = b""
+    v_offsets: list[int] = []
+    a_offsets: list[int] = []
+    base = len(ftyp) + 8
+    for k in range(nf):
+        v_offsets.append(base + len(mdat_payload))
+        mdat_payload += frames[k]
+        a_offsets.append(base + len(mdat_payload))
+        mdat_payload += struct.pack(
+            f"<{spc}h", *pcm[k * spc : (k + 1) * spc]
+        )
+
+    dur = nf * frame_delta
+    a_dur = len(pcm)  # in audio-track ticks (timescale = sample_rate)
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">B3xIIII", 0, 0, 0, timescale, dur)
+        + struct.pack(">IH2x8x", 0x00010000, 0x0100)
+        + matrix
+        + struct.pack(">6I", 0, 0, 0, 0, 0, 0)
+        + struct.pack(">I", 3),
+    )
+
+    def _trak(tid, handler, w, h, mts, tdur, stbl):
+        tkhd = _box(
+            b"tkhd",
+            struct.pack(">B3xIIIII8x", 0, 0, 0, tid, 0, dur)
+            + struct.pack(">HHH2x", 0, 0, 0x0100 if handler == b"soun" else 0)
+            + matrix
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        mdhd = _box(b"mdhd", struct.pack(">B3xIIIIH2x", 0, 0, 0, mts, tdur, 0x55C4))
+        hdlr = _box(b"hdlr", struct.pack(">B3x4x", 0) + handler + b"\x00" * 12 + b"\x00")
+        minf = _box(b"minf", _media_header(handler) + _dref() + stbl)
+        return _box(b"trak", tkhd + _box(b"mdia", mdhd + hdlr + minf))
+
+    # video stbl (same shapes as encode_mp4_mjpeg, one chunk per frame)
+    name = b"\x05mjpeg" + b"\x00" * 26
+    ventry = (
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + struct.pack(">HH", 0, 0) + b"\x00" * 12
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">I", 0) + struct.pack(">H", 1)
+        + name + struct.pack(">Hh", 24, -1)
+    )
+    v_stbl = _box(b"stbl",
+        _full(b"stsd", 0, 0, struct.pack(">I", 1) + _box(b"jpeg", ventry))
+        + _full(b"stts", 0, 0, struct.pack(">III", 1, nf, frame_delta))
+        + _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, 1, 1))
+        + _full(b"stsz", 0, 0, struct.pack(">II", 0, nf)
+                + b"".join(struct.pack(">I", len(f)) for f in frames))
+        + _full(b"stco", 0, 0, struct.pack(">I", nf)
+                + b"".join(struct.pack(">I", o) for o in v_offsets)),
+    )
+    # audio stbl: 'sowt' AudioSampleEntry (16-bit LE PCM), sample = one
+    # PCM frame; chunks follow the interleave
+    aentry = (
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + struct.pack(">HH", 0, 0) + struct.pack(">I", 0)  # version/rev/vendor
+        + struct.pack(">HH", 1, 16)                        # channels, bits
+        + struct.pack(">HH", 0, 0)                         # pre_defined/reserved
+        + struct.pack(">I", sample_rate << 16)             # rate 16.16
+    )
+    a_stbl = _box(b"stbl",
+        _full(b"stsd", 0, 0, struct.pack(">I", 1) + _box(b"sowt", aentry))
+        + _full(b"stts", 0, 0, struct.pack(">III", 1, len(pcm), 1))
+        + _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, spc, 1))
+        + _full(b"stsz", 0, 0, struct.pack(">II", 2, len(pcm)))
+        + _full(b"stco", 0, 0, struct.pack(">I", nf)
+                + b"".join(struct.pack(">I", o) for o in a_offsets)),
+    )
+    moov = _box(
+        b"moov",
+        mvhd
+        + _trak(1, b"vide", width, height, timescale, dur, v_stbl)
+        + _trak(2, b"soun", 0, 0, sample_rate, a_dur, a_stbl),
+    )
+    return ftyp + _box(b"mdat", mdat_payload) + moov
+
+
+def read_audio_chunk(payload: bytes, chunk: tuple[int, int, int]) -> list[int]:
+    """Decode one PCM16-LE audio chunk located by the expanded table —
+    the audio sibling of :func:`read_sample`."""
+    off, sz, _ts = chunk
+    return list(struct.unpack(f"<{sz // 2}h", payload[off : off + sz]))
+
+
 def parse_mp4(payload: bytes) -> dict:
     """Walk the box tree → ``{duration_ms, timescale, n_tracks,
     handlers, width, height, samples}``.  ``samples`` (round 7) is
@@ -221,6 +335,7 @@ def parse_mp4(payload: bytes) -> dict:
     out = {
         "duration_ms": None, "timescale": None, "n_tracks": 0,
         "handlers": [], "width": None, "height": None, "samples": None,
+        "audio_chunks": None, "audio_rate": None,
     }
     saw_ftyp = False
     traks: list[dict] = []
@@ -366,9 +481,26 @@ def parse_mp4(payload: bytes) -> dict:
     if not saw_ftyp or out["timescale"] is None:
         raise ValueError("MP4: missing ftyp or mvhd")
 
+    def _expand_spc(stsc, n_chunks: int) -> list[int]:
+        """stsc runs → per-chunk samples_per_chunk; runs must
+        partition [1, n_chunks] (forged first_chunk values would
+        otherwise expand an unbounded list or skip chunks silently —
+        review r7)."""
+        spc: list[int] = []
+        for ri, (first, per, _sdi) in enumerate(stsc):
+            until = stsc[ri + 1][0] if ri + 1 < len(stsc) else n_chunks + 1
+            if first < 1 or until <= first or until > n_chunks + 1:
+                raise ValueError("MP4: bad stsc run")
+            if per > len(payload):
+                raise ValueError("MP4: stsc samples-per-chunk exceeds file size")
+            spc.extend([per] * (until - first))
+        if len(spc) != n_chunks:
+            raise ValueError("MP4: stsc runs do not cover the chunks")
+        return spc
+
+    saw_video = saw_audio = False
     for t in traks:
-        if t.get("handler") != "vide":
-            continue
+        handler = t.get("handler")
         sizes = t.get("stsz") or []
         stco = t.get("stco") or []
         stsc = t.get("stsc") or []
@@ -376,45 +508,58 @@ def parse_mp4(payload: bytes) -> dict:
         if not (sizes and stco and stsc and stts):
             continue
         mts = t.get("timescale") or out["timescale"]
-        # expand stsc runs into a per-chunk samples_per_chunk list
-        spc: list[int] = []
-        for ri, (first, per, _sdi) in enumerate(stsc):
-            until = stsc[ri + 1][0] if ri + 1 < len(stsc) else len(stco) + 1
-            # runs must partition [1, n_chunks]: forged first_chunk
-            # values would otherwise expand an unbounded list or skip
-            # chunks silently (review r7)
-            if first < 1 or until <= first or until > len(stco) + 1:
-                raise ValueError("MP4: bad stsc run")
-            if per > len(payload):
-                raise ValueError("MP4: stsc samples-per-chunk exceeds file size")
-            spc.extend([per] * (until - first))
-        if len(spc) != len(stco):
-            raise ValueError("MP4: stsc runs do not cover the chunks")
-        # per-sample timestamps from the stts delta runs
-        deltas: list[int] = []
-        for cnt, delta in stts:
-            deltas.extend([delta] * cnt)
-        if len(deltas) < len(sizes):
-            raise ValueError("MP4: stts covers fewer samples than stsz")
-        samples: list[tuple[int, int, int]] = []
-        si = 0
-        ts = 0
-        for ci, coff in enumerate(stco):
-            off = coff
-            for _ in range(spc[ci]):
-                if si >= len(sizes):
-                    break
-                sz = sizes[si]
-                if off + sz > len(payload):
-                    raise ValueError("MP4: sample extends past end of file")
-                samples.append((off, sz, ts * 1000 // mts))
-                off += sz
-                ts += deltas[si]
-                si += 1
-        if si != len(sizes):
-            raise ValueError("MP4: chunk layout does not cover all samples")
-        out["samples"] = samples
-        break
+        if handler == "vide" and not saw_video:
+            saw_video = True
+            spc = _expand_spc(stsc, len(stco))
+            deltas: list[int] = []
+            for cnt, delta in stts:
+                deltas.extend([delta] * cnt)
+            if len(deltas) < len(sizes):
+                raise ValueError("MP4: stts covers fewer samples than stsz")
+            samples: list[tuple[int, int, int]] = []
+            si = 0
+            ts = 0
+            for ci, coff in enumerate(stco):
+                off = coff
+                for _ in range(spc[ci]):
+                    if si >= len(sizes):
+                        break
+                    sz = sizes[si]
+                    if off + sz > len(payload):
+                        raise ValueError("MP4: sample extends past end of file")
+                    samples.append((off, sz, ts * 1000 // mts))
+                    off += sz
+                    ts += deltas[si]
+                    si += 1
+            if si != len(sizes):
+                raise ValueError("MP4: chunk layout does not cover all samples")
+            out["samples"] = samples
+        elif handler == "soun" and not saw_audio:
+            saw_audio = True
+            # audio expands at CHUNK granularity (a per-PCM-frame list
+            # would be sample_rate entries/sec — chunk ranges are what
+            # a range-request reader fetches); requires the real
+            # fixed-size-sample layout (stsz fixed, stts one run)
+            if len(set(sizes)) != 1 or len(stts) != 1:
+                continue
+            ssz = sizes[0]
+            delta = stts[0][1]
+            spc = _expand_spc(stsc, len(stco))
+            chunks: list[tuple[int, int, int]] = []
+            ts = 0
+            consumed = 0
+            for ci, coff in enumerate(stco):
+                n_here = min(spc[ci], len(sizes) - consumed)
+                sz = n_here * ssz
+                if coff + sz > len(payload):
+                    raise ValueError("MP4: audio chunk extends past end of file")
+                chunks.append((coff, sz, ts * 1000 // mts))
+                ts += n_here * delta
+                consumed += n_here
+            if consumed != len(sizes):
+                raise ValueError("MP4: chunk layout does not cover all samples")
+            out["audio_chunks"] = chunks
+            out["audio_rate"] = mts
     return out
 
 

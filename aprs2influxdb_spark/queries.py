@@ -6800,6 +6800,123 @@ FROM documents, LATERAL (
 """
 
 
+def q_multimodal_av_mux(spark, sf):
+    """Two-track A/V container, end-to-end (round 7, past the MJPEG
+    item): each document synthesizes an MP4 whose ``mdat``
+    INTERLEAVES real JPEG video frames (alternating baseline SOF0 and
+    progressive SOF2) with real PCM16 audio chunks, each track behind
+    its own sample table (video: per-frame stsz/stco; audio: 'sowt'
+    sample entry, fixed-size samples at timescale = sample_rate,
+    chunks following the interleave).  The mapper walks the box tree,
+    expands BOTH tables, decodes every frame (pixel-exact assert) and
+    every audio chunk (sample-exact assert), and emits closed-form
+    features the oracle recomputes: frame count, audio sample count,
+    parsed duration, frame-0 mean luma, audio peak and exact int64
+    energy.  One ``mapInPandas`` pass; blobs never shuffle — the
+    chunk-range access pattern is what a range-request reader issues
+    against object storage at 100 TB."""
+    from pyspark.sql.types import (
+        IntegerType as _Int,
+        LongType as _Long,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    out_schema = _ST([
+        _SF("media_id", _Long(), False),
+        _SF("n_frames", _Int(), True),
+        _SF("n_audio_samples", _Int(), True),
+        _SF("duration_ms", _Long(), True),
+        _SF("mean_luma_f0", _Long(), True),
+        _SF("audio_peak", _Long(), True),
+        _SF("audio_energy", _Long(), True),
+    ])
+
+    def _mux(batches):
+        import pandas as pd
+
+        from aprs2influxdb_spark.functions.jpeg import (
+            decode_jpeg_gray,
+            encode_jpeg_gray,
+            encode_jpeg_progressive_gray,
+        )
+        from aprs2influxdb_spark.functions.mp4 import (
+            encode_mp4_av,
+            parse_mp4,
+            read_audio_chunk,
+            read_sample,
+        )
+
+        SPC = 320  # audio samples per 40 ms frame period at 8 kHz
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nf = 2 + d % 2
+                frames, wants = [], []
+                for k in range(nf):
+                    img = bytearray(256)
+                    vals = [(d * 23 + k * 41 + b * 17) % 256 for b in range(4)]
+                    for b, v in enumerate(vals):
+                        by, bx = divmod(b, 2)
+                        for y in range(8):
+                            row = (by * 8 + y) * 16 + bx * 8
+                            img[row : row + 8] = bytes([v] * 8)
+                    wants.append((bytes(img), sum(vals) // 4))
+                    enc = encode_jpeg_gray if k % 2 == 0 else encode_jpeg_progressive_gray
+                    frames.append(enc(bytes(img), 16, 16))
+                pcm = [((d * 13 + i * 7) % 2048) - 1024 for i in range(nf * SPC)]
+                blob = encode_mp4_av(frames, pcm, 16, 16)
+                m = parse_mp4(blob)
+                if len(m["samples"]) != nf or len(m["audio_chunks"]) != nf:
+                    raise ValueError(f"AV mux table mismatch, doc {d}")
+                back = []
+                for k, s in enumerate(m["samples"]):
+                    if decode_jpeg_gray(read_sample(blob, s))[2] != wants[k][0]:
+                        raise ValueError(f"AV video roundtrip mismatch, doc {d} frame {k}")
+                for c in m["audio_chunks"]:
+                    back.extend(read_audio_chunk(blob, c))
+                if back != pcm:  # hard sample-exact guarantee
+                    raise ValueError(f"AV audio roundtrip mismatch, doc {d}")
+                rows.append(
+                    (
+                        d, nf, len(pcm), m["duration_ms"], wants[0][1],
+                        max(abs(s) for s in back),
+                        sum(s * s for s in back),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_frames", "n_audio_samples", "duration_ms",
+                    "mean_luma_f0", "audio_peak", "audio_energy",
+                ],
+            )
+
+    return _t(spark, sf, "documents").select("doc_id").mapInPandas(_mux, out_schema)
+
+
+SQL_MULTIMODAL_AV_MUX = """
+WITH base AS (
+  SELECT doc_id, 2 + doc_id % 2 AS nf FROM documents
+), aud AS (
+  SELECT doc_id, nf,
+         list_transform(range(0, nf * 320),
+                        i -> (doc_id * 13 + i * 7) % 2048 - 1024) AS pcm
+  FROM base
+)
+SELECT doc_id AS media_id,
+       CAST(nf AS INTEGER) AS n_frames,
+       CAST(nf * 320 AS INTEGER) AS n_audio_samples,
+       CAST(nf * 40 AS BIGINT) AS duration_ms,
+       CAST(list_sum(list_transform(range(0, 4),
+            b -> (doc_id * 23 + b * 17) % 256)) // 4 AS BIGINT) AS mean_luma_f0,
+       CAST(list_max(list_transform(pcm, s -> abs(s))) AS BIGINT) AS audio_peak,
+       CAST(list_sum(list_transform(pcm, s -> s * s)) AS BIGINT) AS audio_energy
+FROM aud
+"""
+
+
 def q_streaming_wav_features(spark, sf):
     """The WAV codec AT INGEST: the lossless roundtrip of
     ``multimodal_wav_features`` as a stateless append-mode stream
@@ -12145,6 +12262,7 @@ def registry() -> dict[str, tuple]:
             q_multimodal_frames_mjpeg,
             SQL_MULTIMODAL_FRAMES_MJPEG,
         ),
+        "multimodal_av_mux": (q_multimodal_av_mux, SQL_MULTIMODAL_AV_MUX),
         "gopher_repetition": (q_gopher_repetition, SQL_GOPHER_REPETITION),
         "pii_redact": (q_pii_redact, SQL_PII_REDACT),
         "streaming_pii_redact": (q_streaming_pii_redact, SQL_PII_REDACT),

@@ -249,6 +249,7 @@ HEADLINE = [
     "multimodal_jpeg_progressive",
     "multimodal_frames_mjpeg",
     "holt_winters_segmented",
+    "multimodal_av_mux",
 ]
 
 

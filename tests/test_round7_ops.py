@@ -499,6 +499,50 @@ spark.stop()
             rescreen_new_batch(spark, state, colliding, cemb).collect()
 
 
+def test_av_mux_two_track_interleaved_roundtrip():
+    """Round 7, past the MJPEG item: a two-track MP4 interleaving JPEG
+    video frames with PCM16 audio chunks, each track behind its own
+    sample table.  Frames decode byte-identically to direct decode;
+    audio chunks decode sample-exactly; both tables carry the
+    interleave's timestamps; back-compat: single-track containers
+    report audio_chunks=None."""
+    from aprs2influxdb_spark.functions.mp4 import (
+        encode_mp4_av,
+        read_audio_chunk,
+    )
+
+    blobs, _srcs = _mk_frames(3, seed=21)
+    pcm = [((i * 13 + 5) % 2048) - 1024 for i in range(3 * 320)]
+    blob = encode_mp4_av(blobs, pcm, 16, 16, sample_rate=8000, frame_delta=40)
+    m = parse_mp4(blob)
+    assert m["handlers"] == ["vide", "soun"]
+    assert m["audio_rate"] == 8000 and m["duration_ms"] == 120
+    assert [s[2] for s in m["samples"]] == [0, 40, 80]
+    assert [c[2] for c in m["audio_chunks"]] == [0, 40, 80]
+    got = []
+    for k, (s, c) in enumerate(zip(m["samples"], m["audio_chunks"])):
+        assert read_sample(blob, s) == blobs[k]
+        got.extend(read_audio_chunk(blob, c))
+        # interleave: each audio chunk sits directly after its frame
+        assert c[0] == s[0] + s[1]
+    assert got == pcm
+
+    single = encode_mp4_mjpeg(blobs, 16, 16)
+    assert parse_mp4(single)["audio_chunks"] is None
+
+    with pytest.raises(ValueError, match="divide"):
+        encode_mp4_av(blobs, pcm[:100], 16, 16)
+    with pytest.raises(ValueError, match="int16"):
+        encode_mp4_av(blobs, [99999] * 3, 16, 16)
+
+    # forged audio chunk offset past EOF dead-letters
+    bad = bytearray(blob)
+    i = bad.rindex(b"stco")  # audio track's stco is the later one
+    struct.pack_into(">I", bad, i + 12, 10**8)
+    with pytest.raises(ValueError, match="MP4"):
+        parse_mp4(bytes(bad))
+
+
 def test_mp4_skeleton_now_carries_minf_stbl_chain():
     """ADVICE r6: ISO 14496-12 requires minf/stbl children inside
     mdia; the skeleton writer now emits vmhd|smhd + dinf/dref + a

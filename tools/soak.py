@@ -69,8 +69,9 @@ def start_influx_stub(state: _StubState) -> tuple[http.server.ThreadingHTTPServe
     return srv, srv.server_address[1]
 
 
-# ten templates covering every dispatch format the reference handles;
-# {i}/{cs} vary per frame so lines differ (fixture raw frames, varied)
+# eleven templates covering every dispatch format the reference
+# handles, INCLUDING telemetry-equation messages (the stateful leg's
+# keyed state per callsign); {i}/{cs} vary per frame so lines differ
 _TEMPLATES = [
     "{cs}>APRS:=4217.22N/07148.38W-soak {i}",
     "{cs}>APRS:_10090556c220s004g005t077",
@@ -82,6 +83,7 @@ _TEMPLATES = [
     "{cs}>BEACON:>soak beacon {i}",
     "{cs}>APRS:=/5L!!<*e7>7P[soak",
     "KD2GSB>T2SP0W:`c_Vl!Xv/`\"4A}}soak",
+    "{cs}>APRS::{cs_pad}:EQNS.1,2,3,0,1,0,0,1,0,0,1,0,2,0,-1",
 ]
 
 
@@ -94,20 +96,40 @@ def write_frames(staging: str, n_frames: int, n_files: int) -> None:
         with open(f"{staging}/frames_{f:04d}.txt", "w") as fh:
             for _ in range(m):
                 t = _TEMPLATES[i % len(_TEMPLATES)]
+                cs = f"AB{i % 9000:04d}"
                 fh.write(
-                    t.format(cs=f"AB{i % 9000:04d}", i=i, seq=i % 1000, a1=i % 256)
+                    t.format(cs=cs, cs_pad=f"{cs:<9}", i=i, seq=i % 1000, a1=i % 256)
                     + "\n"
                 )
                 i += 1
 
 
-def run_soak(n_frames: int, n_files: int, ref_frames: int) -> dict:
+def run_soak(
+    n_frames: int, n_files: int, ref_frames: int, stateful: bool = False
+) -> dict:
     from pyspark.sql import functions as F
 
     from aprs2influxdb_spark.session import get_spark
     from aprs2influxdb_spark.sinks.influxdb import influxdb_sink
     from aprs2influxdb_spark.sources.aprsis import decode_frames
     from aprs2influxdb_spark.streaming.pipeline import stream_lines
+
+    def _lines(packets):
+        """The production chain: stateless projection, or (--stateful)
+        the FULL cli.py pipeline with keyed as-of calibration state
+        per callsign (applyInPandasWithState; ~9000 state keys here —
+        telemetry packets scale through equations absorbed from the
+        EQNS template's frames, exactly the reference's behavior)."""
+        if not stateful:
+            return stream_lines(packets)
+        from aprs2influxdb_spark.streaming.calibration import (
+            with_streaming_calibration,
+        )
+
+        cal = with_streaming_calibration(packets).withColumn(
+            "eqns_effective", F.from_json("eqns_json", "array<array<double>>")
+        )
+        return stream_lines(cal, eqns_col="eqns_effective")
 
     spark = get_spark("soak", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
@@ -132,7 +154,13 @@ def run_soak(n_frames: int, n_files: int, ref_frames: int) -> dict:
                 F.current_timestamp().alias("ingest_ts"),
             )
         )
-        lines = stream_lines(decode_frames(raw))
+        if stateful:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+        lines = _lines(decode_frames(raw))
         t0 = time.time()
         q = influxdb_sink(lines, checkpoint=ckpt, url=url, db="soak")
         while q.isActive:
@@ -185,6 +213,7 @@ def run_soak(n_frames: int, n_files: int, ref_frames: int) -> dict:
         pipeline_rps = rows / wall if wall else None
         return {
             "metric": "soak_pipeline_rows_per_sec",
+            "stateful": stateful,
             "value": round(pipeline_rps, 1),
             "unit": "rows/sec",
             "frames": rows,
@@ -211,6 +240,11 @@ if __name__ == "__main__":
     ap.add_argument("--frames", type=int, default=1_000_000)
     ap.add_argument("--files", type=int, default=50)
     ap.add_argument("--ref-frames", type=int, default=20_000)
+    ap.add_argument(
+        "--stateful", action="store_true",
+        help="run the full cli.py chain with keyed as-of calibration "
+        "state (applyInPandasWithState, RocksDB provider)",
+    )
     args = ap.parse_args()
-    out = run_soak(args.frames, args.files, args.ref_frames)
+    out = run_soak(args.frames, args.files, args.ref_frames, args.stateful)
     print(json.dumps(out))
