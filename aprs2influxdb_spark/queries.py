@@ -6917,6 +6917,103 @@ FROM aud
 """
 
 
+def q_warc_ingest(spark, sf):
+    """WARC/gzip ingest (round 7): real crawled corpora arrive as
+    multi-member-gzip WARC files (ISO 28500; one member per record is
+    the Common Crawl convention) — each document renders the four
+    records a crawler emits (warcinfo, request, the full response
+    body, and a metadata record carrying the extracted lead chunk),
+    compresses them member-per-record, then PARSES the actual bytes
+    back (streaming zlib member walk, header grammar, Content-Length
+    validation), hard-asserting the byte roundtrip before emitting
+    the features the oracle recomputes from the table.  One
+    ``mapInPandas`` pass; blobs never shuffle — at 100 TB this is the
+    embarrassingly parallel WARC-shard map a crawl pipeline starts
+    with, and malformed archives dead-letter per record via the
+    ``WARC:`` ValueError contract."""
+    fn, out_schema = _warc_ingest_mapper()
+    return _t(spark, sf, "documents").select("doc_id", "text").mapInPandas(
+        fn, out_schema
+    )
+
+
+def q_streaming_warc_ingest(spark, sf):
+    """WARC parsing AT INGEST: the same shard map as ``warc_ingest``
+    as a stateless append-mode stream transform — the crawl pipeline's
+    actual arrival shape; shares the batch oracle verbatim."""
+    from aprs2influxdb_spark.streaming.bounded import run_bounded, stream_docs
+
+    fn, out_schema = _warc_ingest_mapper()
+    est = stream_docs(spark, sf).select("doc_id", "text").mapInPandas(fn, out_schema)
+    return run_bounded(spark, est, "append", "stream_warc_ingest")
+
+
+def _warc_ingest_mapper():
+    from pyspark.sql.types import (
+        IntegerType as _Int,
+        LongType as _Long,
+        StringType as _Str,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    out_schema = _ST([
+        _SF("doc_id", _Long(), False),
+        _SF("n_records", _Int(), True),
+        _SF("target_uri", _Str(), True),
+        _SF("payload_len", _Long(), True),
+        _SF("chunk_len", _Long(), True),
+    ])
+
+    def _ingest(batches):
+        import pandas as pd
+
+        from aprs2influxdb_spark.functions.warc import parse_warc_gz, write_warc_gz
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                uri = f"http://corpus.local/doc/{d}"
+                body = text.encode("utf-8")
+                chunk = " ".join(text.split(" ")[:16]).encode("utf-8")
+                recs = [
+                    ({"WARC-Type": "warcinfo",
+                      "WARC-Record-ID": f"<urn:uuid:{d}-info>"}, b"software: engine"),
+                    ({"WARC-Type": "request", "WARC-Target-URI": uri},
+                     f"GET /doc/{d} HTTP/1.1".encode()),
+                    ({"WARC-Type": "response", "WARC-Target-URI": uri}, body),
+                    ({"WARC-Type": "metadata", "WARC-Target-URI": uri}, chunk),
+                ]
+                blob = write_warc_gz(recs)
+                back = parse_warc_gz(blob)
+                if len(back) != 4 or back[2][1] != body or back[3][1] != chunk:
+                    raise ValueError(f"WARC roundtrip mismatch, doc {d}")
+                if back[2][0]["WARC-Target-URI"] != uri:
+                    raise ValueError(f"WARC header mismatch, doc {d}")
+                rows.append(
+                    (d, len(back), back[2][0]["WARC-Target-URI"],
+                     len(back[2][1]), len(back[3][1]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_records", "target_uri", "payload_len", "chunk_len"],
+            )
+
+    return _ingest, out_schema
+
+
+SQL_WARC_INGEST = """
+SELECT doc_id,
+       CAST(4 AS INTEGER) AS n_records,
+       'http://corpus.local/doc/' || doc_id::VARCHAR AS target_uri,
+       CAST(strlen(text) AS BIGINT) AS payload_len,
+       CAST(strlen(array_to_string(string_split(text, ' ')[1:16], ' '))
+            AS BIGINT) AS chunk_len
+FROM documents
+"""
+
+
 def q_streaming_wav_features(spark, sf):
     """The WAV codec AT INGEST: the lossless roundtrip of
     ``multimodal_wav_features`` as a stateless append-mode stream
@@ -12263,6 +12360,8 @@ def registry() -> dict[str, tuple]:
             SQL_MULTIMODAL_FRAMES_MJPEG,
         ),
         "multimodal_av_mux": (q_multimodal_av_mux, SQL_MULTIMODAL_AV_MUX),
+        "warc_ingest": (q_warc_ingest, SQL_WARC_INGEST),
+        "streaming_warc_ingest": (q_streaming_warc_ingest, SQL_WARC_INGEST),
         "gopher_repetition": (q_gopher_repetition, SQL_GOPHER_REPETITION),
         "pii_redact": (q_pii_redact, SQL_PII_REDACT),
         "streaming_pii_redact": (q_streaming_pii_redact, SQL_PII_REDACT),

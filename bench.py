@@ -250,6 +250,7 @@ HEADLINE = [
     "multimodal_frames_mjpeg",
     "holt_winters_segmented",
     "multimodal_av_mux",
+    "warc_ingest",
 ]
 
 

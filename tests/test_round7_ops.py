@@ -543,6 +543,66 @@ def test_av_mux_two_track_interleaved_roundtrip():
         parse_mp4(bytes(bad))
 
 
+class TestWarc:
+    """Round 7: WARC/gzip ingest (ISO 28500, multi-member gzip — the
+    Common Crawl layout)."""
+
+    def test_roundtrip_and_member_boundaries(self):
+        from aprs2influxdb_spark.functions.warc import (
+            is_warc_gz,
+            parse_warc_gz,
+            write_warc_gz,
+        )
+
+        recs = [
+            ({"WARC-Type": "warcinfo", "WARC-Record-ID": "<urn:uuid:1>"},
+             b"software: engine"),
+            ({"WARC-Type": "request", "WARC-Target-URI": "http://ex.org/a"},
+             b"GET /a HTTP/1.1"),
+            ({"WARC-Type": "response", "WARC-Target-URI": "http://ex.org/a"},
+             b"hello \r\n\r\n world " * 40),  # payload containing CRLFCRLF
+        ]
+        blob = write_warc_gz(recs)
+        assert is_warc_gz(blob)
+        back = parse_warc_gz(blob)
+        assert len(back) == 3
+        for (h, p), (h2, p2) in zip(recs, back):
+            assert p2 == p
+            assert all(h2[k] == str(v) for k, v in h.items())
+            assert int(h2["Content-Length"]) == len(p)
+        # determinism (mtime=0): identical bytes on rewrite
+        assert write_warc_gz(recs) == blob
+
+    def test_malformed_streams_dead_letter(self):
+        import gzip
+
+        from aprs2influxdb_spark.functions.warc import (
+            parse_warc_gz,
+            write_warc_gz,
+        )
+
+        good = write_warc_gz([({"WARC-Type": "response"}, b"x" * 100)])
+        with pytest.raises(ValueError, match="not a gzip"):
+            parse_warc_gz(b"plain text")
+        with pytest.raises(ValueError, match="truncated gzip"):
+            parse_warc_gz(good[: len(good) // 2])
+        bad = bytearray(good)
+        bad[25] ^= 0xFF
+        with pytest.raises(ValueError, match="WARC"):
+            parse_warc_gz(bytes(bad))
+        # a gzip member that isn't a WARC record
+        with pytest.raises(ValueError, match="version line"):
+            parse_warc_gz(gzip.compress(b"HTTP/1.1 200 OK\r\n\r\n", mtime=0))
+        # Content-Length lying long
+        rec = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999\r\n\r\nshort\r\n\r\n"
+        with pytest.raises(ValueError, match="shorter than Content-Length"):
+            parse_warc_gz(gzip.compress(rec, mtime=0))
+        with pytest.raises(ValueError, match="WARC-Type"):
+            write_warc_gz([({}, b"x")])
+        with pytest.raises(ValueError, match="newline"):
+            write_warc_gz([({"WARC-Type": "response", "X": "a\nb"}, b"x")])
+
+
 def test_mp4_skeleton_now_carries_minf_stbl_chain():
     """ADVICE r6: ISO 14496-12 requires minf/stbl children inside
     mdia; the skeleton writer now emits vmhd|smhd + dinf/dref + a
