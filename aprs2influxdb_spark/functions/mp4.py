@@ -61,6 +61,36 @@ def _media_header(handler: bytes) -> bytes:
     return _full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
 
 
+_MATRIX = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+
+
+def _mvhd(timescale: int, dur: int, next_tid: int) -> bytes:
+    return _box(
+        b"mvhd",
+        struct.pack(">B3xIIII", 0, 0, 0, timescale, dur)
+        + struct.pack(">IH2x8x", 0x00010000, 0x0100)
+        + _MATRIX
+        + struct.pack(">6I", 0, 0, 0, 0, 0, 0)
+        + struct.pack(">I", next_tid),
+    )
+
+
+def _jpeg_sample_entry(width: int, height: int) -> bytes:
+    """The 'jpeg' VisualSampleEntry shared by the MJPEG and A/V
+    writers (86 bytes)."""
+    name = b"\x05mjpeg" + b"\x00" * 26  # pascal-string compressorname
+    return (
+        b"\x00" * 6 + struct.pack(">H", 1)        # reserved, data_ref_index
+        + struct.pack(">HH", 0, 0) + b"\x00" * 12  # pre_defined/reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0)                    # reserved
+        + struct.pack(">H", 1)                    # frame_count
+        + name
+        + struct.pack(">Hh", 24, -1)              # depth, pre_defined
+    )
+
+
 def encode_mp4_skeleton(
     duration_ms: int, width: int, height: int,
     timescale: int = 1000, n_audio_tracks: int = 0,
@@ -75,15 +105,7 @@ def encode_mp4_skeleton(
     if duration_ms < 0 or width <= 0 or height <= 0:
         raise ValueError("encode_mp4_skeleton: bad geometry/duration")
     dur = duration_ms * timescale // 1000
-    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
-    mvhd = _box(
-        b"mvhd",
-        struct.pack(">B3xIIII", 0, 0, 0, timescale, dur)
-        + struct.pack(">IH2x8x", 0x00010000, 0x0100)
-        + matrix
-        + struct.pack(">6I", 0, 0, 0, 0, 0, 0)
-        + struct.pack(">I", 2 + n_audio_tracks),
-    )
+    mvhd = _mvhd(timescale, dur, 2 + n_audio_tracks)
     traks = b""
     for ti, handler in enumerate([b"vide"] + [b"soun"] * n_audio_tracks):
         w, h = (width, height) if handler == b"vide" else (0, 0)
@@ -94,7 +116,7 @@ def encode_mp4_skeleton(
             b"tkhd",
             struct.pack(">B3xIIIII8x", 0, 0, 0, ti + 1, 0, dur)
             + struct.pack(">HHH2x", 0, 0, 0x0100 if handler == b"soun" else 0)
-            + matrix
+            + _MATRIX
             + struct.pack(">II", w << 16, h << 16),
         )
         mdhd = _box(
@@ -145,39 +167,21 @@ def encode_mp4_mjpeg(
     n_chunks = len(chunk_offsets)
 
     dur = n * frame_delta
-    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
-    mvhd = _box(
-        b"mvhd",
-        struct.pack(">B3xIIII", 0, 0, 0, timescale, dur)
-        + struct.pack(">IH2x8x", 0x00010000, 0x0100)
-        + matrix
-        + struct.pack(">6I", 0, 0, 0, 0, 0, 0)
-        + struct.pack(">I", 2),
-    )
+    mvhd = _mvhd(timescale, dur, 2)
     tkhd = _box(
         b"tkhd",
         struct.pack(">B3xIIIII8x", 0, 0, 0, 1, 0, dur)
         + struct.pack(">HHH2x", 0, 0, 0)
-        + matrix
+        + _MATRIX
         + struct.pack(">II", width << 16, height << 16),
     )
     mdhd = _box(b"mdhd", struct.pack(">B3xIIIIH2x", 0, 0, 0, timescale, dur, 0x55C4))
     hdlr = _box(b"hdlr", struct.pack(">B3x4x", 0) + b"vide" + b"\x00" * 12 + b"\x00")
 
-    # stsd: one VisualSampleEntry, format 'jpeg' (86 bytes)
-    name = b"\x05mjpeg" + b"\x00" * 26  # pascal-string compressorname, 32 bytes
-    entry = (
-        b"jpeg"
-        + b"\x00" * 6 + struct.pack(">H", 1)        # reserved, data_ref_index
-        + struct.pack(">HH", 0, 0) + b"\x00" * 12   # pre_defined/reserved
-        + struct.pack(">HH", width, height)
-        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
-        + struct.pack(">I", 0)                       # reserved
-        + struct.pack(">H", 1)                       # frame_count
-        + name
-        + struct.pack(">Hh", 24, -1)                 # depth, pre_defined
+    stsd = _full(
+        b"stsd", 0, 0,
+        struct.pack(">I", 1) + _box(b"jpeg", _jpeg_sample_entry(width, height)),
     )
-    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + _box(b"jpeg", entry[4:]))
     stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, frame_delta))
     # stsc runs: (first_chunk, samples_per_chunk, sample_desc_index);
     # a short final chunk needs its own run
@@ -223,6 +227,12 @@ def encode_mp4_av(
         raise ValueError("encode_mp4_av: need at least one frame and one sample")
     if len(pcm) % len(frames):
         raise ValueError("encode_mp4_av: pcm length must divide by frame count")
+    # same validation contract as encode_mp4_mjpeg (review r7: bad
+    # geometry/rate escaped as struct.error, not ValueError)
+    if width <= 0 or height <= 0 or frame_delta <= 0:
+        raise ValueError("encode_mp4_av: bad geometry/delta")
+    if not 0 < sample_rate < 65536:  # 16.16 fixed-point field
+        raise ValueError("encode_mp4_av: sample_rate out of range")
     nf = len(frames)
     spc = len(pcm) // nf  # audio samples per chunk (per video frame)
     for s in pcm:
@@ -245,22 +255,14 @@ def encode_mp4_av(
 
     dur = nf * frame_delta
     a_dur = len(pcm)  # in audio-track ticks (timescale = sample_rate)
-    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
-    mvhd = _box(
-        b"mvhd",
-        struct.pack(">B3xIIII", 0, 0, 0, timescale, dur)
-        + struct.pack(">IH2x8x", 0x00010000, 0x0100)
-        + matrix
-        + struct.pack(">6I", 0, 0, 0, 0, 0, 0)
-        + struct.pack(">I", 3),
-    )
+    mvhd = _mvhd(timescale, dur, 3)
 
     def _trak(tid, handler, w, h, mts, tdur, stbl):
         tkhd = _box(
             b"tkhd",
             struct.pack(">B3xIIIII8x", 0, 0, 0, tid, 0, dur)
             + struct.pack(">HHH2x", 0, 0, 0x0100 if handler == b"soun" else 0)
-            + matrix
+            + _MATRIX
             + struct.pack(">II", w << 16, h << 16),
         )
         mdhd = _box(b"mdhd", struct.pack(">B3xIIIIH2x", 0, 0, 0, mts, tdur, 0x55C4))
@@ -269,17 +271,9 @@ def encode_mp4_av(
         return _box(b"trak", tkhd + _box(b"mdia", mdhd + hdlr + minf))
 
     # video stbl (same shapes as encode_mp4_mjpeg, one chunk per frame)
-    name = b"\x05mjpeg" + b"\x00" * 26
-    ventry = (
-        b"\x00" * 6 + struct.pack(">H", 1)
-        + struct.pack(">HH", 0, 0) + b"\x00" * 12
-        + struct.pack(">HH", width, height)
-        + struct.pack(">II", 0x00480000, 0x00480000)
-        + struct.pack(">I", 0) + struct.pack(">H", 1)
-        + name + struct.pack(">Hh", 24, -1)
-    )
     v_stbl = _box(b"stbl",
-        _full(b"stsd", 0, 0, struct.pack(">I", 1) + _box(b"jpeg", ventry))
+        _full(b"stsd", 0, 0,
+              struct.pack(">I", 1) + _box(b"jpeg", _jpeg_sample_entry(width, height)))
         + _full(b"stts", 0, 0, struct.pack(">III", 1, nf, frame_delta))
         + _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, 1, 1))
         + _full(b"stsz", 0, 0, struct.pack(">II", 0, nf)
@@ -315,8 +309,13 @@ def encode_mp4_av(
 
 def read_audio_chunk(payload: bytes, chunk: tuple[int, int, int]) -> list[int]:
     """Decode one PCM16-LE audio chunk located by the expanded table —
-    the audio sibling of :func:`read_sample`."""
+    the audio sibling of :func:`read_sample`.  A chunk that is not
+    16-bit aligned raises the family ``MP4:`` ValueError (review r7:
+    struct.error would crash the Arrow batch past the dead-letter
+    handler)."""
     off, sz, _ts = chunk
+    if sz % 2:
+        raise ValueError("MP4: audio chunk is not PCM16-aligned")
     return list(struct.unpack(f"<{sz // 2}h", payload[off : off + sz]))
 
 
@@ -535,14 +534,19 @@ def parse_mp4(payload: bytes) -> dict:
                 raise ValueError("MP4: chunk layout does not cover all samples")
             out["samples"] = samples
         elif handler == "soun" and not saw_audio:
-            saw_audio = True
             # audio expands at CHUNK granularity (a per-PCM-frame list
             # would be sample_rate entries/sec — chunk ranges are what
             # a range-request reader fetches); requires the real
-            # fixed-size-sample layout (stsz fixed, stts one run)
+            # fixed-size-sample layout (stsz fixed, stts one run).
+            # saw_audio flips only AFTER the layout check so a later
+            # conforming PCM track isn't shadowed by a variable-rate
+            # one (review r7)
             if len(set(sizes)) != 1 or len(stts) != 1:
                 continue
+            saw_audio = True
             ssz = sizes[0]
+            if ssz <= 0:
+                raise ValueError("MP4: bad audio sample size")
             delta = stts[0][1]
             spc = _expand_spc(stsc, len(stco))
             chunks: list[tuple[int, int, int]] = []
@@ -550,6 +554,9 @@ def parse_mp4(payload: bytes) -> dict:
             consumed = 0
             for ci, coff in enumerate(stco):
                 n_here = min(spc[ci], len(sizes) - consumed)
+                if n_here <= 0:  # forged over-covering stsc would emit
+                    # phantom zero-size chunks (review r7)
+                    raise ValueError("MP4: audio chunk layout over-covers samples")
                 sz = n_here * ssz
                 if coff + sz > len(payload):
                     raise ValueError("MP4: audio chunk extends past end of file")

@@ -9,10 +9,14 @@ gzip MEMBER per WARC record so readers can seek by member).
   CRLF CRLF + payload + CRLF CRLF, individually gzip-compressed and
   concatenated (the multi-member layout);
 - reader: walks gzip members with a streaming zlib decompressor
-  (``unused_data`` marks each member boundary), parses headers,
-  validates Content-Length, and returns (headers, payload) per
-  record.  Every malformed stream raises ``ValueError`` with a
-  ``WARC:`` message (the codec-family dead-letter contract).
+  (``unused_data`` marks each member boundary, decode bounded by
+  ``MAX_MEMBER_BYTES`` so a gzip bomb dead-letters instead of
+  OOM-killing the executor), parses headers, validates
+  Content-Length, and returns (headers, payload) per record.  A
+  member carrying SEVERAL concatenated records (file-level
+  compression — also legal ISO 28500) parses fully.  Every malformed
+  stream raises ``ValueError`` with a ``WARC:`` message (the
+  codec-family dead-letter contract).
 
 Reference parity note: the reference (aprs2influxdb) has no file
 ingest at all; this serves SURVEY's LLM-pipeline north star.
@@ -25,20 +29,35 @@ import zlib
 
 _CRLF = b"\r\n"
 
+# in-memory decode bound per gzip member: a crafted ~1 MB bomb member
+# expanding to tens of GB must dead-letter (ValueError), never
+# MemoryError the executor (review r7 — the same class the MP4
+# sample-table guards close)
+MAX_MEMBER_BYTES = 1 << 28  # 256 MB
+
 
 def write_warc_gz(records: list[tuple[dict, bytes]]) -> bytes:
     """Serialize ``records`` — (header dict, payload bytes) pairs —
     as multi-member gzip WARC.  ``WARC-Type`` is required in each
-    header dict; ``Content-Length`` is computed, never trusted."""
+    header dict; ``Content-Length`` is computed, never trusted (a
+    caller-supplied one is rejected — two length headers would be a
+    grammar violation an external reader could misparse)."""
     out = bytearray()
     for headers, payload in records:
         if "WARC-Type" not in headers:
             raise ValueError("write_warc_gz: WARC-Type header required")
         lines = [b"WARC/1.0"]
         for k, v in headers.items():
-            if "\r" in str(v) or "\n" in str(v):
-                raise ValueError(f"write_warc_gz: header value with newline: {k}")
-            lines.append(f"{k}: {v}".encode())
+            ks, vs = str(k), str(v)
+            if ks.lower() == "content-length":
+                raise ValueError(
+                    "write_warc_gz: Content-Length is computed, not supplied"
+                )
+            # CR/LF in a KEY would inject forged header lines; a colon
+            # in a key corrupts the key/value split (review r7)
+            if any(c in ks for c in "\r\n:") or "\r" in vs or "\n" in vs:
+                raise ValueError(f"write_warc_gz: malformed header {ks!r}")
+            lines.append(f"{ks}: {vs}".encode())
         lines.append(f"Content-Length: {len(payload)}".encode())
         rec = _CRLF.join(lines) + _CRLF + _CRLF + payload + _CRLF + _CRLF
         # mtime=0 keeps the writer deterministic (oracle fixtures)
@@ -47,39 +66,49 @@ def write_warc_gz(records: list[tuple[dict, bytes]]) -> bytes:
 
 
 def parse_warc_gz(blob: bytes) -> list[tuple[dict, bytes]]:
-    """Walk the gzip members and parse each WARC record →
+    """Walk the gzip members, parse every WARC record in each →
     [(headers, payload)].  Rejects: a non-gzip stream, a member
-    without the WARC/1.0 magic, truncated/overlong payloads vs the
-    declared Content-Length, and headers without a colon."""
+    without the WARC/1.0 magic, a member past ``MAX_MEMBER_BYTES``,
+    truncated/negative/overlong payloads vs the declared
+    Content-Length, trailing garbage inside a member, and headers
+    without a colon."""
     if blob[:2] != b"\x1f\x8b":
         raise ValueError("WARC: not a gzip stream")
     records: list[tuple[dict, bytes]] = []
+    mv = memoryview(blob)  # zero-copy member slices (review r7)
     pos = 0
     while pos < len(blob):
         d = zlib.decompressobj(wbits=31)  # one gzip member
         try:
-            raw = d.decompress(blob[pos:])
+            raw = d.decompress(mv[pos:], MAX_MEMBER_BYTES + 1)
         except zlib.error as e:
             raise ValueError(f"WARC: corrupt gzip member ({e})") from None
+        if len(raw) > MAX_MEMBER_BYTES:
+            raise ValueError("WARC: member exceeds the in-memory decode bound")
         if not d.eof:
             raise ValueError("WARC: truncated gzip member")
-        consumed = len(blob) - pos - len(d.unused_data)
-        pos += consumed
-        records.append(_parse_record(raw))
+        pos += len(blob) - pos - len(d.unused_data)
+        # a member may carry SEVERAL concatenated records (file-level
+        # compression is legal ISO 28500) — parse them all; silently
+        # dropping the tail would be data loss (review r7)
+        off = 0
+        while off < len(raw):
+            headers, payload, consumed = _parse_record(raw[off:])
+            records.append((headers, payload))
+            off += consumed
     if not records:
         raise ValueError("WARC: empty stream")
     return records
 
 
-def _parse_record(raw: bytes) -> tuple[dict, bytes]:
+def _parse_record(raw: bytes) -> tuple[dict, bytes, int]:
     if not raw.startswith(b"WARC/1.0") and not raw.startswith(b"WARC/1.1"):
         raise ValueError("WARC: member does not start with a WARC version line")
-    try:
-        head, rest = raw.split(_CRLF + _CRLF, 1)
-    except ValueError:
-        raise ValueError("WARC: missing header terminator") from None
+    head_end = raw.find(_CRLF + _CRLF)
+    if head_end == -1:
+        raise ValueError("WARC: missing header terminator")
     headers: dict = {}
-    for line in head.split(_CRLF)[1:]:
+    for line in raw[:head_end].split(_CRLF)[1:]:
         if b":" not in line:
             raise ValueError("WARC: malformed header line")
         k, v = line.split(b":", 1)
@@ -88,14 +117,17 @@ def _parse_record(raw: bytes) -> tuple[dict, bytes]:
         n = int(headers.get("Content-Length", ""))
     except ValueError:
         raise ValueError("WARC: missing or non-numeric Content-Length") from None
-    payload = rest[:n]
+    if n < 0:
+        raise ValueError("WARC: negative Content-Length")
+    body = head_end + 4
+    payload = raw[body : body + n]
     if len(payload) < n:
         raise ValueError("WARC: payload shorter than Content-Length")
-    if rest[n : n + 4] != _CRLF + _CRLF:
+    if raw[body + n : body + n + 4] != _CRLF + _CRLF:
         raise ValueError("WARC: record not terminated by CRLFCRLF")
     if "WARC-Type" not in headers:
         raise ValueError("WARC: record without WARC-Type")
-    return headers, payload
+    return headers, payload, body + n + 4
 
 
 def is_warc_gz(blob: bytes) -> bool:

@@ -542,6 +542,23 @@ def test_av_mux_two_track_interleaved_roundtrip():
     with pytest.raises(ValueError, match="MP4"):
         parse_mp4(bytes(bad))
 
+    # review r7 pass 2: a forged fixed-size stsz (odd sample size,
+    # under-counted samples) must dead-letter at parse/read, never
+    # escape as struct.error or emit phantom zero-size chunks
+    bad = bytearray(blob)
+    i = bad.rindex(b"stsz")  # audio stsz: fixed(4) at +8, count at +12
+    struct.pack_into(">II", bad, i + 8, 3, 213)
+    with pytest.raises(ValueError, match="MP4"):
+        m2 = parse_mp4(bytes(bad))
+        for c in m2["audio_chunks"]:
+            read_audio_chunk(bytes(bad), c)
+
+    # sibling validation contract (was struct.error)
+    with pytest.raises(ValueError, match="geometry"):
+        encode_mp4_av(blobs, pcm, -1, 16)
+    with pytest.raises(ValueError, match="sample_rate"):
+        encode_mp4_av(blobs, pcm, 16, 16, sample_rate=96000)
+
 
 class TestWarc:
     """Round 7: WARC/gzip ingest (ISO 28500, multi-member gzip — the
@@ -573,6 +590,51 @@ class TestWarc:
         # determinism (mtime=0): identical bytes on rewrite
         assert write_warc_gz(recs) == blob
 
+    def test_second_review_fixes(self):
+        """Review r7 pass 2: negative Content-Length, multi-record
+        members (file-level compression), header-KEY injection,
+        caller-supplied Content-Length, and the gzip-bomb decode
+        bound."""
+        import gzip
+
+        from aprs2influxdb_spark.functions import warc as W
+
+        # negative Content-Length must dead-letter, not slice from
+        # the end of the payload
+        rec = b"WARC/1.0\r\nWARC-Type: x\r\nContent-Length: -5\r\n\r\nhello\r\n\r\n"
+        with pytest.raises(ValueError, match="negative Content-Length"):
+            W.parse_warc_gz(gzip.compress(rec, mtime=0))
+
+        # one member carrying TWO records (legal ISO 28500) parses
+        # fully — the first cut silently dropped the tail
+        one = b"WARC/1.0\r\nWARC-Type: a\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n"
+        two = b"WARC/1.0\r\nWARC-Type: b\r\nContent-Length: 3\r\n\r\nbye\r\n\r\n"
+        got = W.parse_warc_gz(gzip.compress(one + two, mtime=0))
+        assert [(h["WARC-Type"], p) for h, p in got] == [("a", b"hi"), ("b", b"bye")]
+        # trailing garbage after the last record still dead-letters
+        with pytest.raises(ValueError, match="WARC"):
+            W.parse_warc_gz(gzip.compress(one + b"garbage", mtime=0))
+
+        # header-KEY injection / colon corruption / supplied length
+        for bad_hdrs in (
+            {"WARC-Type": "x", "A\r\nX-Forged": "v"},
+            {"WARC-Type": "x", "A:B": "v"},
+            {"WARC-Type": "x", "Content-Length": "999"},
+        ):
+            with pytest.raises(ValueError, match="write_warc_gz"):
+                W.write_warc_gz([(bad_hdrs, b"p")])
+
+        # gzip bomb: a member expanding past MAX_MEMBER_BYTES raises
+        # the WARC: ValueError, never a giant allocation
+        old = W.MAX_MEMBER_BYTES
+        W.MAX_MEMBER_BYTES = 1 << 16
+        try:
+            bomb = gzip.compress(b"\x00" * (1 << 20), mtime=0)
+            with pytest.raises(ValueError, match="decode bound"):
+                W.parse_warc_gz(bomb)
+        finally:
+            W.MAX_MEMBER_BYTES = old
+
     def test_malformed_streams_dead_letter(self):
         import gzip
 
@@ -599,7 +661,7 @@ class TestWarc:
             parse_warc_gz(gzip.compress(rec, mtime=0))
         with pytest.raises(ValueError, match="WARC-Type"):
             write_warc_gz([({}, b"x")])
-        with pytest.raises(ValueError, match="newline"):
+        with pytest.raises(ValueError, match="malformed header"):
             write_warc_gz([({"WARC-Type": "response", "X": "a\nb"}, b"x")])
 
 
