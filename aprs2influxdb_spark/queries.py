@@ -7003,6 +7003,101 @@ def _warc_ingest_mapper():
     return _ingest, out_schema
 
 
+def q_html_extract(spark, sf):
+    """HTML → text extraction (round 7): the crawl-pipeline step
+    between WARC ingest and curation.  Each document is rendered into
+    a realistic page — head with ``<title>`` and a ``<script>`` that
+    must contribute NO text, body with an ``<h1>``, two ``<p>``
+    paragraphs carrying the doc's first two 16-word chunks
+    (HTML-escaped at synthesis; the parser's charref decoding makes
+    the roundtrip identity), prev/next ``<a>`` links and a
+    ``<style>`` block — then the stdlib extractor pulls the title,
+    whitespace-normalized body text and link count back out of the
+    actual markup.  The mapper hard-asserts the extracted body equals
+    the closed-form reconstruction before emitting features the
+    oracle recomputes from the table.  One ``mapInPandas`` pass —
+    the embarrassingly parallel per-page map every pipeline starts
+    with."""
+    from pyspark.sql.types import (
+        IntegerType as _Int,
+        LongType as _Long,
+        StringType as _Str,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    out_schema = _ST([
+        _SF("doc_id", _Long(), False),
+        _SF("title", _Str(), True),
+        _SF("n_links", _Int(), True),
+        _SF("body_len", _Long(), True),
+        _SF("n_chunks", _Int(), True),
+    ])
+
+    def _pages(batches):
+        import html as _html
+
+        import pandas as pd
+
+        from aprs2influxdb_spark.functions.htmltext import extract_html
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                words = text.split(" ")
+                c1 = " ".join(words[:16])
+                c2 = " ".join(words[16:32])
+                page = (
+                    f"<html><head><title>Doc {d}</title>"
+                    f"<script>var x = {d}; if (x < 9) x &= 7;</script></head>"
+                    f"<body><h1>Doc {d}</h1>"
+                    f"<p>{_html.escape(c1)}</p><p>{_html.escape(c2)}</p>"
+                    f"<style>p {{ color: red; }}</style>"
+                    f'<a href="/doc/{d - 1}">prev</a> <a href="/doc/{d + 1}">next</a>'
+                    f"</body></html>"
+                )
+                got = extract_html(page)
+                want_body = " ".join(
+                    s for s in [f"Doc {d}", c1, c2, "prev", "next"] if s
+                )
+                if got["text"] != want_body:  # hard extraction guarantee
+                    raise ValueError(f"HTML extraction mismatch, doc {d}")
+                if got["title"] != f"Doc {d}" or got["n_links"] != 2:
+                    raise ValueError(f"HTML title/link mismatch, doc {d}")
+                rows.append(
+                    (d, got["title"], got["n_links"], len(got["text"]),
+                     (1 if c1 else 0) + (1 if c2 else 0))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "title", "n_links", "body_len", "n_chunks"]
+            )
+
+    return _t(spark, sf, "documents").select("doc_id", "text").mapInPandas(
+        _pages, out_schema
+    )
+
+
+SQL_HTML_EXTRACT = """
+WITH c AS (
+  SELECT doc_id,
+         array_to_string(string_split(text, ' ')[1:16], ' ') AS c1,
+         array_to_string(string_split(text, ' ')[17:32], ' ') AS c2
+  FROM documents
+)
+SELECT doc_id,
+       'Doc ' || doc_id::VARCHAR AS title,
+       CAST(2 AS INTEGER) AS n_links,
+       CAST(strlen('Doc ' || doc_id::VARCHAR
+            || CASE WHEN c1 != '' THEN ' ' || c1 ELSE '' END
+            || CASE WHEN c2 != '' THEN ' ' || c2 ELSE '' END
+            || ' prev next') AS BIGINT) AS body_len,
+       CAST(CASE WHEN c1 != '' THEN 1 ELSE 0 END
+            + CASE WHEN c2 != '' THEN 1 ELSE 0 END AS INTEGER) AS n_chunks
+FROM c
+"""
+
+
 SQL_WARC_INGEST = """
 SELECT doc_id,
        CAST(4 AS INTEGER) AS n_records,
@@ -12362,6 +12457,7 @@ def registry() -> dict[str, tuple]:
         "multimodal_av_mux": (q_multimodal_av_mux, SQL_MULTIMODAL_AV_MUX),
         "warc_ingest": (q_warc_ingest, SQL_WARC_INGEST),
         "streaming_warc_ingest": (q_streaming_warc_ingest, SQL_WARC_INGEST),
+        "html_extract": (q_html_extract, SQL_HTML_EXTRACT),
         "gopher_repetition": (q_gopher_repetition, SQL_GOPHER_REPETITION),
         "pii_redact": (q_pii_redact, SQL_PII_REDACT),
         "streaming_pii_redact": (q_streaming_pii_redact, SQL_PII_REDACT),

@@ -251,6 +251,7 @@ HEADLINE = [
     "holt_winters_segmented",
     "multimodal_av_mux",
     "warc_ingest",
+    "html_extract",
 ]
 
 

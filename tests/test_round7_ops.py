@@ -665,6 +665,31 @@ class TestWarc:
             write_warc_gz([({"WARC-Type": "response", "X": "a\nb"}, b"x")])
 
 
+def test_html_extractor_contract():
+    """Round 7: the stdlib HTML→text extractor — script/style
+    subtrees silent, title separate, whitespace-normalized body,
+    charref decoding, link count, and tolerance of the broken markup
+    real crawls contain."""
+    from aprs2influxdb_spark.functions.htmltext import extract_html
+
+    got = extract_html(
+        "<html><head><title>T1</title><script>var a = '<p>no</p>';</script>"
+        "</head><body>  <h1> Hello </h1>\n<p>a &amp; b</p>"
+        "<style>p{}</style><a href='/x'>x</a><a href='/y'>y</a></body></html>"
+    )
+    assert got["title"] == "T1"
+    assert got["text"] == "Hello a & b x y"
+    assert got["n_links"] == 2
+
+    # broken markup: unclosed tags, stray </div>, bare text
+    got = extract_html("<p>alpha<p>beta</div>gamma")
+    assert got["text"] == "alpha beta gamma" and got["n_links"] == 0
+
+    # style closing without opening must not underflow the skip depth
+    got = extract_html("</style><p>kept</p>")
+    assert got["text"] == "kept"
+
+
 def test_mp4_skeleton_now_carries_minf_stbl_chain():
     """ADVICE r6: ISO 14496-12 requires minf/stbl children inside
     mdia; the skeleton writer now emits vmhd|smhd + dinf/dref + a
