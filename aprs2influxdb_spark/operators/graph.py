@@ -29,6 +29,69 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def integer_pagerank(
+    edges: DataFrame, iterations: int = 8,
+    src_col: str = "id_a", dst_col: str = "id_b",
+) -> DataFrame:
+    """PageRank over an UNDIRECTED edge list in pure int64 arithmetic
+    (round 7): ranks in micro-units, seeded 1_000_000; per iteration
+
+        contrib(u) = rank(u) DIV deg(u)
+        rank'(v)   = 150_000 + (850 · Σ_{u∼v} contrib(u)) DIV 1000
+
+    (damping 0.85 as the 850/1000 integer pair).  Float PageRank's
+    per-node sums reorder between engines (Spark partial aggregation
+    vs DuckDB's scan order), so parity would need rounding epsilons;
+    the integer formulation is summation-order INDEPENDENT — the
+    house integerize-before-aggregate convention applied to an
+    iterative algorithm — and the oracle replays the identical
+    recurrence exactly (unrolled CTEs, DuckDB ``//`` == Spark ``DIV``
+    on the non-negative operands here).
+
+    Plan: each iteration is one join onto the degree table plus one
+    shuffle-aggregate on the destination; lineage truncated per round
+    with eager ``localCheckpoint`` (the connected-components
+    precedent) so the final plan stays O(1 round) deep.  At 100 TB
+    ranks/deg are (id, int64) tables shuffled on the id — the classic
+    Pregel-style superstep with nothing per-row Python anywhere.
+    Output: (doc_id, deg, rank_micro) for every vertex of the graph."""
+    ed = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).union(
+        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    ).localCheckpoint(eager=False)
+    # ed is consumed once per superstep: without the checkpoint the
+    # whole upstream pair pipeline (LSH banding + verification) would
+    # re-execute every round — measured 8x the entire entry cost
+    deg = ed.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(
+        eager=False
+    )
+    ranks = deg.select(
+        F.col("src").alias("doc_id"), F.lit(1_000_000).cast("long").alias("rank")
+    )
+    for _ in range(iterations):
+        contrib = ranks.join(deg, ranks.doc_id == deg.src).select(
+            F.col("doc_id"), F.expr("rank DIV deg").alias("c")
+        )
+        summed = (
+            ed.join(contrib, ed.src == contrib.doc_id)
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        # LAZY checkpoint: truncates lineage for reuse but keeps the
+        # whole run ONE job — at 8 supersteps the plan compiles fine
+        # (connected_components needs eager only because its ~20
+        # rounds OOM the driver at compile); eager was measured as
+        # ~2 s of per-round job overhead at gate scale
+        ranks = summed.select(
+            F.col("dst").alias("doc_id"),
+            (F.lit(150_000) + F.expr("(850 * s) DIV 1000")).cast("long").alias("rank"),
+        ).localCheckpoint(eager=False)
+    return ranks.join(deg, ranks.doc_id == deg.src).select(
+        "doc_id", "deg", F.col("rank").alias("rank_micro")
+    )
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,

@@ -2014,6 +2014,48 @@ def q_dup_threshold_curve(spark, sf):
     )
 
 
+def q_dup_pagerank(spark, sf):
+    """Integer PageRank over the verified near-dup pair graph (round
+    7 — the second iterative graph algorithm beside the
+    pointer-jumping connected components): rank concentrates on
+    documents sitting at the center of duplicate clusters, the
+    "canonical copy" signal a dedup pipeline keeps.  8 Pregel-style
+    supersteps in pure int64 micro-units (order-independent sums, so
+    the unrolled-CTE oracle is value-EXACT with no rounding epsilon —
+    see :func:`operators.graph.integer_pagerank`)."""
+    from aprs2influxdb_spark.operators.graph import integer_pagerank
+
+    pairs = dd.minhash_lsh_pairs(_t(spark, sf, "documents"))
+    return integer_pagerank(pairs.select("id_a", "id_b"))
+
+
+def _dup_pagerank_sql(iterations: int = 8) -> str:
+    steps = []
+    prev = "pr0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""pr{i} AS (
+  SELECT e.dst AS doc_id,
+         CAST(150000 + (850 * sum(p.rank // d.deg)) // 1000 AS BIGINT) AS rank
+  FROM {prev} p JOIN deg d ON p.doc_id = d.src JOIN ed e ON e.src = p.doc_id
+  GROUP BY e.dst
+)""")
+        prev = f"pr{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH pairs AS ({_minhash_lsh_sql()}),
+ed AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY src),
+pr0 AS (SELECT src AS doc_id, CAST(1000000 AS BIGINT) AS rank FROM deg),
+{chain}
+SELECT p.doc_id, d.deg, p.rank AS rank_micro
+FROM {prev} p JOIN deg d ON d.src = p.doc_id
+"""
+
+
 def _dup_threshold_sql() -> str:
     return f"""
 WITH pairs AS ({_minhash_lsh_sql()}),
@@ -12359,6 +12401,7 @@ def registry() -> dict[str, tuple]:
         "streaming_simhash": (q_streaming_simhash, _simhash_sql()),
         "streaming_token_counts": (q_streaming_token_counts, SQL_TOKEN_COUNTS),
         "near_dup_clusters": (q_near_dup_clusters, _near_dup_clusters_sql()),
+        "dup_pagerank": (q_dup_pagerank, _dup_pagerank_sql()),
         "soft_dedup_weights": (q_soft_dedup_weights, _soft_dedup_weights_sql()),
         "contamination_report": (q_contamination_report, _contamination_report_sql()),
         # similarity

@@ -678,6 +678,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "multimodal_av_mux": 2,  # r7 two-track interleaved A/V: one mapInPandas pass
     "warc_ingest": 2,  # r7 WARC/gzip shard map: one mapInPandas pass
     "html_extract": 2,  # r7 HTML->text per-page map: one mapInPandas pass
+    "dup_pagerank": 4,  # r7 integer PageRank: supersteps sit behind checkpoint scans (measured 2)
     "multimodal_wav_features": 2,
     "multimodal_audio_g711": 2,  # r6 G.711 companding: one mapInPandas pass, no shuffle needed
     "multimodal_frames": 2,
