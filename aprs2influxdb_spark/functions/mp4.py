@@ -394,6 +394,10 @@ def parse_mp4(payload: bytes) -> dict:
                 out["timescale"] = ts
                 out["duration_ms"] = dur * 1000 // ts
             elif btype == b"mdhd" and cur is not None:
+                # per-version length guard (ADVICE r7): a v1 mdhd
+                # reads the timescale at offset 20, so 20 bytes are
+                # not enough — fail with the specific message, not
+                # the generic malformed-box struct.error fallback
                 if body_hi - body_lo < 20:
                     raise ValueError("MP4: mdhd body too short")
                 if payload[body_lo] == 0:
@@ -401,6 +405,8 @@ def parse_mp4(payload: bytes) -> dict:
                         ">I", payload[body_lo + 12 : body_lo + 16]
                     )
                 else:
+                    if body_hi - body_lo < 24:
+                        raise ValueError("MP4: mdhd body too short")
                     (cur["timescale"],) = struct.unpack(
                         ">I", payload[body_lo + 20 : body_lo + 24]
                     )

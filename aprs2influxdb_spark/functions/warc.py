@@ -93,22 +93,26 @@ def parse_warc_gz(blob: bytes) -> list[tuple[dict, bytes]]:
         # dropping the tail would be data loss (review r7)
         off = 0
         while off < len(raw):
-            headers, payload, consumed = _parse_record(raw[off:])
+            headers, payload, end = _parse_record(raw, off)
             records.append((headers, payload))
-            off += consumed
+            off = end
     if not records:
         raise ValueError("WARC: empty stream")
     return records
 
 
-def _parse_record(raw: bytes) -> tuple[dict, bytes, int]:
-    if not raw.startswith(b"WARC/1.0") and not raw.startswith(b"WARC/1.1"):
+def _parse_record(raw: bytes, off: int = 0) -> tuple[dict, bytes, int]:
+    """Parse one record at ``raw[off:]`` WITHOUT copying the member
+    tail (a many-record member would otherwise pay O(n²) bytes copied
+    — ADVICE r7); returns (headers, payload, end_offset) where
+    ``end_offset`` is absolute in ``raw``."""
+    if not raw.startswith(b"WARC/1.0", off) and not raw.startswith(b"WARC/1.1", off):
         raise ValueError("WARC: member does not start with a WARC version line")
-    head_end = raw.find(_CRLF + _CRLF)
+    head_end = raw.find(_CRLF + _CRLF, off)
     if head_end == -1:
         raise ValueError("WARC: missing header terminator")
     headers: dict = {}
-    for line in raw[:head_end].split(_CRLF)[1:]:
+    for line in raw[off:head_end].split(_CRLF)[1:]:
         if b":" not in line:
             raise ValueError("WARC: malformed header line")
         k, v = line.split(b":", 1)

@@ -7087,7 +7087,12 @@ def q_html_extract(spark, sf):
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 d = int(doc_id)
-                words = text.split(" ")
+                # drop empty tokens (consecutive/trailing spaces) so the
+                # chunks can never be whitespace-only — the extractor
+                # strips such data() events while want_body's `if s`
+                # would keep them, crashing the batch on legal input
+                # (ADVICE r7); the SQL oracle filters identically.
+                words = [w for w in text.split(" ") if w]
                 c1 = " ".join(words[:16])
                 c2 = " ".join(words[16:32])
                 page = (
@@ -7121,11 +7126,15 @@ def q_html_extract(spark, sf):
 
 
 SQL_HTML_EXTRACT = """
-WITH c AS (
+WITH w AS (
   SELECT doc_id,
-         array_to_string(string_split(text, ' ')[1:16], ' ') AS c1,
-         array_to_string(string_split(text, ' ')[17:32], ' ') AS c2
+         list_filter(string_split(text, ' '), x -> x != '') AS words
   FROM documents
+), c AS (
+  SELECT doc_id,
+         array_to_string(words[1:16], ' ') AS c1,
+         array_to_string(words[17:32], ' ') AS c2
+  FROM w
 )
 SELECT doc_id,
        'Doc ' || doc_id::VARCHAR AS title,

@@ -1023,6 +1023,7 @@ def test_mp4_box_walker_roundtrip_and_rejections():
         "duration_ms": 61500, "timescale": 1000, "n_tracks": 2,
         "handlers": ["vide", "soun"], "width": 640, "height": 360,
         "samples": None,  # r7: skeleton tracks carry no samples
+        "audio_chunks": None, "audio_rate": None,  # r7 A/V mux keys
     }
     # unknown top-level box (after the 24-byte ftyp) skips by its size
     free = struct.pack(">I", 16) + b"free" + b"\x00" * 8
