@@ -1,0 +1,364 @@
+"""Persisted binary media shards (round 8, verdict-r7 missing #2).
+
+Until round 7 every codec entry synthesized its blob IN the mapper
+from ``doc_id`` and parsed it back — byte-real parsing, but the actual
+100 TB ingest path (binary columns in parquet, column pruning around
+blobs, range reads) was never exercised, and the bench conflated
+encode CPU with decode CPU.  This module moves synthesis to WRITE
+time: a per-sf parquet side table of blob columns, generated ONCE
+from the driver's ``documents`` table (deterministic — same closed
+forms in ``doc_id``/``text`` the oracles already mirror), cached
+under ``.media_cache/`` and reused by every codec entry and by
+bench.py.  Queries then READ persisted bytes, so their measured cost
+is decode-only, and the scan exercises real blob-column behavior:
+parquet column pruning (an entry touching only ``warc_gz`` must not
+read ``av_mp4`` — the columns live in separate column chunks), big
+binary values, and predicate pushdown on ``doc_id``.
+
+Generation itself is a Spark job (``mapInPandas`` over documents,
+repartitioned to the session's parallelism) — the same shape a real
+corpus-preparation backfill has; nothing is collected to the driver.
+
+Cache invariants: the directory name embeds ``MEDIA_VERSION`` (bump
+when any synthesis closed-form changes — stale caches are simply
+orphaned) and the sf directory's basename; writes go to a temp dir
+then ``os.rename`` so a crashed build can never be mistaken for a
+complete one.
+
+Reference parity note: the reference (aprs2influxdb) has no media
+path at all (README.md:4); this serves SURVEY §2.9's multimodal
+north star.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+MEDIA_VERSION = 1
+N_WARC_SHARDS = 8  # files for the binaryFile-source entry
+
+
+# ------------------------------------------------------- closed forms
+# Shared by write-time synthesis, the read-time hard asserts, and
+# (mirrored in SQL) the DuckDB oracles.  Changing any of these
+# requires a MEDIA_VERSION bump.
+
+
+def norm_text(text: str) -> str:
+    """Whitespace normalization: the exact closed form the SQL
+    oracles express as array_to_string(list_filter(string_split(...)))."""
+    return " ".join(w for w in text.split(" ") if w)
+
+
+def mjpeg_frame(d: int, k: int) -> tuple[bytes, int]:
+    """16x16 four-block frame for doc ``d``, frame ``k`` → (pixels,
+    mean luma).  Same closed form as rounds 6-7."""
+    img = bytearray(256)
+    vals = [(d * 31 + k * 47 + b * 59) % 256 for b in range(4)]
+    for b, v in enumerate(vals):
+        by, bx = divmod(b, 2)
+        for y in range(8):
+            row = (by * 8 + y) * 16 + bx * 8
+            img[row : row + 8] = bytes([v] * 8)
+    return bytes(img), sum(vals) // 4
+
+
+def av_frame(d: int, k: int) -> tuple[bytes, int]:
+    img = bytearray(256)
+    vals = [(d * 23 + k * 41 + b * 17) % 256 for b in range(4)]
+    for b, v in enumerate(vals):
+        by, bx = divmod(b, 2)
+        for y in range(8):
+            row = (by * 8 + y) * 16 + bx * 8
+            img[row : row + 8] = bytes([v] * 8)
+    return bytes(img), sum(vals) // 4
+
+
+def av_pcm(d: int, nf: int) -> list[int]:
+    return [((d * 13 + i * 7) % 2048) - 1024 for i in range(nf * 320)]
+
+
+def synth_mjpeg_mp4(d: int) -> bytes:
+    """MJPEG-in-MP4 with 2-4 real JPEG frames (alternating baseline
+    SOF0 / progressive SOF2) behind a real sample table."""
+    from aprs2influxdb_spark.functions.jpeg import (
+        encode_jpeg_gray,
+        encode_jpeg_progressive_gray,
+    )
+    from aprs2influxdb_spark.functions.mp4 import encode_mp4_mjpeg
+
+    nf = 2 + d % 3
+    frames = []
+    for k in range(nf):
+        px, _ = mjpeg_frame(d, k)
+        enc = encode_jpeg_gray if k % 2 == 0 else encode_jpeg_progressive_gray
+        frames.append(enc(px, 16, 16))
+    return encode_mp4_mjpeg(
+        frames, 16, 16, frame_delta=40, frames_per_chunk=2 if nf >= 3 else 0
+    )
+
+
+def synth_av_mp4(d: int) -> bytes:
+    """Two-track interleaved A/V MP4 (JPEG video + PCM16 audio)."""
+    from aprs2influxdb_spark.functions.jpeg import (
+        encode_jpeg_gray,
+        encode_jpeg_progressive_gray,
+    )
+    from aprs2influxdb_spark.functions.mp4 import encode_mp4_av
+
+    nf = 2 + d % 2
+    frames = []
+    for k in range(nf):
+        px, _ = av_frame(d, k)
+        enc = encode_jpeg_gray if k % 2 == 0 else encode_jpeg_progressive_gray
+        frames.append(enc(px, 16, 16))
+    return encode_mp4_av(frames, av_pcm(d, nf), 16, 16)
+
+
+def warc_records(d: int, text: str) -> list[tuple[dict, bytes]]:
+    """The 4 records a crawler emits per page (warc_ingest's r7
+    shape: raw text payload)."""
+    uri = f"http://corpus.local/doc/{d}"
+    body = text.encode("utf-8")
+    chunk = " ".join(text.split(" ")[:16]).encode("utf-8")
+    return [
+        ({"WARC-Type": "warcinfo",
+          "WARC-Record-ID": f"<urn:uuid:{d}-info>"}, b"software: engine"),
+        ({"WARC-Type": "request", "WARC-Target-URI": uri},
+         f"GET /doc/{d} HTTP/1.1".encode()),
+        ({"WARC-Type": "response", "WARC-Target-URI": uri}, body),
+        ({"WARC-Type": "metadata", "WARC-Target-URI": uri}, chunk),
+    ]
+
+
+def synth_warc_gz(d: int, text: str) -> bytes:
+    from aprs2influxdb_spark.functions.warc import write_warc_gz
+
+    return write_warc_gz(warc_records(d, text))
+
+
+def crawl_page(d: int, text: str) -> str:
+    """The HTML page the crawl response carries: title + script (no
+    text contribution) + ONE body paragraph holding the full
+    whitespace-normalized document, escaped at synthesis so the
+    extractor's charref decoding makes the roundtrip identity.
+    Extracted body == norm_text(text) exactly — the closed form
+    crawl_to_corpus's oracle leans on."""
+    return (
+        f"<html><head><title>Doc {d}</title>"
+        f"<script>var x = {d}; if (x < 9) x &= 7;</script></head>"
+        f"<body><p>{_html.escape(norm_text(text))}</p>"
+        f"<style>p {{ color: red; }}</style></body></html>"
+    )
+
+
+def synth_crawl_gz(d: int, text: str) -> bytes:
+    """The crawl shard member for one page: warcinfo + request +
+    response carrying the rendered HTML."""
+    from aprs2influxdb_spark.functions.warc import write_warc_gz
+
+    uri = f"http://corpus.local/doc/{d}"
+    return write_warc_gz([
+        ({"WARC-Type": "warcinfo",
+          "WARC-Record-ID": f"<urn:uuid:{d}-crawl>"}, b"software: engine"),
+        ({"WARC-Type": "request", "WARC-Target-URI": uri},
+         f"GET /doc/{d} HTTP/1.1".encode()),
+        ({"WARC-Type": "response", "WARC-Target-URI": uri},
+         crawl_page(d, text).encode("utf-8")),
+    ])
+
+
+PDF_WORDS_PER_PAGE = 24
+
+
+def pdf_pages(text: str) -> list[str]:
+    """24 non-empty words per page, at least one (possibly empty)
+    page; pages joined by single spaces == norm_text(text)."""
+    words = [w for w in text.split(" ") if w]
+    if not words:
+        return [""]
+    return [
+        " ".join(words[i : i + PDF_WORDS_PER_PAGE])
+        for i in range(0, len(words), PDF_WORDS_PER_PAGE)
+    ]
+
+
+def synth_pdf(d: int, text: str) -> bytes:
+    from aprs2influxdb_spark.functions.pdftext import encode_pdf_text
+
+    return encode_pdf_text(pdf_pages(text))
+
+
+# --------------------------------------------------------- the store
+
+
+def _cache_root() -> str:
+    env = os.environ.get("SPARK_GRAFT_MEDIA_CACHE")
+    if env:
+        return env
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".media_cache"
+    )
+
+
+def _sf_key(sf_dir: str) -> str:
+    return os.path.basename(os.path.abspath(sf_dir.rstrip("/")))
+
+
+def media_path(sf_dir: str) -> str:
+    return os.path.join(_cache_root(), f"v{MEDIA_VERSION}-{_sf_key(sf_dir)}", "media")
+
+
+def warc_files_path(sf_dir: str) -> str:
+    return os.path.join(
+        _cache_root(), f"v{MEDIA_VERSION}-{_sf_key(sf_dir)}", "warc_files"
+    )
+
+
+def _gen_schema():
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    return StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("warc_gz", BinaryType(), True),
+        StructField("crawl_gz", BinaryType(), True),
+        StructField("mjpeg_mp4", BinaryType(), True),
+        StructField("av_mp4", BinaryType(), True),
+        StructField("pdf", BinaryType(), True),
+    ])
+
+
+def _generate(batches):
+    import pandas as pd
+
+    for pdf_in in batches:
+        rows = []
+        for doc_id, text in zip(pdf_in["doc_id"], pdf_in["text"]):
+            d = int(doc_id)
+            rows.append((
+                d,
+                synth_warc_gz(d, text),
+                synth_crawl_gz(d, text),
+                synth_mjpeg_mp4(d),
+                synth_av_mp4(d),
+                synth_pdf(d, text),
+            ))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "warc_gz", "crawl_gz", "mjpeg_mp4", "av_mp4", "pdf"],
+        )
+
+
+def ensure_media(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) and return the media parquet path for ``sf_dir``.
+    Idempotent; atomic via temp-dir + rename; parallel via Spark."""
+    final = media_path(sf_dir)
+    if os.path.exists(os.path.join(final, "_SUCCESS")):
+        return final
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    par = spark.sparkContext.defaultParallelism
+    tmp = f"{final}.tmp{os.getpid()}"
+    (
+        docs.repartition(par, "doc_id")
+        .mapInPandas(_generate, _gen_schema())
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        # lost a benign race: another session built it first
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(os.path.join(final, "_SUCCESS")):
+            raise
+    return final
+
+
+def media_table(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
+    """The blob side table, column-pruned at the scan: pass only the
+    columns the entry parses so parquet skips the other blobs'
+    column chunks entirely."""
+    df = spark.read.parquet(ensure_media(spark, sf_dir))
+    return df.select("doc_id", *cols) if cols else df
+
+
+def stream_media_table(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
+    """The blob side table as a file-source STREAM (the crawl
+    pipeline's actual arrival shape); same column pruning contract as
+    :func:`media_table`."""
+    path = ensure_media(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    sdf = spark.readStream.schema(schema).parquet(path)
+    return sdf.select("doc_id", *cols) if cols else sdf
+
+
+def ensure_warc_files(spark: SparkSession, sf_dir: str) -> str:
+    """Write the crawl corpus as N_WARC_SHARDS real ``.warc.gz``
+    FILES (each holding every member for docs with ``doc_id %
+    N_WARC_SHARDS == shard``, ascending) — the Common Crawl layout —
+    for the ``binaryFile``-source entry.  Files are written from
+    executor tasks (one shard per task after an explicit
+    repartition), never via the driver."""
+    final = warc_files_path(sf_dir)
+    if os.path.exists(os.path.join(final, "_SUCCESS")):
+        return final
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    tmp = f"{final}.tmp{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    out_schema = StructType([StructField("shard", IntegerType(), False)])
+
+    n_shards = N_WARC_SHARDS
+
+    def _write_shards(batches):
+        import pandas as pd
+
+        members: dict[int, list[tuple[int, bytes]]] = {}
+        for pdf_in in batches:
+            for doc_id, text in zip(pdf_in["doc_id"], pdf_in["text"]):
+                d = int(doc_id)
+                members.setdefault(d % n_shards, []).append(
+                    (d, synth_warc_gz(d, text))
+                )
+        done = []
+        for shard, blobs in members.items():
+            blobs.sort()
+            with open(os.path.join(tmp, f"shard-{shard:03d}.warc.gz"), "wb") as fh:
+                for _, blob in blobs:
+                    fh.write(blob)
+            done.append(shard)
+        yield pd.DataFrame({"shard": done})
+
+    written = (
+        docs.repartition(n_shards, F.col("doc_id") % n_shards)
+        .mapInPandas(_write_shards, out_schema)
+        .collect()  # tiny: one row per shard file, not a data path
+    )
+    if len({r["shard"] for r in written}) != n_shards:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError("warc shard writer produced an incomplete set")
+    with open(os.path.join(tmp, "_SUCCESS"), "w"):
+        pass
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(os.path.join(final, "_SUCCESS")):
+            raise
+    return final

@@ -678,6 +678,9 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "multimodal_av_mux": 2,  # r7 two-track interleaved A/V: one mapInPandas pass
     "warc_ingest": 2,  # r7 WARC/gzip shard map: one mapInPandas pass
     "html_extract": 2,  # r7 HTML->text per-page map: one mapInPandas pass
+    "warc_binary_files": 2,  # r8 binaryFile-source shard parse: no shuffle
+    "pdf_extract": 2,  # r8 PDF text extraction: one mapInPandas pass
+    "crawl_to_corpus": 6,  # r8 bytes->corpus: ingest map + curate tail (same as curate_corpus)
     "dup_pagerank": 4,  # r7 integer PageRank: supersteps sit behind checkpoint scans (measured 2)
     "multimodal_wav_features": 2,
     "multimodal_audio_g711": 2,  # r6 G.711 companding: one mapInPandas pass, no shuffle needed
@@ -963,3 +966,61 @@ class TestAnnIndexServing:
         finally:
             spark.sql("DROP TABLE IF EXISTS ivf_lists")
             spark.sql("DROP TABLE IF EXISTS ivf_lists_centroids")
+
+
+class TestRound8Plans:
+    def test_crawl_ingest_pipelines_into_gates(self, spark, sf_dir):
+        """crawl_to_corpus (r8): the blob scan -> WARC parse -> HTML
+        extract ``mapInPandas`` stage must pipeline directly into the
+        quality/language gate filters with NO materialization barrier
+        — the deepest subtree (below the LAST exchange in the printed
+        plan) holds the parquet scan, the Python stage, and the gate
+        Filter together.  An exchange between them would mean the
+        extracted corpus is shuffled before the gates drop ~20% of
+        it."""
+        from aprs2influxdb_spark.queries import registry
+
+        df = registry()["crawl_to_corpus"][0](spark, sf_dir)
+        plan = executed_plan(df)
+        deepest = plan.split("Exchange")[-1]
+        assert "MapInPandas" in deepest, plan
+        assert "Filter" in deepest, plan
+        assert "Scan parquet" in deepest or "FileScan parquet" in deepest, plan
+
+    def test_blob_scans_are_column_pruned(self, spark, sf_dir):
+        """Every persisted-blob entry must read ONLY its blob column
+        (plus doc_id): parquet stores each blob in its own column
+        chunk, so a scan dragging the other four blobs multiplies the
+        read bytes ~5x at 100 TB.  ReadSchema is the witness."""
+        from aprs2influxdb_spark.queries import registry
+
+        reg = registry()
+        for name, col, absent in [
+            ("warc_ingest", "warc_gz", ("av_mp4", "mjpeg_mp4", "pdf", "crawl_gz")),
+            ("pdf_extract", "pdf", ("av_mp4", "mjpeg_mp4", "warc_gz", "crawl_gz")),
+            ("multimodal_frames_mjpeg", "mjpeg_mp4", ("av_mp4", "pdf", "warc_gz", "crawl_gz")),
+            ("multimodal_av_mux", "av_mp4", ("mjpeg_mp4", "pdf", "warc_gz", "crawl_gz")),
+            ("crawl_to_corpus", "crawl_gz", ("av_mp4", "mjpeg_mp4", "pdf", "warc_gz")),
+        ]:
+            plan = executed_plan(reg[name][0](spark, sf_dir))
+            schemas = [
+                line.split("ReadSchema:", 1)[1]
+                for line in plan.splitlines()
+                if "ReadSchema:" in line
+            ]
+            blob_scan = [s for s in schemas if col in s]
+            assert blob_scan, f"{name}: no scan reads {col}:\n{plan[:1500]}"
+            for s in blob_scan:
+                for other in absent:
+                    assert other not in s, f"{name}: scan drags {other}: {s}"
+
+    def test_warc_binary_files_single_stage(self, spark, sf_dir):
+        """The binaryFile-source entry parses whole shard files in
+        one Python stage with zero exchanges — one task per file, the
+        Common Crawl ingest shape."""
+        from aprs2influxdb_spark.queries import registry
+
+        df = registry()["warc_binary_files"][0](spark, sf_dir)
+        stats = plan_stats(df)
+        assert stats.shuffles == 0, executed_plan(df)
+        assert "binaryFile" in executed_plan(df) or "BinaryFile" in executed_plan(df)

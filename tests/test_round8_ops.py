@@ -106,3 +106,182 @@ def test_html_extract_handles_irregular_whitespace(spark):
     want = want.sort_values("doc_id").reset_index(drop=True)
     assert got["body_len"].astype(int).tolist() == want["body_len"].astype(int).tolist()
     assert got["n_chunks"].astype(int).tolist() == want["n_chunks"].astype(int).tolist()
+
+
+class TestPdfCodec:
+    """functions/pdftext.py (round 8): the honest stdlib PDF subset —
+    xref-table object walk, FlateDecode streams, Tj/TJ text ops,
+    ``PDF:`` dead-letter contract (the codec family's convention)."""
+
+    def test_roundtrip_multi_page_and_escapes(self):
+        from aprs2influxdb_spark.functions.pdftext import (
+            encode_pdf_text,
+            extract_pdf_text,
+            is_pdf,
+        )
+
+        pages = [
+            "hello world this is page one",
+            "page two with (nested (parens)) and \\ backslash",
+            "",
+            "tab\ttext and newline-free lines",
+        ]
+        b = encode_pdf_text(pages)
+        assert is_pdf(b)
+        assert extract_pdf_text(b) == pages
+        # uncompressed content streams parse identically
+        assert extract_pdf_text(encode_pdf_text(pages, compress=False)) == pages
+        # deterministic bytes (media-store cache + oracle fixtures)
+        assert encode_pdf_text(pages) == b
+
+    def test_tj_array_and_operand_discipline(self):
+        """A handwritten content stream: TJ arrays concatenate their
+        strings (kern numbers ignored); a string consumed by a NON-
+        text operator must not leak into the output; strings outside
+        BT/ET are ignored."""
+        import zlib
+
+        from aprs2influxdb_spark.functions.pdftext import (
+            encode_pdf_text,
+            extract_pdf_text,
+        )
+
+        base = encode_pdf_text(["placeholder"])
+        content = (
+            b"(outside bt) Tj "
+            b"BT /F1 12 Tf (dropped operand) Tw "
+            b"[(Hel) -20 (lo) 5 ( wor) (ld)] TJ "
+            b"(and more) Tj ET"
+        )
+        data = zlib.compress(content, 9)
+        # splice: rebuild the single-page doc with this stream by
+        # swapping the contents object (object 5 in the writer layout)
+        old = base.split(b"5 0 obj\n", 1)
+        head = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
+        tail_after = old[1].split(b"endobj\n", 1)[1]
+        blob = (
+            old[0] + b"5 0 obj\n" + head + b"\nstream\n" + data
+            + b"\nendstream\nendobj\n" + tail_after
+        )
+        # xref offsets after object 5 shifted: rewrite xref from scratch
+        # by re-deriving offsets of "N 0 obj" markers
+        import re
+
+        offsets = {
+            int(m.group(1)): m.start()
+            for m in re.finditer(rb"(\d+) 0 obj\n", blob)
+        }
+        xref_at = blob.find(b"xref\n")
+        out = bytearray(blob[:xref_at])
+        xref_at = len(out)
+        n = max(offsets) + 1
+        out += b"xref\n0 %d\n0000000000 65535 f \n" % n
+        for i in range(1, n):
+            out += b"%010d 00000 n \n" % offsets[i]
+        out += (
+            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (n, xref_at)
+        )
+        got = extract_pdf_text(bytes(out))
+        assert got == ["Hello world and more"]
+
+    def test_dead_letters(self):
+        import re
+
+        from aprs2influxdb_spark.functions import pdftext as P
+
+        b = P.encode_pdf_text(["alpha beta", "gamma"])
+        cases = [
+            (b"not a pdf at all", "missing %PDF- header"),
+            (b[:-20], "startxref"),
+            (re.sub(rb"startxref\s+\d+", b"startxref\n3", b), "xref table not at"),
+            (b[:200] + b[-200:], "PDF:"),
+            (b.replace(b"/Length", b"/Lengtt", 1), "without a valid /Length"),
+            (b.replace(b"/Root 1 0 R", b"/Roof 1 0 R", 1), "/Root"),
+        ]
+        for blob, msg in cases:
+            with pytest.raises(ValueError, match=re.escape(msg)):
+                P.extract_pdf_text(blob)
+
+    def test_flate_bomb_dead_letters_not_oom(self):
+        from aprs2influxdb_spark.functions import pdftext as P
+
+        old = P.MAX_STREAM_BYTES
+        P.MAX_STREAM_BYTES = 1 << 10
+        try:
+            huge = P.encode_pdf_text(["y" * 100_000])
+            with pytest.raises(ValueError, match="decode bound"):
+                P.extract_pdf_text(huge)
+        finally:
+            P.MAX_STREAM_BYTES = old
+
+    def test_writer_rejects_non_latin1(self):
+        from aprs2influxdb_spark.functions.pdftext import encode_pdf_text
+
+        with pytest.raises(ValueError, match="latin-1"):
+            encode_pdf_text(["中文"])
+        with pytest.raises(ValueError, match="at least one page"):
+            encode_pdf_text([])
+
+
+class TestMediaStore:
+    """media_store.py (round 8): persisted blob columns built once
+    per sf, deterministic, column-prunable, atomic."""
+
+    def test_build_read_and_reuse(self, spark, sf_dir, tmp_path, monkeypatch):
+        import os
+
+        from aprs2influxdb_spark import media_store as M
+
+        monkeypatch.setenv("SPARK_GRAFT_MEDIA_CACHE", str(tmp_path / "mc"))
+        p1 = M.ensure_media(spark, sf_dir)
+        mtime = os.path.getmtime(os.path.join(p1, "_SUCCESS"))
+        # second call reuses the cache (no rebuild)
+        assert M.ensure_media(spark, sf_dir) == p1
+        assert os.path.getmtime(os.path.join(p1, "_SUCCESS")) == mtime
+
+        df = M.media_table(spark, sf_dir, "pdf")
+        assert df.columns == ["doc_id", "pdf"]
+        row = df.orderBy("doc_id").first()
+        # blob content is the doc-id closed form: re-synthesize & compare
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        text = docs.filter(docs.doc_id == row["doc_id"]).first()["text"]
+        assert bytes(row["pdf"]) == M.synth_pdf(int(row["doc_id"]), text)
+
+    def test_warc_shard_files_cover_corpus(self, spark, sf_dir, tmp_path, monkeypatch):
+        import os
+
+        from aprs2influxdb_spark import media_store as M
+        from aprs2influxdb_spark.functions.warc import parse_warc_gz
+
+        monkeypatch.setenv("SPARK_GRAFT_MEDIA_CACHE", str(tmp_path / "mc"))
+        d = M.ensure_warc_files(spark, sf_dir)
+        files = sorted(f for f in os.listdir(d) if f.endswith(".warc.gz"))
+        assert len(files) == M.N_WARC_SHARDS
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        seen = set()
+        for f in files:
+            shard = int(f.split("-")[1].split(".")[0])
+            with open(os.path.join(d, f), "rb") as fh:
+                recs = parse_warc_gz(fh.read())
+            assert len(recs) % 4 == 0
+            for at in range(0, len(recs), 4):
+                uri = recs[at + 2][0]["WARC-Target-URI"]
+                doc = int(uri.rsplit("/", 1)[-1])
+                assert doc % M.N_WARC_SHARDS == shard
+                seen.add(doc)
+        assert len(seen) == n_docs
+
+    def test_crawl_page_extraction_identity(self):
+        from aprs2influxdb_spark.functions.htmltext import extract_html
+        from aprs2influxdb_spark.media_store import crawl_page, norm_text
+
+        for d, text in [
+            (7, "alpha beta  gamma "),
+            (8, "plain words only"),
+            (9, "with <angle> & amp chars"),
+            (10, ""),
+        ]:
+            got = extract_html(crawl_page(d, text))
+            assert got["title"] == f"Doc {d}"
+            assert got["text"] == norm_text(text)
