@@ -259,6 +259,8 @@ HEADLINE = [
     "crawl_to_corpus",
     "pdf_extract",
     "warc_binary_files",
+    "url_normalize",
+    "domain_stats",
 ]
 
 

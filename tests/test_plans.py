@@ -681,6 +681,9 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "warc_binary_files": 2,  # r8 binaryFile-source shard parse: no shuffle
     "pdf_extract": 2,  # r8 PDF text extraction: one mapInPandas pass
     "crawl_to_corpus": 6,  # r8 bytes->corpus: ingest map + curate tail (same as curate_corpus)
+    "url_normalize": 2,  # r8 zero-UDF projection: no shuffle
+    "domain_stats": 3,  # r8 one ~20-key hash aggregate
+    "domain_cap_topk": 3,  # r8 one host-keyed window
     "dup_pagerank": 4,  # r7 integer PageRank: supersteps sit behind checkpoint scans (measured 2)
     "multimodal_wav_features": 2,
     "multimodal_audio_g711": 2,  # r6 G.711 companding: one mapInPandas pass, no shuffle needed
@@ -1024,3 +1027,20 @@ class TestRound8Plans:
         stats = plan_stats(df)
         assert stats.shuffles == 0, executed_plan(df)
         assert "binaryFile" in executed_plan(df) or "BinaryFile" in executed_plan(df)
+
+    def test_url_entries_stay_native(self, spark, sf_dir):
+        """The URL/domain family is zero-UDF by design: no Python
+        stage anywhere in the plans (parse_url/regexp/higher-order
+        filter are all JVM-side), url_normalize is a pure projection
+        with no exchange, and domain_stats aggregates with map-side
+        partials."""
+        from aprs2influxdb_spark.queries import registry
+
+        reg = registry()
+        for name in ("url_normalize", "domain_stats", "domain_cap_topk"):
+            plan = executed_plan(reg[name][0](spark, sf_dir))
+            for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+                assert marker not in plan, f"{name} has a Python stage:\n{plan[:1200]}"
+        assert plan_stats(reg["url_normalize"][0](spark, sf_dir)).shuffles == 0
+        agg_plan = executed_plan(reg["domain_stats"][0](spark, sf_dir))
+        assert agg_plan.count("HashAggregate") >= 2  # partial + final
