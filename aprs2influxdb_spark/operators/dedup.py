@@ -194,26 +194,47 @@ def lsh_rescreen_from_state(
     a batch that is NOT in the saved index (the frozen-epoch
     production shape) — candidates then pair the probe against the
     index AND against the probe itself (batch-internal near-dups)."""
+    def _cand(left: DataFrame, right: DataFrame) -> DataFrame:
+        return (
+            left.alias("l").hint("shuffle_hash")
+            .join(right.alias("r"), ["band", "key"])
+            .filter(F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
+            .select(
+                F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+            )
+        )
+
     if probe_banded is None:
-        probe_rows = banded.filter(probe_pred(F.col(id_col)))
-        index_rows = banded
-        arr_a, arr_b = arr, arr
+        cand = _cand(banded.filter(probe_pred(F.col(id_col))), banded).distinct()
+        a = arr.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+        verified = cand.join(a, "id_a").join(
+            arr.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+        )
     else:
-        probe_rows = probe_banded
-        index_rows = banded.unionByName(probe_banded)
-        arr_a = probe_arr
-        arr_b = arr.unionByName(probe_arr)
-    probe = probe_rows.alias("l").hint("shuffle_hash")
-    cand = (
-        probe.join(index_rows.alias("r"), ["band", "key"])
-        .filter(F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .distinct()
-    )
-    a = arr_a.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = arr_b.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+        # frozen-epoch mode: probe the SAVED index and the batch
+        # itself as two separate joins, never unioning the batch into
+        # the index side — a union would erase the saved tables'
+        # bucket partitioning and force the whole index through an
+        # exchange (round 8, verdict-r7 item 6); with bucketed state
+        # only the batch shuffles here
+        cand = _cand(probe_banded, banded).unionByName(
+            _cand(probe_banded, probe_banded)
+        ).distinct()
+        a = probe_arr.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+        b_saved = arr.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+        b_batch = probe_arr.select(
+            F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
+        )
+        with_a = cand.join(a, "id_a")
+        # fresh-id precondition (enforced by rescreen_new_batch) makes
+        # the two id_b populations disjoint, so inner-join + union is
+        # exactly the join against their union
+        verified = with_a.join(b_saved, "id_b").unionByName(
+            with_a.join(b_batch, "id_b")
+        )
     return (
-        cand.join(a, "id_a").join(b, "id_b")
+        verified
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))

@@ -344,21 +344,33 @@ def semantic_rescreen_from_state(
     AND batch×batch collisions."""
     if probe_bucketed is None:
         probe_src = bucketed.filter(probe_pred(F.col(id_col)))
-        index_src = bucketed
     else:
         probe_src = probe_bucketed
-        index_src = bucketed.unionByName(probe_bucketed)
     probe = probe_src.select(
         F.col(id_col).alias("id_a"), F.col("c_id"), "bucket",
         F.col("v").alias("va"), F.col("nrm").alias("na"),
     )
-    index = index_src.select(
-        F.col(id_col).alias("id_b"), F.col("c_id"), "bucket",
-        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
-    )
+
+    def _pairs(index_src: DataFrame) -> DataFrame:
+        index = index_src.select(
+            F.col(id_col).alias("id_b"), F.col("c_id"), "bucket",
+            F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+        )
+        return probe.join(index, ["c_id", "bucket"]).filter(
+            F.col("id_a") != F.col("id_b")
+        )
+
+    if probe_bucketed is None:
+        pairs = _pairs(bucketed)
+    else:
+        # frozen-epoch mode: batch×index and batch×batch as two
+        # separate joins — unioning the batch into the index side
+        # would erase the saved table's (c_id, bucket) bucket
+        # partitioning and shuffle the whole index (round 8,
+        # verdict-r7 item 6)
+        pairs = _pairs(bucketed).unionByName(_pairs(probe_bucketed))
     hits = (
-        probe.join(index, ["c_id", "bucket"])
-        .filter(F.col("id_a") != F.col("id_b"))
+        pairs
         .withColumn(
             "cos_sim",
             rhu(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 8),

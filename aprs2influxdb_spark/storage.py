@@ -59,7 +59,7 @@ def write_bucketed(
     df: DataFrame,
     table: str,
     buckets: int,
-    key: str,
+    key: str | list[str] | tuple[str, ...],
     path: str | None = None,
 ) -> None:
     """Write ``df`` as a bucketed (and bucket-sorted) table on ``key``.
@@ -77,11 +77,12 @@ def write_bucketed(
     Bucket metadata lives in the catalog, hence ``saveAsTable``; with
     ``path`` the table is external (data at the given location, only
     metadata in the catalog)."""
+    keys = [key] if isinstance(key, str) else list(key)
     w = (
         df.write.format("parquet")
         .mode("overwrite")
-        .bucketBy(buckets, key)
-        .sortBy(key)
+        .bucketBy(buckets, keys[0], *keys[1:])
+        .sortBy(keys[0], *keys[1:])
     )
     if path is not None:
         w = w.option("path", path)
