@@ -105,28 +105,39 @@ def write_frames(staging: str, n_frames: int, n_files: int) -> None:
 
 
 def run_soak(
-    n_frames: int, n_files: int, ref_frames: int, stateful: bool = False
+    n_frames: int, n_files: int, ref_frames: int, stateful: bool = False,
+    strategy: str = "apws",
 ) -> dict:
     from pyspark.sql import functions as F
 
     from aprs2influxdb_spark.session import get_spark
-    from aprs2influxdb_spark.sinks.influxdb import influxdb_sink
+    from aprs2influxdb_spark.sinks.influxdb import influxdb_sink, write_lines_http
     from aprs2influxdb_spark.sources.aprsis import decode_frames
     from aprs2influxdb_spark.streaming.pipeline import stream_lines
 
     def _lines(packets):
         """The production chain: stateless projection, or (--stateful)
         the FULL cli.py pipeline with keyed as-of calibration state
-        per callsign (applyInPandasWithState; ~9000 state keys here —
-        telemetry packets scale through equations absorbed from the
-        EQNS template's frames, exactly the reference's behavior)."""
+        per callsign — via one of the three strategies the round-8
+        A/B measures (--strategy): 'apws' applyInPandasWithState,
+        'tws' transformWithState, 'broadcast' a per-batch-refreshed
+        compacted dim (handled in the sink below, not here).
+        ~9000 state keys in this corpus — telemetry packets scale
+        through equations absorbed from the EQNS template's frames,
+        exactly the reference's behavior."""
         if not stateful:
             return stream_lines(packets)
         from aprs2influxdb_spark.streaming.calibration import (
             with_streaming_calibration,
+            with_streaming_calibration_tws,
         )
 
-        cal = with_streaming_calibration(packets).withColumn(
+        mk = (
+            with_streaming_calibration_tws
+            if strategy == "tws"
+            else with_streaming_calibration
+        )
+        cal = mk(packets).withColumn(
             "eqns_effective", F.from_json("eqns_json", "array<array<double>>")
         )
         return stream_lines(cal, eqns_col="eqns_effective")
@@ -160,9 +171,49 @@ def run_soak(
                 "org.apache.spark.sql.execution.streaming.state."
                 "RocksDBStateStoreProvider",
             )
-        lines = _lines(decode_frames(raw))
-        t0 = time.time()
-        q = influxdb_sink(lines, checkpoint=ckpt, url=url, db="soak")
+        if stateful and strategy == "broadcast":
+            # broadcast-dim strategy: calibration happens INSIDE
+            # foreachBatch (join vs the driver-held compacted dim,
+            # refreshed per batch), so the streaming plan itself is
+            # stateless — no state store anywhere
+            from aprs2influxdb_spark.streaming.calibration import (
+                BroadcastCalibrator,
+            )
+
+            calib = BroadcastCalibrator(spark)
+            packets = decode_frames(raw)
+
+            def _write_batch(batch_df, batch_id):
+                # two actions consume the batch (dim refresh + write):
+                # persist so the file source is scanned once per batch
+                batch_df.persist()
+                try:
+                    cal = calib.apply(batch_df, batch_id).withColumn(
+                        "eqns_effective",
+                        F.from_json("eqns_json", "array<array<double>>"),
+                    )
+                    out = stream_lines(cal, eqns_col="eqns_effective")
+
+                    def _part(rows):
+                        buf = [r[0] for r in rows]
+                        if buf:
+                            write_lines_http(buf, url, "soak")
+                        return iter(())
+
+                    out.select("line").rdd.mapPartitions(_part).count()
+                finally:
+                    batch_df.unpersist()
+
+            t0 = time.time()
+            q = (
+                packets.writeStream.foreachBatch(_write_batch)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+        else:
+            lines = _lines(decode_frames(raw))
+            t0 = time.time()
+            q = influxdb_sink(lines, checkpoint=ckpt, url=url, db="soak")
         while q.isActive:
             q.processAllAvailable()
             if not q.status["isDataAvailable"] and not q.status["isTriggerActive"]:
@@ -214,6 +265,7 @@ def run_soak(
         return {
             "metric": "soak_pipeline_rows_per_sec",
             "stateful": stateful,
+            "strategy": (strategy if stateful else "stateless"),
             "value": round(pipeline_rps, 1),
             "unit": "rows/sec",
             "frames": rows,
@@ -243,8 +295,15 @@ if __name__ == "__main__":
     ap.add_argument(
         "--stateful", action="store_true",
         help="run the full cli.py chain with keyed as-of calibration "
-        "state (applyInPandasWithState, RocksDB provider)",
+        "state (strategy selected by --strategy)",
+    )
+    ap.add_argument(
+        "--strategy", choices=["apws", "tws", "broadcast"], default="apws",
+        help="calibration strategy for --stateful: applyInPandasWithState, "
+        "transformWithState, or per-batch broadcast dim (round-8 A/B)",
     )
     args = ap.parse_args()
-    out = run_soak(args.frames, args.files, args.ref_frames, args.stateful)
+    out = run_soak(
+        args.frames, args.files, args.ref_frames, args.stateful, args.strategy
+    )
     print(json.dumps(out))
