@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--port", help="Set APRS-IS port", default="10152")
     p.add_argument("--interval", help="Set APRS-IS heartbeat interval in minutes", default="15")
     p.add_argument("--debug", help="Set logging level to DEBUG", action="store_true")
+    p.add_argument(
+        "--calibration", choices=["broadcast", "apws", "tws"], default="broadcast",
+        help="telemetry-equation calibration strategy: per-batch broadcast "
+        "dim (default; fastest at realistic key counts — BASELINE.md "
+        "round-8 A/B), applyInPandasWithState, or transformWithState",
+    )
     # engine extension (the reference has no checkpointing at all):
     # distinct daemons need distinct checkpoints, and /tmp is volatile
     p.add_argument(
@@ -103,23 +109,37 @@ def create_log(path: str, debug: bool = False) -> logging.Logger:
     return logger
 
 
-def build_pipeline(spark: SparkSession, args: argparse.Namespace, raw: DataFrame | None = None) -> DataFrame:
-    """Wire source → decode → stateful calibration → line protocol.
+def _source(spark: SparkSession, args: argparse.Namespace, raw: DataFrame | None) -> DataFrame:
+    if raw is not None:
+        return raw
+    register(spark)
+    return (
+        spark.readStream.format("aprsis")
+        .option("callsign", args.callsign)
+        .option("port", args.port)
+        .option("heartbeat_seconds", float(args.interval) * 60)
+        .load()
+    )
+
+
+def build_pipeline(
+    spark: SparkSession, args: argparse.Namespace, raw: DataFrame | None = None,
+    strategy: str = "apws",
+) -> DataFrame:
+    """Wire source → decode → KEYED-STATE calibration → line protocol
+    (the ``apws``/``tws`` strategies; the default ``broadcast``
+    strategy calibrates inside the sink instead — see ``main``).
 
     ``raw`` overrides the live APRS-IS source with any (raw, ingest_ts)
     stream (file/memory source in tests) — the rest of the pipeline is
     identical either way.
     """
-    if raw is None:
-        register(spark)
-        raw = (
-            spark.readStream.format("aprsis")
-            .option("callsign", args.callsign)
-            .option("port", args.port)
-            .option("heartbeat_seconds", float(args.interval) * 60)
-            .load()
-        )
-    packets = with_streaming_calibration(decode_frames(raw))
+    from aprs2influxdb_spark.streaming.calibration import (
+        with_streaming_calibration_tws,
+    )
+
+    mk = with_streaming_calibration_tws if strategy == "tws" else with_streaming_calibration
+    packets = mk(decode_frames(_source(spark, args, raw)))
     from pyspark.sql import functions as F
 
     packets = packets.withColumn(
@@ -141,15 +161,38 @@ def main(argv: list[str] | None = None) -> None:
     logger = create_log(f"{sys.prefix}/aprs2influxdb.log", args.debug)
     logger.warning("starting aprs2influxdb_spark daemon")
     spark = get_spark("aprs2influxdb-daemon")
-    lines = build_pipeline(spark, args)
-    query = influxdb_sink(
-        lines,
-        checkpoint=args.checkpoint,
-        url=f"http://{args.dbhost}:{args.dbport}",
-        db=args.dbname,
-        user=args.dbuser,
-        password=args.dbpassword,
-    )
+    url = f"http://{args.dbhost}:{args.dbport}"
+    if args.calibration == "broadcast":
+        # round-8 default: the soak A/B measured the broadcast-dim
+        # strategy at 1.67x the keyed-state operators at this key
+        # scale (see influxdb_sink_broadcast_calibrated's docstring
+        # and BASELINE.md); equations take effect at the next
+        # micro-batch — the reference's own granularity is coarser
+        # still (its dictionary applies at whatever packet arrives
+        # after the eqns message)
+        from aprs2influxdb_spark.sinks.influxdb import (
+            influxdb_sink_broadcast_calibrated,
+        )
+
+        packets = decode_frames(_source(spark, args, None))
+        query = influxdb_sink_broadcast_calibrated(
+            packets,
+            checkpoint=args.checkpoint,
+            url=url,
+            db=args.dbname,
+            user=args.dbuser,
+            password=args.dbpassword,
+        )
+    else:
+        lines = build_pipeline(spark, args, strategy=args.calibration)
+        query = influxdb_sink(
+            lines,
+            checkpoint=args.checkpoint,
+            url=url,
+            db=args.dbname,
+            user=args.dbuser,
+            password=args.dbpassword,
+        )
     query.awaitTermination()
 
 

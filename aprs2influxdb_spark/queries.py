@@ -7228,14 +7228,19 @@ def q_pdf_extract(spark, sf):
     oracle recomputes in closed form.  One ``mapInPandas`` pass over
     a column-pruned blob scan; malformed files dead-letter via the
     ``PDF:`` ValueError contract."""
+    from aprs2influxdb_spark.media_store import media_table
+
+    fn, out_schema = _pdf_extract_mapper()
+    return media_table(spark, sf, "pdf").mapInPandas(fn, out_schema)
+
+
+def _pdf_extract_mapper():
     from pyspark.sql.types import (
         IntegerType as _Int,
         LongType as _Long,
         StructField as _SF,
         StructType as _ST,
     )
-
-    from aprs2influxdb_spark.media_store import media_table
 
     out_schema = _ST([
         _SF("doc_id", _Long(), False),
@@ -7261,7 +7266,7 @@ def q_pdf_extract(spark, sf):
                 rows, columns=["doc_id", "n_pages", "n_words", "text_len"]
             )
 
-    return media_table(spark, sf, "pdf").mapInPandas(_extract, out_schema)
+    return _extract, out_schema
 
 
 SQL_PDF_EXTRACT = """
@@ -7276,6 +7281,89 @@ SELECT doc_id,
        CAST(CASE WHEN len(words) = 0 THEN 0
             ELSE strlen(array_to_string(words, ' ')) END AS BIGINT) AS text_len
 FROM w
+"""
+
+
+def q_streaming_pdf_extract(spark, sf):
+    """PDF extraction AT INGEST: the same per-file map as
+    ``pdf_extract`` as a stateless append-mode stream transform over
+    the persisted blob column (twin symmetry with
+    ``streaming_warc_ingest``/``streaming_html_extract``); shares the
+    batch oracle verbatim."""
+    from aprs2influxdb_spark.media_store import stream_media_table
+    from aprs2influxdb_spark.streaming.bounded import run_bounded
+
+    fn, out_schema = _pdf_extract_mapper()
+    est = stream_media_table(spark, sf, "pdf").mapInPandas(fn, out_schema)
+    return run_bounded(spark, est, "append", "stream_pdf_extract")
+
+
+def q_crawl_dead_letters(spark, sf):
+    """Per-record error isolation ON the crawl path (round 8): the
+    reference's D3 contract (one malformed packet never kills the
+    batch, __main__.py:1049-1062) re-expressed for WARC ingest — the
+    mapper parses every persisted member under try/except, emitting a
+    status row per document: ok rows carry the payload length,
+    failures carry the dead-letter message's stable prefix and NULL
+    features.  Corruption is PLANTED in-flight with a closed form
+    (docs with ``doc_id % 97 == 3`` get their member truncated at 40
+    bytes — a torn gzip stream), so the oracle knows exactly which
+    rows dead-letter and why; everything else must survive.  At
+    100 TB this is the difference between a nightly ingest finishing
+    with a quarantine table and dying at 99% on one bad shard."""
+    from pyspark.sql.types import (
+        LongType as _Long,
+        StringType as _Str,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    from aprs2influxdb_spark.media_store import media_table
+
+    out_schema = _ST([
+        _SF("doc_id", _Long(), False),
+        _SF("status", _Str(), True),
+        _SF("err", _Str(), True),
+        _SF("payload_len", _Long(), True),
+    ])
+
+    def _isolate(batches):
+        import pandas as pd
+
+        from aprs2influxdb_spark.functions.warc import parse_warc_gz
+
+        for pdf_in in batches:
+            rows = []
+            for doc_id, blob in zip(pdf_in["doc_id"], pdf_in["warc_gz"]):
+                d = int(doc_id)
+                blob = bytes(blob)
+                if d % 97 == 3:  # planted corruption: torn member
+                    blob = blob[:40]
+                try:
+                    recs = parse_warc_gz(blob)
+                    rows.append((d, "ok", None, len(recs[2][1])))
+                except ValueError as e:
+                    # dead-letter: keep the stable contract prefix,
+                    # not the full message (closed-form comparable)
+                    msg = str(e)
+                    rows.append(
+                        (d, "dead_letter", msg.split("(")[0].strip(), None)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "status", "err", "payload_len"]
+            )
+
+    return media_table(spark, sf, "warc_gz").mapInPandas(_isolate, out_schema)
+
+
+SQL_CRAWL_DEAD_LETTERS = """
+SELECT doc_id,
+       CASE WHEN doc_id % 97 = 3 THEN 'dead_letter' ELSE 'ok' END AS status,
+       CASE WHEN doc_id % 97 = 3 THEN 'WARC: truncated gzip member'
+            ELSE NULL END AS err,
+       CASE WHEN doc_id % 97 = 3 THEN NULL
+            ELSE CAST(strlen(text) AS BIGINT) END AS payload_len
+FROM documents
 """
 
 
@@ -12934,6 +13022,8 @@ def registry() -> dict[str, tuple]:
         "html_extract": (q_html_extract, SQL_HTML_EXTRACT),
         "streaming_html_extract": (q_streaming_html_extract, SQL_HTML_EXTRACT),
         "pdf_extract": (q_pdf_extract, SQL_PDF_EXTRACT),
+        "streaming_pdf_extract": (q_streaming_pdf_extract, SQL_PDF_EXTRACT),
+        "crawl_dead_letters": (q_crawl_dead_letters, SQL_CRAWL_DEAD_LETTERS),
         "crawl_to_corpus": (q_crawl_to_corpus, _crawl_to_corpus_sql()),
         "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
         "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),

@@ -154,3 +154,61 @@ def influxdb_sink(
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def influxdb_sink_broadcast_calibrated(
+    packets_df: DataFrame, checkpoint: str, url: str, db: str = "mydb",
+    batch_size: int = 5000, trigger_seconds: int | None = None,
+    user: str | None = None, password: str | None = None,
+):
+    """The broadcast-dim calibration strategy's sink (round 8): the
+    PACKET stream arrives uncalibrated; each micro-batch joins the
+    driver-held compacted equations dim (broadcast), renders line
+    protocol, and POSTs — no keyed state operator, no state store.
+
+    Why this is the cli.py DEFAULT: the round-8 same-session 1M-frame
+    soak A/B measured 4,475 rows/s for this strategy vs 2,683
+    (applyInPandasWithState) and 2,579 (transformWithState) — the
+    keyed-state operators pay a per-key shuffle + Arrow state
+    round-trip for state that is ~9k keys × ≤15 doubles, i.e.
+    broadcast-sized by orders of magnitude (BASELINE.md round-8
+    table).  The crossover the keyed strategies exist for is a key
+    space too large to broadcast (tens of millions of senders) or
+    strict WITHIN-batch equation application; the reference's world
+    (thousands of callsigns, per-batch granularity) sits far on this
+    side of it."""
+    from pyspark.sql import functions as F
+
+    from aprs2influxdb_spark.streaming.calibration import BroadcastCalibrator
+    from aprs2influxdb_spark.streaming.pipeline import stream_lines
+
+    calib = BroadcastCalibrator(packets_df.sparkSession)
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # two actions consume the batch (dim refresh + write): persist
+        # so the source is scanned once per batch
+        batch_df.persist()
+        try:
+            cal = calib.apply(batch_df, batch_id).withColumn(
+                "eqns_effective", F.from_json("eqns_json", "array<array<double>>")
+            )
+            out = stream_lines(cal, eqns_col="eqns_effective")
+
+            def _part(rows):
+                buf = [r[0] for r in rows]
+                if buf:
+                    write_lines_http(
+                        buf, url, db, batch_size, user=user, password=password
+                    )
+                return iter(())
+
+            out.select("line").rdd.mapPartitions(_part).count()
+        finally:
+            batch_df.unpersist()
+
+    writer = packets_df.writeStream.foreachBatch(_write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

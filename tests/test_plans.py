@@ -684,6 +684,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "url_normalize": 2,  # r8 zero-UDF projection: no shuffle
     "domain_stats": 3,  # r8 one ~20-key hash aggregate
     "domain_cap_topk": 3,  # r8 one host-keyed window
+    "crawl_dead_letters": 2,  # r8 per-record isolation map: no shuffle
     "dup_pagerank": 4,  # r7 integer PageRank: supersteps sit behind checkpoint scans (measured 2)
     "multimodal_wav_features": 2,
     "multimodal_audio_g711": 2,  # r6 G.711 companding: one mapInPandas pass, no shuffle needed

@@ -111,7 +111,7 @@ def run_soak(
     from pyspark.sql import functions as F
 
     from aprs2influxdb_spark.session import get_spark
-    from aprs2influxdb_spark.sinks.influxdb import influxdb_sink, write_lines_http
+    from aprs2influxdb_spark.sinks.influxdb import influxdb_sink
     from aprs2influxdb_spark.sources.aprsis import decode_frames
     from aprs2influxdb_spark.streaming.pipeline import stream_lines
 
@@ -175,40 +175,15 @@ def run_soak(
             # broadcast-dim strategy: calibration happens INSIDE
             # foreachBatch (join vs the driver-held compacted dim,
             # refreshed per batch), so the streaming plan itself is
-            # stateless — no state store anywhere
-            from aprs2influxdb_spark.streaming.calibration import (
-                BroadcastCalibrator,
+            # stateless — no state store anywhere.  This is cli.py's
+            # default sink since the round-8 A/B.
+            from aprs2influxdb_spark.sinks.influxdb import (
+                influxdb_sink_broadcast_calibrated,
             )
 
-            calib = BroadcastCalibrator(spark)
-            packets = decode_frames(raw)
-
-            def _write_batch(batch_df, batch_id):
-                # two actions consume the batch (dim refresh + write):
-                # persist so the file source is scanned once per batch
-                batch_df.persist()
-                try:
-                    cal = calib.apply(batch_df, batch_id).withColumn(
-                        "eqns_effective",
-                        F.from_json("eqns_json", "array<array<double>>"),
-                    )
-                    out = stream_lines(cal, eqns_col="eqns_effective")
-
-                    def _part(rows):
-                        buf = [r[0] for r in rows]
-                        if buf:
-                            write_lines_http(buf, url, "soak")
-                        return iter(())
-
-                    out.select("line").rdd.mapPartitions(_part).count()
-                finally:
-                    batch_df.unpersist()
-
             t0 = time.time()
-            q = (
-                packets.writeStream.foreachBatch(_write_batch)
-                .option("checkpointLocation", ckpt)
-                .start()
+            q = influxdb_sink_broadcast_calibrated(
+                decode_frames(raw), checkpoint=ckpt, url=url, db="soak"
             )
         else:
             lines = _lines(decode_frames(raw))
