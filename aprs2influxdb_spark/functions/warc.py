@@ -78,16 +78,36 @@ def parse_warc_gz(blob: bytes) -> list[tuple[dict, bytes]]:
     mv = memoryview(blob)  # zero-copy member slices (review r7)
     pos = 0
     while pos < len(blob):
+        # feed the decompressor in bounded, GROWING chunks: handing it
+        # the whole remaining buffer makes ``d.unused_data`` a COPY of
+        # the tail after every member — O(n²) bytes for a many-member
+        # shard file (a Common Crawl-style shard holds ~60k members;
+        # round 8).  Starting small keeps the per-member tail copy
+        # ≤ 64 KB for typical members; doubling reaches a 256 MB
+        # member in ~12 feeds.
         d = zlib.decompressobj(wbits=31)  # one gzip member
+        parts: list[bytes] = []
+        total = 0
+        fed = pos
+        chunk_sz = 1 << 16
         try:
-            raw = d.decompress(mv[pos:], MAX_MEMBER_BYTES + 1)
+            while not d.eof and fed < len(blob):
+                chunk = mv[fed : fed + chunk_sz]
+                out = d.decompress(chunk, MAX_MEMBER_BYTES + 1 - total)
+                total += len(out)
+                parts.append(out)
+                if total > MAX_MEMBER_BYTES:
+                    raise ValueError(
+                        "WARC: member exceeds the in-memory decode bound"
+                    )
+                fed += len(chunk)
+                chunk_sz = min(chunk_sz * 2, 1 << 24)
         except zlib.error as e:
             raise ValueError(f"WARC: corrupt gzip member ({e})") from None
-        if len(raw) > MAX_MEMBER_BYTES:
-            raise ValueError("WARC: member exceeds the in-memory decode bound")
         if not d.eof:
             raise ValueError("WARC: truncated gzip member")
-        pos += len(blob) - pos - len(d.unused_data)
+        raw = b"".join(parts)
+        pos = fed - len(d.unused_data)
         # a member may carry SEVERAL concatenated records (file-level
         # compression is legal ISO 28500) — parse them all; silently
         # dropping the tail would be data loss (review r7)
