@@ -7669,6 +7669,417 @@ FROM r WHERE rk <= 3
 """
 
 
+def q_streaming_url_normalize(spark, sf):
+    """URL normalization AT INGEST: the zero-UDF ``url_normalize``
+    projection as a stateless append-mode stream transform (twin
+    symmetry with the other stateless ingest maps); shares the batch
+    oracle verbatim.  All expressions are codegen'd JVM-side, so the
+    streaming plan is a pure per-batch projection — no state, no
+    shuffle."""
+    from aprs2influxdb_spark.streaming.bounded import run_bounded, stream_docs
+
+    u = stream_docs(spark, sf).select("doc_id").withColumn("url", _messy_url_col())
+    n = _url_norm_cols("url")
+    est = u.select(
+        "doc_id", "url",
+        n["url_norm"].alias("url_norm"),
+        n["host"].alias("host"),
+        n["scheme"].alias("scheme"),
+    )
+    return run_bounded(spark, est, "append", "stream_url_normalize")
+
+
+def q_mixture_sample(spark, sf):
+    """Temperature-weighted language mixture sampling (the multilingual
+    data-mixing recipe — mBERT/XLM-R style α=0.5: flatten the language
+    distribution toward uniform by keeping docs of language L with
+    rate ∝ count_L^(α-1), normalized so the SMALLEST language keeps
+    everything; the dominant language is downsampled hardest).
+    Two-stage plan: (1) one hash aggregate computes the ~O(languages)
+    count dim plus a global-min window over it (a handful of rows
+    through a singleton exchange — driver-sized by construction);
+    (2) the dim broadcast-joins back onto the per-doc projection and a
+    deterministic portable-hash threshold keeps each doc with
+    probability keep_ppm/1e6.  The keep decision is pure modular
+    arithmetic on md5 — reproducible across engines, runs, and
+    partitionings (no rand()).  At 100 TB: the corpus is touched twice
+    but never shuffled — both passes are map-side against a broadcast
+    dim."""
+    per_doc = _t(spark, sf, "documents").select("doc_id", "lang")
+    dim = per_doc.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy()
+    dim = dim.withColumn("min_docs", F.min("n_docs").over(w)).select(
+        "lang",
+        "n_docs",
+        F.least(
+            F.lit(1_000_000),
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.sqrt(F.col("min_docs").cast("double") / F.col("n_docs"))
+                + F.lit(0.5)
+            ),
+        ).cast("long").alias("keep_ppm"),
+    )
+    keyed = per_doc.withColumn(
+        "h",
+        F.pmod(
+            portable_hash64(F.concat(F.lit("mix_"), F.col("doc_id").cast("string"))),
+            F.lit(1_000_000),
+        ),
+    )
+    return (
+        keyed.join(F.broadcast(dim), "lang")
+        .filter(F.col("h") < F.col("keep_ppm"))
+        .select("doc_id", "lang", "keep_ppm")
+    )
+
+
+SQL_MIXTURE_SAMPLE = f"""
+WITH dim AS (
+  SELECT lang, count(*) AS n_docs, min(count(*)) OVER () AS min_docs
+  FROM documents GROUP BY lang
+), k AS (
+  SELECT lang, n_docs,
+         CAST(least(1000000, floor(1000000.0 * sqrt(CAST(min_docs AS DOUBLE) / n_docs) + 0.5)) AS BIGINT) AS keep_ppm
+  FROM dim
+)
+SELECT d.doc_id, d.lang, k.keep_ppm
+FROM documents d JOIN k USING (lang)
+WHERE ({portable_hash64_sql("'mix_' || d.doc_id::VARCHAR")}) % 1000000 < k.keep_ppm
+"""
+
+
+def q_stratified_split(spark, sf):
+    """Deterministic stratified train/val/test split with EXACT
+    per-stratum quotas (80/10/10 by language): docs are ordered
+    within each stratum by a portable hash (a reproducible shuffle —
+    no rand(), so the split survives re-runs, repartitions, and
+    engine changes), then row_number against the stratum count cuts
+    exact integer quotas (rn*10 <= n*8 — no float thresholds).  ONE
+    window over the ~5-key lang column; at 100 TB per-stratum skew is
+    bounded by the language distribution and the same two-level
+    top-k rewrite applies if one stratum dominates."""
+    docs = _t(spark, sf, "documents").select("doc_id", "lang")
+    h = portable_hash64(F.concat(F.lit("split_"), F.col("doc_id").cast("string")))
+    d = docs.withColumn("h", h)
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    wn = Window.partitionBy("lang")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wn))
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("rn") * 10 <= F.col("n") * 8, F.lit("train"))
+            .when(F.col("rn") * 10 <= F.col("n") * 9, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )
+
+
+SQL_STRATIFIED_SPLIT = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         ({portable_hash64_sql("'split_' || doc_id::VARCHAR")}) AS h
+  FROM documents
+), r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM d
+)
+SELECT doc_id, lang,
+       CASE WHEN rn * 10 <= n * 8 THEN 'train'
+            WHEN rn * 10 <= n * 9 THEN 'val'
+            ELSE 'test' END AS split
+FROM r
+"""
+
+
+def q_doc_upsample_epochs(spark, sf):
+    """Quality-tiered upsampling (the epoch-mixing counterpart of
+    downsampling: high-quality docs are repeated in the training mix,
+    Gopher/Chinchilla-style): repeats = least(4, 1 + q_int/3000) —
+    integer tiers off the exact integerized quality score — and the
+    doc explodes into one row per epoch via sequence/unnest.  A pure
+    narrow explode: zero shuffles, output rows ≤ 4× input, and the
+    epoch index is generated, not stored.  At 100 TB this runs inside
+    the scan's codegen stage."""
+    docs = ta._spread_docs(_t(spark, sf, "documents"), "doc_id", "text")
+    r = F.least(F.lit(4), F.lit(1) + F.floor(_quality_int_col() / F.lit(3000))).cast(
+        "long"
+    )
+    return (
+        docs.select("doc_id", r.alias("n_epochs"))
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_epochs"))))
+        .select("doc_id", "n_epochs", "epoch")
+    )
+
+
+SQL_DOC_UPSAMPLE_EPOCHS = f"""
+WITH p AS (
+  SELECT doc_id,
+         CAST(least(4, 1 + floor({_QUALITY_INT_SQL} / 3000)) AS BIGINT) AS n_epochs
+  FROM documents
+)
+SELECT doc_id, n_epochs, CAST(t.epoch AS BIGINT) AS epoch
+FROM p, unnest(generate_series(1, n_epochs)) AS t(epoch)
+"""
+
+
+_PACK_L = 256  # training context length (tokens); docs cap at ~100
+_PACK_SHARDS = 16
+
+
+def q_sequence_pack(spark, sf):
+    """Sequence packing (the step between curation and the trainer:
+    concatenate documents into fixed-L token windows so no context is
+    wasted on padding).  Greedy first-fit-in-order is a sequential
+    recurrence — leftover space depends on every prior doc — so docs
+    are hash-sharded (deterministic portable hash, %16) and packed
+    sequentially WITHIN a shard by doc_id order: the standard
+    distributed formulation (each shard is an independent pack stream;
+    a global sequential pack would serialize the corpus).  One shuffle
+    on the shard key into an Arrow-batched ``applyInPandas``; the
+    oracle replays the same recurrence as a recursive CTE stepping all
+    shards in parallel (the lttb/holt_winters precedent).  Doc lengths
+    cap at L so a pathological giant doc dead-ends its own pack rather
+    than overflowing.  At 100 TB the shard count scales with the
+    cluster (shards ≫ executors), per-shard state is two integers, and
+    the per-group transfer is the narrow (doc_id, len) projection —
+    text never moves."""
+    from aprs2influxdb_spark.functions.partitioning import spread_for_grouped_compute
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.pmod(
+            portable_hash64(F.concat(F.lit("pack_"), F.col("doc_id").cast("string"))),
+            F.lit(_PACK_SHARDS),
+        ).alias("shard"),
+        F.least(F.size(F.split("text", " ")), F.lit(_PACK_L)).cast("long").alias("len"),
+    )
+
+    def _group(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        packs, offs = [], []
+        pack, used = 0, 0
+        for ln in pdf["len"]:
+            if used + ln > _PACK_L:
+                pack += 1
+                used = 0
+            packs.append(pack)
+            offs.append(used)
+            used += int(ln)
+        pdf["pack_id"] = packs
+        pdf["pack_offset"] = offs
+        return pdf[["shard", "doc_id", "pack_id", "pack_offset", "len"]]
+
+    out_schema = "shard long, doc_id long, pack_id long, pack_offset long, len long"
+    return (
+        spread_for_grouped_compute(docs, "shard")
+        .groupBy("shard")
+        .applyInPandas(_group, out_schema)
+    )
+
+
+SQL_SEQUENCE_PACK = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         ({portable_hash64_sql("'pack_' || doc_id::VARCHAR")}) % {_PACK_SHARDS} AS shard,
+         least(len(string_split(text, ' ')), {_PACK_L})::BIGINT AS len
+  FROM documents
+), o AS (
+  SELECT doc_id, shard, len,
+         row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM d
+), r AS (
+  SELECT shard, rn, doc_id, len,
+         0::BIGINT AS pack_id, 0::BIGINT AS pack_offset, len AS used
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.len,
+         CASE WHEN r.used + o.len > {_PACK_L} THEN r.pack_id + 1 ELSE r.pack_id END,
+         CASE WHEN r.used + o.len > {_PACK_L} THEN 0::BIGINT ELSE r.used END,
+         CASE WHEN r.used + o.len > {_PACK_L} THEN o.len ELSE r.used + o.len END
+  FROM r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1
+)
+SELECT shard, doc_id, pack_id, pack_offset, len FROM r
+"""
+
+
+def q_pack_efficiency(spark, sf):
+    """Packing diagnostics over ``sequence_pack``: per-shard pack
+    count, fill ratio (tokens packed / capacity consumed), and the
+    padding a naive one-doc-per-sequence loader would have paid — the
+    numbers that justify packing in the first place.  Pure aggregate
+    composition over the pack assignment (shares the recurrence with
+    ``sequence_pack``); fill ratios are exact integer sums divided
+    once at the end."""
+    packed = q_sequence_pack(spark, sf)
+    per_shard = packed.groupBy("shard").agg(
+        (F.max("pack_id") + 1).alias("n_packs"),
+        F.count("*").alias("n_docs"),
+        F.sum("len").alias("tokens_packed"),
+    )
+    return per_shard.select(
+        "shard",
+        "n_packs",
+        "n_docs",
+        "tokens_packed",
+        rhu(F.col("tokens_packed") / (F.col("n_packs") * F.lit(float(_PACK_L))), 4).alias(
+            "fill_ratio"
+        ),
+        rhu(
+            F.lit(1.0) - F.col("tokens_packed") / (F.col("n_docs") * F.lit(float(_PACK_L))),
+            4,
+        ).alias("naive_pad_ratio"),
+    )
+
+
+def _sql_pack_efficiency() -> str:
+    return f"""
+WITH packed AS ({SQL_SEQUENCE_PACK}),
+per_shard AS (
+  SELECT shard, max(pack_id) + 1 AS n_packs, count(*) AS n_docs,
+         sum(len) AS tokens_packed
+  FROM packed GROUP BY shard
+)
+SELECT shard, n_packs, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(tokens_packed AS BIGINT) AS tokens_packed,
+       {rhu_sql(f"tokens_packed / (n_packs * {float(_PACK_L)!r})", 4)} AS fill_ratio,
+       {rhu_sql(f"1.0 - tokens_packed / (n_docs * {float(_PACK_L)!r})", 4)} AS naive_pad_ratio
+FROM per_shard
+"""
+
+
+# ridge_quality_model: the 3×3 normal-equation solve, written ONCE as
+# SQL expression strings evaluated by BOTH engines (Spark F.expr and
+# DuckDB) over the same exact-integer sufficient statistics — identical
+# expression trees ⇒ identical IEEE doubles.  Feature scaling note:
+# x1 = n_tokens (≤ ~2e2), x2 = punct per-10k (≤ 1e4), y = quality per-1e4.
+_RIDGE_LAMBDA = 1.0
+
+
+def _ridge_cramer_exprs() -> dict[str, str]:
+    # S is the symmetric moment matrix [[s0,s1,s2],[s1,s11,s12],[s2,s12,s22]]
+    # (+λ on the diagonal), rhs = [sy, s1y, s2y].  Cramer's rule.  The
+    # stats columns these strings reference are DOUBLES (exact int64
+    # sums cast once, before any product — s12² overflows int64 past
+    # sf0.01, and ANSI mode makes that fatal; the sums themselves stay
+    # < 2⁵³ through sf100, so the cast is exact).  Sign-correct cofactor
+    # expansions along the replaced column; both engines evaluate these
+    # exact strings, so the doubles match bitwise.
+    a, b, c = "(s0 + lam)", "s1", "s2"
+    d, e, f_ = "s1", "(s11 + lam)", "s12"
+    g, h, i = "s2", "s12", "(s22 + lam)"
+    det = (
+        f"({a} * ({e} * {i} - {f_} * {h}) - {b} * ({d} * {i} - {f_} * {g})"
+        f" + {c} * ({d} * {h} - {e} * {g}))"
+    )
+    det0 = (
+        f"(sy * ({e} * {i} - {f_} * {h})"
+        f" - s1y * ({b} * {i} - {c} * {h})"
+        f" + s2y * ({b} * {f_} - {c} * {e}))"
+    )
+    det1 = (
+        f"(sy * ({d} * {i} - {f_} * {g}) * -1"
+        f" + {a} * (s1y * {i} - s2y * {f_})"
+        f" + {c} * (s2y * {d} - s1y * {g}))"
+    )
+    det2 = (
+        f"({a} * ({e} * s2y - {h} * s1y)"
+        f" - {b} * ({d} * s2y - {g} * s1y)"
+        f" + sy * ({d} * {h} - {e} * {g}))"
+    )
+    return {"det": det, "det0": det0, "det1": det1, "det2": det2}
+
+
+def q_ridge_quality_model(spark, sf):
+    """Train a model INSIDE the engine: ridge regression (λ=1) of the
+    quality score on (n_tokens, punct-per-10k) via the closed-form
+    normal equations.  The entire fit is ONE map-side-combinable
+    aggregate — the sufficient statistics (Σx, Σx², Σxy, all EXACT
+    int64: features are integerized first, so the sums are
+    order-independent) collapse 100 TB to nine numbers, and the 3×3
+    Cramer solve runs on the single result row.  Spark evaluates the
+    solve via ``F.expr`` on the SAME SQL strings the DuckDB oracle
+    runs — identical expression trees over identical integers give
+    bit-identical IEEE doubles, rounded half-up at 6 decimals.  This
+    is the pattern every in-engine GLM fit reduces to: shuffle nine
+    numbers, never the corpus."""
+    docs = ta._spread_docs(_t(spark, sf, "documents"), "doc_id", "text")
+    n_chars = F.length("text")
+    n_punct = F.length(F.regexp_replace("text", "[^!-/:-@\\[-`{-~]", ""))
+    per_doc = docs.select(
+        F.size(F.split("text", " ")).cast("long").alias("x1"),
+        F.floor(n_punct * 10000 / n_chars).cast("long").alias("x2"),
+        _quality_int_col().alias("y"),
+    )
+    exact = per_doc.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x1").alias("i1"),
+        F.sum("x2").alias("i2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("i11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("i12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("i22"),
+        F.sum("y").alias("iy"),
+        F.sum(F.col("x1") * F.col("y")).alias("i1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("i2y"),
+    )
+    stats = exact.select(
+        F.col("n").alias("n_docs"),
+        *[
+            F.col(f"i{s}").cast("double").alias(f"s{s}")
+            for s in ("1", "2", "11", "12", "22", "y", "1y", "2y")
+        ],
+        F.col("n").cast("double").alias("s0"),
+        F.lit(_RIDGE_LAMBDA).alias("lam"),
+    )
+    e = _ridge_cramer_exprs()
+    return stats.select(
+        "n_docs",
+        rhu(F.expr(f"{e['det0']} / {e['det']}"), 6).alias("b0"),
+        rhu(F.expr(f"{e['det1']} / {e['det']}"), 6).alias("b1"),
+        rhu(F.expr(f"{e['det2']} / {e['det']}"), 6).alias("b2"),
+    )
+
+
+def _sql_ridge_quality_model() -> str:
+    e = _ridge_cramer_exprs()
+    return f"""
+WITH per_doc AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+         CAST(floor(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) * 10000 / length(text)) AS BIGINT) AS x2,
+         {_QUALITY_INT_SQL} AS y
+  FROM documents
+), exact AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x1) AS BIGINT) AS i1, CAST(sum(x2) AS BIGINT) AS i2,
+         CAST(sum(x1 * x1) AS BIGINT) AS i11, CAST(sum(x1 * x2) AS BIGINT) AS i12,
+         CAST(sum(x2 * x2) AS BIGINT) AS i22,
+         CAST(sum(y) AS BIGINT) AS iy,
+         CAST(sum(x1 * y) AS BIGINT) AS i1y, CAST(sum(x2 * y) AS BIGINT) AS i2y
+  FROM per_doc
+), stats AS (
+  SELECT n AS n_docs,
+         CAST(n AS DOUBLE) AS s0,
+         CAST(i1 AS DOUBLE) AS s1, CAST(i2 AS DOUBLE) AS s2,
+         CAST(i11 AS DOUBLE) AS s11, CAST(i12 AS DOUBLE) AS s12,
+         CAST(i22 AS DOUBLE) AS s22,
+         CAST(iy AS DOUBLE) AS sy,
+         CAST(i1y AS DOUBLE) AS s1y, CAST(i2y AS DOUBLE) AS s2y,
+         {_RIDGE_LAMBDA!r} AS lam
+  FROM exact
+)
+SELECT n_docs,
+       {rhu_sql(f"{e['det0']} / {e['det']}", 6)} AS b0,
+       {rhu_sql(f"{e['det1']} / {e['det']}", 6)} AS b1,
+       {rhu_sql(f"{e['det2']} / {e['det']}", 6)} AS b2
+FROM stats
+"""
+
+
 def q_streaming_wav_features(spark, sf):
     """The WAV codec AT INGEST: the lossless roundtrip of
     ``multimodal_wav_features`` as a stateless append-mode stream
@@ -13026,8 +13437,15 @@ def registry() -> dict[str, tuple]:
         "crawl_dead_letters": (q_crawl_dead_letters, SQL_CRAWL_DEAD_LETTERS),
         "crawl_to_corpus": (q_crawl_to_corpus, _crawl_to_corpus_sql()),
         "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
+        "streaming_url_normalize": (q_streaming_url_normalize, SQL_URL_NORMALIZE),
         "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),
         "domain_cap_topk": (q_domain_cap_topk, SQL_DOMAIN_CAP_TOPK),
+        "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
+        "stratified_split": (q_stratified_split, SQL_STRATIFIED_SPLIT),
+        "doc_upsample_epochs": (q_doc_upsample_epochs, SQL_DOC_UPSAMPLE_EPOCHS),
+        "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
+        "pack_efficiency": (q_pack_efficiency, _sql_pack_efficiency()),
+        "ridge_quality_model": (q_ridge_quality_model, _sql_ridge_quality_model()),
         "gopher_repetition": (q_gopher_repetition, SQL_GOPHER_REPETITION),
         "pii_redact": (q_pii_redact, SQL_PII_REDACT),
         "streaming_pii_redact": (q_streaming_pii_redact, SQL_PII_REDACT),

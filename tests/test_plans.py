@@ -684,6 +684,12 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "url_normalize": 2,  # r8 zero-UDF projection: no shuffle
     "domain_stats": 3,  # r8 one ~20-key hash aggregate
     "domain_cap_topk": 3,  # r8 one host-keyed window
+    "mixture_sample": 3,  # r8 lang-count dim agg + singleton min window; corpus side never shuffles (broadcast join)
+    "stratified_split": 2,  # r8 one window over the ~5-key lang stratum
+    "doc_upsample_epochs": 1,  # r8 pure narrow explode: no shuffle (measured 0)
+    "sequence_pack": 2,  # r8 one shard-key exchange into applyInPandas (measured 1)
+    "pack_efficiency": 3,  # r8 sequence_pack + one shard aggregate (measured 2)
+    "ridge_quality_model": 2,  # r8 one global aggregate: nine numbers shuffle, never the corpus (measured 1)
     "crawl_dead_letters": 2,  # r8 per-record isolation map: no shuffle
     "dup_pagerank": 4,  # r7 integer PageRank: supersteps sit behind checkpoint scans (measured 2)
     "multimodal_wav_features": 2,

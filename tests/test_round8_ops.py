@@ -450,3 +450,142 @@ class TestBroadcastCalibration:
                 assert state.lines == 3  # EQNS frame absorbed, 3 data lines
         finally:
             srv.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# round-8b: training-mix operators (mixture / split / upsample / pack / ridge)
+# ---------------------------------------------------------------------------
+
+
+class TestMixtureSample:
+    def test_flattens_toward_uniform_and_is_deterministic(self, spark, sf_dir):
+        """α=0.5 semantics: the smallest language keeps everything
+        (keep_ppm = 1e6), every other language keeps a strictly smaller
+        deterministic fraction, and two invocations return identical
+        rows (no rand() anywhere)."""
+        from aprs2influxdb_spark.queries import registry
+
+        build = registry()["mixture_sample"][0]
+        kept = build(spark, sf_dir)
+        dims = {
+            r["lang"]: r["keep_ppm"]
+            for r in kept.select("lang", "keep_ppm").distinct().collect()
+        }
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        counts = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        min_lang = min(counts, key=lambda k: (counts[k], k))
+        assert dims[min_lang] == 1_000_000
+        max_lang = max(counts, key=lambda k: (counts[k], k))
+        assert dims[max_lang] < 1_000_000
+        a = sorted(r["doc_id"] for r in kept.collect())
+        b = sorted(r["doc_id"] for r in build(spark, sf_dir).collect())
+        assert a == b and 0 < len(a) < docs.count()
+
+
+class TestStratifiedSplit:
+    def test_quotas_exact_per_stratum(self, spark, sf_dir):
+        """80/10/10 by integer arithmetic: train = floor(0.8n),
+        train+val = floor(0.9n), test = the remainder — exactly, for
+        every language."""
+        from aprs2influxdb_spark.queries import registry
+
+        out = registry()["stratified_split"][0](spark, sf_dir)
+        cells = {
+            (r["lang"], r["split"]): r["n"]
+            for r in out.groupBy("lang", "split").agg(F.count("*").alias("n")).collect()
+        }
+        langs = {k[0] for k in cells}
+        for lang in langs:
+            n = sum(v for (lg, _), v in cells.items() if lg == lang)
+            assert cells.get((lang, "train"), 0) == (8 * n) // 10
+            assert cells.get((lang, "train"), 0) + cells.get((lang, "val"), 0) == (9 * n) // 10
+
+
+class TestDocUpsampleEpochs:
+    def test_epochs_dense_and_tiered(self, spark, sf_dir):
+        from aprs2influxdb_spark.queries import registry
+
+        out = registry()["doc_upsample_epochs"][0](spark, sf_dir)
+        per = out.groupBy("doc_id", "n_epochs").agg(
+            F.count("*").alias("rows"), F.min("epoch").alias("lo"), F.max("epoch").alias("hi")
+        )
+        bad = per.filter(
+            (F.col("rows") != F.col("n_epochs"))
+            | (F.col("lo") != 1)
+            | (F.col("hi") != F.col("n_epochs"))
+            | (F.col("n_epochs") < 1)
+            | (F.col("n_epochs") > 4)
+        ).count()
+        assert bad == 0
+
+
+class TestSequencePack:
+    def test_greedy_invariants_hold(self, spark, sf_dir):
+        """No pack exceeds L tokens; offsets are the exact running sum
+        in doc_id order; pack ids are dense from 0 per shard."""
+        from aprs2influxdb_spark.queries import _PACK_L, registry
+
+        rows = registry()["sequence_pack"][0](spark, sf_dir).collect()
+        by_shard: dict = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r)
+        assert len(by_shard) > 1
+        for shard, rs in by_shard.items():
+            rs.sort(key=lambda r: r["doc_id"])
+            pack, used = 0, 0
+            for r in rs:
+                if used + r["len"] > _PACK_L:
+                    pack += 1
+                    used = 0
+                assert r["pack_id"] == pack, (shard, r)
+                assert r["pack_offset"] == used, (shard, r)
+                used += r["len"]
+                assert used <= _PACK_L
+
+    def test_pack_efficiency_bounds(self, spark, sf_dir):
+        from aprs2influxdb_spark.queries import registry
+
+        for r in registry()["pack_efficiency"][0](spark, sf_dir).collect():
+            assert 0.0 < r["fill_ratio"] <= 1.0
+            assert 0.0 <= r["naive_pad_ratio"] < 1.0
+            assert r["n_packs"] * 1.0 >= r["tokens_packed"] / 256.0
+
+
+class TestRidgeQualityModel:
+    def test_matches_numpy_normal_equation_solve(self, spark, sf_dir):
+        """Independent check: solve (S + λI)β = rhs with numpy LU over
+        the same exact integer sufficient statistics — the Cramer
+        expressions must agree to float noise."""
+        import duckdb
+        import numpy as np
+
+        from aprs2influxdb_spark.queries import registry
+
+        got = registry()["ridge_quality_model"][0](spark, sf_dir).collect()[0]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        # re-derive the exact sums with DuckDB, then solve densely
+        n, s1, s2, s11, s12, s22, sy, s1y, s2y = con.execute(
+            """
+            WITH per_doc AS (
+              SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+                     CAST(floor(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) * 10000 / length(text)) AS BIGINT) AS x2,
+                     CAST(floor((least(len(string_split(lower(text), ' ')) / 50.0, 1.0) * 0.4
+                       + (1.0 - least(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) * 4.0 / length(text), 1.0)) * 0.3
+                       + least(len(list_filter(string_split(lower(text), ' '), t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) * 5.0 / len(string_split(lower(text), ' ')), 1.0) * 0.3) * 10000 + 0.5) AS BIGINT) AS y
+              FROM documents
+            )
+            SELECT count(*), sum(x1), sum(x2), sum(x1*x1), sum(x1*x2), sum(x2*x2),
+                   sum(y), sum(x1*y), sum(x2*y)
+            FROM per_doc
+            """
+        ).fetchone()
+        S = np.array(
+            [[n + 1.0, s1, s2], [s1, s11 + 1.0, s12], [s2, s12, s22 + 1.0]], dtype=float
+        )
+        beta = np.linalg.solve(S, np.array([sy, s1y, s2y], dtype=float))
+        assert got["n_docs"] == n
+        for k, expect in zip(("b0", "b1", "b2"), beta):
+            assert abs(got[k] - expect) < 1e-4 * max(1.0, abs(expect)), (k, got[k], expect)
