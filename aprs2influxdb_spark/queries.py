@@ -8080,6 +8080,38 @@ FROM stats
 """
 
 
+def q_shard_assignment(spark, sf):
+    """The final pipeline step: assign curated docs to N=64 balanced
+    output shards in a deterministic pseudo-random READ order (the
+    trainer consumes shards sequentially, so the shuffle must be
+    baked into the layout).  shard = portable_hash % 64 — balanced in
+    expectation with no global sort (a row_number over the whole
+    corpus would serialize 100 TB through one partition); within a
+    shard the position key is the hash itself, so each shard is
+    internally shuffled too.  ONE shuffle on the shard key."""
+    docs = _t(spark, sf, "documents").select("doc_id")
+    h = portable_hash64(F.concat(F.lit("shard_"), F.col("doc_id").cast("string")))
+    d = docs.withColumn("h", h).withColumn(
+        "shard_out", F.pmod(F.col("h"), F.lit(64))
+    )
+    w = Window.partitionBy("shard_out").orderBy("h", "doc_id")
+    return d.select(
+        "doc_id", "shard_out", (F.row_number().over(w) - 1).alias("pos")
+    )
+
+
+SQL_SHARD_ASSIGNMENT = f"""
+WITH d AS (
+  SELECT doc_id,
+         ({portable_hash64_sql("'shard_' || doc_id::VARCHAR")}) AS h
+  FROM documents
+)
+SELECT doc_id, h % 64 AS shard_out,
+       row_number() OVER (PARTITION BY h % 64 ORDER BY h, doc_id) - 1 AS pos
+FROM d
+"""
+
+
 def q_streaming_wav_features(spark, sf):
     """The WAV codec AT INGEST: the lossless roundtrip of
     ``multimodal_wav_features`` as a stateless append-mode stream
@@ -13446,6 +13478,7 @@ def registry() -> dict[str, tuple]:
         "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
         "pack_efficiency": (q_pack_efficiency, _sql_pack_efficiency()),
         "ridge_quality_model": (q_ridge_quality_model, _sql_ridge_quality_model()),
+        "shard_assignment": (q_shard_assignment, SQL_SHARD_ASSIGNMENT),
         "gopher_repetition": (q_gopher_repetition, SQL_GOPHER_REPETITION),
         "pii_redact": (q_pii_redact, SQL_PII_REDACT),
         "streaming_pii_redact": (q_streaming_pii_redact, SQL_PII_REDACT),

@@ -261,6 +261,11 @@ HEADLINE = [
     "warc_binary_files",
     "url_normalize",
     "domain_stats",
+    # round-8b: the training-mix family (mixture/split/pack/ridge)
+    "mixture_sample",
+    "stratified_split",
+    "sequence_pack",
+    "ridge_quality_model",
 ]
 
 

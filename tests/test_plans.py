@@ -690,6 +690,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "sequence_pack": 2,  # r8 one shard-key exchange into applyInPandas (measured 1)
     "pack_efficiency": 3,  # r8 sequence_pack + one shard aggregate (measured 2)
     "ridge_quality_model": 2,  # r8 one global aggregate: nine numbers shuffle, never the corpus (measured 1)
+    "shard_assignment": 2,  # r8 one shard-key exchange for the in-shard position window (measured 1)
     "crawl_dead_letters": 2,  # r8 per-record isolation map: no shuffle
     "dup_pagerank": 4,  # r7 integer PageRank: supersteps sit behind checkpoint scans (measured 2)
     "multimodal_wav_features": 2,

@@ -589,3 +589,18 @@ class TestRidgeQualityModel:
         assert got["n_docs"] == n
         for k, expect in zip(("b0", "b1", "b2"), beta):
             assert abs(got[k] - expect) < 1e-4 * max(1.0, abs(expect)), (k, got[k], expect)
+
+
+class TestShardAssignment:
+    def test_positions_dense_and_complete(self, spark, sf_dir):
+        from aprs2influxdb_spark.queries import registry
+
+        rows = registry()["shard_assignment"][0](spark, sf_dir).collect()
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        assert len(rows) == docs
+        by_shard: dict = {}
+        for r in rows:
+            assert 0 <= r["shard_out"] < 64
+            by_shard.setdefault(r["shard_out"], []).append(r["pos"])
+        for shard, poss in by_shard.items():
+            assert sorted(poss) == list(range(len(poss))), shard

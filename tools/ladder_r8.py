@@ -54,6 +54,13 @@ NAMES = MEDIA_NAMES + [
     "url_normalize",
     "domain_stats",
     "domain_cap_topk",
+    # round-8b training-mix family
+    "mixture_sample",
+    "stratified_split",
+    "doc_upsample_epochs",
+    "sequence_pack",
+    "pack_efficiency",
+    "ridge_quality_model",
 ]
 
 
