@@ -7832,6 +7832,20 @@ _PACK_L = 256  # training context length (tokens); docs cap at ~100
 _PACK_SHARDS = 16
 
 
+def _pack_projection(docs: DataFrame) -> DataFrame:
+    """(doc_id, shard, len) — the narrow packing input, shared by the
+    batch entry and its streaming twin so the two plans cannot
+    drift."""
+    return docs.select(
+        "doc_id",
+        F.pmod(
+            portable_hash64(F.concat(F.lit("pack_"), F.col("doc_id").cast("string"))),
+            F.lit(_PACK_SHARDS),
+        ).alias("shard"),
+        F.least(F.size(F.split("text", " ")), F.lit(_PACK_L)).cast("long").alias("len"),
+    )
+
+
 def q_sequence_pack(spark, sf):
     """Sequence packing (the step between curation and the trainer:
     concatenate documents into fixed-L token windows so no context is
@@ -7851,14 +7865,7 @@ def q_sequence_pack(spark, sf):
     text never moves."""
     from aprs2influxdb_spark.functions.partitioning import spread_for_grouped_compute
 
-    docs = _t(spark, sf, "documents").select(
-        "doc_id",
-        F.pmod(
-            portable_hash64(F.concat(F.lit("pack_"), F.col("doc_id").cast("string"))),
-            F.lit(_PACK_SHARDS),
-        ).alias("shard"),
-        F.least(F.size(F.split("text", " ")), F.lit(_PACK_L)).cast("long").alias("len"),
-    )
+    docs = _pack_projection(_t(spark, sf, "documents"))
 
     def _group(pdf):
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
@@ -7906,6 +7913,16 @@ WITH RECURSIVE d AS (
 )
 SELECT shard, doc_id, pack_id, pack_offset, len FROM r
 """
+
+
+def q_streaming_sequence_pack(spark, sf):
+    """Sequence packing AT INGEST — see
+    :func:`streaming.bounded.streaming_sequence_pack` (per-shard
+    (pack, used) cursor in keyed state, two ints per shard); shares
+    the batch recursive-CTE oracle verbatim."""
+    from aprs2influxdb_spark.streaming.bounded import streaming_sequence_pack
+
+    return streaming_sequence_pack(spark, sf)
 
 
 def q_pack_efficiency(spark, sf):
@@ -8109,6 +8126,93 @@ WITH d AS (
 SELECT doc_id, h % 64 AS shard_out,
        row_number() OVER (PARTITION BY h % 64 ORDER BY h, doc_id) - 1 AS pos
 FROM d
+"""
+
+
+# model_auc scoring expression — shared verbatim by both engines (the
+# ridge precedent): the model's ROUNDED coefficients (rhu6 doubles,
+# bit-identical across engines by construction) score each doc, and
+# the score integerizes at 1e-6 so grouping/ranking keys are int64.
+_AUC_SCORE = "CAST(floor((b0 + b1 * x1 + b2 * x2) * 1000000.0 + 0.5) AS BIGINT)"
+
+
+def q_model_auc(spark, sf):
+    """Evaluate the in-engine model IN the engine: ROC-AUC of
+    ``ridge_quality_model``'s predictions against the binary quality
+    label (score ≥ 0.6 — the curate-family keep threshold), computed
+    exactly via the Mann-Whitney rank-sum with average ranks for ties
+    (AUC = (U − n₊(n₊+1)) / (2·n₊·n₋), everything integer until the
+    final division).  Plan: the one-row model broadcast-joins the
+    per-doc feature projection, scores collapse to a per-score
+    histogram (ONE hash aggregate — the table is bounded by the
+    feature cross-cardinality, ~|x1|·|x2| cells, NOT by corpus rows),
+    and the tie-aware rank cumsum runs as a window over that
+    feature-bounded table (its singleton exchange carries thousands
+    of cells, not documents).  Train → score → evaluate without a row
+    ever leaving the engine — the full in-engine GLM loop."""
+    docs = ta._spread_docs(_t(spark, sf, "documents"), "doc_id", "text")
+    n_chars = F.length("text")
+    n_punct = F.length(F.regexp_replace("text", "[^!-/:-@\\[-`{-~]", ""))
+    per_doc = docs.select(
+        F.size(F.split("text", " ")).cast("long").alias("x1"),
+        F.floor(n_punct * 10000 / n_chars).cast("long").alias("x2"),
+        F.when(_quality_int_col() >= 6000, F.lit(1)).otherwise(F.lit(0)).cast(
+            "long"
+        ).alias("y"),
+    )
+    model = q_ridge_quality_model(spark, sf).select("b0", "b1", "b2")
+    scored = per_doc.crossJoin(F.broadcast(model))
+    per_score = scored.groupBy(F.expr(_AUC_SCORE).alias("s")).agg(
+        F.count("*").alias("cnt"), F.sum("y").alias("pos")
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_score.withColumn(
+        "below", F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long")
+    )
+    agg = ranked.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        (F.sum("cnt") - F.sum("pos")).cast("long").alias("n_neg"),
+        F.sum(
+            F.col("pos") * (2 * F.col("below") + F.col("cnt") + 1)
+        ).cast("long").alias("u2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        rhu(
+            (F.col("u2") - F.col("n_pos") * (F.col("n_pos") + 1))
+            / (2 * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+def _sql_model_auc() -> str:
+    return f"""
+WITH model AS ({_sql_ridge_quality_model()}),
+per_doc AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+         CAST(floor(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) * 10000 / length(text)) AS BIGINT) AS x2,
+         CASE WHEN {_QUALITY_INT_SQL} >= 6000 THEN 1 ELSE 0 END AS y
+  FROM documents
+), scored AS (
+  SELECT {_AUC_SCORE} AS s, y FROM per_doc, model
+), per_score AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(y) AS BIGINT) AS pos
+  FROM scored GROUP BY s
+), ranked AS (
+  SELECT *, CAST(coalesce(sum(cnt) OVER (ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below
+  FROM per_score
+), agg AS (
+  SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+         CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
+         CAST(sum(pos * (2 * below + cnt + 1)) AS BIGINT) AS u2
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+       {rhu_sql("(u2 - n_pos * (n_pos + 1)) / (2 * n_pos * n_neg)", 6)} AS auc
+FROM agg
 """
 
 
@@ -13476,8 +13580,10 @@ def registry() -> dict[str, tuple]:
         "stratified_split": (q_stratified_split, SQL_STRATIFIED_SPLIT),
         "doc_upsample_epochs": (q_doc_upsample_epochs, SQL_DOC_UPSAMPLE_EPOCHS),
         "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
+        "streaming_sequence_pack": (q_streaming_sequence_pack, SQL_SEQUENCE_PACK),
         "pack_efficiency": (q_pack_efficiency, _sql_pack_efficiency()),
         "ridge_quality_model": (q_ridge_quality_model, _sql_ridge_quality_model()),
+        "model_auc": (q_model_auc, _sql_model_auc()),
         "shard_assignment": (q_shard_assignment, SQL_SHARD_ASSIGNMENT),
         "gopher_repetition": (q_gopher_repetition, SQL_GOPHER_REPETITION),
         "pii_redact": (q_pii_redact, SQL_PII_REDACT),

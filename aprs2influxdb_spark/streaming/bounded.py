@@ -702,6 +702,79 @@ def _alert_group(
     )
 
 
+PACK_OUTPUT = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("pack_id", LongType()),
+        StructField("pack_offset", LongType()),
+        StructField("len", LongType()),
+    ]
+)
+PACK_STATE = StructType(
+    [StructField("pack", LongType()), StructField("used", LongType())]
+)
+
+
+def _pack_group(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-shard greedy packing with the (pack, used) cursor carried
+    ACROSS micro-batches — the streaming form of the sequential
+    recurrence in ``queries.q_sequence_pack``.  Chunks are
+    concatenated before the doc_id sort (the `_asof_group`
+    discipline); the ordered-ingest contract is doc_id-ascending
+    arrival per shard across batches, which the bounded single-batch
+    gate run satisfies trivially, making the batch recursive-CTE SQL
+    the exact oracle."""
+    pack, used = (state.get if state.exists else (0, 0))
+    chunks = list(pdfs)
+    if not chunks:
+        state.update((pack, used))
+        return
+    pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
+    from aprs2influxdb_spark.queries import _PACK_L
+
+    shard = int(key[0])
+    out: list[dict] = []
+    for row in pdf.itertuples():
+        ln = int(row.len)
+        if used + ln > _PACK_L:
+            pack += 1
+            used = 0
+        out.append(
+            {
+                "shard": shard,
+                "doc_id": int(row.doc_id),
+                "pack_id": pack,
+                "pack_offset": used,
+                "len": ln,
+            }
+        )
+        used += ln
+    state.update((pack, used))
+    yield pd.DataFrame(out)
+
+
+def streaming_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``queries.q_sequence_pack``: sequence packing
+    AT INGEST — each shard's (pack, used) cursor is two ints of keyed
+    state, so documents stream straight into training-window
+    assignments without a batch re-pack.  State is O(shards), not
+    O(docs); the per-batch work is the same narrow (doc_id, len)
+    projection the batch plan shuffles."""
+    from aprs2influxdb_spark.queries import _pack_projection
+
+    packed = (
+        _pack_projection(stream_docs(spark, sf_dir))
+        .groupBy("shard")
+        .applyInPandasWithState(
+            _pack_group, PACK_OUTPUT, PACK_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+    return run_bounded(spark, packed, "append", "stream_seq_pack")
+
+
 def streaming_alert_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``queries.q_alert_transitions``: per-user
     threshold edge counts via ``applyInPandasWithState``, the hi/lo

@@ -266,6 +266,7 @@ HEADLINE = [
     "stratified_split",
     "sequence_pack",
     "ridge_quality_model",
+    "model_auc",
 ]
 
 

@@ -604,3 +604,144 @@ class TestShardAssignment:
             by_shard.setdefault(r["shard_out"], []).append(r["pos"])
         for shard, poss in by_shard.items():
             assert sorted(poss) == list(range(len(poss))), shard
+
+
+class TestModelAuc:
+    def test_matches_pairwise_auc_reference(self, spark, sf_dir):
+        """Independent check: AUC by the O(n²) pairwise definition
+        (ties count half) over the scored docs — the rank-sum
+        formulation must agree exactly."""
+        from aprs2influxdb_spark.queries import (
+            _AUC_SCORE,
+            _quality_int_col,
+            q_ridge_quality_model,
+            registry,
+        )
+
+        got = registry()["model_auc"][0](spark, sf_dir).collect()[0]
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n_chars = F.length("text")
+        n_punct = F.length(F.regexp_replace("text", "[^!-/:-@\\[-`{-~]", ""))
+        per = docs.select(
+            F.size(F.split("text", " ")).cast("long").alias("x1"),
+            F.floor(n_punct * 10000 / n_chars).cast("long").alias("x2"),
+            F.when(_quality_int_col() >= 6000, F.lit(1)).otherwise(F.lit(0)).alias("y"),
+        )
+        model = q_ridge_quality_model(spark, sf_dir).select("b0", "b1", "b2")
+        rows = per.crossJoin(F.broadcast(model)).select(
+            F.expr(_AUC_SCORE).alias("s"), "y"
+        ).collect()
+        pos = sorted(r["s"] for r in rows if r["y"] == 1)
+        neg = sorted(r["s"] for r in rows if r["y"] == 0)
+        import bisect
+
+        wins = halves = 0
+        for s in pos:
+            lo = bisect.bisect_left(neg, s)
+            hi = bisect.bisect_right(neg, s)
+            wins += lo
+            halves += hi - lo
+        expect = (wins + 0.5 * halves) / (len(pos) * len(neg))
+        assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+        assert abs(got["auc"] - expect) < 5e-7, (got["auc"], expect)
+        assert 0.5 < got["auc"] <= 1.0  # the model must actually rank
+
+    def test_streaming_pack_equals_batch(self, spark, sf_dir):
+        """The streaming twin's single-batch gate run must reproduce
+        the batch pack assignment row-for-row."""
+        from aprs2influxdb_spark.queries import registry
+
+        reg = registry()
+        batch = {
+            (r["shard"], r["doc_id"]): (r["pack_id"], r["pack_offset"], r["len"])
+            for r in reg["sequence_pack"][0](spark, sf_dir).collect()
+        }
+        stream = {
+            (r["shard"], r["doc_id"]): (r["pack_id"], r["pack_offset"], r["len"])
+            for r in reg["streaming_sequence_pack"][0](spark, sf_dir).collect()
+        }
+        assert batch == stream and len(batch) > 0
+
+    def test_streaming_pack_carries_state_across_batches(self, spark, tmp_path):
+        """Two arrival waves (doc_id-ascending per the ordered-ingest
+        contract): wave-2 docs must continue each shard's (pack, used)
+        cursor, not restart at pack 0."""
+        import time
+
+        import pyspark.sql.types as T
+
+        from aprs2influxdb_spark.queries import (
+            _PACK_L,
+            _PACK_SHARDS,
+            _pack_projection,
+        )
+        from aprs2influxdb_spark.streaming.bounded import (
+            PACK_OUTPUT,
+            PACK_STATE,
+            _pack_group,
+        )
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        def mk(i):
+            return (i, " ".join(f"w{j}" for j in range(40 + (i * 7) % 50)))
+
+        waves = [[mk(i) for i in range(0, 60)], [mk(i) for i in range(60, 120)]]
+        d = tmp_path / "docs"
+        d.mkdir()
+        for i, wave in enumerate(waves):
+            spark.createDataFrame(wave, schema).coalesce(1).write.parquet(
+                str(d / f"wave{i}")
+            )
+            time.sleep(0.05)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d / "wave*"))
+        )
+        packed = (
+            _pack_projection(stream)
+            .groupBy("shard")
+            .applyInPandasWithState(
+                _pack_group, PACK_OUTPUT, PACK_STATE, "append",
+                GroupStateTimeout.NoTimeout,
+            )
+        )
+        q = (
+            packed.writeStream.format("memory").queryName("spack2")
+            .outputMode("append").start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r["shard"], r["doc_id"]): (r["pack_id"], r["pack_offset"])
+            for r in spark.sql("SELECT * FROM spack2").collect()
+        }
+        # pure-python replay of the batch recurrence over ALL docs
+        from aprs2influxdb_spark.functions.hashing import portable_hash64  # noqa: F401
+        import hashlib
+
+        def h64(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        docs = sorted(mk(i) for i in range(0, 120))
+        by_shard: dict = {}
+        for i, text in docs:
+            by_shard.setdefault(h64(f"pack_{i}") % _PACK_SHARDS, []).append(
+                (i, min(len(text.split(" ")), _PACK_L))
+            )
+        expect = {}
+        for shard, rs in by_shard.items():
+            pack, used = 0, 0
+            for i, ln in sorted(rs):
+                if used + ln > _PACK_L:
+                    pack += 1
+                    used = 0
+                expect[(shard, i)] = (pack, used)
+                used += ln
+        assert got == expect and len(got) == 120
