@@ -8129,6 +8129,101 @@ FROM d
 """
 
 
+def q_token_budget_select(spark, sf):
+    """Corpus sizing: keep the highest-quality documents until a
+    token budget is reached (here 60% of the corpus's tokens) — the
+    final selection step after scoring.  The naive plan is a GLOBAL
+    ``ORDER BY quality DESC`` with a running total: at 100 TB that
+    serializes the corpus through one sort partition.  The scale-safe
+    rewrite used here: (1) collapse docs to a quality-bin histogram
+    (≤10,001 integer bins — ONE map-side-combinable aggregate);
+    (2) a running total over the BINS (a window over ≤10k rows
+    through a singleton exchange — bounded by the score codomain,
+    not the corpus) finds every bin that fits outright and the single
+    boundary bin the budget crosses inside; (3) only the boundary
+    bin's docs (1/10,001 of the corpus in expectation) are ordered —
+    by doc_id, a window restricted to that bin — to fill the
+    remaining budget exactly.  Keep rule: a doc is kept iff the
+    running total through it (bins above it, then boundary docs at
+    or before it) stays ≤ budget.  All arithmetic is exact int64."""
+    docs = ta._spread_docs(_t(spark, sf, "documents"), "doc_id", "text")
+    per_doc = docs.select(
+        "doc_id",
+        _quality_int_col().alias("q"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    bins = per_doc.groupBy("q").agg(F.sum("n_tokens").alias("bin_tokens"))
+    wdesc = Window.orderBy(F.col("q").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wall = Window.partitionBy()
+    # the running total AND the budget come out of the same singleton
+    # window pass over the ≤10k bins — no second corpus aggregate
+    cum = bins.select(
+        "q",
+        "bin_tokens",
+        F.coalesce(F.sum("bin_tokens").over(wdesc), F.lit(0)).cast("long").alias("above"),
+        F.floor(F.sum("bin_tokens").over(wall) * 6 / 10).cast("long").alias("budget"),
+    )
+    full_bins = cum.filter(F.col("above") + F.col("bin_tokens") <= F.col("budget"))
+    boundary = cum.filter(
+        (F.col("above") <= F.col("budget"))
+        & (F.col("above") + F.col("bin_tokens") > F.col("budget"))
+    ).select("q", "above", "budget")
+    kept_full = per_doc.join(
+        F.broadcast(full_bins.select("q")), "q", "left_semi"
+    ).select("doc_id", "q", "n_tokens")
+    wb = Window.partitionBy("q").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    kept_boundary = (
+        per_doc.join(F.broadcast(boundary), "q")
+        .withColumn("cum", F.sum("n_tokens").over(wb).cast("long"))
+        .filter(F.col("above") + F.col("cum") <= F.col("budget"))
+        .select("doc_id", "q", "n_tokens")
+    )
+    return kept_full.unionByName(kept_boundary).select(
+        "doc_id",
+        rhu(F.col("q") / F.lit(10000.0), 4).alias("quality_score"),
+        "n_tokens",
+    )
+
+
+SQL_TOKEN_BUDGET_SELECT = f"""
+WITH per_doc AS (
+  SELECT doc_id, {_QUALITY_INT_SQL} AS q,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), bins AS (
+  SELECT q, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens FROM per_doc GROUP BY q
+), cum AS (
+  SELECT q, bin_tokens,
+         CAST(coalesce(sum(bin_tokens) OVER (ORDER BY q DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS above,
+         CAST(floor(sum(bin_tokens) OVER () * 6 / 10) AS BIGINT) AS budget
+  FROM bins
+), kept_full AS (
+  SELECT p.doc_id, p.q, p.n_tokens
+  FROM per_doc p JOIN cum c USING (q)
+  WHERE c.above + c.bin_tokens <= c.budget
+), boundary AS (
+  SELECT q, above, budget FROM cum
+  WHERE above <= budget AND above + bin_tokens > budget
+), kept_boundary AS (
+  SELECT doc_id, q, n_tokens FROM (
+    SELECT p.doc_id, p.q, p.n_tokens, b.above, b.budget,
+           CAST(sum(p.n_tokens) OVER (PARTITION BY p.q ORDER BY p.doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+    FROM per_doc p JOIN boundary b USING (q)
+  ) WHERE above + cum <= budget
+), kept AS (
+  SELECT * FROM kept_full UNION ALL SELECT * FROM kept_boundary
+)
+SELECT doc_id, {rhu_sql("q / 10000.0", 4)} AS quality_score, n_tokens
+FROM kept
+"""
+
+
 # model_auc scoring expression — shared verbatim by both engines (the
 # ridge precedent): the model's ROUNDED coefficients (rhu6 doubles,
 # bit-identical across engines by construction) score each doc, and
@@ -13584,6 +13679,7 @@ def registry() -> dict[str, tuple]:
         "pack_efficiency": (q_pack_efficiency, _sql_pack_efficiency()),
         "ridge_quality_model": (q_ridge_quality_model, _sql_ridge_quality_model()),
         "model_auc": (q_model_auc, _sql_model_auc()),
+        "token_budget_select": (q_token_budget_select, SQL_TOKEN_BUDGET_SELECT),
         "shard_assignment": (q_shard_assignment, SQL_SHARD_ASSIGNMENT),
         "gopher_repetition": (q_gopher_repetition, SQL_GOPHER_REPETITION),
         "pii_redact": (q_pii_redact, SQL_PII_REDACT),

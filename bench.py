@@ -267,6 +267,7 @@ HEADLINE = [
     "sequence_pack",
     "ridge_quality_model",
     "model_auc",
+    "token_budget_select",
 ]
 
 

@@ -745,3 +745,36 @@ class TestModelAuc:
                 expect[(shard, i)] = (pack, used)
                 used += ln
         assert got == expect and len(got) == 120
+
+
+class TestTokenBudgetSelect:
+    def test_budget_respected_and_maximal(self, spark, sf_dir):
+        """Kept tokens never exceed the 60% budget; the selection is
+        maximal under the (quality desc, doc_id asc) order — the next
+        doc in that order would overflow; and no kept doc ranks below
+        an excluded one."""
+        from aprs2influxdb_spark.queries import _quality_int_col, registry
+
+        kept = registry()["token_budget_select"][0](spark, sf_dir).collect()
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id",
+            _quality_int_col().alias("q"),
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        ).collect()
+        total = sum(r["n_tokens"] for r in docs)
+        budget = total * 6 // 10
+        kept_ids = {r["doc_id"] for r in kept}
+        used = sum(r["n_tokens"] for r in kept)
+        assert used <= budget
+        order = sorted(docs, key=lambda r: (-r["q"], r["doc_id"]))
+        run = 0
+        for r in order:
+            fits = run + r["n_tokens"] <= budget
+            if r["doc_id"] in kept_ids:
+                assert fits, r
+                run += r["n_tokens"]
+            else:
+                # the greedy prefix stops exactly here
+                assert not fits, r
+                break
+        assert used == run
