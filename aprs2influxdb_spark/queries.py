@@ -8147,11 +8147,17 @@ def q_token_budget_select(spark, sf):
     running total through it (bins above it, then boundary docs at
     or before it) stays ≤ budget.  All arithmetic is exact int64."""
     docs = ta._spread_docs(_t(spark, sf, "documents"), "doc_id", "text")
+    # localCheckpoint (the rp_rerank precedent): the regex-heavy
+    # quality projection feeds THREE consumers (bin histogram + both
+    # keep branches) — without the barrier each re-scores the corpus
+    # (measured 78.7 s at sf10; ~19 s per scoring pass).  The
+    # materialized frame is 3 int64s/doc — the scored side table a
+    # real pipeline would persist anyway.
     per_doc = docs.select(
         "doc_id",
         _quality_int_col().alias("q"),
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
-    )
+    ).localCheckpoint()
     bins = per_doc.groupBy("q").agg(F.sum("n_tokens").alias("bin_tokens"))
     wdesc = Window.orderBy(F.col("q").desc()).rowsBetween(
         Window.unboundedPreceding, -1
