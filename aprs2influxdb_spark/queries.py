@@ -7977,6 +7977,27 @@ FROM per_shard
 # x1 = n_tokens (≤ ~2e2), x2 = punct per-10k (≤ 1e4), y = quality per-1e4.
 _RIDGE_LAMBDA = 1.0
 
+# The model's feature space, defined ONCE for the trainer
+# (ridge_quality_model), the evaluator (model_auc), and both oracles —
+# scoring trained coefficients against a drifted feature definition
+# would produce a plausible-looking but meaningless metric.
+_RIDGE_X2_SQL = (
+    "CAST(floor(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))"
+    " * 10000 / length(text)) AS BIGINT)"
+)
+
+
+def _ridge_features(docs: DataFrame) -> DataFrame:
+    """(x1, x2, q_int) per document: token count, punct-per-10k
+    (exact integer), and the integerized quality score."""
+    n_chars = F.length("text")
+    n_punct = F.length(F.regexp_replace("text", "[^!-/:-@\\[-`{-~]", ""))
+    return docs.select(
+        F.size(F.split("text", " ")).cast("long").alias("x1"),
+        F.floor(n_punct * 10000 / n_chars).cast("long").alias("x2"),
+        _quality_int_col().alias("q_int"),
+    )
+
 
 def _ridge_cramer_exprs() -> dict[str, str]:
     # S is the symmetric moment matrix [[s0,s1,s2],[s1,s11,s12],[s2,s12,s22]]
@@ -8026,13 +8047,7 @@ def q_ridge_quality_model(spark, sf):
     is the pattern every in-engine GLM fit reduces to: shuffle nine
     numbers, never the corpus."""
     docs = ta._spread_docs(_t(spark, sf, "documents"), "doc_id", "text")
-    n_chars = F.length("text")
-    n_punct = F.length(F.regexp_replace("text", "[^!-/:-@\\[-`{-~]", ""))
-    per_doc = docs.select(
-        F.size(F.split("text", " ")).cast("long").alias("x1"),
-        F.floor(n_punct * 10000 / n_chars).cast("long").alias("x2"),
-        _quality_int_col().alias("y"),
-    )
+    per_doc = _ridge_features(docs).select("x1", "x2", F.col("q_int").alias("y"))
     exact = per_doc.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("x1").alias("i1"),
@@ -8067,7 +8082,7 @@ def _sql_ridge_quality_model() -> str:
     return f"""
 WITH per_doc AS (
   SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
-         CAST(floor(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) * 10000 / length(text)) AS BIGINT) AS x2,
+         {_RIDGE_X2_SQL} AS x2,
          {_QUALITY_INT_SQL} AS y
   FROM documents
 ), exact AS (
@@ -8250,14 +8265,18 @@ def q_model_auc(spark, sf):
     and the tie-aware rank cumsum runs as a window over that
     feature-bounded table (its singleton exchange carries thousands
     of cells, not documents).  Train → score → evaluate without a row
-    ever leaving the engine — the full in-engine GLM loop."""
+    ever leaving the engine — the full in-engine GLM loop.
+
+    Overflow discipline (review-hardened): the rank-sum U is O(n²) in
+    corpus rows, so the per-cell product and its sum run in
+    DECIMAL(38,0)/HUGEINT (the ``soft_dedup_weights`` precedent) —
+    int64 would wrap near 2×10⁹ documents; the final ratio casts the
+    exact decimals to double once, identically on both engines."""
     docs = ta._spread_docs(_t(spark, sf, "documents"), "doc_id", "text")
-    n_chars = F.length("text")
-    n_punct = F.length(F.regexp_replace("text", "[^!-/:-@\\[-`{-~]", ""))
-    per_doc = docs.select(
-        F.size(F.split("text", " ")).cast("long").alias("x1"),
-        F.floor(n_punct * 10000 / n_chars).cast("long").alias("x2"),
-        F.when(_quality_int_col() >= 6000, F.lit(1)).otherwise(F.lit(0)).cast(
+    per_doc = _ridge_features(docs).select(
+        "x1",
+        "x2",
+        F.when(F.col("q_int") >= 6000, F.lit(1)).otherwise(F.lit(0)).cast(
             "long"
         ).alias("y"),
     )
@@ -8270,19 +8289,26 @@ def q_model_auc(spark, sf):
     ranked = per_score.withColumn(
         "below", F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long")
     )
+    dec = "decimal(38,0)"
     agg = ranked.agg(
         F.sum("pos").cast("long").alias("n_pos"),
         (F.sum("cnt") - F.sum("pos")).cast("long").alias("n_neg"),
         F.sum(
-            F.col("pos") * (2 * F.col("below") + F.col("cnt") + 1)
-        ).cast("long").alias("u2"),
+            F.col("pos").cast(dec)
+            * (2 * F.col("below") + F.col("cnt") + 1).cast(dec)
+        ).alias("u2"),
     )
     return agg.select(
         "n_pos",
         "n_neg",
         rhu(
-            (F.col("u2") - F.col("n_pos") * (F.col("n_pos") + 1))
-            / (2 * F.col("n_pos") * F.col("n_neg")),
+            (
+                F.col("u2")
+                - F.col("n_pos").cast(dec) * (F.col("n_pos") + 1).cast(dec)
+            ).cast("double")
+            / (
+                2 * F.col("n_pos").cast(dec) * F.col("n_neg").cast(dec)
+            ).cast("double"),
             6,
         ).alias("auc"),
     )
@@ -8293,7 +8319,7 @@ def _sql_model_auc() -> str:
 WITH model AS ({_sql_ridge_quality_model()}),
 per_doc AS (
   SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
-         CAST(floor(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) * 10000 / length(text)) AS BIGINT) AS x2,
+         {_RIDGE_X2_SQL} AS x2,
          CASE WHEN {_QUALITY_INT_SQL} >= 6000 THEN 1 ELSE 0 END AS y
   FROM documents
 ), scored AS (
@@ -8308,11 +8334,11 @@ per_doc AS (
 ), agg AS (
   SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
          CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
-         CAST(sum(pos * (2 * below + cnt + 1)) AS BIGINT) AS u2
+         sum(CAST(pos AS HUGEINT) * CAST(2 * below + cnt + 1 AS HUGEINT)) AS u2
   FROM ranked
 )
 SELECT n_pos, n_neg,
-       {rhu_sql("(u2 - n_pos * (n_pos + 1)) / (2 * n_pos * n_neg)", 6)} AS auc
+       {rhu_sql("CAST(u2 - CAST(n_pos AS HUGEINT) * CAST(n_pos + 1 AS HUGEINT) AS DOUBLE) / CAST(2 * CAST(n_pos AS HUGEINT) * CAST(n_neg AS HUGEINT) AS DOUBLE)", 6)} AS auc
 FROM agg
 """
 

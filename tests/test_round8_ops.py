@@ -543,108 +543,12 @@ class TestSequencePack:
                 assert used <= _PACK_L
 
     def test_pack_efficiency_bounds(self, spark, sf_dir):
-        from aprs2influxdb_spark.queries import registry
+        from aprs2influxdb_spark.queries import _PACK_L, registry
 
         for r in registry()["pack_efficiency"][0](spark, sf_dir).collect():
             assert 0.0 < r["fill_ratio"] <= 1.0
             assert 0.0 <= r["naive_pad_ratio"] < 1.0
-            assert r["n_packs"] * 1.0 >= r["tokens_packed"] / 256.0
-
-
-class TestRidgeQualityModel:
-    def test_matches_numpy_normal_equation_solve(self, spark, sf_dir):
-        """Independent check: solve (S + λI)β = rhs with numpy LU over
-        the same exact integer sufficient statistics — the Cramer
-        expressions must agree to float noise."""
-        import duckdb
-        import numpy as np
-
-        from aprs2influxdb_spark.queries import registry
-
-        got = registry()["ridge_quality_model"][0](spark, sf_dir).collect()[0]
-        con = duckdb.connect()
-        con.execute(
-            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
-        )
-        # re-derive the exact sums with DuckDB, then solve densely
-        n, s1, s2, s11, s12, s22, sy, s1y, s2y = con.execute(
-            """
-            WITH per_doc AS (
-              SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
-                     CAST(floor(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) * 10000 / length(text)) AS BIGINT) AS x2,
-                     CAST(floor((least(len(string_split(lower(text), ' ')) / 50.0, 1.0) * 0.4
-                       + (1.0 - least(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) * 4.0 / length(text), 1.0)) * 0.3
-                       + least(len(list_filter(string_split(lower(text), ' '), t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) * 5.0 / len(string_split(lower(text), ' ')), 1.0) * 0.3) * 10000 + 0.5) AS BIGINT) AS y
-              FROM documents
-            )
-            SELECT count(*), sum(x1), sum(x2), sum(x1*x1), sum(x1*x2), sum(x2*x2),
-                   sum(y), sum(x1*y), sum(x2*y)
-            FROM per_doc
-            """
-        ).fetchone()
-        S = np.array(
-            [[n + 1.0, s1, s2], [s1, s11 + 1.0, s12], [s2, s12, s22 + 1.0]], dtype=float
-        )
-        beta = np.linalg.solve(S, np.array([sy, s1y, s2y], dtype=float))
-        assert got["n_docs"] == n
-        for k, expect in zip(("b0", "b1", "b2"), beta):
-            assert abs(got[k] - expect) < 1e-4 * max(1.0, abs(expect)), (k, got[k], expect)
-
-
-class TestShardAssignment:
-    def test_positions_dense_and_complete(self, spark, sf_dir):
-        from aprs2influxdb_spark.queries import registry
-
-        rows = registry()["shard_assignment"][0](spark, sf_dir).collect()
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-        assert len(rows) == docs
-        by_shard: dict = {}
-        for r in rows:
-            assert 0 <= r["shard_out"] < 64
-            by_shard.setdefault(r["shard_out"], []).append(r["pos"])
-        for shard, poss in by_shard.items():
-            assert sorted(poss) == list(range(len(poss))), shard
-
-
-class TestModelAuc:
-    def test_matches_pairwise_auc_reference(self, spark, sf_dir):
-        """Independent check: AUC by the O(n²) pairwise definition
-        (ties count half) over the scored docs — the rank-sum
-        formulation must agree exactly."""
-        from aprs2influxdb_spark.queries import (
-            _AUC_SCORE,
-            _quality_int_col,
-            q_ridge_quality_model,
-            registry,
-        )
-
-        got = registry()["model_auc"][0](spark, sf_dir).collect()[0]
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        n_chars = F.length("text")
-        n_punct = F.length(F.regexp_replace("text", "[^!-/:-@\\[-`{-~]", ""))
-        per = docs.select(
-            F.size(F.split("text", " ")).cast("long").alias("x1"),
-            F.floor(n_punct * 10000 / n_chars).cast("long").alias("x2"),
-            F.when(_quality_int_col() >= 6000, F.lit(1)).otherwise(F.lit(0)).alias("y"),
-        )
-        model = q_ridge_quality_model(spark, sf_dir).select("b0", "b1", "b2")
-        rows = per.crossJoin(F.broadcast(model)).select(
-            F.expr(_AUC_SCORE).alias("s"), "y"
-        ).collect()
-        pos = sorted(r["s"] for r in rows if r["y"] == 1)
-        neg = sorted(r["s"] for r in rows if r["y"] == 0)
-        import bisect
-
-        wins = halves = 0
-        for s in pos:
-            lo = bisect.bisect_left(neg, s)
-            hi = bisect.bisect_right(neg, s)
-            wins += lo
-            halves += hi - lo
-        expect = (wins + 0.5 * halves) / (len(pos) * len(neg))
-        assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
-        assert abs(got["auc"] - expect) < 5e-7, (got["auc"], expect)
-        assert 0.5 < got["auc"] <= 1.0  # the model must actually rank
+            assert r["n_packs"] * 1.0 >= r["tokens_packed"] / float(_PACK_L)
 
     def test_streaming_pack_equals_batch(self, spark, sf_dir):
         """The streaming twin's single-batch gate run must reproduce
@@ -745,6 +649,100 @@ class TestModelAuc:
                 expect[(shard, i)] = (pack, used)
                 used += ln
         assert got == expect and len(got) == 120
+
+class TestRidgeQualityModel:
+    def test_matches_numpy_normal_equation_solve(self, spark, sf_dir):
+        """Independent check: solve (S + λI)β = rhs with numpy LU over
+        the same exact integer sufficient statistics — the Cramer
+        expressions must agree to float noise."""
+        import duckdb
+        import numpy as np
+
+        from aprs2influxdb_spark.queries import registry
+
+        got = registry()["ridge_quality_model"][0](spark, sf_dir).collect()[0]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        # re-derive the exact sums with DuckDB, then solve densely
+        n, s1, s2, s11, s12, s22, sy, s1y, s2y = con.execute(
+            """
+            WITH per_doc AS (
+              SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+                     CAST(floor(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) * 10000 / length(text)) AS BIGINT) AS x2,
+                     CAST(floor((least(len(string_split(lower(text), ' ')) / 50.0, 1.0) * 0.4
+                       + (1.0 - least(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) * 4.0 / length(text), 1.0)) * 0.3
+                       + least(len(list_filter(string_split(lower(text), ' '), t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) * 5.0 / len(string_split(lower(text), ' ')), 1.0) * 0.3) * 10000 + 0.5) AS BIGINT) AS y
+              FROM documents
+            )
+            SELECT count(*), sum(x1), sum(x2), sum(x1*x1), sum(x1*x2), sum(x2*x2),
+                   sum(y), sum(x1*y), sum(x2*y)
+            FROM per_doc
+            """
+        ).fetchone()
+        S = np.array(
+            [[n + 1.0, s1, s2], [s1, s11 + 1.0, s12], [s2, s12, s22 + 1.0]], dtype=float
+        )
+        beta = np.linalg.solve(S, np.array([sy, s1y, s2y], dtype=float))
+        assert got["n_docs"] == n
+        for k, expect in zip(("b0", "b1", "b2"), beta):
+            assert abs(got[k] - expect) < 1e-4 * max(1.0, abs(expect)), (k, got[k], expect)
+
+
+class TestShardAssignment:
+    def test_positions_dense_and_complete(self, spark, sf_dir):
+        from aprs2influxdb_spark.queries import registry
+
+        rows = registry()["shard_assignment"][0](spark, sf_dir).collect()
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        assert len(rows) == docs
+        by_shard: dict = {}
+        for r in rows:
+            assert 0 <= r["shard_out"] < 64
+            by_shard.setdefault(r["shard_out"], []).append(r["pos"])
+        for shard, poss in by_shard.items():
+            assert sorted(poss) == list(range(len(poss))), shard
+
+
+class TestModelAuc:
+    def test_matches_pairwise_auc_reference(self, spark, sf_dir):
+        """Independent check: AUC by the O(n²) pairwise definition
+        (ties count half) over the scored docs — the rank-sum
+        formulation must agree exactly."""
+        from aprs2influxdb_spark.queries import (
+            _AUC_SCORE,
+            _ridge_features,
+            q_ridge_quality_model,
+            registry,
+        )
+
+        got = registry()["model_auc"][0](spark, sf_dir).collect()[0]
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        per = _ridge_features(docs).select(
+            "x1",
+            "x2",
+            F.when(F.col("q_int") >= 6000, F.lit(1)).otherwise(F.lit(0)).alias("y"),
+        )
+        model = q_ridge_quality_model(spark, sf_dir).select("b0", "b1", "b2")
+        rows = per.crossJoin(F.broadcast(model)).select(
+            F.expr(_AUC_SCORE).alias("s"), "y"
+        ).collect()
+        pos = sorted(r["s"] for r in rows if r["y"] == 1)
+        neg = sorted(r["s"] for r in rows if r["y"] == 0)
+        import bisect
+
+        wins = halves = 0
+        for s in pos:
+            lo = bisect.bisect_left(neg, s)
+            hi = bisect.bisect_right(neg, s)
+            wins += lo
+            halves += hi - lo
+        expect = (wins + 0.5 * halves) / (len(pos) * len(neg))
+        assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+        assert abs(got["auc"] - expect) < 5e-7, (got["auc"], expect)
+        assert 0.5 < got["auc"] <= 1.0  # the model must actually rank
+
 
 
 class TestTokenBudgetSelect:

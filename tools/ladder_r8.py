@@ -61,6 +61,9 @@ NAMES = MEDIA_NAMES + [
     "sequence_pack",
     "pack_efficiency",
     "ridge_quality_model",
+    "model_auc",
+    "token_budget_select",
+    "shard_assignment",
 ]
 
 
