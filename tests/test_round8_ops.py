@@ -259,8 +259,13 @@ class TestMediaStore:
         monkeypatch.setenv("SPARK_GRAFT_MEDIA_CACHE", str(tmp_path / "mc"))
         d = M.ensure_warc_files(spark, sf_dir)
         files = sorted(f for f in os.listdir(d) if f.endswith(".warc.gz"))
-        assert len(files) == M.N_WARC_SHARDS
         n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        n_shards = M.warc_shards_for(n_docs)
+        assert len(files) == n_shards
+        # the scale-aware knob itself: fixed floor, then linear files
+        assert M.warc_shards_for(5_000) == M.N_WARC_SHARDS
+        assert M.warc_shards_for(500_000) == 80
+        assert M.warc_shards_for(5_000_000) == 800
         seen = set()
         for f in files:
             shard = int(f.split("-")[1].split(".")[0])
@@ -270,7 +275,7 @@ class TestMediaStore:
             for at in range(0, len(recs), 4):
                 uri = recs[at + 2][0]["WARC-Target-URI"]
                 doc = int(uri.rsplit("/", 1)[-1])
-                assert doc % M.N_WARC_SHARDS == shard
+                assert doc % n_shards == shard
                 seen.add(doc)
         assert len(seen) == n_docs
 
