@@ -1,4 +1,4 @@
-"""PDF text extraction, pure stdlib — the second-largest text
+r"""PDF text extraction, pure stdlib — the second-largest text
 carrier in real crawls after HTML (round 8, verdict-r7 missing #3).
 The production tools are pdfminer/PyMuPDF, whose dependency stacks
 this container lacks; this is the honest stdlib subset with the same

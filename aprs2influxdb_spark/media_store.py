@@ -318,12 +318,15 @@ def stream_media_table(spark: SparkSession, sf_dir: str, *cols: str) -> DataFram
 
 
 def ensure_warc_files(spark: SparkSession, sf_dir: str) -> str:
-    """Write the crawl corpus as N_WARC_SHARDS real ``.warc.gz``
-    FILES (each holding every member for docs with ``doc_id %
-    N_WARC_SHARDS == shard``, ascending) — the Common Crawl layout —
-    for the ``binaryFile``-source entry.  Files are written from
-    executor tasks (one shard per task after an explicit
-    repartition), never via the driver."""
+    """Write the crawl corpus as ``warc_shards_for(n_docs)`` real
+    ``.warc.gz`` FILES (N_WARC_SHARDS is the floor; the count scales
+    with the corpus so files stay ~WARC_DOCS_PER_SHARD docs each and
+    the binaryFile source's one-task-per-file parallelism grows).
+    Each file holds every member for docs with ``doc_id % n_shards ==
+    shard``, ascending — the Common Crawl layout — for the
+    ``binaryFile``-source entry.  Files are written from executor
+    tasks (one shard per task after an explicit repartition), never
+    via the driver."""
     final = warc_files_path(sf_dir)
     if os.path.exists(os.path.join(final, "_SUCCESS")):
         return final

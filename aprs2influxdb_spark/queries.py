@@ -7156,8 +7156,10 @@ FROM documents
 
 def q_warc_binary_files(spark, sf):
     """The Common Crawl FILE layout (round 8): the corpus persisted
-    as real multi-member ``.warc.gz`` files on disk (N_WARC_SHARDS
-    shards, each holding every member for its ``doc_id % N`` class),
+    as real multi-member ``.warc.gz`` files on disk
+    (``warc_shards_for(n_docs)`` shards — N_WARC_SHARDS is the floor,
+    the count scales with the corpus so per-file size stays constant —
+    each holding every member for its ``doc_id % n_shards`` class),
     read through Spark's ``binaryFile`` source — path + whole-file
     bytes per row — then shard-parsed in one ``mapInPandas`` pass
     into per-document rows.  This is the ingest shape a 100 TB crawl
@@ -8184,8 +8186,13 @@ def q_token_budget_select(spark, sf):
         "q",
         "bin_tokens",
         F.coalesce(F.sum("bin_tokens").over(wdesc), F.lit(0)).cast("long").alias("above"),
-        F.floor(F.sum("bin_tokens").over(wall) * 6 / 10).cast("long").alias("budget"),
-    )
+        F.sum("bin_tokens").over(wall).cast("long").alias("total_tokens"),
+    ).withColumn(
+        # integer div (not floor of a double quotient): exact int64 up
+        # to 2^63/6 total tokens — the token_budget_cut precedent
+        "budget",
+        F.expr("(total_tokens * 6) div 10"),
+    ).drop("total_tokens")
     full_bins = cum.filter(F.col("above") + F.col("bin_tokens") <= F.col("budget"))
     boundary = cum.filter(
         (F.col("above") <= F.col("budget"))
@@ -8221,7 +8228,7 @@ WITH per_doc AS (
   SELECT q, bin_tokens,
          CAST(coalesce(sum(bin_tokens) OVER (ORDER BY q DESC
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS above,
-         CAST(floor(sum(bin_tokens) OVER () * 6 / 10) AS BIGINT) AS budget
+         (CAST(sum(bin_tokens) OVER () AS BIGINT) * 6) // 10 AS budget
   FROM bins
 ), kept_full AS (
   SELECT p.doc_id, p.q, p.n_tokens
