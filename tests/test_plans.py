@@ -685,7 +685,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "domain_stats": 3,  # r8 one ~20-key hash aggregate
     "domain_cap_topk": 3,  # r8 one host-keyed window
     "mixture_sample": 3,  # r8 lang-count dim agg + singleton min window; corpus side never shuffles (broadcast join)
-    "stratified_split": 2,  # r8 one window over the ~5-key lang stratum
+    "stratified_split": 4,  # r9 bucketed rank: (lang,bucket) agg + tiny-dim window + (lang,bucket) rank window (measured 3)
     "doc_upsample_epochs": 1,  # r8 pure narrow explode: no shuffle (measured 0)
     "sequence_pack": 2,  # r8 one shard-key exchange into applyInPandas (measured 1)
     "pack_efficiency": 3,  # r8 sequence_pack + one shard aggregate (measured 2)
