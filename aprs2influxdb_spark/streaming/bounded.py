@@ -712,7 +712,12 @@ PACK_OUTPUT = StructType(
     ]
 )
 PACK_STATE = StructType(
-    [StructField("pack", LongType()), StructField("used", LongType())]
+    [
+        StructField("pack", LongType()),
+        StructField("used", LongType()),
+        # last doc_id packed — the ordered-ingest contract witness
+        StructField("last_doc", LongType()),
+    ]
 )
 
 
@@ -723,19 +728,29 @@ def _pack_group(
     ACROSS micro-batches — the streaming form of the sequential
     recurrence in ``queries.q_sequence_pack``.  Chunks are
     concatenated before the doc_id sort (the `_asof_group`
-    discipline); the ordered-ingest contract is doc_id-ascending
-    arrival per shard across batches, which the bounded single-batch
-    gate run satisfies trivially, making the batch recursive-CTE SQL
-    the exact oracle."""
-    pack, used = (state.get if state.exists else (0, 0))
+    discipline).  The ordered-ingest contract — doc_id-ascending
+    arrival per shard ACROSS batches — is ENFORCED, not assumed
+    (round-9 ADVICE): the last packed doc_id rides in the state and a
+    batch whose min doc_id regresses raises a ``PACK:`` ValueError
+    (the dead-letter contract) instead of silently producing a
+    packing that diverges from the batch recursive-CTE oracle.  The
+    bounded single-batch gate run satisfies the contract trivially,
+    making the batch SQL the exact oracle."""
+    pack, used, last_doc = (state.get if state.exists else (0, 0, -1))
     chunks = list(pdfs)
     if not chunks:
-        state.update((pack, used))
+        state.update((pack, used, last_doc))
         return
     pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
     from aprs2influxdb_spark.queries import _PACK_L
 
     shard = int(key[0])
+    if len(pdf) and int(pdf["doc_id"].iloc[0]) <= last_doc:
+        raise ValueError(
+            f"PACK: out-of-order arrival on shard {shard} — batch min "
+            f"doc_id {int(pdf['doc_id'].iloc[0])} ≤ last packed "
+            f"{last_doc}; the ordered-ingest contract is broken"
+        )
     out: list[dict] = []
     for row in pdf.itertuples():
         ln = int(row.len)
@@ -752,7 +767,8 @@ def _pack_group(
             }
         )
         used += ln
-    state.update((pack, used))
+        last_doc = int(row.doc_id)
+    state.update((pack, used, last_doc))
     yield pd.DataFrame(out)
 
 
@@ -763,10 +779,13 @@ def streaming_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignments without a batch re-pack.  State is O(shards), not
     O(docs); the per-batch work is the same narrow (doc_id, len)
     projection the batch plan shuffles."""
-    from aprs2influxdb_spark.queries import _pack_projection
+    from aprs2influxdb_spark.queries import _pack_projection, pack_shards_for
 
+    # shard count matches the batch entry's scale-aware knob (a
+    # one-time parquet metadata count of the same table the stream reads)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     packed = (
-        _pack_projection(stream_docs(spark, sf_dir))
+        _pack_projection(stream_docs(spark, sf_dir), pack_shards_for(n_docs))
         .groupBy("shard")
         .applyInPandasWithState(
             _pack_group, PACK_OUTPUT, PACK_STATE, "append", GroupStateTimeout.NoTimeout

@@ -574,15 +574,16 @@ class TestSequencePack:
     def test_streaming_pack_carries_state_across_batches(self, spark, tmp_path):
         """Two arrival waves (doc_id-ascending per the ordered-ingest
         contract): wave-2 docs must continue each shard's (pack, used)
-        cursor, not restart at pack 0."""
-        import time
-
+        cursor, not restart at pack 0.  Batch boundaries are made
+        deterministic by writing wave1 only after the stream has
+        drained wave0 (processAllAvailable) — no mtime-ordering
+        dependence (round-9 ADVICE)."""
         import pyspark.sql.types as T
 
         from aprs2influxdb_spark.queries import (
             _PACK_L,
-            _PACK_SHARDS,
             _pack_projection,
+            pack_shards_for,
         )
         from aprs2influxdb_spark.streaming.bounded import (
             PACK_OUTPUT,
@@ -603,18 +604,17 @@ class TestSequencePack:
         waves = [[mk(i) for i in range(0, 60)], [mk(i) for i in range(60, 120)]]
         d = tmp_path / "docs"
         d.mkdir()
-        for i, wave in enumerate(waves):
-            spark.createDataFrame(wave, schema).coalesce(1).write.parquet(
+
+        def write_wave(i):
+            spark.createDataFrame(waves[i], schema).coalesce(1).write.parquet(
                 str(d / f"wave{i}")
             )
-            time.sleep(0.05)
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(str(d / "wave*"))
-        )
+
+        n_shards = pack_shards_for(120)
+        write_wave(0)
+        stream = spark.readStream.schema(schema).parquet(str(d / "wave*"))
         packed = (
-            _pack_projection(stream)
+            _pack_projection(stream, n_shards)
             .groupBy("shard")
             .applyInPandasWithState(
                 _pack_group, PACK_OUTPUT, PACK_STATE, "append",
@@ -625,6 +625,8 @@ class TestSequencePack:
             packed.writeStream.format("memory").queryName("spack2")
             .outputMode("append").start()
         )
+        q.processAllAvailable()  # wave0 drained before wave1 exists
+        write_wave(1)
         q.processAllAvailable()
         q.stop()
         got = {
@@ -641,7 +643,7 @@ class TestSequencePack:
         docs = sorted(mk(i) for i in range(0, 120))
         by_shard: dict = {}
         for i, text in docs:
-            by_shard.setdefault(h64(f"pack_{i}") % _PACK_SHARDS, []).append(
+            by_shard.setdefault(h64(f"pack_{i}") % n_shards, []).append(
                 (i, min(len(text.split(" ")), _PACK_L))
             )
         expect = {}
