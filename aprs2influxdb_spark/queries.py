@@ -8229,8 +8229,17 @@ def q_token_budget_select(spark, sf):
     not the corpus) finds every bin that fits outright and the single
     boundary bin the budget crosses inside; (3) only the boundary
     bin's docs (1/10,001 of the corpus in expectation) are ordered —
-    by doc_id, a window restricted to that bin — to fill the
-    remaining budget exactly.  Keep rule: a doc is kept iff the
+    by doc_id — to fill the remaining budget exactly, and that
+    ordering is itself BUCKETED (round 9, verdict-r8 minor #3): a
+    quality distribution concentrating mass in one bin would
+    otherwise degrade step 3 to a single-partition windowed sort of
+    that bin, so the boundary bin's doc_id span is range-bucketed
+    (bucket monotone in doc_id), per-bucket token sums prefix-sum
+    over a tiny dim, and the running total reconstructs as
+    bucket_offset + within-bucket running sum — the
+    ``stratified_split`` rank-reconstruction trick applied to a SUM.
+    Output is invariant to the bucket count (asserted by a worst-case
+    single-bin fixture test).  Keep rule: a doc is kept iff the
     running total through it (bins above it, then boundary docs at
     or before it) stays ≤ budget.  All arithmetic is exact int64."""
     docs = ta._spread_docs(_t(spark, sf, "documents"), "doc_id", "text")
@@ -8245,6 +8254,21 @@ def q_token_budget_select(spark, sf):
         _quality_int_col().alias("q"),
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     ).localCheckpoint()
+    return _token_budget_keep(per_doc).select(
+        "doc_id",
+        rhu(F.col("q") / F.lit(10000.0), 4).alias("quality_score"),
+        "n_tokens",
+    )
+
+
+def _token_budget_keep(per_doc: DataFrame, buckets: int | None = None) -> DataFrame:
+    """The 60%-of-tokens histogram-cutoff keep set over a scored
+    ``(doc_id, q, n_tokens)`` frame — factored out of
+    ``q_token_budget_select`` so the worst-case single-bin robustness
+    test can drive it on a fixture and ``bpe_token_budget_select``
+    can reuse it with tokenizer-real counts."""
+    spark = per_doc.sparkSession
+    B = buckets or _split_buckets(spark)
     bins = per_doc.groupBy("q").agg(F.sum("n_tokens").alias("bin_tokens"))
     wdesc = Window.orderBy(F.col("q").desc()).rowsBetween(
         Window.unboundedPreceding, -1
@@ -8263,6 +8287,10 @@ def q_token_budget_select(spark, sf):
         "budget",
         F.expr("(total_tokens * 6) div 10"),
     ).drop("total_tokens")
+    # the ≤10k-row bin frame now feeds FIVE consumers (full_bins +
+    # boundary → span/bucket-dim/keep); a lazy localCheckpoint stops
+    # each from re-aggregating the corpus (tiny: 4 int64s per bin)
+    cum = cum.localCheckpoint(eager=False)
     full_bins = cum.filter(F.col("above") + F.col("bin_tokens") <= F.col("budget"))
     boundary = cum.filter(
         (F.col("above") <= F.col("budget"))
@@ -8271,20 +8299,45 @@ def q_token_budget_select(spark, sf):
     kept_full = per_doc.join(
         F.broadcast(full_bins.select("q")), "q", "left_semi"
     ).select("doc_id", "q", "n_tokens")
-    wb = Window.partitionBy("q").orderBy("doc_id").rowsBetween(
+    # boundary bin, bucketed: range-bucket the bin's doc_id span
+    # (bucket monotone in doc_id, so per-bucket running sums compose
+    # into the bin's global running sum over doc_id), prefix-sum the
+    # per-bucket token totals over the tiny (q, bucket) dim, and
+    # reconstruct the running total as offset + within-bucket sum.
+    # When an adversarial distribution makes the boundary bin the
+    # WHOLE corpus, parallelism stays B instead of collapsing to one
+    # sort task.
+    b = per_doc.join(F.broadcast(boundary), "q")
+    span = b.groupBy("q").agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    bb = b.join(F.broadcast(span), "q").withColumn(
+        "bkt", F.expr(f"((doc_id - mn) * {B}) div (mx - mn + 1)")
+    )
+    woff = Window.partitionBy("q").orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bdim = (
+        bb.groupBy("q", "bkt")
+        .agg(F.sum("n_tokens").alias("t"))
+        .select(
+            "q",
+            "bkt",
+            F.coalesce(F.sum("t").over(woff), F.lit(0)).cast("long").alias("tok_off"),
+        )
+    )
+    wb = Window.partitionBy("q", "bkt").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     kept_boundary = (
-        per_doc.join(F.broadcast(boundary), "q")
-        .withColumn("cum", F.sum("n_tokens").over(wb).cast("long"))
+        bb.join(F.broadcast(bdim), ["q", "bkt"])
+        .withColumn(
+            "cum", (F.col("tok_off") + F.sum("n_tokens").over(wb)).cast("long")
+        )
         .filter(F.col("above") + F.col("cum") <= F.col("budget"))
         .select("doc_id", "q", "n_tokens")
     )
-    return kept_full.unionByName(kept_boundary).select(
-        "doc_id",
-        rhu(F.col("q") / F.lit(10000.0), 4).alias("quality_score"),
-        "n_tokens",
-    )
+    return kept_full.unionByName(kept_boundary)
 
 
 SQL_TOKEN_BUDGET_SELECT = f"""

@@ -62,6 +62,54 @@ class TestSequencePackScale:
             list(_pack_group((0,), iter([late]), state))
 
 
+class TestTokenBudgetBoundaryBin:
+    """Verdict-r8 minor #3: the boundary-bin ordering must survive an
+    adversarial distribution that concentrates ALL mass in one bin."""
+
+    def _fixture(self, spark):
+        rows = [(i, 5000, 10 + (i * 7) % 90) for i in range(300)]
+        return spark.createDataFrame(rows, "doc_id long, q long, n_tokens long")
+
+    def _replay(self, rows):
+        total = sum(t for _, _, t in rows)
+        budget = (total * 6) // 10
+        kept, cum = set(), 0
+        for doc_id, _, t in sorted(rows):
+            cum += t
+            if cum <= budget:
+                kept.add(doc_id)
+        return kept
+
+    def test_single_bin_corpus_matches_replay_and_bucket_invariant(self, spark):
+        from aprs2influxdb_spark.queries import _token_budget_keep
+
+        per_doc = self._fixture(spark)
+        rows = [(r["doc_id"], r["q"], r["n_tokens"]) for r in per_doc.collect()]
+        expect = self._replay(rows)
+        a = {r["doc_id"] for r in _token_budget_keep(per_doc, buckets=8).collect()}
+        b = {r["doc_id"] for r in _token_budget_keep(per_doc, buckets=256).collect()}
+        assert a == expect and b == expect and len(expect) > 0
+
+    def test_boundary_window_keys_on_bucket(self, spark, sf_dir):
+        from aprs2influxdb_spark.plans.audit import executed_plan
+        from aprs2influxdb_spark.queries import registry
+
+        df = registry()["token_budget_select"][0](spark, sf_dir)
+        plan = executed_plan(df)
+        running = [
+            line
+            for line in plan.splitlines()
+            if "windowspecdefinition(q#" in line and "unboundedpreceding" in line
+            and "doc_id" in line
+        ]
+        assert running, "plan lost its boundary running-sum window"
+        for line in running:
+            assert "bkt" in line, (
+                "boundary running sum partitioned by q alone — the "
+                "single-bin sort the r9 guard exists to kill:\n" + line
+            )
+
+
 class TestStratifiedSplitScale:
     """Verdict-r8 weak #1: the rank stage must not key on the ~5-value
     lang column alone."""
