@@ -232,6 +232,12 @@ def warc_files_path(sf_dir: str) -> str:
     )
 
 
+def crawl_files_path(sf_dir: str) -> str:
+    return os.path.join(
+        _cache_root(), f"v{MEDIA_VERSION}-{_sf_key(sf_dir)}", "crawl_files"
+    )
+
+
 def _gen_schema():
     from pyspark.sql.types import (
         BinaryType,
@@ -327,7 +333,24 @@ def ensure_warc_files(spark: SparkSession, sf_dir: str) -> str:
     ``binaryFile``-source entry.  Files are written from executor
     tasks (one shard per task after an explicit repartition), never
     via the driver."""
-    final = warc_files_path(sf_dir)
+    return _ensure_member_files(spark, sf_dir, warc_files_path(sf_dir), synth_warc_gz)
+
+
+def ensure_crawl_files(spark: SparkSession, sf_dir: str) -> str:
+    """The crawl corpus as shard FILES whose members carry the
+    rendered HTML page (``synth_crawl_gz``: warcinfo + request +
+    response) — the arrival layout ``streaming_crawl_to_corpus``
+    watches.  Same scale-aware shard-count/writer discipline as
+    ``ensure_warc_files``."""
+    return _ensure_member_files(spark, sf_dir, crawl_files_path(sf_dir), synth_crawl_gz)
+
+
+def _ensure_member_files(spark: SparkSession, sf_dir: str, final: str, synth) -> str:
+    """Shared shard-file writer: ``warc_shards_for(n_docs)`` files,
+    each holding every ``synth(doc_id, text)`` member for its
+    ``doc_id % n_shards`` class, ascending; written from executor
+    tasks (one shard per task after an explicit repartition), never
+    via the driver; temp-dir + rename for crash safety."""
     if os.path.exists(os.path.join(final, "_SUCCESS")):
         return final
     from pyspark.sql import functions as F
@@ -349,9 +372,7 @@ def ensure_warc_files(spark: SparkSession, sf_dir: str) -> str:
         for pdf_in in batches:
             for doc_id, text in zip(pdf_in["doc_id"], pdf_in["text"]):
                 d = int(doc_id)
-                members.setdefault(d % n_shards, []).append(
-                    (d, synth_warc_gz(d, text))
-                )
+                members.setdefault(d % n_shards, []).append((d, synth(d, text)))
         done = []
         for shard, blobs in members.items():
             blobs.sort()
@@ -368,7 +389,7 @@ def ensure_warc_files(spark: SparkSession, sf_dir: str) -> str:
     )
     if len({r["shard"] for r in written}) != n_shards:
         shutil.rmtree(tmp, ignore_errors=True)
-        raise RuntimeError("warc shard writer produced an incomplete set")
+        raise RuntimeError("shard writer produced an incomplete set")
     with open(os.path.join(tmp, "_SUCCESS"), "w"):
         pass
     try:
