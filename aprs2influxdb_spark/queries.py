@@ -21,7 +21,7 @@ and byte-for-byte on real packet fixtures in tests/test_projections.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aprs2influxdb_spark.functions.counts import corpus_count
@@ -8131,17 +8131,25 @@ def q_sequence_pack(spark, sf):
     per-group transfer is the narrow (doc_id, len) projection — text
     never moves.  The count comes from a parquet metadata count (a
     footer walk, parallel and cheap at any scale)."""
-    from aprs2influxdb_spark.functions.partitioning import spread_for_grouped_compute
-
     base = _t(spark, sf, "documents")
     docs = _pack_projection(base, pack_shards_for(base.count()))
+    return _pack_apply(docs, _PACK_L)
+
+
+def _pack_apply(docs: DataFrame, cap: int) -> DataFrame:
+    """The greedy per-shard pack recurrence over a ``(doc_id, shard,
+    len)`` projection — one shard-key exchange into an Arrow-batched
+    ``applyInPandas``.  Shared by ``sequence_pack`` (whitespace
+    lengths, cap ``_PACK_L``) and ``bpe_sequence_pack``
+    (tokenizer-real lengths, cap ``_BPE_PACK_L``)."""
+    from aprs2influxdb_spark.functions.partitioning import spread_for_grouped_compute
 
     def _group(pdf):
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
         packs, offs = [], []
         pack, used = 0, 0
         for ln in pdf["len"]:
-            if used + ln > _PACK_L:
+            if used + ln > cap:
                 pack += 1
                 used = 0
             packs.append(pack)
@@ -8159,13 +8167,12 @@ def q_sequence_pack(spark, sf):
     )
 
 
-SQL_SEQUENCE_PACK = f"""
-WITH RECURSIVE d AS (
-  SELECT doc_id,
-         ({portable_hash64_sql("'pack_' || doc_id::VARCHAR")}) % ({_PACK_SHARDS_SQL}) AS shard,
-         least(len(string_split(text, ' ')), {_PACK_L})::BIGINT AS len
-  FROM documents
-), o AS (
+def _pack_recursion_sql(cap: int) -> str:
+    """The ``o``/``r`` greedy-pack recursion (one step per in-shard
+    rank, all shards advanced in parallel) over a previously-defined
+    ``d (doc_id, shard, len)`` CTE — shared by ``sequence_pack`` and
+    ``bpe_sequence_pack`` so the recurrence cannot drift."""
+    return f"""o AS (
   SELECT doc_id, shard, len,
          row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
   FROM d
@@ -8175,11 +8182,64 @@ WITH RECURSIVE d AS (
   FROM o WHERE rn = 1
   UNION ALL
   SELECT o.shard, o.rn, o.doc_id, o.len,
-         CASE WHEN r.used + o.len > {_PACK_L} THEN r.pack_id + 1 ELSE r.pack_id END,
-         CASE WHEN r.used + o.len > {_PACK_L} THEN 0::BIGINT ELSE r.used END,
-         CASE WHEN r.used + o.len > {_PACK_L} THEN o.len ELSE r.used + o.len END
+         CASE WHEN r.used + o.len > {cap} THEN r.pack_id + 1 ELSE r.pack_id END,
+         CASE WHEN r.used + o.len > {cap} THEN 0::BIGINT ELSE r.used END,
+         CASE WHEN r.used + o.len > {cap} THEN o.len ELSE r.used + o.len END
   FROM r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1
-)
+)"""
+
+
+SQL_SEQUENCE_PACK = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         ({portable_hash64_sql("'pack_' || doc_id::VARCHAR")}) % ({_PACK_SHARDS_SQL}) AS shard,
+         least(len(string_split(text, ' ')), {_PACK_L})::BIGINT AS len
+  FROM documents
+), {_pack_recursion_sql(_PACK_L)}
+SELECT shard, doc_id, pack_id, pack_offset, len FROM r
+"""
+
+
+_BPE_PACK_L = 1024  # tokenizer-real context length (BPE symbols)
+
+
+def q_bpe_sequence_pack(spark, sf):
+    """Sequence packing on TOKENIZER-REAL lengths (round 9 — the
+    pack half of closing the whitespace-proxy gap, beside
+    ``bpe_token_budget_select``): doc length = the corpus-learned
+    BPE's post-merge symbol count (``_bpe_ntokens_col`` — native
+    higher-order aggregate, zero UDFs), packed greedily into
+    L=1024-symbol training windows by the exact ``_pack_apply``
+    recurrence ``sequence_pack`` uses (same scale-aware
+    ``pack_shards_for`` shard map, same recursive-CTE oracle shape —
+    both factored, so neither the shard assignment nor the
+    recurrence can drift between the proxy and tokenizer-real
+    entries)."""
+    base = _t(spark, sf, "documents")
+    merges = ta.bpe_learn_merges(base)
+    n_shards = pack_shards_for(base.count())
+    docs = ta._spread_docs(base, "doc_id", "text").select(
+        "doc_id",
+        F.pmod(
+            portable_hash64(F.concat(F.lit("pack_"), F.col("doc_id").cast("string"))),
+            F.lit(n_shards),
+        ).alias("shard"),
+        F.least(_bpe_ntokens_col(merges), F.lit(_BPE_PACK_L))
+        .cast("long")
+        .alias("len"),
+    )
+    return _pack_apply(docs, _BPE_PACK_L)
+
+
+def _bpe_sequence_pack_sql(k: int = 6) -> str:
+    return f"""WITH RECURSIVE {_bpe_sql_rounds(k)},
+{_bpe_doc_chain_sql(k)},
+d AS (
+  SELECT doc.doc_id,
+         ({portable_hash64_sql("'pack_' || doc.doc_id::VARCHAR")}) % ({_PACK_SHARDS_SQL}) AS shard,
+         least(coalesce(n.n_tokens, 0), {_BPE_PACK_L})::BIGINT AS len
+  FROM documents doc LEFT JOIN ntok n USING (doc_id)
+), {_pack_recursion_sql(_BPE_PACK_L)}
 SELECT shard, doc_id, pack_id, pack_offset, len FROM r
 """
 
@@ -8583,6 +8643,31 @@ FROM kept
 """
 
 
+def _bpe_ntokens_col(merges) -> Column:
+    """Per-doc post-merge BPE symbol count as ONE native column
+    expression: a higher-order ``aggregate`` over the word array,
+    applying the learned merges as chained ``replace``s per word —
+    zero UDFs, zero shuffles, runs inside the scan's codegen stage.
+    Shared by ``bpe_token_budget_select`` and ``bpe_sequence_pack``."""
+    from aprs2influxdb_spark.operators.dedup import tokens_col
+    from aprs2influxdb_spark.operators.textanalysis import (
+        _bpe_merge_expr,
+        _bpe_repr,
+        _bpe_syms,
+    )
+
+    def word_syms(w):
+        col = _bpe_repr(w)
+        for _rank, a, b, _m, _c in merges:
+            col = _bpe_merge_expr(col, a, b)
+        return F.size(_bpe_syms(col)).cast("long")
+
+    words = F.filter(tokens_col("text"), lambda w: w != F.lit(""))
+    return F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + word_syms(w)
+    )
+
+
 def q_bpe_token_budget_select(spark, sf):
     """Token budgeting on TOKENIZER-REAL counts (round 9, verdict-r8
     missing #2): the training-mix family budgeted on the whitespace
@@ -8602,24 +8687,7 @@ def q_bpe_token_budget_select(spark, sf):
     chain) and reuses the shared keep-chain CTE, so tokenizer and
     budget semantics both stay engine-exact."""
     base = _t(spark, sf, "documents")
-    merges = ta.bpe_learn_merges(base)
-    from aprs2influxdb_spark.operators.dedup import tokens_col
-    from aprs2influxdb_spark.operators.textanalysis import (
-        _bpe_merge_expr,
-        _bpe_repr,
-        _bpe_syms,
-    )
-
-    def word_syms(w):
-        col = _bpe_repr(w)
-        for _rank, a, b, _m, _c in merges:
-            col = _bpe_merge_expr(col, a, b)
-        return F.size(_bpe_syms(col)).cast("long")
-
-    words = F.filter(tokens_col("text"), lambda w: w != F.lit(""))
-    n_tokens = F.aggregate(
-        words, F.lit(0).cast("long"), lambda acc, w: acc + word_syms(w)
-    )
+    n_tokens = _bpe_ntokens_col(ta.bpe_learn_merges(base))
     docs = ta._spread_docs(base, "doc_id", "text")
     # same localCheckpoint barrier as token_budget_select: the merge
     # chain is ~18 replaces per word — score once, not per consumer
@@ -8635,12 +8703,13 @@ def q_bpe_token_budget_select(spark, sf):
     )
 
 
-def _bpe_token_budget_sql(k: int = 6) -> str:
-    """Merge-learn chain + per-doc post-merge symbol counts + the
-    shared keep chain.  Doc-word reprs are counted per (doc_id, word)
-    — the merge replaces run once per distinct word per doc, then
-    weight by cnt — mirroring the vocab-bounded discipline of the
-    learn pass."""
+def _bpe_doc_chain_sql(k: int = 6) -> str:
+    """``dw0..dwk, ntok`` CTE parts: per-(doc, word) reprs through the
+    learned merge chain (the merge replaces run once per distinct
+    word per doc, weighted by cnt — the vocab-bounded discipline of
+    the learn pass), summed to per-doc post-merge symbol counts.
+    Shared by ``bpe_token_budget_select`` and ``bpe_sequence_pack``;
+    assumes ``_bpe_sql_rounds``'s m1..mk CTEs precede it."""
     pat = lambda i: f"(SELECT '·' || a || '·' || b || '·' FROM m{i})"  # noqa: E731
     rep = lambda i: f"(SELECT '·' || a || b || '·' FROM m{i})"  # noqa: E731
     dw_parts = [
@@ -8658,14 +8727,21 @@ def _bpe_token_budget_sql(k: int = 6) -> str:
             f" COALESCE(replace(replace(replace(repr, {pat(i)}, {rep(i)}), {pat(i)}, {rep(i)}), {pat(i)}, {rep(i)}), repr) AS repr,"
             f" cnt FROM dw{i - 1})"
         )
-    dw_chain = ",\n".join(dw_parts)
-    return f"""WITH {_bpe_sql_rounds(k)},
-{dw_chain},
-ntok AS (
+    dw_parts.append(
+        f"""ntok AS (
   SELECT doc_id,
          CAST(sum(cnt * len(list_filter(string_split(repr, '·'), x -> x <> ''))) AS BIGINT) AS n_tokens
   FROM dw{k} GROUP BY doc_id
-),
+)"""
+    )
+    return ",\n".join(dw_parts)
+
+
+def _bpe_token_budget_sql(k: int = 6) -> str:
+    """Merge-learn chain + per-doc post-merge symbol counts + the
+    shared keep chain."""
+    return f"""WITH {_bpe_sql_rounds(k)},
+{_bpe_doc_chain_sql(k)},
 per_doc AS (
   SELECT d.doc_id, {_QUALITY_INT_SQL} AS q, coalesce(n.n_tokens, 0) AS n_tokens
   FROM documents d LEFT JOIN ntok n USING (doc_id)
@@ -14151,6 +14227,7 @@ def registry() -> dict[str, tuple]:
             q_bpe_token_budget_select,
             _bpe_token_budget_sql(),
         ),
+        "bpe_sequence_pack": (q_bpe_sequence_pack, _bpe_sequence_pack_sql()),
         "shard_assignment": (q_shard_assignment, SQL_SHARD_ASSIGNMENT),
         "gopher_repetition": (q_gopher_repetition, SQL_GOPHER_REPETITION),
         "pii_redact": (q_pii_redact, SQL_PII_REDACT),

@@ -268,6 +268,14 @@ HEADLINE = [
     "ridge_quality_model",
     "model_auc",
     "token_budget_select",
+    # round-9 additions: tokenizer-real budgeting (composes the BPE
+    # learner into the training-mix family), the external-dim domain
+    # curation broadcast join, and the file-arrival crawl composition
+    # (the one streaming entry benched: its cost IS the ingest path)
+    "bpe_token_budget_select",
+    "bpe_sequence_pack",
+    "domain_blocklist_join",
+    "streaming_crawl_to_corpus",
 ]
 
 
@@ -307,10 +315,17 @@ def main() -> None:
         _run(reg[name][0](spark, warm))
     # build the media-blob side tables OUTSIDE the timed region: codec
     # entries measure decode, not the one-time corpus synthesis (r8)
-    from aprs2influxdb_spark.media_store import ensure_media, ensure_warc_files
+    from aprs2influxdb_spark.media_store import (
+        ensure_crawl_files,
+        ensure_domain_dim,
+        ensure_media,
+        ensure_warc_files,
+    )
 
     ensure_media(spark, sf_dir)
     ensure_warc_files(spark, sf_dir)
+    ensure_crawl_files(spark, sf_dir)
+    ensure_domain_dim(spark, sf_dir)
 
     times: dict[str, float] = {}
     for name in headline:
