@@ -139,20 +139,33 @@ def _lsh_index(
     because both sides of any bucket join consume it.  In a production
     incremental pipeline these two tables ARE the saved dedup state
     (see :func:`lsh_rescreen_pairs`)."""
-    rows_per_band = num_hashes // bands
     arr = _spread_docs(docs, id_col, text_col).select(
         F.col(id_col), hashed_shingles(tokens_col(text_col), shingle_n).alias("sh")
     ).localCheckpoint(eager=False)
     sigs = _signatures_from_shingles(arr, id_col, num_hashes)
+    banded = banded_keys(sigs, id_col, num_hashes, bands).localCheckpoint(
+        eager=False
+    )
+    return arr, banded
+
+
+def banded_keys(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """Exploded ``(id, band, key)`` band-bucket keys from an
+    ``(id, sig)`` frame — pure stateless expressions (factored out of
+    :func:`_lsh_index` so the streaming ingest gate can band a
+    signature STREAM with the exact same keys the batch index
+    uses)."""
+    rows_per_band = num_hashes // bands
     band_key = [
         (b, F.md5(F.concat_ws("_", F.lit(b), *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])))
         for b in range(bands)
     ]
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col),
         F.explode(F.array(*[F.struct(F.lit(b).alias("band"), k.alias("key")) for b, k in band_key])).alias("bk"),
-    ).select(id_col, "bk.band", "bk.key").localCheckpoint(eager=False)
-    return arr, banded
+    ).select(id_col, "bk.band", "bk.key")
 
 
 def lsh_rescreen_pairs(

@@ -1937,6 +1937,45 @@ WHERE len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh
 """
 
 
+def q_streaming_lsh_near_dup(spark, sf):
+    """Ingest-time MinHash-LSH near-dup gate — see
+    :func:`streaming.bounded.streaming_lsh_near_dup` (one long of
+    keyed state per band bucket; candidates flagged inline, exact
+    verification deferred to the batch ``minhash_lsh_pairs`` pass)."""
+    from aprs2influxdb_spark.streaming.bounded import streaming_lsh_near_dup
+
+    return streaming_lsh_near_dup(spark, sf)
+
+
+def _lsh_near_dup_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    """The gate's anchor rule in closed form: per doc, the smallest
+    earlier doc sharing ANY band bucket (the same banded CTE as
+    ``_minhash_lsh_sql``, reduced per-doc instead of per-pair)."""
+    rpb = num_hashes // bands
+    band_keys = ", ".join(
+        "md5(concat_ws('_', "
+        + str(b)
+        + ", "
+        + ", ".join(f"sig[{b * rpb + r + 1}]" for r in range(rpb))
+        + "))"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_TOKH_CTE}, sigs AS (
+  SELECT doc_id, {_minhash_sig_sql(num_hashes)} AS sig FROM tokh
+), banded AS (
+  SELECT doc_id, unnest([{band_keys}]) AS key,
+         unnest(range(0, {bands})) AS band
+  FROM sigs
+), anch AS (
+  SELECT l.doc_id, min(r.doc_id) AS dup_of
+  FROM banded l LEFT JOIN banded r ON l.key = r.key AND r.doc_id < l.doc_id
+  GROUP BY l.doc_id
+)
+SELECT doc_id, dup_of, dup_of IS NOT NULL AS is_dup FROM anch
+"""
+
+
 def q_pca_scores(spark, sf):
     """PCA projection scores: every vector's coordinate along the
     power-iteration top component (micro-quantized centering · the
@@ -7868,6 +7907,41 @@ WHERE NOT coalesce(k.is_blocked, FALSE)
 """
 
 
+def q_streaming_domain_blocklist_join(spark, sf):
+    """The external-dim curation gate AT INGEST: the docs stream's
+    normalized hosts broadcast-join the persisted blocklist dim — a
+    stream-static join, so each micro-batch pays one hash-lookup per
+    row and the stream side never shuffles (the
+    ``streaming_static_join`` strategy applied to the curation dim).
+    Dim freshness at ingest: the static side is re-resolved per
+    RESTART, not per batch — a refreshed dim revision applies when
+    the ingest query restarts, which is the documented table-level
+    freshness contract (``media_store.ensure_domain_dim``).  Shares
+    the batch oracle verbatim."""
+    from aprs2influxdb_spark.media_store import ensure_domain_dim
+    from aprs2influxdb_spark.streaming.bounded import run_bounded, stream_docs
+
+    dim = spark.read.parquet(ensure_domain_dim(spark, sf))
+    u = _url_norm_cols("url")
+    docs = (
+        stream_docs(spark, sf)
+        .select("doc_id")
+        .withColumn("url", _messy_url_col())
+        .select("doc_id", u["host"].alias("host"))
+    )
+    est = (
+        docs.join(F.broadcast(dim), "host", "left")
+        .filter(~F.coalesce(F.col("is_blocked"), F.lit(False)))
+        .select(
+            "doc_id",
+            "host",
+            "quality_ppm",
+            F.col("updated_at").alias("dim_updated"),
+        )
+    )
+    return run_bounded(spark, est, "append", "stream_domain_gate")
+
+
 def q_streaming_url_normalize(spark, sf):
     """URL normalization AT INGEST: the zero-UDF ``url_normalize``
     projection as a stateless append-mode stream transform (twin
@@ -7990,36 +8064,82 @@ def q_stratified_split(spark, sf, buckets: int | None = None):
     by a two-bucket-count equality test).  No rand(): the hash order
     survives re-runs, repartitions, and engine changes."""
     B = buckets or _split_buckets(spark)
-    shift = _SPLIT_HASH_BITS - (B.bit_length() - 1)
     docs = _t(spark, sf, "documents").select("doc_id", "lang")
     h = portable_hash64(F.concat(F.lit("split_"), F.col("doc_id").cast("string")))
-    d = docs.withColumn("h", h).withColumn(
-        "bucket", F.shiftright(F.col("h"), shift)
+    return _bucketed_rank(docs.withColumn("h", h), B, ["lang"]).select(
+        "doc_id",
+        "lang",
+        F.when(F.col("rn") * 10 <= F.col("n") * 8, F.lit("train"))
+        .when(F.col("rn") * 10 <= F.col("n") * 9, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
     )
-    counts = d.groupBy("lang", "bucket").agg(F.count("*").alias("c"))
-    woff = Window.partitionBy("lang").orderBy("bucket").rowsBetween(
+
+
+def _bucketed_rank(d: DataFrame, B: int, part_cols: list[str]) -> DataFrame:
+    """Exact ``rn`` (1-based rank over ``part_cols`` strata ordered by
+    (h, doc_id)) and stratum size ``n``, RECONSTRUCTED from range
+    buckets so no stratum ever serializes through one sort task — the
+    round-9 scale-safety primitive shared by ``stratified_split``
+    (per-lang quotas), ``global_shuffle_order`` (one global stratum),
+    and (as a sum instead of a rank) the token-budget boundary bin.
+
+    ``d`` must carry ``h`` (a ``portable_hash64`` column — codomain
+    [0, 2^60), uniform) and ``doc_id``.  Bucket = h's high bits, so
+    bucket order IS hash order and h-ties share a bucket; per-bucket
+    (h, doc_id) sorts therefore compose exactly into the stratum
+    order, and rn = bucket offset (a prefix sum over the tiny
+    stratum×B dim) + rn_in_bucket.  Output is invariant to B."""
+    shift = _SPLIT_HASH_BITS - (B.bit_length() - 1)
+    d = d.withColumn("bucket", F.shiftright(F.col("h"), shift))
+    counts = d.groupBy(*part_cols, "bucket").agg(F.count("*").alias("c"))
+    woff = Window.partitionBy(*part_cols).orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    wn = Window.partitionBy("lang")
+    wn = Window.partitionBy(*part_cols)
     dim = counts.select(
-        "lang",
+        *part_cols,
         "bucket",
         F.coalesce(F.sum("c").over(woff), F.lit(0)).cast("long").alias("offset"),
         F.sum("c").over(wn).cast("long").alias("n"),
     )
-    wb = Window.partitionBy("lang", "bucket").orderBy("h", "doc_id")
+    wb = Window.partitionBy(*part_cols, "bucket").orderBy("h", "doc_id")
     return (
-        d.join(F.broadcast(dim), ["lang", "bucket"])
+        d.join(F.broadcast(dim), [*part_cols, "bucket"])
         .withColumn("rn", F.col("offset") + F.row_number().over(wb))
-        .select(
-            "doc_id",
-            "lang",
-            F.when(F.col("rn") * 10 <= F.col("n") * 8, F.lit("train"))
-            .when(F.col("rn") * 10 <= F.col("n") * 9, F.lit("val"))
-            .otherwise(F.lit("test"))
-            .alias("split"),
-        )
+        .drop("bucket", "offset")
     )
+
+
+def q_global_shuffle_order(spark, sf, buckets: int | None = None):
+    """Deterministic GLOBAL training order (round 9): every doc's rank
+    in one corpus-wide pseudo-random permutation — what a trainer
+    consuming a SINGLE stream needs for reproducible shuffling and
+    deterministic mid-epoch resume.  ``shard_assignment`` exists
+    because a global ``row_number`` serializes 100 TB through one
+    sort task; this entry provides the total order anyway, scale-safe,
+    via the same bucketed rank reconstruction as ``stratified_split``
+    (one global stratum: B-way parallel rank windows, a B-row offset
+    dim, output invariant to B).  No rand(): the order is a pure
+    function of doc_id, stable across runs, engines, and
+    partitionings."""
+    B = buckets or _split_buckets(spark)
+    docs = _t(spark, sf, "documents").select("doc_id")
+    h = portable_hash64(F.concat(F.lit("order_"), F.col("doc_id").cast("string")))
+    return _bucketed_rank(docs.withColumn("h", h), B, []).select(
+        "doc_id", (F.col("rn") - 1).alias("global_rank")
+    )
+
+
+SQL_GLOBAL_SHUFFLE_ORDER = f"""
+WITH d AS (
+  SELECT doc_id,
+         ({portable_hash64_sql("'order_' || doc_id::VARCHAR")}) AS h
+  FROM documents
+)
+SELECT doc_id, row_number() OVER (ORDER BY h, doc_id) - 1 AS global_rank
+FROM d
+"""
 
 
 SQL_STRATIFIED_SPLIT = f"""
@@ -14214,8 +14334,14 @@ def registry() -> dict[str, tuple]:
         "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),
         "domain_cap_topk": (q_domain_cap_topk, SQL_DOMAIN_CAP_TOPK),
         "domain_blocklist_join": (q_domain_blocklist_join, _domain_blocklist_sql()),
+        "streaming_domain_blocklist_join": (
+            q_streaming_domain_blocklist_join,
+            _domain_blocklist_sql(),
+        ),
+        "streaming_lsh_near_dup": (q_streaming_lsh_near_dup, _lsh_near_dup_sql()),
         "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
         "stratified_split": (q_stratified_split, SQL_STRATIFIED_SPLIT),
+        "global_shuffle_order": (q_global_shuffle_order, SQL_GLOBAL_SHUFFLE_ORDER),
         "doc_upsample_epochs": (q_doc_upsample_epochs, SQL_DOC_UPSAMPLE_EPOCHS),
         "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
         "streaming_sequence_pack": (q_streaming_sequence_pack, SQL_SEQUENCE_PACK),

@@ -794,6 +794,103 @@ def streaming_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_bounded(spark, packed, "append", "stream_seq_pack")
 
 
+LSH_GATE_OUTPUT = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("band", LongType()),
+        StructField("anchor", LongType()),  # null: first in its bucket
+    ]
+)
+LSH_GATE_STATE = StructType(
+    [
+        StructField("first_doc", LongType()),  # min doc_id ever seen
+        StructField("last_doc", LongType()),  # ordered-ingest witness
+    ]
+)
+_LSH_GATE_EMPTY = 1 << 62  # first_doc sentinel before any arrival
+
+
+def _lsh_bucket_group(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-band-bucket near-dup state: ONE long per bucket (the
+    smallest doc_id ever seen there).  Each arriving (doc, band) row
+    is emitted with the bucket's current anchor — the earlier doc it
+    collides with, or null when it is the bucket's first occupant —
+    then lowers the anchor if it is smaller.  The ordered-ingest
+    contract (doc_id-ascending per bucket across batches) is enforced
+    like the pack cursor's: a regressing batch raises the ``LSH:``
+    dead-letter error rather than silently re-anchoring."""
+    first, last = (state.get if state.exists else (_LSH_GATE_EMPTY, -1))
+    chunks = list(pdfs)
+    if not chunks:
+        state.update((first, last))
+        return
+    pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
+    if int(pdf["doc_id"].iloc[0]) <= last:
+        raise ValueError(
+            f"LSH: out-of-order arrival in bucket {key[0]!r} — batch min "
+            f"doc_id {int(pdf['doc_id'].iloc[0])} ≤ last seen {last}"
+        )
+    out: list[dict] = []
+    for row in pdf.itertuples():
+        d = int(row.doc_id)
+        out.append(
+            {
+                "doc_id": d,
+                "band": int(row.band),
+                "anchor": first if first < d else None,
+            }
+        )
+        first = min(first, d)
+        last = d
+    state.update((first, last))
+    yield pd.DataFrame(out)
+
+
+def streaming_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup GATE at ingest (round 9): each arriving
+    document is banded with the exact keys the batch LSH index uses
+    (``dedup.banded_keys`` over the same 16-hash signatures — pure
+    column expressions on the stream) and checked against keyed state
+    holding ONE doc_id per band bucket.  A doc that lands in any
+    bucket with an earlier occupant is flagged with its smallest
+    anchor — the candidate filter a production ingest runs inline,
+    with exact-Jaccard verification deferred to the batch pass
+    (``minhash_lsh_pairs`` is the verified form; a gate that blocked
+    on verification would serialize ingest on pair compute).
+
+    Scale shape: state is one (long, long) per DISTINCT band bucket —
+    O(corpus/bands' collision structure), not O(pairs); the only
+    shuffle keys the 16-byte bucket digest; the per-doc rollup is a
+    4-rows-per-doc aggregate of the sink.  The batch oracle is the
+    same anchor rule as a per-bucket min over earlier doc_ids."""
+    from aprs2influxdb_spark.functions.hashing import hashed_shingles
+    from aprs2influxdb_spark.operators.dedup import (
+        _signatures_from_shingles,
+        banded_keys,
+        tokens_col,
+    )
+
+    arr = stream_docs(spark, sf_dir).select(
+        F.col("doc_id"), hashed_shingles(tokens_col("text"), 3).alias("sh")
+    )
+    banded = banded_keys(
+        _signatures_from_shingles(arr, "doc_id", 16), "doc_id", 16, 4
+    )
+    gated = banded.groupBy("key").applyInPandasWithState(
+        _lsh_bucket_group,
+        LSH_GATE_OUTPUT,
+        LSH_GATE_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    sunk = run_bounded(spark, gated, "append", "stream_lsh_gate")
+    return sunk.groupBy("doc_id").agg(F.min("anchor").alias("dup_of")).select(
+        "doc_id", "dup_of", F.col("dup_of").isNotNull().alias("is_dup")
+    )
+
+
 def streaming_alert_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``queries.q_alert_transitions``: per-user
     threshold edge counts via ``applyInPandasWithState``, the hi/lo

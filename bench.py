@@ -276,6 +276,10 @@ HEADLINE = [
     "bpe_sequence_pack",
     "domain_blocklist_join",
     "streaming_crawl_to_corpus",
+    # round-9b: the bucketed-global-rank primitive standing alone, and
+    # the ingest-time LSH near-dup gate (keyed state per band bucket)
+    "global_shuffle_order",
+    "streaming_lsh_near_dup",
 ]
 
 
