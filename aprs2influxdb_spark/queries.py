@@ -8092,6 +8092,20 @@ def _bucketed_rank(d: DataFrame, B: int, part_cols: list[str]) -> DataFrame:
     stratum×B dim) + rn_in_bucket.  Output is invariant to B."""
     shift = _SPLIT_HASH_BITS - (B.bit_length() - 1)
     d = d.withColumn("bucket", F.shiftright(F.col("h"), shift))
+    return _rank_via_buckets(d, part_cols, ["h", "doc_id"])
+
+
+def _rank_via_buckets(
+    d: DataFrame, part_cols: list[str], order_cols: list
+) -> DataFrame:
+    """The rank-reconstruction core: given a ``bucket`` column that is
+    monotone non-decreasing along ``order_cols`` within each
+    ``part_cols`` stratum (and in which order-key ties share a
+    bucket), return d with exact ``rn`` (1-based stratum rank) and
+    ``n`` (stratum size) — per-bucket ranks plus a prefix-sum offset
+    over the tiny (stratum, bucket) dim.  The rank windows key on
+    (stratum, bucket), so parallelism is the bucket count, never the
+    stratum count."""
     counts = d.groupBy(*part_cols, "bucket").agg(F.count("*").alias("c"))
     woff = Window.partitionBy(*part_cols).orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, -1
@@ -8103,12 +8117,52 @@ def _bucketed_rank(d: DataFrame, B: int, part_cols: list[str]) -> DataFrame:
         F.coalesce(F.sum("c").over(woff), F.lit(0)).cast("long").alias("offset"),
         F.sum("c").over(wn).cast("long").alias("n"),
     )
-    wb = Window.partitionBy(*part_cols, "bucket").orderBy("h", "doc_id")
+    wb = Window.partitionBy(*part_cols, "bucket").orderBy(*order_cols)
     return (
         d.join(F.broadcast(dim), [*part_cols, "bucket"])
         .withColumn("rn", F.col("offset") + F.row_number().over(wb))
         .drop("bucket", "offset")
     )
+
+
+def _range_bucket(
+    d: DataFrame, part_cols: list[str], key_expr: str, B: int
+) -> DataFrame:
+    """Add the ``bucket`` column ``_rank_via_buckets`` needs when the
+    ordering key is DATA-VALUED (lengths, prices, scores) rather than
+    a uniform hash: each stratum's integer key span [min, max] is
+    linearly divided into B ranges — monotone in the key, ties share
+    a bucket, one tiny min/max aggregate broadcast back.  Balance
+    tracks the key's distribution (a pathological spike degrades a
+    bucket, never past the spike's own mass — still ≥B-way better
+    than the one-task stratum sort this replaces).  ``key_expr`` is a
+    SQL expression over d's columns yielding an integer."""
+    d = d.withColumn("_k", F.expr(key_expr).cast("long"))
+    span = d.groupBy(*part_cols).agg(
+        F.min("_k").alias("_mn"), F.max("_k").alias("_mx")
+    )
+    joined = (
+        d.join(F.broadcast(span), list(part_cols))
+        if part_cols
+        else d.crossJoin(F.broadcast(span))
+    )
+    return joined.withColumn(
+        "bucket", F.expr(f"((_k - _mn) * {B}) div (_mx - _mn + 1)")
+    ).drop("_k", "_mn", "_mx")
+
+
+def _ntile_expr(k: int) -> Column:
+    """SQL-standard ``ntile(k)`` reconstructed from ``rn``/``n``
+    columns: the first n%k buckets take ceil(n/k) rows, the rest
+    floor(n/k) — the exact rule both Spark and DuckDB implement, so
+    a bucketed rank plus this expression equals the single-partition
+    ``ntile`` window bit-for-bit."""
+    return F.expr(
+        f"CASE WHEN rn <= (n % {k}) * ((n div {k}) + 1)"
+        f" THEN (rn + (n div {k})) div ((n div {k}) + 1)"
+        f" ELSE (n % {k}) + (rn - (n % {k}) * ((n div {k}) + 1) + (n div {k}) - 1) div (n div {k})"
+        f" END"
+    ).cast("int")
 
 
 def q_global_shuffle_order(spark, sf, buckets: int | None = None):
@@ -9799,21 +9853,38 @@ def q_token_budget_cut(spark, sf):
     exhausted BEFORE it (so the cut admits the boundary doc).
 
     All integer arithmetic: scores are micro-units, the budget is an
-    integer div of the exact corpus total, and the running sum is a
-    window over (score desc, id) — the single-partition global sort is
-    the honest price of a global order statistic (at 100 TB: bucket by
-    score range first, the same refinement as ``ks_drift``'s note)."""
+    integer div of the exact corpus total, and the running sum over
+    (score desc, id) is RECONSTRUCTED through score-range buckets
+    (round 9 — this docstring used to concede "at 100 TB: bucket by
+    score range first"; now it does): per-bucket token sums prefix-sum
+    over the tiny B-row dim, within-bucket running sums key on the
+    bucket, cum = offset + within — the ``token_budget_select``
+    boundary-bin machinery applied to the whole corpus, exact because
+    the bucket is monotone along the (score desc) order and score
+    ties share a bucket."""
     scored = ta.quality_classifier(_t(spark, sf, "documents")).select(
         "doc_id", "n_tokens", "score_micro"
-    )
+    ).localCheckpoint()  # regex-heavy projection, three consumers
     total = scored.agg(F.sum("n_tokens").alias("total_tokens"))
-    w = (
-        Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = _range_bucket(scored, [], "-score_micro", _split_buckets(spark))
+    woff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bdim = (
+        d.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("t"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("t").over(woff), F.lit(0)).cast("long").alias("tok_off"),
+        )
     )
+    wb = Window.partitionBy("bucket").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
-        scored.crossJoin(F.broadcast(total))
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        d.join(F.broadcast(bdim), "bucket")
+        .withColumn(
+            "cum_tokens", (F.col("tok_off") + F.sum("n_tokens").over(wb)).cast("long")
+        )
+        .crossJoin(F.broadcast(total))
         .filter(
             F.col("cum_tokens") - F.col("n_tokens")
             < F.expr("(total_tokens * 30) div 100")
@@ -10267,17 +10338,25 @@ def q_histogram_equi_depth(spark, sf):
     Bin boundaries are EXACT lower order statistics at deterministic
     integer ranks (the ``robust_scale_prices`` technique), so both
     engines cut at identical real data points; bin assignment counts
-    ranks, not values, making the depths exact integers."""
+    ranks, not values, making the depths exact integers.
+
+    Scale shape (round 9): the r8 plan ranked the WHOLE fact table
+    through one ``row_number`` sort task; the global rank is now
+    reconstructed through price-range buckets
+    (``_range_bucket``/``_rank_via_buckets`` on exact integer cents —
+    monotone in the price order, ties share a bucket), so the sort
+    parallelism is B and the only singleton pass is the B-row offset
+    dim."""
     li = _t(spark, sf, "lineitem").select("l_extendedprice", "l_orderkey", "l_linenumber")
-    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    ranked = li.withColumn("rn", F.row_number().over(w)).withColumn(
-        "cnt", F.count("*").over(Window.partitionBy())
+    d = _range_bucket(
+        li, [], "CAST(l_extendedprice * 100 AS BIGINT)", _split_buckets(spark)
     )
-    # bin = which of the 8 equal-rank slices this row falls in; rn is
-    # IntegerType (row_number), so cast before the multiply — (rn-1)*8
-    # as int overflows past ~268M rows (ANSI error / wrapped negative
-    # bins) while the DuckDB twin's BIGINT row_number stays correct
-    b = F.least(F.expr("((cast(rn as bigint) - 1) * 8) div cnt"), F.lit(7))
+    ranked = _rank_via_buckets(
+        d, [], ["l_extendedprice", "l_orderkey", "l_linenumber"]
+    ).withColumnRenamed("n", "cnt")
+    # bin = which of the 8 equal-rank slices this row falls in (rn and
+    # cnt are both int64 here — the r8 int-overflow caveat is gone)
+    b = F.least(F.expr("((rn - 1) * 8) div cnt"), F.lit(7))
     return (
         ranked.withColumn("bin", b)
         .groupBy("bin")
@@ -10340,8 +10419,18 @@ def q_customer_rfm(spark, sf):
     quintile boundaries (ntile over an explicit (metric, custkey)
     order, so ties split identically on both engines).
 
-    Scale shape: one customer-key aggregate, then three O(customers)
-    ntile windows; the 1-row max-date aggregate broadcasts."""
+    Scale shape (round 9): one customer-key aggregate, then three
+    O(customers) quintile ranks — each reconstructed through
+    ``_range_bucket`` + ``_rank_via_buckets`` + ``_ntile_expr``
+    instead of the r8 single-partition ``ntile`` windows (at 100 TB
+    the per-customer frame is billions of rows; three global sorts
+    through one task each were the ``stratified_split`` weak class).
+    Desc metrics range-bucket on the negated key (monotone along the
+    descending order; the monetary key truncates to cents, which only
+    coarsens buckets — rank order inside a bucket is the exact
+    (metric desc, custkey) sort).  The 1-row max-date aggregate
+    broadcasts; the per-customer frame is lazily checkpointed once
+    for the three rank chains."""
     o = _t(spark, sf, "orders")
     per = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -10349,17 +10438,47 @@ def q_customer_rfm(spark, sf):
         rhu(F.sum("o_totalprice"), 2).alias("monetary"),
     )
     mx = o.agg(F.max("o_orderdate").alias("max_date"))
-    base = per.crossJoin(F.broadcast(mx)).withColumn(
-        "recency_days", F.datediff("max_date", "last_order")
+    base = (
+        per.crossJoin(F.broadcast(mx))
+        .withColumn("recency_days", F.datediff("max_date", "last_order"))
+        .select("o_custkey", "recency_days", "frequency", "monetary")
+        # eager: the three rank chains each consume base 3× (span,
+        # bucket dim, rank join) — 9 plan references; the materialized
+        # LogicalRDD collapses them to scans (the rp_rerank precedent)
+        .localCheckpoint()
     )
-    r = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
-    f = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
-    m = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc())
-    return base.select(
+    B = _split_buckets(spark)
+
+    def quintile(d, key_expr, order_cols, out):
+        ranked = _rank_via_buckets(
+            _range_bucket(d, [], key_expr, B), [], order_cols
+        )
+        # checkpoint between chains: each chain references its input
+        # 3× (span, bucket dim, rank join) — without the barrier the
+        # references compound 3^chains and the plan explodes (measured
+        # 69 exchanges); materialized, each chain is ~4 exchanges over
+        # an O(customers) narrow frame
+        return (
+            ranked.withColumn(out, _ntile_expr(5))
+            .drop("rn", "n")
+            .localCheckpoint()
+        )
+
+    scored = quintile(
+        base, "recency_days",
+        [F.col("recency_days").asc(), F.col("o_custkey").asc()], "r_score",
+    )
+    scored = quintile(
+        scored, "-frequency",
+        [F.col("frequency").desc(), F.col("o_custkey").asc()], "f_score",
+    )
+    scored = quintile(
+        scored, "-(CAST(monetary * 100 AS BIGINT))",
+        [F.col("monetary").desc(), F.col("o_custkey").asc()], "m_score",
+    )
+    return scored.select(
         "o_custkey", "recency_days", "frequency", "monetary",
-        F.ntile(5).over(r).alias("r_score"),
-        F.ntile(5).over(f).alias("f_score"),
-        F.ntile(5).over(m).alias("m_score"),
+        "r_score", "f_score", "m_score",
     )
 
 
@@ -10601,31 +10720,38 @@ def q_ks_drift(spark, sf):
 
     Every quantity is a ratio of integers (cumulative counts over
     totals), so the statistic is bit-exact across engines before its
-    final rounding.  Plan: one global-window cumulative sum over the
-    union (RANGE frame so ties share a CDF step), one max — a single
-    sort, no join.  The single-partition window is the honest price of
-    a GLOBAL order statistic; at 100 TB the same query runs per
-    (source-pair, stratum) with the window partitioned by pair."""
+    final rounding.  Plan (round 9 — the r8 form ran a global RANGE
+    window over every ROW, one sort task for the whole corpus; this
+    docstring used to concede it): the corpus first collapses to a
+    per-distinct-length histogram — ONE map-side-combinable aggregate
+    — and the CDF window runs over the BINS, whose cardinality is
+    bounded by the length codomain, not the corpus (the
+    ``token_budget_select`` histogram-cutoff argument; a CDF only
+    steps at distinct values, so the per-bin max IS the per-row
+    max).  Both empirical totals fall out of the same singleton
+    window pass over the bins."""
     d = _t(spark, sf, "documents").filter(F.col("source").isin("src0", "src1"))
     u = d.select(
         "n_chars",
         F.when(F.col("source") == "src0", 1).otherwise(0).alias("w1"),
         F.when(F.col("source") == "src1", 1).otherwise(0).alias("w2"),
     )
-    totals = u.agg(F.sum("w1").alias("n1"), F.sum("w2").alias("n2"))
-    w = Window.orderBy("n_chars").rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    cdf = u.select(
-        "n_chars",
-        F.sum("w1").over(w).alias("c1"),
-        F.sum("w2").over(w).alias("c2"),
+    bins = u.groupBy("n_chars").agg(
+        F.sum("w1").alias("b1"), F.sum("w2").alias("b2")
     )
-    return (
-        cdf.crossJoin(F.broadcast(totals))
-        .select(
-            F.abs(F.col("c1") / F.col("n1") - F.col("c2") / F.col("n2")).alias("d")
-        )
-        .agg(rhu(F.max("d"), 6).alias("ks_stat"))
+    w = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
+    wall = Window.partitionBy()
+    cdf = bins.select(
+        F.sum("b1").over(w).alias("c1"),
+        F.sum("b2").over(w).alias("c2"),
+        F.sum("b1").over(wall).alias("n1"),
+        F.sum("b2").over(wall).alias("n2"),
+    )
+    return cdf.select(
+        F.abs(F.col("c1") / F.col("n1") - F.col("c2") / F.col("n2")).alias("d")
+    ).agg(rhu(F.max("d"), 6).alias("ks_stat"))
 
 
 SQL_KS_DRIFT = """
@@ -11810,14 +11936,23 @@ FROM events
 def q_ntile_buckets(spark, sf):
     """Curriculum decile bucketing: ntile(10) of document length per
     language, then per-bucket counts — the "order corpus easy→hard"
-    prep step.  The window partitions by ``lang``, so the sort is
-    per-language (never a single global sort); at 100 TB swap the
-    in-partition ntile for a two-pass range-partitioned rank with the
-    same bucket formula — semantics (and this oracle) unchanged."""
-    w = Window.partitionBy("lang").orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    prep step.  Scale-safe as of round 9: the r8 plan's per-lang
+    ``ntile`` window funneled the corpus through ~5 sort tasks (the
+    ``stratified_split`` weak class; its own docstring promised "the
+    two-pass range-partitioned rank" — now implemented): n_chars is
+    range-bucketed per stratum, ``_rank_via_buckets`` reconstructs the
+    exact (rn, n), and ``_ntile_expr`` applies the SQL-standard uneven
+    bucket rule bit-for-bit.  The oracle keeps the plain ``ntile``
+    window — it IS the semantic."""
+    d = _range_bucket(
+        _t(spark, sf, "documents").select("doc_id", "lang", "n_chars"),
+        ["lang"],
+        "n_chars",
+        _split_buckets(spark),
+    )
+    ranked = _rank_via_buckets(d, ["lang"], ["n_chars", "doc_id"])
     return (
-        _t(spark, sf, "documents")
-        .select("lang", "n_chars", F.ntile(10).over(w).alias("bucket"))
+        ranked.select("lang", "n_chars", _ntile_expr(10).alias("bucket"))
         .groupBy("lang", "bucket")
         .agg(F.count("*").alias("n_docs"), rhu(F.avg("n_chars"), 4).alias("avg_chars"))
     )
@@ -11835,19 +11970,31 @@ GROUP BY lang, bucket
 """
 
 
+_PACK_SEQ_BUCKETS_MIN = 8
+_PACK_SEQ_BUCKETS_SQL = (
+    f"greatest({_PACK_SEQ_BUCKETS_MIN},"
+    f" (SELECT count(*) FROM documents) // {_PACK_DOCS_PER_SHARD})"
+)
+
+
 def q_pack_sequences(spark, sf):
     """Concat-and-chop sequence packing into 512-token training
     windows, parallelized over (lang, hash-bucket) lanes — see
-    operators.sampling.pack_sequences."""
+    operators.sampling.pack_sequences.  The lane count scales with
+    the corpus (round 9 — a fixed 8 was the ``_PACK_SHARDS`` weak
+    class: 8 running-sum tasks per lang forever), mirrored in the
+    oracle via the same count(*) closed form as ``sequence_pack``."""
     from aprs2influxdb_spark.operators.sampling import pack_sequences
 
-    return pack_sequences(_t(spark, sf, "documents"), target_tokens=512, n_buckets=8)
+    base = _t(spark, sf, "documents")
+    n_buckets = max(_PACK_SEQ_BUCKETS_MIN, base.count() // _PACK_DOCS_PER_SHARD)
+    return pack_sequences(base, target_tokens=512, n_buckets=n_buckets)
 
 
 SQL_PACK_SEQUENCES = f"""
 WITH t AS (
   SELECT doc_id, lang,
-         ({portable_hash64_sql("'pack_' || doc_id::VARCHAR")}) % 8 AS bucket,
+         ({portable_hash64_sql("'pack_' || doc_id::VARCHAR")}) % ({_PACK_SEQ_BUCKETS_SQL}) AS bucket,
          len(string_split(lower(text), ' ')) AS n_tokens
   FROM documents
 ), w AS (

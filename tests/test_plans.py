@@ -268,7 +268,9 @@ class TestJoinStrategy:
 
         assert audit(q_bigram_logprob(spark, sf_dir)).shuffles <= 5
         assert audit(q_top_ngrams(spark, sf_dir)).shuffles <= 2
-        assert audit(q_token_budget_cut(spark, sf_dir)).shuffles <= 2
+        # r9 bucketed running-sum rewrite: span agg + bucket dim +
+        # keyed window replace the one-task global sort (measured 6)
+        assert audit(q_token_budget_cut(spark, sf_dir)).shuffles <= 7
         # chi²: one cell-key partial agg, then O(cells) windows
         from aprs2influxdb_spark.queries import q_chi2_independence
 
@@ -302,7 +304,8 @@ class TestJoinStrategy:
             q_histogram_equi_depth,
         )
 
-        assert audit(q_histogram_equi_depth(spark, sf_dir)).shuffles <= 3
+        # r9 bucketed-rank rewrite over price-range buckets (measured 6)
+        assert audit(q_histogram_equi_depth(spark, sf_dir)).shuffles <= 7
         assert audit(q_dedup_rate_by_source(spark, sf_dir)).shuffles <= 2
 
     def test_runtime_bloom_filter_reduces_fact_scan(self, spark, sf_dir):
@@ -572,7 +575,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "cross_source_dup_matrix": 6,
     "curate_corpus": 6,
     "customer_distribution": 4,
-    "customer_rfm": 5,
+    "customer_rfm": 5,  # r9 three checkpointed quintile chains; returned plan is checkpoint scans (measured 0)
     "decontaminate": 4,
     "dedup_exact": 3,
     "dedup_fingerprint": 3,
@@ -601,7 +604,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "heaps_law_fit": 6,
     "grouping_sets": 3,
     "hier_rollup": 4,
-    "histogram_equi_depth": 3,
+    "histogram_equi_depth": 7,  # r9 bucketed global rank over price-range buckets (measured 6)
     "histogram_prices": 3,
     "holt_linear": 3,
     "holt_winters": 3,
@@ -718,7 +721,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "ngram_containment": 4,
     "ngram_jaccard": 4,
     "ngram_jaccard_capped": 4,
-    "ntile_buckets": 3,
+    "ntile_buckets": 7,  # r9 bucketed-rank rewrite: span agg + bucket agg + tiny-dim windows + rank window (measured 6)
     "pack_sequences": 3,
     "pagerank_knn": 10,
     "paragraph_dedup": 4,
@@ -780,7 +783,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "text_quality": 2,
     "tfidf_top_terms": 6,
     "time_bucket_agg": 3,
-    "token_budget_cut": 4,
+    "token_budget_cut": 7,  # r9 bucketed running sum over score-range buckets (measured 6)
     "token_counts": 2,
     "top_ngrams": 3,
     "top_orders": 3,

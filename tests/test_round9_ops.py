@@ -62,6 +62,35 @@ class TestStreamingCrawlArrival:
             q.stop()
 
 
+class TestBucketedRankRewrites:
+    """Round-9 audit sweep of the stratified_split weak class: every
+    rank/running window in these rewritten entries must reference the
+    bucket column (either keyed on it — the corpus windows — or
+    ordered by it — the tiny offset dim), never a bare
+    small-cardinality partition of the corpus."""
+
+    @pytest.mark.parametrize(
+        "name", ["ntile_buckets", "histogram_equi_depth", "token_budget_cut"]
+    )
+    def test_every_window_references_the_bucket(self, spark, sf_dir, name):
+        from aprs2influxdb_spark.plans.audit import executed_plan
+        from aprs2influxdb_spark.queries import registry
+
+        plan = executed_plan(registry()[name][0](spark, sf_dir))
+        wins = [
+            line
+            for line in plan.splitlines()
+            if "windowspecdefinition" in line
+        ]
+        assert wins, f"{name}: plan lost its windows"
+        for line in wins:
+            # whole-partition totals (unbounded..unbounded, no order)
+            # only ever run over the tiny (stratum, bucket) counts dim
+            if "unboundedfollowing$()" in line:
+                continue
+            assert "bucket" in line, f"{name}: bucket-free ordered window:\n{line}"
+
+
 class TestGlobalShuffleOrder:
     """The bucketed-rank primitive reused for a corpus-wide total
     order: must equal the naive global window exactly and be
