@@ -254,6 +254,86 @@ DOMAIN_DIM_HOSTS = 40
 DOMAIN_DIM_STAMP = "2026-01-15"  # freshness stamp baked into this dim rev
 
 
+# the previous-crawl snapshot digests: a deterministic closed form in
+# doc_id so the DuckDB oracle can re-derive it without reading files —
+# ~1/17 of current docs are NEW (absent from prev), ~1/13 of the rest
+# CHANGED (prev text = text minus its last word), and ~1/23 of current
+# ids key a prev-only doc at id+PREV_GONE_BASE (REMOVED since).
+PREV_ADD_MOD = 17
+PREV_CHG_MOD = 13
+PREV_GONE_MOD = 23
+PREV_GONE_BASE = 10_000_000
+PREV_SNAPSHOT_BUCKETS = 32
+
+
+def prev_snapshot_path(sf_dir: str) -> str:
+    return os.path.join(
+        _cache_root(), f"v{MEDIA_VERSION}-{_sf_key(sf_dir)}", "prev_snapshot"
+    )
+
+
+def ensure_prev_snapshot(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the PREVIOUS crawl snapshot's digest table — (doc_id,
+    text_md5), written ONCE as a parquet table BUCKETED on doc_id and
+    (re-)attached to this session's catalog — and return the table
+    name.  ``corpus_diff`` full-outer-joins it against the current
+    snapshot: at 100 TB both snapshot digest stores are bucketed on
+    doc_id, so the diff join shuffles at most the non-bucketed side
+    (here: only the current side's one exchange of 24-byte rows).
+    The epoch_state ``_attach_bucketed`` discipline: saveAsTable
+    metadata does not survive a new session, so CREATE TABLE with the
+    matching CLUSTERED BY spec re-attaches the files."""
+    from pyspark.sql import functions as F
+
+    from aprs2influxdb_spark.functions.hashing import portable_hash64
+
+    final = prev_snapshot_path(sf_dir)
+    name = "prev_snapshot_" + _sf_key(sf_dir).replace(".", "_").replace("-", "_")
+    if not os.path.exists(os.path.join(final, "_SUCCESS")):
+        from aprs2influxdb_spark.storage import write_bucketed
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+            "doc_id", "text"
+        )
+
+        def h(salt):
+            return portable_hash64(
+                F.concat(F.lit(salt), F.col("doc_id").cast("string"))
+            )
+
+        toks = F.split("text", " ")
+        prev_text = F.when(
+            F.pmod(h("chg_"), F.lit(PREV_CHG_MOD)) == 0,
+            F.array_join(F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))), " "),
+        ).otherwise(F.col("text"))
+        kept = docs.filter(F.pmod(h("add_"), F.lit(PREV_ADD_MOD)) != 0).select(
+            "doc_id", F.md5(prev_text).alias("text_md5")
+        )
+        gone = docs.filter(F.pmod(h("gone_"), F.lit(PREV_GONE_MOD)) == 0).select(
+            (F.col("doc_id") + PREV_GONE_BASE).alias("doc_id"),
+            F.md5(F.concat(F.lit("gone:"), F.col("doc_id").cast("string"))).alias(
+                "text_md5"
+            ),
+        )
+        tmp = f"{final}.tmp{os.getpid()}"
+        write_bucketed(
+            kept.unionByName(gone), name, PREV_SNAPSHOT_BUCKETS, "doc_id", path=tmp
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {name}")  # re-point at the final path
+        os.rename(tmp, final)
+    if not spark.catalog.tableExists(name):
+        schema = spark.read.parquet(final).schema
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE {name} ({cols}) USING parquet "
+            f"CLUSTERED BY (doc_id) SORTED BY (doc_id) "
+            f"INTO {PREV_SNAPSHOT_BUCKETS} BUCKETS LOCATION '{final}'"
+        )
+    return name
+
+
 def ensure_domain_dim(spark: SparkSession, sf_dir: str) -> str:
     """Persist the EXTERNAL per-domain curation dimension (round 9,
     verdict-r8 missing #4): a maintained domain-quality/blocklist

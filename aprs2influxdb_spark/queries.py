@@ -7942,6 +7942,81 @@ def q_streaming_domain_blocklist_join(spark, sf):
     return run_bounded(spark, est, "append", "stream_domain_gate")
 
 
+def q_corpus_diff(spark, sf):
+    """Snapshot delta between crawl revisions (round 9): which docs
+    were ADDED, REMOVED, or CHANGED since the previous snapshot — the
+    report that drives every incremental pass (re-dedup only the
+    delta, re-score only changed docs, retire removed ones from the
+    contamination index).  The previous revision lives as a PERSISTED
+    digest table bucketed on doc_id
+    (``media_store.ensure_prev_snapshot`` — the epoch_state
+    bucketed-store discipline), so the full-outer digest join
+    shuffles only the current side's 24-byte (id, md5) projection;
+    at 100 TB the current snapshot's digest store is bucketed the
+    same way and the diff joins with ZERO exchanges.  Output keeps
+    only the delta rows — ``unchanged`` (the overwhelming mass)
+    never leaves the join."""
+    from aprs2influxdb_spark.media_store import ensure_prev_snapshot
+
+    prev = spark.table(ensure_prev_snapshot(spark, sf)).select(
+        F.col("doc_id").alias("p_id"), F.col("text_md5").alias("p_md5")
+    )
+    cur = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("c_id"), F.md5("text").alias("c_md5")
+    )
+    j = cur.join(prev, F.col("c_id") == F.col("p_id"), "full_outer")
+    status = (
+        F.when(F.col("p_id").isNull(), F.lit("added"))
+        .when(F.col("c_id").isNull(), F.lit("removed"))
+        .when(F.col("c_md5") != F.col("p_md5"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        F.coalesce("c_id", "p_id").alias("doc_id"), status.alias("status")
+    ).filter(F.col("status") != "unchanged")
+
+
+def _corpus_diff_sql() -> str:
+    """Oracle twin: the previous snapshot re-derived from its closed
+    form (the domain-dim convention — the persisted artifact is
+    generated from a closed form, the oracle recomputes the form)."""
+    from aprs2influxdb_spark.media_store import (
+        PREV_ADD_MOD,
+        PREV_CHG_MOD,
+        PREV_GONE_BASE,
+        PREV_GONE_MOD,
+    )
+
+    h_add = portable_hash64_sql("'add_' || doc_id::VARCHAR")
+    h_chg = portable_hash64_sql("'chg_' || doc_id::VARCHAR")
+    h_gone = portable_hash64_sql("'gone_' || doc_id::VARCHAR")
+    return f"""
+WITH cur AS (
+  SELECT doc_id, md5(text) AS d FROM documents
+), prev AS (
+  SELECT doc_id,
+         md5(CASE WHEN ({h_chg}) % {PREV_CHG_MOD} = 0
+                  THEN array_to_string(
+                        (string_split(text, ' '))[1:len(string_split(text, ' ')) - 1], ' ')
+                  ELSE text END) AS d
+  FROM documents
+  WHERE ({h_add}) % {PREV_ADD_MOD} <> 0
+  UNION ALL
+  SELECT doc_id + {PREV_GONE_BASE} AS doc_id,
+         md5('gone:' || doc_id::VARCHAR) AS d
+  FROM documents WHERE ({h_gone}) % {PREV_GONE_MOD} = 0
+), j AS (
+  SELECT coalesce(c.doc_id, p.doc_id) AS doc_id,
+         CASE WHEN p.doc_id IS NULL THEN 'added'
+              WHEN c.doc_id IS NULL THEN 'removed'
+              WHEN c.d <> p.d THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id
+)
+SELECT doc_id, status FROM j WHERE status <> 'unchanged'
+"""
+
+
 def q_streaming_url_normalize(spark, sf):
     """URL normalization AT INGEST: the zero-UDF ``url_normalize``
     projection as a stateless append-mode stream transform (twin
@@ -7979,9 +8054,16 @@ def q_mixture_sample(spark, sf):
     but never shuffled — both passes are map-side against a broadcast
     dim."""
     per_doc = _t(spark, sf, "documents").select("doc_id", "lang")
+    return _mixture_filter(per_doc, _mixture_dim(per_doc))
+
+
+def _mixture_dim(per_doc: DataFrame) -> DataFrame:
+    """The ~O(languages) keep-rate dim (lang, n_docs, keep_ppm) —
+    factored so ``streaming_mixture_sample`` can compute it
+    batch-side and broadcast it into the ingest filter."""
     dim = per_doc.groupBy("lang").agg(F.count("*").alias("n_docs"))
     w = Window.partitionBy()
-    dim = dim.withColumn("min_docs", F.min("n_docs").over(w)).select(
+    return dim.withColumn("min_docs", F.min("n_docs").over(w)).select(
         "lang",
         "n_docs",
         F.least(
@@ -7993,6 +8075,11 @@ def q_mixture_sample(spark, sf):
             ),
         ).cast("long").alias("keep_ppm"),
     )
+
+
+def _mixture_filter(per_doc: DataFrame, dim: DataFrame) -> DataFrame:
+    """The stateless keep decision: deterministic md5 threshold
+    against the broadcast dim — runs unchanged on a stream."""
     keyed = per_doc.withColumn(
         "h",
         F.pmod(
@@ -8005,6 +8092,23 @@ def q_mixture_sample(spark, sf):
         .filter(F.col("h") < F.col("keep_ppm"))
         .select("doc_id", "lang", "keep_ppm")
     )
+
+
+def q_streaming_mixture_sample(spark, sf):
+    """Language-temperature sampling AT INGEST: mixture rates need
+    GLOBAL language counts, so in production they are computed from
+    the persisted corpus stats (yesterday's histogram) and applied to
+    arriving docs as a broadcast dim — rates are an INPUT to the
+    stream, not stream state (the ``streaming_static_join``
+    strategy).  Here the dim comes from one batch aggregate of the
+    same table the stream reads, so the bounded run shares the batch
+    oracle verbatim; the stream side is the same stateless md5
+    threshold filter, zero state, zero stream-side shuffle."""
+    from aprs2influxdb_spark.streaming.bounded import run_bounded, stream_docs
+
+    dim = _mixture_dim(_t(spark, sf, "documents").select("doc_id", "lang"))
+    est = _mixture_filter(stream_docs(spark, sf).select("doc_id", "lang"), dim)
+    return run_bounded(spark, est, "append", "stream_mixture")
 
 
 SQL_MIXTURE_SAMPLE = f"""
@@ -14485,8 +14589,10 @@ def registry() -> dict[str, tuple]:
             q_streaming_domain_blocklist_join,
             _domain_blocklist_sql(),
         ),
+        "corpus_diff": (q_corpus_diff, _corpus_diff_sql()),
         "streaming_lsh_near_dup": (q_streaming_lsh_near_dup, _lsh_near_dup_sql()),
         "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
+        "streaming_mixture_sample": (q_streaming_mixture_sample, SQL_MIXTURE_SAMPLE),
         "stratified_split": (q_stratified_split, SQL_STRATIFIED_SPLIT),
         "global_shuffle_order": (q_global_shuffle_order, SQL_GLOBAL_SHUFFLE_ORDER),
         "doc_upsample_epochs": (q_doc_upsample_epochs, SQL_DOC_UPSAMPLE_EPOCHS),

@@ -280,6 +280,7 @@ HEADLINE = [
     # the ingest-time LSH near-dup gate (keyed state per band bucket)
     "global_shuffle_order",
     "streaming_lsh_near_dup",
+    "corpus_diff",
 ]
 
 
@@ -323,6 +324,7 @@ def main() -> None:
         ensure_crawl_files,
         ensure_domain_dim,
         ensure_media,
+        ensure_prev_snapshot,
         ensure_warc_files,
     )
 
@@ -330,6 +332,7 @@ def main() -> None:
     ensure_warc_files(spark, sf_dir)
     ensure_crawl_files(spark, sf_dir)
     ensure_domain_dim(spark, sf_dir)
+    ensure_prev_snapshot(spark, sf_dir)
 
     times: dict[str, float] = {}
     for name in headline:

@@ -226,6 +226,48 @@ class TestStreamingLshNearDup:
             list(_lsh_bucket_group(("k",), iter([late]), state))
 
 
+class TestCorpusDiff:
+    """Snapshot delta: the prev digest store must join from its
+    bucketed layout (no exchange on its side) and classify exactly."""
+
+    def test_prev_side_bucketed_one_exchange(self, spark, sf_dir):
+        from aprs2influxdb_spark.plans.audit import executed_plan, plan_stats
+        from aprs2influxdb_spark.queries import registry
+
+        df = registry()["corpus_diff"][0](spark, sf_dir)
+        stats = plan_stats(df)
+        assert stats.shuffles == 1, "only the current side may exchange"
+        assert "Bucketed: true" in executed_plan(df)
+
+    def test_statuses_match_closed_form(self, spark, sf_dir):
+        from aprs2influxdb_spark.media_store import (
+            PREV_ADD_MOD,
+            PREV_CHG_MOD,
+            PREV_GONE_BASE,
+            PREV_GONE_MOD,
+        )
+        from aprs2influxdb_spark.queries import _t, registry
+
+        rows = {
+            r["doc_id"]: r["status"]
+            for r in registry()["corpus_diff"][0](spark, sf_dir).collect()
+        }
+        ids = [r["doc_id"] for r in _t(spark, sf_dir, "documents").select("doc_id").collect()]
+        added = {i for i in ids if _h64(f"add_{i}") % PREV_ADD_MOD == 0}
+        changed = {
+            i for i in ids
+            if _h64(f"add_{i}") % PREV_ADD_MOD != 0
+            and _h64(f"chg_{i}") % PREV_CHG_MOD == 0
+        }
+        removed = {
+            i + PREV_GONE_BASE for i in ids if _h64(f"gone_{i}") % PREV_GONE_MOD == 0
+        }
+        assert {i for i, s in rows.items() if s == "added"} == added
+        assert {i for i, s in rows.items() if s == "changed"} == changed
+        assert {i for i, s in rows.items() if s == "removed"} == removed
+        assert added and changed and removed  # all three paths exercised
+
+
 class TestDomainBlocklistJoin:
     """Verdict-r8 missing #4: curation against an EXTERNAL persisted
     dim — the corpus must never shuffle; the dim must broadcast."""
