@@ -9127,6 +9127,88 @@ FROM agg
 """
 
 
+def q_model_calibration(spark, sf):
+    """Reliability curve of the in-engine model (round 9 — completes
+    the train→score→evaluate triad beside ``model_auc``): the score
+    span is cut into 10 equal-width bins and each bin reports its doc
+    count, mean predicted score, and OBSERVED positive rate — the
+    diagram that tells a curation pipeline whether the quality
+    model's scores can be thresholded as probabilities or need
+    recalibration first.
+
+    Plan: reuses ``model_auc``'s feature-bounded per-score histogram
+    (ONE hash aggregate over the corpus; everything after runs on
+    ~|x1|·|x2| cells), takes the span from a broadcast min/max of
+    that tiny table, and aggregates bins with DECIMAL(38,0) score
+    sums (micro-score × corpus count exceeds int64 near 10¹² docs —
+    the ``model_auc`` overflow discipline)."""
+    docs = ta._spread_docs(_t(spark, sf, "documents"), "doc_id", "text")
+    per_doc = _ridge_features(docs).select(
+        "x1",
+        "x2",
+        F.when(F.col("q_int") >= 6000, F.lit(1)).otherwise(F.lit(0)).cast(
+            "long"
+        ).alias("y"),
+    )
+    model = q_ridge_quality_model(spark, sf).select("b0", "b1", "b2")
+    scored = per_doc.crossJoin(F.broadcast(model))
+    per_score = scored.groupBy(F.expr(_AUC_SCORE).alias("s")).agg(
+        F.count("*").alias("cnt"), F.sum("y").alias("pos")
+    )
+    span = per_score.agg(F.min("s").alias("mn"), F.max("s").alias("mx"))
+    dec = "decimal(38,0)"
+    binned = per_score.crossJoin(F.broadcast(span)).withColumn(
+        "bin", F.expr("((s - mn) * 10) div (mx - mn + 1)").cast("int")
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_docs"),
+            F.sum(F.col("s").cast(dec) * F.col("cnt").cast(dec)).alias("ssum"),
+            F.sum("pos").cast("long").alias("n_pos"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            rhu(
+                F.col("ssum").cast("double")
+                / (F.lit(1_000_000.0) * F.col("n_docs").cast("double")),
+                6,
+            ).alias("mean_pred"),
+            rhu(
+                F.col("n_pos").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("obs_rate"),
+        )
+    )
+
+
+def _sql_model_calibration() -> str:
+    return f"""
+WITH model AS ({_sql_ridge_quality_model()}),
+per_doc AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+         {_RIDGE_X2_SQL} AS x2,
+         CASE WHEN {_QUALITY_INT_SQL} >= 6000 THEN 1 ELSE 0 END AS y
+  FROM documents
+), scored AS (
+  SELECT {_AUC_SCORE} AS s, y FROM per_doc, model
+), per_score AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(y) AS BIGINT) AS pos
+  FROM scored GROUP BY s
+), span AS (
+  SELECT min(s) AS mn, max(s) AS mx FROM per_score
+), binned AS (
+  SELECT CAST(((s - mn) * 10) // (mx - mn + 1) AS INTEGER) AS bin, cnt, s, pos
+  FROM per_score, span
+)
+SELECT bin,
+       CAST(sum(cnt) AS BIGINT) AS n_docs,
+       {rhu_sql("CAST(sum(CAST(s AS HUGEINT) * CAST(cnt AS HUGEINT)) AS DOUBLE) / (1000000.0 * CAST(sum(cnt) AS DOUBLE))", 6)} AS mean_pred,
+       {rhu_sql("CAST(sum(pos) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)", 6)} AS obs_rate
+FROM binned GROUP BY bin
+"""
+
+
 def q_streaming_wav_features(spark, sf):
     """The WAV codec AT INGEST: the lossless roundtrip of
     ``multimodal_wav_features`` as a stateless append-mode stream
@@ -14601,6 +14683,7 @@ def registry() -> dict[str, tuple]:
         "pack_efficiency": (q_pack_efficiency, _sql_pack_efficiency()),
         "ridge_quality_model": (q_ridge_quality_model, _sql_ridge_quality_model()),
         "model_auc": (q_model_auc, _sql_model_auc()),
+        "model_calibration": (q_model_calibration, _sql_model_calibration()),
         "token_budget_select": (q_token_budget_select, SQL_TOKEN_BUDGET_SELECT),
         "bpe_token_budget_select": (
             q_bpe_token_budget_select,

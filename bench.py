@@ -281,6 +281,7 @@ HEADLINE = [
     "global_shuffle_order",
     "streaming_lsh_near_dup",
     "corpus_diff",
+    "model_calibration",
 ]
 
 

@@ -701,6 +701,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "bpe_sequence_pack": 2,  # r9 same one-shard-exchange pack shape as sequence_pack (measured 1)
     "global_shuffle_order": 4,  # r9 bucketed global rank: bucket agg + tiny-dim window + rank window (measured 3)
     "corpus_diff": 2,  # r9 full-outer digest join; prev side bucketed, only the current side exchanges (measured 1)
+    "model_calibration": 6,  # r9 per-score histogram + tiny span/bin aggregates; ridge model built at plan time (measured 5)
     "crawl_dead_letters": 2,  # r8 per-record isolation map: no shuffle
     "dup_pagerank": 4,  # r7 integer PageRank: supersteps sit behind checkpoint scans (measured 2)
     "multimodal_wav_features": 2,

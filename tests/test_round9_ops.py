@@ -226,6 +226,20 @@ class TestStreamingLshNearDup:
             list(_lsh_bucket_group(("k",), iter([late]), state))
 
 
+class TestModelCalibration:
+    def test_bins_partition_the_corpus(self, spark, sf_dir):
+        from aprs2influxdb_spark.queries import _t, registry
+
+        rows = registry()["model_calibration"][0](spark, sf_dir).collect()
+        n = _t(spark, sf_dir, "documents").count()
+        assert sum(r["n_docs"] for r in rows) == n
+        assert all(0 <= r["bin"] <= 9 for r in rows)
+        assert all(0.0 <= r["obs_rate"] <= 1.0 for r in rows)
+        # the span cut puts min and max scores in the first/last bins
+        assert min(r["bin"] for r in rows) == 0
+        assert max(r["bin"] for r in rows) == 9
+
+
 class TestCorpusDiff:
     """Snapshot delta: the prev digest store must join from its
     bucketed layout (no exchange on its side) and classify exactly."""
