@@ -320,7 +320,13 @@ def ensure_prev_snapshot(spark: SparkSession, sf_dir: str) -> str:
             kept.unionByName(gone), name, PREV_SNAPSHOT_BUCKETS, "doc_id", path=tmp
         )
         spark.sql(f"DROP TABLE IF EXISTS {name}")  # re-point at the final path
-        os.rename(tmp, final)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            # lost a benign race: another session built it first
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(os.path.join(final, "_SUCCESS")):
+                raise
     if not spark.catalog.tableExists(name):
         schema = spark.read.parquet(final).schema
         cols = ", ".join(

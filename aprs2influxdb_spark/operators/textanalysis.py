@@ -1099,12 +1099,17 @@ def heaps_law_fit(
             F.floor(F.log(F.col("V").cast("double")) * 1e6 + F.lit(0.5)).cast("long").alias("y"),
         )
     )
+    # product terms are ~2.25e14 (micro-nat ln² values); their SUM
+    # crosses int64 near 40k docs (found by the round-9 full sf1
+    # sweep as an ANSI ArithmeticException) — accumulate in
+    # DECIMAL(38,0), mirrored by HUGEINT sums in the oracle
+    d38 = "decimal(38,0)"
     sums = pts.agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(d38) * F.col("y").cast(d38)).alias("sxy"),
+        F.sum(F.col("x").cast(d38) * F.col("x").cast(d38)).alias("sxx"),
     )
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     num = (dec("n") * dec("sxy") - dec("sx") * dec("sy")).cast("double")

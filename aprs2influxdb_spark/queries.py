@@ -854,9 +854,14 @@ def q_top_session_paths(spark, sf):
 
     e = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # exact integer MICROSECOND gaps: a seconds-truncated cast rounds
+    # a 1800.3 s gap down to 1800 and keeps the session open while the
+    # oracle's fractional division splits it — found as diverging path
+    # counts by the round-9 full sf1 sweep (sub-second ts collisions
+    # only appear at 20× the driver corpus)
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     sess = (
-        e.withColumn("new_s", F.when(gap > 1800, 1).otherwise(0))
+        e.withColumn("new_s", F.when(gap > 1_800_000_000, 1).otherwise(0))
         .withColumn("sess_id", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
     )
     paths = (
@@ -887,8 +892,8 @@ def q_top_session_paths(spark, sf):
 SQL_TOP_SESSION_PATHS = """
 WITH s AS (
   SELECT user_id, ts, event_id, event_type,
-         CASE WHEN epoch_us(ts)/1000000 - lag(epoch_us(ts)/1000000)
-              OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
               THEN 1 ELSE 0 END AS new_s
   FROM events
 ), s2 AS (
@@ -939,7 +944,14 @@ def q_last_touch_attribution(spark, sf):
         .select(
             F.when(
                 F.col("prev").isNotNull()
-                & (F.col("ts").cast("long") - F.col("prev.pts").cast("long") <= 3600),
+                # exact integer MICROSECONDS: a seconds-truncated cast
+                # admits pairs up to 1 s past the window while the
+                # oracle's fractional division rejects them — found as
+                # an off-by-one count by the round-9 full sf1 sweep
+                & (
+                    F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev.pts"))
+                    <= 3_600_000_000
+                ),
                 F.col("prev.ptype"),
             ).otherwise(F.lit("direct")).alias("attributed_type")
         )
@@ -957,7 +969,7 @@ WITH flagged AS (
   FROM events
 )
 SELECT CASE WHEN prev IS NOT NULL
-            AND epoch_us(ts)/1000000 - epoch_us(prev.pts)/1000000 <= 3600
+            AND epoch_us(ts) - epoch_us(prev.pts) <= 3600000000
             THEN prev.ptype ELSE 'direct' END AS attributed_type,
        count(*) AS n_purchases
 FROM flagged WHERE event_type = 'purchase'
@@ -11601,19 +11613,27 @@ def q_product_profit(spark, sf):
     profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
         "p_retailprice"
     ) * F.col("l_quantity")
+    # integerize each row's profit to exact cents BEFORE the sum (the
+    # unigram_logprob snapshot-rounding discipline): a double sum is
+    # order-dependent and flipped the last cent at sf1 (found by the
+    # round-9 full sf1 sweep); per-row expressions are identical IEEE
+    # ops on both engines, so the cents agree bit-for-bit, and integer
+    # sums are order-free.  DECIMAL(38,0) headroom for 10¹²-row groups.
+    cents = F.floor(profit * 100 + F.lit(0.5)).cast("decimal(38,0)")
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .join(sn, li.l_suppkey == sn.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(rhu(F.sum(profit), 2).alias("profit"))
+        .agg((F.sum(cents).cast("double") / 100.0).alias("profit"))
     )
 
 
 SQL_PRODUCT_PROFIT = """
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
-       (floor((sum(l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity))
-        * 100 + 0.5) / 100.0) AS profit
+       CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)
+                            - 0.6 * p_retailprice * l_quantity) * 100 + 0.5)
+                AS HUGEINT)) AS DOUBLE) / 100.0 AS profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -14265,7 +14285,8 @@ WITH tok AS (
   WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ), sums AS (
   SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+         sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
   FROM pts
 )
 SELECT n AS n_points,
