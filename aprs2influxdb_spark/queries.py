@@ -10878,9 +10878,15 @@ def q_mutual_information(spark, sf):
         .withColumn("pmi_micro", term)
         .withColumn(
             "mi",
+            # o·pmi_micro sums cross int64 near 3×10¹¹ docs (the
+            # heaps_law_fit overflow class, fixed proactively in the
+            # round-9 audit) — accumulate in DECIMAL(38,0)/HUGEINT
             rhu(
-                F.sum(F.col("o") * F.col("pmi_micro")).over(wall)
-                / (F.col("n") * F.lit(1e6)),
+                F.sum(
+                    F.col("o").cast("decimal(38,0)")
+                    * F.col("pmi_micro").cast("decimal(38,0)")
+                ).over(wall).cast("double")
+                / (F.col("n").cast("double") * F.lit(1e6)),
                 6,
             ),
         )
@@ -10904,7 +10910,7 @@ WITH cells AS (
   FROM m
 )
 SELECT source, lang, o, pmi_micro,
-       (floor((CAST(sum(o * pmi_micro) OVER () AS DOUBLE)
+       (floor((CAST(sum(CAST(o AS HUGEINT) * CAST(pmi_micro AS HUGEINT)) OVER () AS DOUBLE)
         / (CAST(n AS DOUBLE) * 1000000.0)) * 1000000 + 0.5) / 1000000.0) AS mi
 FROM t
 """
