@@ -295,6 +295,17 @@ def ensure_prev_snapshot(spark: SparkSession, sf_dir: str) -> str:
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
             "doc_id", "text"
         )
+        # the synthetic prev-only ids live at doc_id + PREV_GONE_BASE: a
+        # corpus whose real ids reach the base would silently collide
+        # 'removed' rows with current docs (and oracle parity would mask
+        # it, both sharing the closed form) — fail loudly instead
+        mx = docs.agg(F.max("doc_id")).first()[0]
+        if mx is not None and mx >= PREV_GONE_BASE:
+            raise ValueError(
+                f"prev-snapshot gone-id base {PREV_GONE_BASE} collides with "
+                f"corpus max doc_id {mx}; raise PREV_GONE_BASE (and its "
+                f"oracle mirror) past the id range"
+            )
 
         def h(salt):
             return portable_hash64(

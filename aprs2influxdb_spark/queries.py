@@ -8262,8 +8262,21 @@ def _range_bucket(
         if part_cols
         else d.crossJoin(F.broadcast(span))
     )
+    # the multiply runs in decimal(38,0): a key span approaching 2^63/B
+    # would wrap int64 silently (non-ANSI), breaking bucket monotonicity
+    # with no error — and this is a shared primitive whose future call
+    # sites won't revisit the bound.  The quotient itself is < B, so the
+    # div's long result can never wrap.  Empty input (a span row of
+    # nulls) coalesces to bucket 0 rather than propagating null buckets
+    # into downstream joins.
     return joined.withColumn(
-        "bucket", F.expr(f"((_k - _mn) * {B}) div (_mx - _mn + 1)")
+        "bucket",
+        F.coalesce(
+            F.expr(
+                f"(cast(_k - _mn as decimal(38,0)) * {B}) div (_mx - _mn + 1)"
+            ),
+            F.lit(0),
+        ),
     ).drop("_k", "_mn", "_mx")
 
 
@@ -9169,8 +9182,14 @@ def q_model_calibration(spark, sf):
     )
     span = per_score.agg(F.min("s").alias("mn"), F.max("s").alias("mx"))
     dec = "decimal(38,0)"
+    # the bin multiply shares the round's DECIMAL overflow discipline:
+    # micro-scores near |s|≈9.2×10¹⁷ would wrap (s - mn) * 10 in int64;
+    # the quotient is < 10 so the div's long result is always safe
     binned = per_score.crossJoin(F.broadcast(span)).withColumn(
-        "bin", F.expr("((s - mn) * 10) div (mx - mn + 1)").cast("int")
+        "bin",
+        F.expr("(cast(s - mn as decimal(38,0)) * 10) div (mx - mn + 1)").cast(
+            "int"
+        ),
     )
     return (
         binned.groupBy("bin")
@@ -9210,7 +9229,7 @@ per_doc AS (
 ), span AS (
   SELECT min(s) AS mn, max(s) AS mx FROM per_score
 ), binned AS (
-  SELECT CAST(((s - mn) * 10) // (mx - mn + 1) AS INTEGER) AS bin, cnt, s, pos
+  SELECT CAST((CAST(s - mn AS HUGEINT) * 10) // (mx - mn + 1) AS INTEGER) AS bin, cnt, s, pos
   FROM per_score, span
 )
 SELECT bin,

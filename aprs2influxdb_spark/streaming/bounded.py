@@ -832,20 +832,27 @@ def _lsh_bucket_group(
             f"LSH: out-of-order arrival in bucket {key[0]!r} — batch min "
             f"doc_id {int(pdf['doc_id'].iloc[0])} ≤ last seen {last}"
         )
-    out: list[dict] = []
+    doc_ids: list[int] = []
+    bands: list[int] = []
+    anchors: list[int | None] = []
     for row in pdf.itertuples():
         d = int(row.doc_id)
-        out.append(
-            {
-                "doc_id": d,
-                "band": int(row.band),
-                "anchor": first if first < d else None,
-            }
-        )
+        doc_ids.append(d)
+        bands.append(int(row.band))
+        anchors.append(first if first < d else None)
         first = min(first, d)
         last = d
     state.update((first, last))
-    yield pd.DataFrame(out)
+    # anchor mixes long and None: a plain list would materialize as
+    # float64/object and anchors above 2^53 would lose precision on the
+    # Arrow cast — pandas nullable Int64 keeps the long exact
+    yield pd.DataFrame(
+        {
+            "doc_id": pd.array(doc_ids, dtype="int64"),
+            "band": pd.array(bands, dtype="int64"),
+            "anchor": pd.array(anchors, dtype="Int64"),
+        }
+    )
 
 
 def streaming_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
