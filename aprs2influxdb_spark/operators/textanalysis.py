@@ -1398,6 +1398,131 @@ def bpe_learn_merges(
     return merges
 
 
+#: merge counts up to this run as the chained-replace column expression
+#: (one codegen'd ``replace`` chain per merge — elegant at demo depth);
+#: beyond it the Catalyst expression tree would grow linearly with the
+#: vocabulary (a 32k-merge chain is unbuildable), so the Arrow-batched
+#: ``mapInPandas`` encoder takes over.  The two paths are equivalent by
+#: construction (``_BpeEncoder`` applies the IDENTICAL bounded-3-pass
+#: string replace per merge) — ``tests/test_round10_ops.py`` pins the
+#: equivalence at overlapping k and drives the encoder at k≥1000.
+BPE_EXPR_MAX_MERGES = 64
+
+
+class _BpeEncoder:
+    """Vocab-scale BPE application: per-word post-merge symbol counts
+    under EXACTLY the ``_bpe_merge_expr`` semantics — each merge is the
+    bounded-3-pass non-overlapping ``str.replace`` of ``·a·b·`` →
+    ``·ab·`` on the separator-delimited repr, applied in rank order —
+    but linear-time in text length and flat in vocabulary size k:
+
+    - merges are indexed by the symbols they consume; a word only ever
+      *attempts* the merges whose inputs exist in it (initial chars, or
+      symbols its earlier merges created) — a rank-ordered heap replays
+      them in exactly the chain's order, sound because a merge's output
+      can only feed HIGHER-ranked merges (at learn time the pair
+      (ab, x) is countable only after ab exists), and exact because a
+      skipped merge's pattern provably cannot occur (``·s·`` in the
+      repr ⟺ s is a whole current symbol ⟺ s ∈ the word's grow-only
+      symbol set);
+    - per-word results are cached across the task's Arrow batches
+      (Zipf: the distinct-word set is tiny next to the token stream).
+
+    So a 32k-merge production vocabulary costs the same per word as a
+    6-merge demo one — only the merges that actually fire are touched."""
+
+    def __init__(self, merges) -> None:
+        self._by_sym: dict[str, list[tuple]] = {}
+        for rank, a, b, *_rest in merges:
+            t = (
+                rank,
+                _BPE_SEP + a + _BPE_SEP + b + _BPE_SEP,
+                _BPE_SEP + a + b + _BPE_SEP,
+                a,
+                b,
+                a + b,
+            )
+            self._by_sym.setdefault(a, []).append(t)
+            if b != a:
+                self._by_sym.setdefault(b, []).append(t)
+        self._cache: dict[str, int] = {}
+
+    def ntokens(self, word: str) -> int:
+        n = self._cache.get(word)
+        if n is not None:
+            return n
+        import heapq
+
+        r = _BPE_SEP + _BPE_SEP.join(word) + _BPE_SEP
+        symset = set(word)
+        heap: list[tuple] = []
+        seen: set[int] = set()
+
+        def activate(s: str) -> None:
+            for t in self._by_sym.get(s, ()):
+                if t[0] not in seen and t[3] in symset and t[4] in symset:
+                    seen.add(t[0])
+                    heapq.heappush(heap, t)
+
+        for s in list(symset):
+            activate(s)
+        while heap:
+            _rank, pat, rep, _a, _b, ab = heapq.heappop(heap)
+            changed = False
+            for _ in range(3):  # the _bpe_merge_expr bound, verbatim
+                if pat not in r:
+                    break
+                r = r.replace(pat, rep)
+                changed = True
+            if changed and ab not in symset:
+                symset.add(ab)
+                activate(ab)
+        n = sum(1 for s in r.split(_BPE_SEP) if s)
+        self._cache[word] = n
+        return n
+
+
+def bpe_ntokens_pandas(
+    docs: DataFrame, merges, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc post-merge BPE symbol counts at PRODUCTION vocabulary
+    scale: the broadcast-merge-table + Arrow-batched ``mapInPandas``
+    twin of ``queries._bpe_ntokens_col`` (which stays the small-k path
+    — its chained-replace expression tree grows linearly with k).
+    Returns ``(id_col, n_tokens)``; tokenization is ``tokens_col``'s
+    exactly (lowercase, split on single space, drop empties).  The
+    merge list ships once per task in the closure (a few MB at 32k
+    merges — broadcast-dim sized); the stage is shuffle-free and
+    corpus-linear, the ``crawl_to_corpus`` bytes-stage precedent."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    frozen = [tuple(m) for m in merges]
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("n_tokens", LongType())]
+    )
+
+    def fn(batches):
+        enc = _BpeEncoder(frozen)  # word cache lives across the task's batches
+        for pdf in batches:
+            counts = [
+                sum(enc.ntokens(w) for w in t.lower().split(" ") if w)
+                if t is not None
+                else 0
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "n_tokens": pd.array(counts, dtype="int64"),
+                }
+            )
+
+    return spread_for_compute(docs.select(id_col, text_col)).mapInPandas(
+        fn, schema
+    )
+
+
 def bpe_fertility(
     docs: DataFrame, k: int = BPE_MERGES, text_col: str = "text", lang_col: str = "lang",
 ) -> DataFrame:
