@@ -8055,6 +8055,52 @@ SELECT doc_id, status FROM j WHERE status <> 'unchanged'
 """
 
 
+def _corpus_diff_stream_delta(src: DataFrame, prev: DataFrame) -> DataFrame:
+    """The ARRIVAL side of the snapshot diff as a stateless stream
+    transform: each arriving doc digests and stream-static LEFT-joins
+    the persisted prev-snapshot table (bucketed on doc_id — the saved
+    side never shuffles) to classify itself ``added``/``changed``/
+    ``unchanged``; only the delta leaves.  Shared by
+    ``streaming_corpus_diff`` and its two-batch arrival test."""
+    j = src.select("doc_id", F.md5("text").alias("c_md5")).join(
+        prev, F.col("doc_id") == F.col("p_id"), "left"
+    )
+    status = (
+        F.when(F.col("p_id").isNull(), F.lit("added"))
+        .when(F.col("c_md5") != F.col("p_md5"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select("doc_id", status.alias("status")).filter(
+        F.col("status") != "unchanged"
+    )
+
+
+def q_streaming_corpus_diff(spark, sf):
+    """The snapshot diff in ARRIVAL MODE (round 10): ``added`` and
+    ``changed`` classify at ingest — a stateless stream-static left
+    join against the persisted prev-snapshot digest store, no keyed
+    state, only delta rows reach the sink — while ``removed`` is the
+    downstream batch compaction (prev anti-join the ingested id set):
+    absence is a property of the COMPLETE arrival set, which a stream
+    can only finalize after the fact — the same stream-ingest/
+    batch-compact split as ``streaming_crawl_to_corpus``.  Bounded
+    run == batch, so the entry shares ``corpus_diff``'s oracle
+    verbatim."""
+    from aprs2influxdb_spark.media_store import ensure_prev_snapshot
+    from aprs2influxdb_spark.streaming.bounded import run_bounded, stream_docs
+
+    prev = spark.table(ensure_prev_snapshot(spark, sf)).select(
+        F.col("doc_id").alias("p_id"), F.col("text_md5").alias("p_md5")
+    )
+    delta = _corpus_diff_stream_delta(stream_docs(spark, sf), prev)
+    sunk = run_bounded(spark, delta, "append", "stream_corpus_diff")
+    cur_ids = _t(spark, sf, "documents").select("doc_id")
+    removed = prev.join(
+        cur_ids, prev["p_id"] == cur_ids["doc_id"], "left_anti"
+    ).select(F.col("p_id").alias("doc_id"), F.lit("removed").alias("status"))
+    return sunk.unionByName(removed)
+
+
 def q_incremental_corpus_update(spark, sf):
     """APPLY the snapshot delta (round 10, verdict-r9 missing #3 —
     ``corpus_diff`` reported the delta but nothing consumed it): one
@@ -15083,6 +15129,7 @@ def registry() -> dict[str, tuple]:
             q_incremental_corpus_update,
             _incremental_corpus_update_sql(),
         ),
+        "streaming_corpus_diff": (q_streaming_corpus_diff, _corpus_diff_sql()),
         "streaming_lsh_near_dup": (q_streaming_lsh_near_dup, _lsh_near_dup_sql()),
         "streaming_lsh_gate_drained": (
             q_streaming_lsh_gate_drained,

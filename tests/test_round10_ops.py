@@ -288,6 +288,73 @@ class TestLshGateDrainedState:
             list(bounded._lsh_bucket_group(("k",), iter([pdf2]), st2))
 
 
+class TestStreamingCorpusDiffArrival:
+    """Round-10: the snapshot diff's ARRIVAL mode — docs landing in a
+    later batch classify on that batch, against the SAME persisted
+    prev snapshot; the union with the compaction-side 'removed' rows
+    equals the batch diff exactly."""
+
+    def test_two_batch_arrival_matches_batch_diff(self, spark, tmp_path):
+        from aprs2influxdb_spark.media_store import ensure_prev_snapshot
+        from aprs2influxdb_spark.queries import (
+            _corpus_diff_stream_delta,
+            q_corpus_diff,
+        )
+
+        full = str(tmp_path / "full")
+        docs = [(i, f"word{i} " * 8 + f"tail{i % 3}") for i in range(12)]
+        spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(f"{full}/documents.parquet")
+        prev = spark.table(ensure_prev_snapshot(spark, full)).select(
+            F.col("doc_id").alias("p_id"), F.col("text_md5").alias("p_md5")
+        )
+
+        arrive = tmp_path / "arrive"
+        arrive.mkdir()
+
+        def land(name, ids):
+            spark.createDataFrame(
+                [d for d in docs if d[0] in ids], "doc_id long, text string"
+            ).coalesce(1).write.parquet(str(arrive / name))
+
+        land("batch_a", set(range(6)))
+        schema = spark.read.parquet(str(arrive / "batch_a")).schema
+        src = spark.readStream.schema(schema).parquet(str(arrive / "*"))
+        q = (
+            _corpus_diff_stream_delta(src, prev)
+            .writeStream.format("memory")
+            .queryName("corpus_diff_arr")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got1 = {
+                r["doc_id"]: r["status"]
+                for r in spark.sql("SELECT * FROM corpus_diff_arr").collect()
+            }
+            assert got1 and all(d < 6 for d in got1), got1
+            land("batch_b", set(range(6, 12)))
+            q.processAllAvailable()
+            got2 = {
+                (r["doc_id"], r["status"])
+                for r in spark.sql("SELECT * FROM corpus_diff_arr").collect()
+            }
+        finally:
+            q.stop()
+        want = {
+            (r["doc_id"], r["status"])
+            for r in q_corpus_diff(spark, full).collect()
+            if r["status"] != "removed"
+        }
+        assert got2 == want
+        # second batch classified against the same persisted snapshot
+        assert any(d >= 6 for d, _s in got2) or not any(
+            r[0] >= 6 for r in want
+        )
+
+
 class TestDeltaApply:
     """Verdict-r9 missing #3: ``corpus_diff`` must be CONSUMED.  The
     production form applies the diff to a persisted epoch: retirement
