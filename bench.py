@@ -282,6 +282,15 @@ HEADLINE = [
     "streaming_lsh_near_dup",
     "corpus_diff",
     "model_calibration",
+    # round-10 additions: the vocab-scale BPE encoder path (Arrow
+    # mapInPandas, flat in k), the state-bounded LSH gate, image
+    # near-dup (PNG decode + 112-bit dHash + Hamming-band LSH), and
+    # the diff consumers (delta screen, arrival-mode diff)
+    "bpe_vocab_token_budget",
+    "streaming_lsh_gate_drained",
+    "image_near_dup",
+    "incremental_corpus_update",
+    "streaming_corpus_diff",
 ]
 
 
@@ -324,6 +333,7 @@ def main() -> None:
     from aprs2influxdb_spark.media_store import (
         ensure_crawl_files,
         ensure_domain_dim,
+        ensure_image_store,
         ensure_media,
         ensure_prev_snapshot,
         ensure_warc_files,
@@ -334,6 +344,7 @@ def main() -> None:
     ensure_crawl_files(spark, sf_dir)
     ensure_domain_dim(spark, sf_dir)
     ensure_prev_snapshot(spark, sf_dir)
+    ensure_image_store(spark, sf_dir)
 
     times: dict[str, float] = {}
     for name in headline:
