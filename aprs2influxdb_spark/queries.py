@@ -9686,6 +9686,135 @@ WHERE bit_count(xor(l.dhash_h, r.dhash_h))
 """
 
 
+def q_streaming_image_near_dup(spark, sf):
+    """The IMAGE near-dup gate AT INGEST (round 10): arriving image
+    blobs decode + dHash on the stream (stateless ``mapInPandas``),
+    band into the 4×28-bit Hamming-LSH keys, and pass through the
+    SAME keyed-state bucket gate the text stream uses
+    (``bounded._lsh_bucket_group`` — one (long, long) per band
+    bucket, ordered-ingest contract): each image is flagged with the
+    smallest earlier image sharing any band, exact-Hamming
+    verification deferred to the batch ``image_near_dup`` pass —
+    candidate-gating at ingest, the ``streaming_lsh_near_dup``
+    design.  The oracle is the per-bucket min-earlier-doc rule over
+    the closed-form hashes."""
+    from aprs2influxdb_spark.media_store import ensure_image_store
+    from aprs2influxdb_spark.streaming.bounded import (
+        LSH_GATE_OUTPUT,
+        LSH_GATE_STATE,
+        _lsh_bucket_group,
+        run_bounded,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    path = ensure_image_store(spark, sf)
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(path)
+    fn, out_schema = _image_dhash_mapper()
+    banded = _image_bands(src.mapInPandas(fn, out_schema)).select(
+        "doc_id", "band", F.concat_ws("_", "band", "bkey").alias("key")
+    )
+    gated = banded.groupBy("key").applyInPandasWithState(
+        _lsh_bucket_group,
+        LSH_GATE_OUTPUT,
+        LSH_GATE_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    sunk = run_bounded(spark, gated, "append", "stream_image_gate")
+    return sunk.groupBy("doc_id").agg(F.min("anchor").alias("dup_of")).select(
+        "doc_id", "dup_of", F.col("dup_of").isNotNull().alias("is_dup")
+    )
+
+
+def _streaming_image_near_dup_sql() -> str:
+    """Oracle: the closed-form dHash bands, reduced per-doc to the
+    smallest earlier doc sharing any band bucket."""
+    from aprs2influxdb_spark.media_store import (
+        IMG_BUMP_MOD,
+        IMG_CLASS_MIN,
+        IMG_CLASS_TARGET,
+    )
+
+    def luma(i: str) -> str:
+        return (
+            f"((((doc_id % nc) % 199) * (({i}) + 3)"
+            f" + ((doc_id % nc) % 193) * (({i}) * ({i}) + 1)"
+            f" + ((doc_id % nc) % 191) * ((({i}) * ({i}) * ({i})) % 97)) % 181"
+            f" + CASE WHEN ((({i}) * 7 + doc_id // nc) % {IMG_BUMP_MOD}) = 0"
+            f" THEN 40 ELSE 0 END)"
+        )
+
+    lh, rh = luma("(j // 7) * 8 + (j % 7)"), luma("(j // 7) * 8 + (j % 7) + 1")
+    lv, rv = luma("(j % 7) * 8 + (j // 7)"), luma("(j % 7) * 8 + (j // 7) + 8")
+    return f"""
+WITH k AS (
+  SELECT greatest({IMG_CLASS_MIN}, count(*) // {IMG_CLASS_TARGET}) AS nc FROM documents
+), h AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(range(0, 56), j ->
+      CASE WHEN {lh} > {rh} THEN 1::BIGINT << j ELSE 0::BIGINT END)) AS BIGINT) AS dhash_h,
+    CAST(list_sum(list_transform(range(0, 56), j ->
+      CASE WHEN {lv} > {rv} THEN 1::BIGINT << j ELSE 0::BIGINT END)) AS BIGINT) AS dhash_v
+  FROM documents, k
+), b AS (
+  SELECT doc_id, dhash_h, dhash_v, unnest(range(0, 4)) AS band FROM h
+), kb AS (
+  SELECT doc_id, band,
+         CASE WHEN band < 2 THEN (dhash_h >> (band * 28)) & 268435455
+              ELSE (dhash_v >> ((band - 2) * 28)) & 268435455 END AS bkey
+  FROM b
+), anch AS (
+  SELECT l.doc_id, min(r.doc_id) AS dup_of
+  FROM kb l LEFT JOIN kb r
+    ON l.band = r.band AND l.bkey = r.bkey AND r.doc_id < l.doc_id
+  GROUP BY l.doc_id
+)
+SELECT doc_id, dup_of, dup_of IS NOT NULL AS is_dup FROM anch
+"""
+
+
+def q_image_dup_clusters(spark, sf):
+    """Connected components over the IMAGE near-dup pair graph (round
+    10 — the keep-one step that completes the image dedup story begun
+    by ``image_near_dup``): every image mapped to its cluster's
+    canonical (minimum) doc_id, singletons their own id — the exact
+    image twin of ``near_dup_clusters``.  Rides the band-keyed pair
+    stage (never all-pairs) and
+    :func:`operators.graph.connected_components` (min-label
+    propagation WITH pointer jumping — O(log diameter) rounds, every
+    shuffle keyed on vertex/label id); the oracle replays the same
+    components through a recursive CTE over the identical pair
+    list."""
+    from aprs2influxdb_spark.operators.graph import connected_components
+
+    pairs = q_image_near_dup(spark, sf)
+    labels = connected_components(
+        _t(spark, sf, "documents").select("doc_id"),
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")),
+        id_col="doc_id",
+        max_iter=15,
+    )
+    return labels.select("doc_id", F.col("component_id").alias("cluster_id"))
+
+
+def _image_dup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_image_near_dup_sql()}),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL
+  SELECT b_id AS src, a_id AS dst FROM pairs
+),
+reach(vid, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.vid
+)
+SELECT vid AS doc_id, min(label) AS cluster_id FROM reach GROUP BY vid
+"""
+
+
 def q_multimodal_resize(spark, sf):
     """Image-resize plumbing (binary in → binary thumbnail out through
     one Arrow-batched ``mapInPandas``) under the exact oracle: the stub
@@ -15172,6 +15301,11 @@ def registry() -> dict[str, tuple]:
             SQL_GOPHER_REPETITION,
         ),
         "image_near_dup": (q_image_near_dup, _image_near_dup_sql()),
+        "image_dup_clusters": (q_image_dup_clusters, _image_dup_clusters_sql()),
+        "streaming_image_near_dup": (
+            q_streaming_image_near_dup,
+            _streaming_image_near_dup_sql(),
+        ),
         "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
         "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
         # streaming (bounded-stream execution of the streaming plans)
