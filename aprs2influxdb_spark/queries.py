@@ -9815,6 +9815,97 @@ SELECT vid AS doc_id, min(label) AS cluster_id FROM reach GROUP BY vid
 """
 
 
+def q_multimodal_dup_report(spark, sf):
+    """The CROSS-MODAL duplication verdict table (round 10 capstone of
+    'dedup meets multimodal'): per document, three independent
+    duplicate channels — exact text (another doc shares the 16-byte
+    digest), near text (the doc participates in a verified
+    MinHash-LSH pair), near image (its persisted PNG participates in
+    a verified Hamming pair) — and the any-channel flag a multimodal
+    curation pass keys its keep/drop on.  A text-identical pair with
+    different images (or vice versa) is exactly what this table
+    exists to surface.
+
+    Plan: three already-scale-shaped channels (digest hash-aggregate;
+    the band-keyed text pair stage; the band-keyed image pair stage)
+    left-joined onto the doc spine on doc_id — no new shuffle shapes,
+    every channel's discipline inherited from its standalone entry."""
+    from aprs2influxdb_spark.operators import dedup as dd_
+
+    docs = _t(spark, sf, "documents")
+    exact = (
+        docs.select("doc_id", F.md5("text").alias("d"))
+        .withColumn("n", F.count("*").over(Window.partitionBy("d")))
+        .filter(F.col("n") > 1)
+        .select("doc_id")
+        .withColumn("text_exact_dup", F.lit(1).cast("long"))
+    )
+    tp = dd_.minhash_lsh_pairs(docs)
+    text_near = (
+        tp.select(F.col("id_a").alias("doc_id"))
+        .unionByName(tp.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("text_near_dup", F.lit(1).cast("long"))
+    )
+    ip = q_image_near_dup(spark, sf)
+    image_near = (
+        ip.select(F.col("a_id").alias("doc_id"))
+        .unionByName(ip.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+        .withColumn("image_near_dup", F.lit(1).cast("long"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(text_near, "doc_id", "left")
+        .join(image_near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_exact_dup", F.lit(0)).cast("long").alias("text_exact_dup"),
+            F.coalesce("text_near_dup", F.lit(0)).cast("long").alias("text_near_dup"),
+            F.coalesce("image_near_dup", F.lit(0)).cast("long").alias("image_near_dup"),
+        )
+        .withColumn(
+            "any_dup",
+            (
+                (F.col("text_exact_dup") == 1)
+                | (F.col("text_near_dup") == 1)
+                | (F.col("image_near_dup") == 1)
+            ).cast("long"),
+        )
+    )
+
+
+def _multimodal_dup_report_sql() -> str:
+    return f"""
+WITH tp AS ({_minhash_lsh_sql()}),
+ip AS ({_image_near_dup_sql()}),
+exact AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, count(*) OVER (PARTITION BY md5(text)) AS n FROM documents
+  ) WHERE n > 1
+), tn AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT id_a AS doc_id FROM tp UNION ALL SELECT id_b AS doc_id FROM tp
+  )
+), imn AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT a_id AS doc_id FROM ip UNION ALL SELECT b_id AS doc_id FROM ip
+  )
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS text_exact_dup,
+       CAST(CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS text_near_dup,
+       CAST(CASE WHEN i.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS image_near_dup,
+       CAST(CASE WHEN e.doc_id IS NOT NULL OR t.doc_id IS NOT NULL
+                  OR i.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS any_dup
+FROM documents d
+LEFT JOIN exact e USING (doc_id)
+LEFT JOIN tn t USING (doc_id)
+LEFT JOIN imn i USING (doc_id)
+"""
+
+
 def q_multimodal_resize(spark, sf):
     """Image-resize plumbing (binary in → binary thumbnail out through
     one Arrow-batched ``mapInPandas``) under the exact oracle: the stub
@@ -15305,6 +15396,10 @@ def registry() -> dict[str, tuple]:
         "streaming_image_near_dup": (
             q_streaming_image_near_dup,
             _streaming_image_near_dup_sql(),
+        ),
+        "multimodal_dup_report": (
+            q_multimodal_dup_report,
+            _multimodal_dup_report_sql(),
         ),
         "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
         "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
