@@ -9170,7 +9170,14 @@ def _bpe_ntokens_col(merges) -> Column:
     expression: a higher-order ``aggregate`` over the word array,
     applying the learned merges as chained ``replace``s per word —
     zero UDFs, zero shuffles, runs inside the scan's codegen stage.
-    Shared by ``bpe_token_budget_select`` and ``bpe_sequence_pack``."""
+    Shared by ``bpe_token_budget_select`` and ``bpe_sequence_pack``.
+
+    CEILING (round 10): one ``_bpe_merge_expr`` per merge means the
+    Catalyst tree grows linearly with the vocabulary — this is the
+    ≤``ta.BPE_EXPR_MAX_MERGES`` path only; a production 32k-merge
+    vocab takes ``ta.bpe_ntokens_pandas`` (the Arrow-batched encoder
+    with IDENTICAL bounded-3-pass semantics — equivalence pinned in
+    tests/test_round10_ops.py)."""
     from aprs2influxdb_spark.operators.dedup import tokens_col
     from aprs2influxdb_spark.operators.textanalysis import (
         _bpe_merge_expr,
