@@ -9693,7 +9693,7 @@ WHERE bit_count(xor(l.dhash_h, r.dhash_h))
 """
 
 
-def q_streaming_image_near_dup(spark, sf):
+def q_streaming_image_near_dup(spark, sf, drained: bool = False):
     """The IMAGE near-dup gate AT INGEST (round 10): arriving image
     blobs decode + dHash on the stream (stateless ``mapInPandas``),
     band into the 4×28-bit Hamming-LSH keys, and pass through the
@@ -9704,7 +9704,15 @@ def q_streaming_image_near_dup(spark, sf):
     verification deferred to the batch ``image_near_dup`` pass —
     candidate-gating at ingest, the ``streaming_lsh_near_dup``
     design.  The oracle is the per-bucket min-earlier-doc rule over
-    the closed-form hashes."""
+    the closed-form hashes.
+
+    ``drained=True`` is the state-BOUNDING form, symmetric with
+    ``streaming_lsh_gate_drained`` (the same ``NoTimeout`` state
+    would otherwise grow O(corpus) for the stream's lifetime): images
+    below the median doc_id play the drained previous epoch — their
+    band buckets persisted as a (key, p_first, p_last) index the
+    stream-static join carries — so covered buckets anchor without
+    creating keyed state and state holds only post-drain buckets."""
     from aprs2influxdb_spark.media_store import ensure_image_store
     from aprs2influxdb_spark.streaming.bounded import (
         LSH_GATE_OUTPUT,
@@ -9718,9 +9726,28 @@ def q_streaming_image_near_dup(spark, sf):
     schema = spark.read.parquet(path).schema
     src = spark.readStream.schema(schema).parquet(path)
     fn, out_schema = _image_dhash_mapper()
-    banded = _image_bands(src.mapInPandas(fn, out_schema)).select(
-        "doc_id", "band", F.concat_ws("_", "band", "bkey").alias("key")
-    )
+
+    def bands_of(frame):
+        return _image_bands(frame.mapInPandas(fn, out_schema)).select(
+            "doc_id", "band", F.concat_ws("_", "band", "bkey").alias("key")
+        )
+
+    if drained:
+        batch = spark.read.parquet(path)
+        lo, hi = batch.agg(F.min("doc_id"), F.max("doc_id")).first()
+        split = (int(lo) + int(hi)) // 2
+        index = (
+            bands_of(batch.filter(F.col("doc_id") <= split))
+            .groupBy("key")
+            .agg(
+                F.min("doc_id").alias("p_first"),
+                F.max("doc_id").alias("p_last"),
+            )
+        )
+        src = src.filter(F.col("doc_id") > split)
+    banded = bands_of(src)
+    if drained:
+        banded = banded.join(F.broadcast(index), "key", "left")
     gated = banded.groupBy("key").applyInPandasWithState(
         _lsh_bucket_group,
         LSH_GATE_OUTPUT,
@@ -9734,9 +9761,11 @@ def q_streaming_image_near_dup(spark, sf):
     )
 
 
-def _streaming_image_near_dup_sql() -> str:
+def _streaming_image_near_dup_sql(post_drain_only: bool = False) -> str:
     """Oracle: the closed-form dHash bands, reduced per-doc to the
-    smallest earlier doc sharing any band bucket."""
+    smallest earlier doc sharing any band bucket.  ``post_drain_only``
+    keeps only docs above the median-doc_id drain split (the anchor
+    rule is identical; anchors may point below it)."""
     from aprs2influxdb_spark.media_store import (
         IMG_BUMP_MOD,
         IMG_CLASS_MIN,
@@ -9754,6 +9783,11 @@ def _streaming_image_near_dup_sql() -> str:
 
     lh, rh = luma("(j // 7) * 8 + (j % 7)"), luma("(j // 7) * 8 + (j % 7) + 1")
     lv, rv = luma("(j % 7) * 8 + (j // 7)"), luma("(j % 7) * 8 + (j // 7) + 8")
+    tail = (
+        "WHERE doc_id > (SELECT (min(doc_id) + max(doc_id)) // 2 FROM documents)"
+        if post_drain_only
+        else ""
+    )
     return f"""
 WITH k AS (
   SELECT greatest({IMG_CLASS_MIN}, count(*) // {IMG_CLASS_TARGET}) AS nc FROM documents
@@ -9777,7 +9811,7 @@ WITH k AS (
     ON l.band = r.band AND l.bkey = r.bkey AND r.doc_id < l.doc_id
   GROUP BY l.doc_id
 )
-SELECT doc_id, dup_of, dup_of IS NOT NULL AS is_dup FROM anch
+SELECT doc_id, dup_of, dup_of IS NOT NULL AS is_dup FROM anch {tail}
 """
 
 
@@ -15407,6 +15441,10 @@ def registry() -> dict[str, tuple]:
         "multimodal_dup_report": (
             q_multimodal_dup_report,
             _multimodal_dup_report_sql(),
+        ),
+        "streaming_image_gate_drained": (
+            lambda spark, sf: q_streaming_image_near_dup(spark, sf, drained=True),
+            _streaming_image_near_dup_sql(post_drain_only=True),
         ),
         "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
         "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
