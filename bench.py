@@ -291,6 +291,12 @@ HEADLINE = [
     "image_near_dup",
     "incremental_corpus_update",
     "streaming_corpus_diff",
+    # round-10b: the image-dedup family completed (clusters, ingest
+    # gate + its drained form, the cross-modal verdict table)
+    "image_dup_clusters",
+    "streaming_image_near_dup",
+    "streaming_image_gate_drained",
+    "multimodal_dup_report",
 ]
 
 
