@@ -355,6 +355,52 @@ class TestStreamingCorpusDiffArrival:
         )
 
 
+class TestImageGateDrainedState:
+    """The image gate's drained form must hold state ONLY for band
+    buckets first seen after the drain — the same bound the text gate
+    pins, asserted through the image wiring (which could regress
+    independently of the shared group fn)."""
+
+    def test_state_is_post_drain_buckets_only(self, spark, sf_dir):
+        from aprs2influxdb_spark.media_store import ensure_image_store
+        from aprs2influxdb_spark.queries import (
+            _image_bands,
+            _image_dhash_mapper,
+            q_streaming_image_near_dup,
+        )
+        from aprs2influxdb_spark.streaming import bounded
+
+        rows = q_streaming_image_near_dup(spark, sf_dir, drained=True).collect()
+        assert rows
+        store = spark.read.parquet(ensure_image_store(spark, sf_dir))
+        lo, hi = store.agg(F.min("doc_id"), F.max("doc_id")).first()
+        split = (int(lo) + int(hi)) // 2
+        assert all(r["doc_id"] > split for r in rows)
+        fn, out_schema = _image_dhash_mapper()
+        bands = _image_bands(store.mapInPandas(fn, out_schema)).select(
+            "doc_id", F.concat_ws("_", "band", "bkey").alias("key")
+        )
+        uncovered = (
+            bands.filter(F.col("doc_id") > split)
+            .join(
+                bands.filter(F.col("doc_id") <= split).select("key").distinct(),
+                "key",
+                "left_anti",
+            )
+            .select("key")
+            .distinct()
+            .count()
+        )
+        state_rows = [
+            op["numRowsTotal"]
+            for p in bounded.LAST_BOUNDED_QUERY.recentProgress
+            for op in p.get("stateOperators", [])
+            if op.get("numRowsTotal") is not None
+        ]
+        assert state_rows and state_rows[-1] == uncovered, (state_rows, uncovered)
+        assert state_rows[-1] < bands.select("key").distinct().count()
+
+
 class TestDeltaApply:
     """Verdict-r9 missing #3: ``corpus_diff`` must be CONSUMED.  The
     production form applies the diff to a persisted epoch: retirement
