@@ -450,3 +450,108 @@ def delta_apply(
         )
     )
     return retire.unionByName(screen)
+
+
+def epoch_merge(
+    spark: SparkSession, path: str, out_path: str, diff: DataFrame,
+    new_docs: DataFrame, new_emb: DataFrame | None = None, *,
+    text_col: str = "text", id_col: str = "doc_id",
+    vec_id_col: str = "vec_id", vec_col: str = "embedding",
+    eval_salt: str = "eval",
+) -> None:
+    """The KEYED UPSERT both ``delta_apply`` and ``rescreen_new_batch``
+    defer to (round 10): fold a ``corpus_diff`` report INTO the epoch
+    state, writing the result as a NEW epoch at ``out_path`` — epochs
+    are immutable (crash-safe temp-free swap by directory, the
+    media-store discipline; the caller retires ``path`` when ready).
+
+    - ``removed`` ids: their shingle/band rows are dropped.
+    - ``changed``/``added`` ids: their rows are REPLACED/inserted from
+      ``new_docs``' text, shingled and banded with the epoch's frozen
+      parameters (so every surviving row stays comparable).
+    - ``eval_shingles`` is recomputed from the MERGED shingle table —
+      removal is not expressible as an append (a shingle may have been
+      contributed only by a retired doc), so the registry takes one
+      aggregate over the merged corpus, the natural epoch-cadence
+      cost.
+    - the semantic index keeps the FROZEN centroids/planes (the
+      ``rescreen_new_batch`` precedent — old assignments never shift):
+      removed/changed vec ids drop, and ``new_emb`` (if given) assigns
+      against the frozen centroids.
+
+    The merged lex tables are CONTENT-EQUAL to a from-scratch build
+    over the updated corpus with the same parameters (pinned in
+    tests/test_round10_ops.py) — merging is an optimization, never a
+    semantic fork."""
+    st = load_contamination_state(spark, path)
+    meta = st["meta"]
+    upd = diff.filter(
+        F.col("status").isin("removed", "changed")
+    ).select(id_col)
+    incoming = new_docs.join(
+        diff.filter(F.col("status").isin("added", "changed")).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    add_arr, add_banded = _lsh_index(
+        incoming, text_col, id_col,
+        meta["num_hashes"], meta["bands"], meta["shingle_n"],
+    )
+    arr = (
+        st["shingles"].join(F.broadcast(upd), id_col, "left_anti")
+        .unionByName(add_arr)
+    )
+    banded = (
+        st["lsh_bands"].join(F.broadcast(upd), id_col, "left_anti")
+        .unionByName(add_banded)
+    )
+    n_buckets = meta.get("n_buckets", 0) or 0
+
+    def _write(df: DataFrame, table: str) -> None:
+        if n_buckets > 0:
+            write_bucketed(
+                df, _epoch_table_name(out_path, table), n_buckets,
+                _BUCKET_KEYS[table], path=f"{out_path}/{table}",
+            )
+        else:
+            df.write.mode("overwrite").parquet(f"{out_path}/{table}")
+
+    _write(arr, "shingles")
+    _write(banded, "lsh_bands")
+
+    merged_arr = spark.read.parquet(f"{out_path}/shingles")
+    eval_hash = F.pmod(
+        portable_hash64(
+            F.concat(F.lit(eval_salt + "_"), F.col(id_col).cast("string"))
+        ),
+        F.lit(meta["eval_mod"]),
+    )
+    (
+        merged_arr.filter(eval_hash == 0)
+        .select(F.explode("sh").alias("sh"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(f"{out_path}/eval_shingles")
+    )
+
+    sem = st["semantic_index"].join(
+        F.broadcast(upd.select(F.col(id_col).alias("vec_id"))),
+        "vec_id",
+        "left_anti",
+    )
+    if new_emb is not None:
+        _cent, assign = ivf_assignments(
+            new_emb, id_col=vec_id_col, vec_col=vec_col,
+            centroids=st["centroids"],
+        )
+        sem = sem.unionByName(
+            assign.withColumnRenamed(vec_id_col, "vec_id")
+            .withColumn("bucket", srp_bucket("v", meta["n_planes"], meta["srp_seed"]))
+            .withColumn("nrm", _norm(F.col("v")))
+            .select(*sem.columns)
+        )
+    _write(sem, "semantic_index")
+    st["centroids"].write.mode("overwrite").parquet(f"{out_path}/centroids")
+    spark.read.parquet(f"{path}/meta").write.mode("overwrite").parquet(
+        f"{out_path}/meta"
+    )

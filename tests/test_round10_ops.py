@@ -462,6 +462,83 @@ class TestDeltaApply:
         assert all("Bucketed: true" in s for s in scans), scans
 
 
+class TestEpochMerge:
+    """Round 10: the keyed upsert delta_apply/rescreen_new_batch defer
+    to.  Merging a diff into an epoch must be an OPTIMIZATION, never a
+    semantic fork: the merged lex tables equal a from-scratch build
+    over the updated corpus, and verdicts flip accordingly."""
+
+    def test_merge_equals_from_scratch_and_verdicts_flip(self, spark, tmp_path):
+        from aprs2influxdb_spark.operators.epoch_state import (
+            epoch_merge,
+            load_contamination_state,
+            persist_contamination_state,
+            rescreen_saved,
+        )
+
+        texts = {
+            1: "spark scan column value fast engine plan " * 4,
+            2: "qqq www eee rrr ttt yyy uuu iii ooo ppp " * 3,
+            3: "alpha beta gamma delta epsilon zeta eta theta " * 4,
+            4: "one two three four five six seven eight nine " * 3,
+        }
+        emb_of = lambda i: [float((i * 31 + j * 7) % 11 - 5) for j in range(64)]  # noqa: E731
+        base = spark.createDataFrame(
+            sorted(texts.items()), "doc_id long, text string"
+        )
+        emb = spark.createDataFrame(
+            [(i, emb_of(i)) for i in texts], "vec_id long, embedding array<float>"
+        )
+        a, b, c = (str(tmp_path / p) for p in ("epA", "epB", "epC"))
+        persist_contamination_state(base, emb, a)
+        diff = spark.createDataFrame(
+            [(2, "changed"), (4, "removed"), (5, "added")],
+            "doc_id long, status string",
+        )
+        new_docs = spark.createDataFrame(
+            [
+                (2, texts[3]),  # doc 2's NEW text duplicates doc 3
+                (5, "fresh unseen tokens arrive here now today indeed " * 3),
+            ],
+            "doc_id long, text string",
+        )
+        epoch_merge(spark, a, b, diff, new_docs)
+
+        upd_docs = spark.createDataFrame(
+            [(1, texts[1]), (2, texts[3]), (3, texts[3]),
+             (5, "fresh unseen tokens arrive here now today indeed " * 3)],
+            "doc_id long, text string",
+        )
+        upd_emb = spark.createDataFrame(
+            [(i, emb_of(i)) for i in (1, 2, 3, 5)],
+            "vec_id long, embedding array<float>",
+        )
+        persist_contamination_state(upd_docs, upd_emb, c)
+
+        sb, sc = load_contamination_state(spark, b), load_contamination_state(spark, c)
+
+        def rowset(df, arr_col=None):
+            out = set()
+            for r in df.collect():
+                d = r.asDict()
+                if arr_col:
+                    d[arr_col] = tuple(d[arr_col])
+                out.add(tuple(sorted(d.items())))
+            return out
+
+        assert rowset(sb["shingles"], "sh") == rowset(sc["shingles"], "sh")
+        assert rowset(sb["lsh_bands"]) == rowset(sc["lsh_bands"])
+        assert rowset(sb["eval_shingles"]) == rowset(sc["eval_shingles"])
+
+        # the verdict flips with the merge: doc 2's new text duplicates
+        # doc 3, so the merged epoch flags it; the ORIGINAL epoch must
+        # not (its doc-2 rows still carry the old text)
+        after = rescreen_saved(spark, b, lambda col: col == 2).collect()
+        assert after and after[0]["lex_dup"] == 1
+        before = rescreen_saved(spark, a, lambda col: col == 2).collect()
+        assert before and before[0]["lex_dup"] == 0
+
+
 class TestImageNearDup:
     """Verdict-r9 missing #2: dedup meets multimodal — perceptual
     dHash over the real PNG decode of the persisted image store,
