@@ -502,7 +502,11 @@ class TestEpochMerge:
             ],
             "doc_id long, text string",
         )
-        epoch_merge(spark, a, b, diff, new_docs)
+        new_emb = spark.createDataFrame(
+            [(2, emb_of(2)), (5, emb_of(5))],
+            "vec_id long, embedding array<float>",
+        )
+        epoch_merge(spark, a, b, diff, new_docs, new_emb)
 
         upd_docs = spark.createDataFrame(
             [(1, texts[1]), (2, texts[3]), (3, texts[3]),
@@ -529,6 +533,23 @@ class TestEpochMerge:
         assert rowset(sb["shingles"], "sh") == rowset(sc["shingles"], "sh")
         assert rowset(sb["lsh_bands"]) == rowset(sc["lsh_bands"])
         assert rowset(sb["eval_shingles"]) == rowset(sc["eval_shingles"])
+        # semantic: removed/changed vecs dropped, new vecs assigned
+        # against the FROZEN centroids (the old assignments never shift)
+        merged_vecs = {
+            r["vec_id"]: r for r in sb["semantic_index"].collect()
+        }
+        assert set(merged_vecs) == {1, 2, 3, 5}
+        old_vecs = {
+            r["vec_id"]: r
+            for r in load_contamination_state(spark, a)["semantic_index"].collect()
+        }
+        assert merged_vecs[1]["c_id"] == old_vecs[1]["c_id"]
+        assert merged_vecs[1]["bucket"] == old_vecs[1]["bucket"]
+        # doc 2's vector content is unchanged in this fixture, so the
+        # frozen-centroid re-assignment must land it exactly where the
+        # original build did
+        assert merged_vecs[2]["c_id"] == old_vecs[2]["c_id"]
+        assert merged_vecs[2]["bucket"] == old_vecs[2]["bucket"]
 
         # the verdict flips with the merge: doc 2's new text duplicates
         # doc 3, so the merged epoch flags it; the ORIGINAL epoch must
