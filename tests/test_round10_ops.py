@@ -462,6 +462,28 @@ class TestDeltaApply:
         assert all("Bucketed: true" in s for s in scans), scans
 
 
+class TestIncrementalCorpusUpdatePlan:
+    def test_screen_probe_keys_on_band_digest(self, spark, sf_dir):
+        """The delta screen must pair probe×index on the 16-byte band
+        digest — never all-pairs, and never a join keyed on anything
+        degree-skewed.  (The unchanged mass appears only as the index
+        side of this bucket join; in production it arrives from the
+        persisted bucketed lsh_bands — the delta_apply test pins that
+        side's Bucketed:true scans.)"""
+        import re
+
+        from aprs2influxdb_spark.queries import q_incremental_corpus_update
+
+        plan = (
+            q_incremental_corpus_update(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert re.search(r"Join \[key#\d+\], \[key#\d+\]", plan), plan
+
+
 class TestEpochMerge:
     """Round 10: the keyed upsert delta_apply/rescreen_new_batch defer
     to.  Merging a diff into an epoch must be an OPTIMIZATION, never a

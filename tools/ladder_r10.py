@@ -36,6 +36,11 @@ NAMES = [
     "image_near_dup",
     "incremental_corpus_update",
     "streaming_corpus_diff",
+    # round-10b: the image-dedup family completion
+    "image_dup_clusters",
+    "streaming_image_near_dup",
+    "streaming_image_gate_drained",
+    "multimodal_dup_report",
 ]
 
 
