@@ -8,6 +8,8 @@ operator has an exact oracle twin.
 
 from __future__ import annotations
 
+import heapq
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -1451,8 +1453,6 @@ class _BpeEncoder:
         n = self._cache.get(word)
         if n is not None:
             return n
-        import heapq
-
         r = _BPE_SEP + _BPE_SEP.join(word) + _BPE_SEP
         symset = set(word)
         heap: list[tuple] = []
