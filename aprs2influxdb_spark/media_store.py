@@ -543,6 +543,96 @@ def ensure_image_store(spark: SparkSession, sf_dir: str) -> str:
     return final
 
 
+# ------------------------------------------------- the audio store
+# Round 10: the audio twin of the image store — real PCM16 WAV blobs
+# for audio near-dup, completing the modality set the north star
+# names (text/image/audio).  Same class design as image_luma (triple
+# coprime moduli hold clusters at ~IMG_CLASS_TARGET docs at any
+# scale); the variant bump is RARE (~1 sample in 257) because a
+# bumped sample perturbs its whole frame's energy — the image's
+# 1-in-31 rate would scatter too many fingerprint bits for
+# intra-class pairs to stay under the Hamming threshold.
+
+AUDIO_VERSION = 1
+AUD_SAMPLES = 256  # 64 frames × 4 samples
+AUD_BUMP_MOD = 257  # prime; one bump position per variant
+AUD_HAMMING_TAU = 16  # over the 126-bit energy+peak gradient hash
+
+
+def audio_sample(d: int, nc: int, i: int) -> int:
+    """Int16 sample ``i`` of doc ``d``'s clip — mirrored verbatim in
+    the ``audio_near_dup`` oracle SQL."""
+    c, v = d % nc, d // nc
+    base = (
+        (c % 199) * (i + 3) + (c % 193) * (i * i + 1) + (c % 191) * ((i * i * i) % 97)
+    ) % 1024 - 512
+    return base + (256 if (i * 31 + v * 7) % AUD_BUMP_MOD == 0 else 0)
+
+
+def synth_audio_wav(d: int, nc: int) -> bytes:
+    from aprs2influxdb_spark.functions.wav import encode_wav_pcm16
+
+    return encode_wav_pcm16([audio_sample(d, nc, i) for i in range(AUD_SAMPLES)])
+
+
+def audio_store_path(sf_dir: str) -> str:
+    return os.path.join(
+        _cache_root(), f"aud{AUDIO_VERSION}-{_sf_key(sf_dir)}", "audio"
+    )
+
+
+def ensure_audio_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) and return the audio blob store — (doc_id, wav)
+    parquet, decode-roundtrip hard-asserted per blob; idempotent,
+    atomic (the ``ensure_image_store`` discipline)."""
+    final = audio_store_path(sf_dir)
+    if os.path.exists(os.path.join(final, "_SUCCESS")):
+        return final
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id"
+    )
+    nc = image_classes_for(docs.count())
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("wav", BinaryType(), False),
+        ]
+    )
+
+    def _gen(batches):
+        import pandas as pd
+
+        from aprs2influxdb_spark.functions.wav import decode_wav_pcm16
+
+        for pdf_in in batches:
+            rows = []
+            for doc_id in pdf_in["doc_id"]:
+                d = int(doc_id)
+                blob = synth_audio_wav(d, nc)
+                _rate, ch, samples = decode_wav_pcm16(blob)
+                assert ch == 1 and samples == [
+                    audio_sample(d, nc, i) for i in range(AUD_SAMPLES)
+                ]
+                rows.append((d, blob))
+            yield pd.DataFrame(rows, columns=["doc_id", "wav"])
+
+    par = spark.sparkContext.defaultParallelism
+    tmp = f"{final}.tmp{os.getpid()}"
+    docs.repartition(par, "doc_id").mapInPandas(_gen, schema).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(os.path.join(final, "_SUCCESS")):
+            raise
+    return final
+
+
 def ensure_media(spark: SparkSession, sf_dir: str) -> str:
     """Build (once) and return the media parquet path for ``sf_dir``.
     Idempotent; atomic via temp-dir + rename; parallel via Spark."""

@@ -9856,6 +9856,170 @@ SELECT vid AS doc_id, min(label) AS cluster_id FROM reach GROUP BY vid
 """
 
 
+def _audio_fp_mapper():
+    """(doc_id, wav blob) → (doc_id, ehash, mhash): stdlib PCM16
+    decode then the acoustic fingerprint — 63 frame-ENERGY gradient
+    bits (bit f set when Σ|s| of frame f exceeds frame f+1's) and 63
+    frame-PEAK gradient bits, over 64 four-sample frames.  126 bits
+    total: the audio twin of the image dHash, same band geometry."""
+    from pyspark.sql.types import LongType as _Long, StructField as _SF, StructType as _ST
+
+    out_schema = _ST(
+        [
+            _SF("doc_id", _Long(), False),
+            _SF("ehash", _Long(), False),
+            _SF("mhash", _Long(), False),
+        ]
+    )
+
+    def fn(batches):
+        import pandas as pd
+
+        from aprs2influxdb_spark.functions.wav import decode_wav_pcm16
+        from aprs2influxdb_spark.media_store import AUD_SAMPLES
+
+        n_frames = AUD_SAMPLES // 4
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["wav"]):
+                _rate, ch, s = decode_wav_pcm16(bytes(blob))
+                if ch != 1 or len(s) != AUD_SAMPLES:
+                    raise ValueError("audio store blob is not a 256-sample mono clip")
+                e = [sum(abs(x) for x in s[4 * f : 4 * f + 4]) for f in range(n_frames)]
+                m = [max(s[4 * f : 4 * f + 4]) for f in range(n_frames)]
+                eh = mh = 0
+                for f in range(n_frames - 1):
+                    if e[f] > e[f + 1]:
+                        eh |= 1 << f
+                    if m[f] > m[f + 1]:
+                        mh |= 1 << f
+                rows.append((int(doc_id), eh, mh))
+            yield pd.DataFrame(rows, columns=["doc_id", "ehash", "mhash"])
+
+    return fn, out_schema
+
+
+def q_audio_near_dup(spark, sf):
+    """AUDIO near-duplicate detection (round 10 — the third modality
+    of the dedup ladder, beside text MinHash and image dHash): an
+    acoustic fingerprint over the REAL stdlib PCM16 decode of the
+    persisted WAV store (``media_store.ensure_audio_store``),
+    Hamming-bucket LSH, exact Hamming verification — the exact plan
+    shape of ``image_near_dup`` (one shuffle-free decode pass, a
+    checkpoint barrier, the (band, bkey)-keyed pair join, native
+    ``bit_count(xor)``), with the same linear pair-volume guarantees
+    (triple-moduli class design, 2³¹⁺-wide band keys).  The oracle
+    recomputes sample → frame energy/peak → gradient bits → bands →
+    pair rule closed-form."""
+    from aprs2influxdb_spark.media_store import AUD_HAMMING_TAU, ensure_audio_store
+
+    fn, out_schema = _audio_fp_mapper()
+    hashed = (
+        spark.read.parquet(ensure_audio_store(spark, sf))
+        .mapInPandas(fn, out_schema)
+        .localCheckpoint()  # decode once; both pair sides reuse it
+    )
+    bands = hashed.select(
+        "doc_id",
+        "ehash",
+        "mhash",
+        F.explode(F.expr("array(0, 1, 2, 3)")).alias("band"),
+    ).withColumn(
+        "bkey",
+        F.expr(
+            "CASE WHEN band = 0 THEN ehash & 4294967295"
+            " WHEN band = 1 THEN shiftright(ehash, 32)"
+            " WHEN band = 2 THEN mhash & 4294967295"
+            " ELSE shiftright(mhash, 32) END"
+        ),
+    )
+    left = bands.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("ehash").alias("le"),
+        F.col("mhash").alias("lm"),
+        "band",
+        "bkey",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("ehash").alias("re"),
+        F.col("mhash").alias("rm"),
+        "band",
+        "bkey",
+    )
+    return (
+        left.join(right, ["band", "bkey"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.bit_count(F.expr("le ^ re")) + F.bit_count(F.expr("lm ^ rm"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= AUD_HAMMING_TAU)
+        .distinct()
+    )
+
+
+def _audio_near_dup_sql() -> str:
+    """Oracle: the sample closed form (media_store.audio_sample,
+    verbatim) aggregated to frame energy/peak, gradient-bit packed,
+    banded, paired."""
+    from aprs2influxdb_spark.media_store import (
+        AUD_BUMP_MOD,
+        AUD_HAMMING_TAU,
+        AUD_SAMPLES,
+        IMG_CLASS_MIN,
+        IMG_CLASS_TARGET,
+    )
+
+    s_expr = (
+        "(((((doc_id % nc) % 199) * (i + 3)"
+        " + ((doc_id % nc) % 193) * (i * i + 1)"
+        " + ((doc_id % nc) % 191) * ((i * i * i) % 97)) % 1024) - 512"
+        f" + CASE WHEN ((i * 31 + (doc_id // nc) * 7) % {AUD_BUMP_MOD}) = 0"
+        " THEN 256 ELSE 0 END)"
+    )
+    return f"""
+WITH k AS (
+  SELECT greatest({IMG_CLASS_MIN}, count(*) // {IMG_CLASS_TARGET}) AS nc FROM documents
+), s AS (
+  SELECT doc_id, i, {s_expr} AS smp
+  FROM (SELECT doc_id, unnest(range(0, {AUD_SAMPLES})) AS i FROM documents), k
+), fr AS (
+  SELECT doc_id, i // 4 AS f,
+         CAST(sum(abs(smp)) AS BIGINT) AS e,
+         CAST(max(smp) AS BIGINT) AS m
+  FROM s GROUP BY doc_id, i // 4
+), nx AS (
+  SELECT a.doc_id,
+         CASE WHEN a.e > b.e THEN 1::BIGINT << a.f ELSE 0::BIGINT END AS ebit,
+         CASE WHEN a.m > b.m THEN 1::BIGINT << a.f ELSE 0::BIGINT END AS mbit
+  FROM fr a JOIN fr b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+), h AS (
+  SELECT doc_id, CAST(sum(ebit) AS BIGINT) AS ehash,
+         CAST(sum(mbit) AS BIGINT) AS mhash
+  FROM nx GROUP BY doc_id
+), b AS (
+  SELECT doc_id, ehash, mhash, unnest(range(0, 4)) AS band FROM h
+), kb AS (
+  SELECT doc_id, ehash, mhash, band,
+         CASE WHEN band = 0 THEN ehash & 4294967295
+              WHEN band = 1 THEN ehash >> 32
+              WHEN band = 2 THEN mhash & 4294967295
+              ELSE mhash >> 32 END AS bkey
+  FROM b
+)
+SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
+       CAST(bit_count(xor(l.ehash, r.ehash))
+            + bit_count(xor(l.mhash, r.mhash)) AS INT) AS hamming
+FROM kb l JOIN kb r ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.ehash, r.ehash))
+      + bit_count(xor(l.mhash, r.mhash)) <= {AUD_HAMMING_TAU}
+"""
+
+
 def q_multimodal_dup_report(spark, sf):
     """The CROSS-MODAL duplication verdict table (round 10 capstone of
     'dedup meets multimodal'): per document, three independent
@@ -15442,6 +15606,7 @@ def registry() -> dict[str, tuple]:
             q_multimodal_dup_report,
             _multimodal_dup_report_sql(),
         ),
+        "audio_near_dup": (q_audio_near_dup, _audio_near_dup_sql()),
         "streaming_image_gate_drained": (
             lambda spark, sf: q_streaming_image_near_dup(spark, sf, drained=True),
             _streaming_image_near_dup_sql(post_drain_only=True),

@@ -484,6 +484,51 @@ class TestIncrementalCorpusUpdatePlan:
         assert re.search(r"Join \[key#\d+\], \[key#\d+\]", plan), plan
 
 
+class TestAudioNearDup:
+    """Round 10: the third modality of the dedup ladder.  The
+    fingerprint mapper must match the closed form through the real
+    WAV codec, and the pair stage must key on band buckets."""
+
+    def test_fingerprint_matches_closed_form(self):
+        import pandas as pd
+
+        from aprs2influxdb_spark.media_store import (
+            AUD_SAMPLES,
+            audio_sample,
+            synth_audio_wav,
+        )
+        from aprs2influxdb_spark.queries import _audio_fp_mapper
+
+        nc = 17
+        fn, _schema = _audio_fp_mapper()
+        docs = [0, 1, 42, 400]
+        pdf = pd.DataFrame(
+            {"doc_id": docs, "wav": [synth_audio_wav(d, nc) for d in docs]}
+        )
+        out = pd.concat(list(fn(iter([pdf])))).set_index("doc_id")
+        for d in docs:
+            s = [audio_sample(d, nc, i) for i in range(AUD_SAMPLES)]
+            e = [sum(abs(x) for x in s[4 * f : 4 * f + 4]) for f in range(64)]
+            m = [max(s[4 * f : 4 * f + 4]) for f in range(64)]
+            eh = sum(1 << f for f in range(63) if e[f] > e[f + 1])
+            mh = sum(1 << f for f in range(63) if m[f] > m[f + 1])
+            assert (out.loc[d, "ehash"], out.loc[d, "mhash"]) == (eh, mh)
+
+    def test_pair_stage_keys_on_band_buckets(self, spark, sf_dir):
+        import re
+
+        from aprs2influxdb_spark.queries import q_audio_near_dup
+
+        plan = (
+            q_audio_near_dup(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert re.search(r"Join \[band#\d+, bkey#\d+L?\]", plan), plan
+
+
 class TestEpochMerge:
     """Round 10: the keyed upsert delta_apply/rescreen_new_batch defer
     to.  Merging a diff into an epoch must be an OPTIMIZATION, never a
