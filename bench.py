@@ -297,6 +297,8 @@ HEADLINE = [
     "streaming_image_near_dup",
     "streaming_image_gate_drained",
     "multimodal_dup_report",
+    # round-10c: the audio modality of the dedup ladder
+    "audio_near_dup",
 ]
 
 
@@ -337,6 +339,7 @@ def main() -> None:
     # build the media-blob side tables OUTSIDE the timed region: codec
     # entries measure decode, not the one-time corpus synthesis (r8)
     from aprs2influxdb_spark.media_store import (
+        ensure_audio_store,
         ensure_crawl_files,
         ensure_domain_dim,
         ensure_image_store,
@@ -351,6 +354,7 @@ def main() -> None:
     ensure_domain_dim(spark, sf_dir)
     ensure_prev_snapshot(spark, sf_dir)
     ensure_image_store(spark, sf_dir)
+    ensure_audio_store(spark, sf_dir)
 
     times: dict[str, float] = {}
     for name in headline:

@@ -41,6 +41,8 @@ NAMES = [
     "streaming_image_near_dup",
     "streaming_image_gate_drained",
     "multimodal_dup_report",
+    # round-10c: the audio modality
+    "audio_near_dup",
 ]
 
 
@@ -74,6 +76,10 @@ def main():
             from aprs2influxdb_spark.media_store import ensure_prev_snapshot
 
             ensure_prev_snapshot(spark, sf_dir)
+        if "audio_near_dup" in names:
+            from aprs2influxdb_spark.media_store import ensure_audio_store
+
+            ensure_audio_store(spark, sf_dir)
         print(
             f"[prep] {sf_dir}: ready ({time.perf_counter() - t0:.1f}s, untimed)",
             flush=True,
