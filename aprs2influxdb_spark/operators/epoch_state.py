@@ -409,10 +409,33 @@ def delta_apply(
     retired id, one ``screen`` row per added doc."""
     st = load_contamination_state(spark, path)
     meta = st["meta"]
+    # evaluate the (lazy, possibly nondeterministic) diff exactly ONCE:
+    # the tombstone write and the returned retire/screen rows must come
+    # from the same materialization (ADVICE r10 — a re-evaluated diff
+    # could tombstone one id set and report another)
+    diff = diff.localCheckpoint()
     retire_ids = diff.filter(
         F.col("status").isin("removed", "changed")
     ).select(id_col)
-    retire_ids.write.mode("append").parquet(f"{path}/retired")
+    # the tombstone append goes through the temp-dir+rename discipline
+    # every other epoch/media write uses: the batch lands as ONE part
+    # file (id-only — tiny next to the index) renamed atomically into
+    # the tombstone dir.  A failed or retried call leaves only an
+    # ignored .tmp sibling, never a partial batch; a retried SUCCESS
+    # merely duplicates ids, which every reader collapses via
+    # distinct().
+    import shutil
+    import uuid
+
+    tmp = f"{path}/retired.tmp{os.getpid()}-{uuid.uuid4().hex}"
+    retire_ids.coalesce(1).write.mode("overwrite").parquet(tmp)
+    os.makedirs(f"{path}/retired", exist_ok=True)
+    part = next(p for p in os.listdir(tmp) if p.startswith("part-"))
+    os.rename(
+        os.path.join(tmp, part),
+        os.path.join(path, "retired", f"batch-{uuid.uuid4().hex}.parquet"),
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
     retired = spark.read.parquet(f"{path}/retired").distinct()
     arr = st["shingles"].join(F.broadcast(retired), id_col, "left_anti")
     banded = st["lsh_bands"].join(F.broadcast(retired), id_col, "left_anti")

@@ -1505,16 +1505,21 @@ def bpe_ntokens_pandas(
     def fn(batches):
         enc = _BpeEncoder(frozen)  # word cache lives across the task's batches
         for pdf in batches:
+            # null text propagates as NULL — the expression path
+            # (_bpe_ntokens_col: size(filter(split(lower(text))...)))
+            # yields NULL for null text, and the two encoder paths
+            # share one oracle, so mapping null to 0 here would
+            # silently diverge them on a corpus containing null text
             counts = [
                 sum(enc.ntokens(w) for w in t.lower().split(" ") if w)
                 if t is not None
-                else 0
+                else None
                 for t in pdf[text_col]
             ]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].astype("int64"),
-                    "n_tokens": pd.array(counts, dtype="int64"),
+                    "n_tokens": pd.array(counts, dtype="Int64"),
                 }
             )
 

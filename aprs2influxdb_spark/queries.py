@@ -8462,18 +8462,23 @@ def _range_bucket(
         if part_cols
         else d.crossJoin(F.broadcast(span))
     )
-    # the multiply runs in decimal(38,0): a key span approaching 2^63/B
-    # would wrap int64 silently (non-ANSI), breaking bucket monotonicity
-    # with no error — and this is a shared primitive whose future call
-    # sites won't revisit the bound.  The quotient itself is < B, so the
-    # div's long result can never wrap.  Empty input (a span row of
-    # nulls) coalesces to bucket 0 rather than propagating null buckets
-    # into downstream joins.
+    # every subtraction runs in decimal(38,0) — _k and _mn are cast
+    # INDIVIDUALLY before subtracting (likewise the span divisor), so a
+    # key SPAN ≥ 2^63 (large-negative min with large-positive max:
+    # signed-hash or micro-score keys near the limits) cannot wrap
+    # int64 silently (non-ANSI) before the widening reaches it.  This
+    # is a shared primitive whose future call sites won't revisit the
+    # bound.  The quotient itself is < B, so the div's long result can
+    # never wrap.  Empty input (a span row of nulls) coalesces to
+    # bucket 0 rather than propagating null buckets into downstream
+    # joins.
     return joined.withColumn(
         "bucket",
         F.coalesce(
             F.expr(
-                f"(cast(_k - _mn as decimal(38,0)) * {B}) div (_mx - _mn + 1)"
+                f"((cast(_k as decimal(38,0)) - cast(_mn as decimal(38,0)))"
+                f" * {B}) div"
+                f" (cast(_mx as decimal(38,0)) - cast(_mn as decimal(38,0)) + 1)"
             ),
             F.lit(0),
         ),
@@ -9431,14 +9436,17 @@ def q_model_calibration(spark, sf):
     )
     span = per_score.agg(F.min("s").alias("mn"), F.max("s").alias("mx"))
     dec = "decimal(38,0)"
-    # the bin multiply shares the round's DECIMAL overflow discipline:
-    # micro-scores near |s|≈9.2×10¹⁷ would wrap (s - mn) * 10 in int64;
-    # the quotient is < 10 so the div's long result is always safe
+    # the bin arithmetic shares the round's DECIMAL overflow
+    # discipline: s and mn are cast individually (likewise the span
+    # divisor) so a score SPAN ≥ 2^63 — not just the operands — cannot
+    # wrap int64 before the widening; the quotient is < 10 so the
+    # div's long result is always safe
     binned = per_score.crossJoin(F.broadcast(span)).withColumn(
         "bin",
-        F.expr("(cast(s - mn as decimal(38,0)) * 10) div (mx - mn + 1)").cast(
-            "int"
-        ),
+        F.expr(
+            "((cast(s as decimal(38,0)) - cast(mn as decimal(38,0))) * 10)"
+            " div (cast(mx as decimal(38,0)) - cast(mn as decimal(38,0)) + 1)"
+        ).cast("int"),
     )
     return (
         binned.groupBy("bin")
@@ -9478,7 +9486,8 @@ per_doc AS (
 ), span AS (
   SELECT min(s) AS mn, max(s) AS mx FROM per_score
 ), binned AS (
-  SELECT CAST((CAST(s - mn AS HUGEINT) * 10) // (mx - mn + 1) AS INTEGER) AS bin, cnt, s, pos
+  SELECT CAST(((CAST(s AS HUGEINT) - CAST(mn AS HUGEINT)) * 10)
+              // (CAST(mx AS HUGEINT) - CAST(mn AS HUGEINT) + 1) AS INTEGER) AS bin, cnt, s, pos
   FROM per_score, span
 )
 SELECT bin,
@@ -9711,8 +9720,9 @@ def q_streaming_image_near_dup(spark, sf, drained: bool = False):
     would otherwise grow O(corpus) for the stream's lifetime): images
     below the median doc_id play the drained previous epoch — their
     band buckets persisted as a (key, p_first, p_last) index the
-    stream-static join carries — so covered buckets anchor without
-    creating keyed state and state holds only post-drain buckets."""
+    stream-static join carries — so covered buckets anchor from the
+    persisted min (keeping only the minimal ordered-ingest watermark)
+    and state holds only buckets touched post-drain."""
     from aprs2influxdb_spark.media_store import ensure_image_store
     from aprs2influxdb_spark.streaming.bounded import (
         LSH_GATE_OUTPUT,

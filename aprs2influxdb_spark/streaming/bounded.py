@@ -855,12 +855,17 @@ def _lsh_bucket_group(
     if p_first is not None:
         # the persisted index already holds this bucket's global min:
         # ordered ingest means no future arrival can lower it, so every
-        # arriving doc anchors to it and the bucket needs NO keyed state
-        # — drop any hot-window row (this is the drain: state stays
-        # O(post-drain window), not O(corpus))
+        # arriving doc anchors to it.  The bucket keeps a MINIMAL
+        # watermark — (anchor, max_seen) — rather than dropping state
+        # entirely (ADVICE r10): without it the ordered-ingest check
+        # resets to the index's p_last every batch, so a doc_id
+        # regression BETWEEN two post-drain batches in a covered bucket
+        # would pass undetected.  The state bound is unchanged in
+        # class: rows exist only for buckets actually TOUCHED after the
+        # drain — O(post-drain window), never O(corpus) (buckets the
+        # index covers but the stream never revisits hold nothing).
         anchor = min(p_first, first)
-        if existed:
-            state.remove()
+        state.update((anchor, int(pdf["doc_id"].iloc[-1])))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].astype("int64"),
@@ -953,12 +958,14 @@ def streaming_lsh_near_dup(
     into the persisted gate index (``lsh_gate_index`` — the
     ``epoch_state`` persisted-bucketed-probe discipline), the stream
     carries only post-drain arrivals, and each banded row
-    stream-static-joins the index so covered buckets anchor WITHOUT
-    creating keyed state (and release any they held).  State therefore
-    holds only band buckets first seen after the drain — O(window),
-    re-drainable on the next cycle — while the anchor rule stays
-    exactly the batch oracle's (ordered ingest means a drained
-    bucket's min can never be lowered by a later arrival)."""
+    stream-static-joins the index so covered buckets anchor from the
+    persisted min, retaining only a MINIMAL (anchor, max_seen)
+    watermark so the ordered-ingest check survives between post-drain
+    batches (ADVICE r10).  State therefore holds only band buckets
+    TOUCHED after the drain — O(window), re-drainable on the next
+    cycle — while the anchor rule stays exactly the batch oracle's
+    (ordered ingest means a drained bucket's min can never be lowered
+    by a later arrival)."""
     from aprs2influxdb_spark.functions.hashing import hashed_shingles
     from aprs2influxdb_spark.operators.dedup import (
         _signatures_from_shingles,

@@ -207,7 +207,9 @@ class TestLshGateDrainedState:
         # a post-drain pair anchors via hot-window state
         assert rows[6]["dup_of"] == 4 and rows[6]["is_dup"]
         assert rows[4]["dup_of"] is None and not rows[4]["is_dup"]
-        # state bound: exactly the post-drain-only buckets, nothing else
+        # state bound: exactly the buckets TOUCHED post-drain (covered
+        # ones hold the minimal watermark, untouched covered buckets
+        # hold nothing) — O(window), never O(corpus)
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         banded = banded_keys(
             _signatures_from_shingles(
@@ -221,16 +223,8 @@ class TestLshGateDrainedState:
             16,
             4,
         )
-        uncovered = (
-            banded.filter(F.col("doc_id") > 3)
-            .join(
-                bounded.lsh_gate_index(docs.filter(F.col("doc_id") <= 3)),
-                "key",
-                "left_anti",
-            )
-            .select("key")
-            .distinct()
-            .count()
+        touched = (
+            banded.filter(F.col("doc_id") > 3).select("key").distinct().count()
         )
         all_buckets = banded.select("key").distinct().count()
         state_rows = [
@@ -240,10 +234,10 @@ class TestLshGateDrainedState:
             if op.get("numRowsTotal") is not None
         ]
         assert state_rows, "no state metrics in progress"
-        assert state_rows[-1] == uncovered, (state_rows, uncovered)
+        assert state_rows[-1] == touched, (state_rows, touched)
         assert state_rows[-1] < all_buckets  # O(window), not O(corpus)
 
-    def test_covered_bucket_releases_state_and_keeps_contract(self):
+    def test_covered_bucket_keeps_watermark_and_contract(self):
         import pandas as pd
 
         from aprs2influxdb_spark.streaming import bounded
@@ -267,7 +261,10 @@ class TestLshGateDrainedState:
 
         # a hot-window row exists (doc 9); the drain has since covered
         # the bucket (p_first=2, p_last=7): doc 10 anchors to 2 and the
-        # state row is released
+        # bucket retains a MINIMAL watermark (anchor, max_seen) so the
+        # ordered-ingest check survives between post-drain batches
+        # (ADVICE r10: releasing state entirely reset the check to
+        # p_last every batch)
         st = FakeState((9, 9))
         pdf = pd.DataFrame(
             {
@@ -279,13 +276,21 @@ class TestLshGateDrainedState:
             }
         )
         out = pd.concat(list(bounded._lsh_bucket_group(("k",), iter([pdf]), st)))
-        assert list(out["anchor"]) == [2] and st.removed
+        assert list(out["anchor"]) == [2] and not st.removed
+        assert st.updated == (2, 10)
         # the persisted watermark extends the ordered-ingest contract:
         # an arrival at or below p_last raises the dead-letter error
         st2 = FakeState()
         pdf2 = pdf.assign(doc_id=[7])
         with pytest.raises(ValueError, match="out-of-order"):
             list(bounded._lsh_bucket_group(("k",), iter([pdf2]), st2))
+        # the RETAINED watermark catches a regression BETWEEN two
+        # post-drain batches (doc 8 after doc 10), which p_last=7 alone
+        # would have let through
+        st3 = FakeState((2, 10))
+        pdf3 = pdf.assign(doc_id=[8])
+        with pytest.raises(ValueError, match="out-of-order"):
+            list(bounded._lsh_bucket_group(("k",), iter([pdf3]), st3))
 
 
 class TestStreamingCorpusDiffArrival:
@@ -357,9 +362,10 @@ class TestStreamingCorpusDiffArrival:
 
 class TestImageGateDrainedState:
     """The image gate's drained form must hold state ONLY for band
-    buckets first seen after the drain — the same bound the text gate
-    pins, asserted through the image wiring (which could regress
-    independently of the shared group fn)."""
+    buckets TOUCHED after the drain (covered buckets keep the minimal
+    watermark; untouched covered buckets hold nothing) — the same
+    bound the text gate pins, asserted through the image wiring (which
+    could regress independently of the shared group fn)."""
 
     def test_state_is_post_drain_buckets_only(self, spark, sf_dir):
         from aprs2influxdb_spark.media_store import ensure_image_store
@@ -380,16 +386,8 @@ class TestImageGateDrainedState:
         bands = _image_bands(store.mapInPandas(fn, out_schema)).select(
             "doc_id", F.concat_ws("_", "band", "bkey").alias("key")
         )
-        uncovered = (
-            bands.filter(F.col("doc_id") > split)
-            .join(
-                bands.filter(F.col("doc_id") <= split).select("key").distinct(),
-                "key",
-                "left_anti",
-            )
-            .select("key")
-            .distinct()
-            .count()
+        touched = (
+            bands.filter(F.col("doc_id") > split).select("key").distinct().count()
         )
         state_rows = [
             op["numRowsTotal"]
@@ -397,7 +395,7 @@ class TestImageGateDrainedState:
             for op in p.get("stateOperators", [])
             if op.get("numRowsTotal") is not None
         ]
-        assert state_rows and state_rows[-1] == uncovered, (state_rows, uncovered)
+        assert state_rows and state_rows[-1] == touched, (state_rows, touched)
         assert state_rows[-1] < bands.select("key").distinct().count()
 
 
