@@ -9743,21 +9743,31 @@ def q_streaming_image_near_dup(spark, sf, drained: bool = False):
         )
 
     if drained:
+        from aprs2influxdb_spark.media_store import IMAGE_VERSION, _sf_key
+        from aprs2influxdb_spark.streaming.bounded import (
+            persist_gate_index,
+            probe_gate_index,
+        )
+
         batch = spark.read.parquet(path)
         lo, hi = batch.agg(F.min("doc_id"), F.max("doc_id")).first()
         split = (int(lo) + int(hi)) // 2
-        index = (
+        index = persist_gate_index(
+            spark,
             bands_of(batch.filter(F.col("doc_id") <= split))
             .groupBy("key")
             .agg(
                 F.min("doc_id").alias("p_first"),
                 F.max("doc_id").alias("p_last"),
-            )
+            ),
+            # the index derives from the image STORE, so its cache key
+            # carries the store's version: a store rev invalidates it
+            f"img{IMAGE_VERSION}-{_sf_key(sf)}",
         )
         src = src.filter(F.col("doc_id") > split)
     banded = bands_of(src)
     if drained:
-        banded = banded.join(F.broadcast(index), "key", "left")
+        banded = probe_gate_index(banded, index)
     gated = banded.groupBy("key").applyInPandasWithState(
         _lsh_bucket_group,
         LSH_GATE_OUTPUT,
