@@ -1974,16 +1974,39 @@ def q_streaming_lsh_gate_drained(spark, sf):
     return streaming_lsh_near_dup(spark, sf, drained=True)
 
 
+GATE_CYCLES = 3
+
+
+def q_streaming_lsh_gate_cycle(spark, sf):
+    """The LSH ingest gate's drain run as a repeatable CYCLE (round
+    11, verdict-r10 item 2): three stream→drain→resume rounds over the
+    same corpus — each interval streams against the persisted bucketed
+    index of everything before it, folds its buckets in
+    (``bounded.merge_gate_index``), and hands the next interval an
+    EMPTIED state store.  Anchors equal the plain gate's rule across
+    every cycle boundary, so the oracle is the drained gate's SQL with
+    the first boundary at ``min + (max - min) // (cycles + 1)``."""
+    from aprs2influxdb_spark.streaming.bounded import streaming_lsh_gate_cycle
+
+    return streaming_lsh_gate_cycle(spark, sf, cycles=GATE_CYCLES)
+
+
 def _lsh_near_dup_sql(
-    num_hashes: int = 16, bands: int = 4, post_drain_only: bool = False
+    num_hashes: int = 16,
+    bands: int = 4,
+    post_drain_only: bool = False,
+    drain_denominator: int = 2,
 ) -> str:
     """The gate's anchor rule in closed form: per doc, the smallest
     earlier doc sharing ANY band bucket (the same banded CTE as
     ``_minhash_lsh_sql``, reduced per-doc instead of per-pair).
-    ``post_drain_only`` keeps only docs above the median-doc_id drain
-    split (the ``streaming_lsh_gate_drained`` phase boundary) — the
-    anchor rule itself is identical, anchors may point below the
-    split."""
+    ``post_drain_only`` keeps only docs above the FIRST drain boundary
+    ``min + (max - min) // drain_denominator`` — the
+    ``streaming_lsh_gate_drained`` median split at the default
+    denominator 2, the cycle's first boundary at ``cycles + 1`` — the
+    anchor rule itself is identical regardless of how many drains
+    follow (a drained bucket's min can never be lowered), anchors may
+    point below the split."""
     rpb = num_hashes // bands
     band_keys = ", ".join(
         "md5(concat_ws('_', "
@@ -1994,7 +2017,8 @@ def _lsh_near_dup_sql(
         for b in range(bands)
     )
     tail = (
-        "WHERE doc_id > (SELECT (min(doc_id) + max(doc_id)) // 2 FROM documents)"
+        "WHERE doc_id > (SELECT min(doc_id) + (max(doc_id) - min(doc_id)) "
+        f"// {drain_denominator} FROM documents)"
         if post_drain_only
         else ""
     )
@@ -15579,6 +15603,12 @@ def registry() -> dict[str, tuple]:
         "streaming_lsh_gate_drained": (
             q_streaming_lsh_gate_drained,
             _lsh_near_dup_sql(post_drain_only=True),
+        ),
+        "streaming_lsh_gate_cycle": (
+            q_streaming_lsh_gate_cycle,
+            _lsh_near_dup_sql(
+                post_drain_only=True, drain_denominator=GATE_CYCLES + 1
+            ),
         ),
         "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
         "streaming_mixture_sample": (q_streaming_mixture_sample, SQL_MIXTURE_SAMPLE),

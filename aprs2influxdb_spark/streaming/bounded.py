@@ -1015,6 +1015,117 @@ def probe_gate_index(
     return banded.join(index.hint("merge"), "key", "left")
 
 
+def merge_gate_index(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold a freshly-drained segment's bucket aggregate into an
+    existing gate index — the ``epoch_merge`` rule keyed on the band
+    bucket: min of firsts, max of lasts.  CONTENT-EQUAL to a
+    from-scratch ``lsh_gate_index`` over the union corpus (pinned in
+    tests/test_round11_ops.py) — merging is an optimization over the
+    O(index + segment) inputs, never a semantic fork."""
+    return (
+        a.unionByName(b)
+        .groupBy("key")
+        .agg(F.min("p_first").alias("p_first"), F.max("p_last").alias("p_last"))
+    )
+
+
+#: final state-store row count per cycle of the most recent
+#: ``streaming_lsh_gate_cycle`` run — tests assert each entry is the
+#: cycle's OWN touched-bucket count (state resets at every drain)
+GATE_CYCLE_STATE_ROWS: list[int] = []
+
+
+def streaming_lsh_gate_cycle(
+    spark: SparkSession, sf_dir: str, cycles: int = 3
+) -> DataFrame:
+    """The drain as a repeatable CYCLE, not a one-shot fixture (round
+    11, verdict-r10 item 2): the corpus's doc_id span is cut into
+    ``cycles + 1`` intervals — interval 0 plays the already-drained
+    first epoch; each later interval streams through the LSH gate
+    probing the PERSISTED bucketed index of everything before it, then
+    drains: the segment's bucket aggregate ``merge_gate_index``-folds
+    into the index, the checkpoint retires, and the next interval
+    resumes with EMPTIED keyed state.  This is the production
+    compaction loop (pause → fold state into the index → resume): each
+    cycle's state holds only the buckets that interval touched —
+    measured per-cycle in ``GATE_CYCLE_STATE_ROWS`` — so state returns
+    to O(window) after EVERY drain, indefinitely.
+
+    Anchors stay exactly the batch rule across every cycle boundary
+    (ordered ingest: a drained bucket's min can never be lowered), so
+    the oracle is the plain gate's SQL restricted to docs above the
+    FIRST boundary — one closed form regardless of cycle count.  Why a
+    keyed-state export isn't used for the fold: Spark's state store is
+    not batch-readable; production folds from the drained interval's
+    persisted bronze arrivals, which is what ``lsh_gate_index`` over
+    the interval computes."""
+    from aprs2influxdb_spark.functions.hashing import hashed_shingles
+    from aprs2influxdb_spark.media_store import _sf_key
+    from aprs2influxdb_spark.operators.dedup import (
+        _signatures_from_shingles,
+        banded_keys,
+        tokens_col,
+    )
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lo, hi = batch.agg(F.min("doc_id"), F.max("doc_id")).first()
+    lo, hi = int(lo), int(hi)
+    # oracle mirrors bounds[0]; note lo + (hi-lo)//2 == (lo+hi)//2, so
+    # cycles=1 degenerates to streaming_lsh_near_dup(drained=True)
+    bounds = [
+        lo + ((hi - lo) * c) // (cycles + 1) for c in range(1, cycles + 1)
+    ] + [hi]
+    GATE_CYCLE_STATE_ROWS.clear()
+    index_df = lsh_gate_index(batch.filter(F.col("doc_id") <= bounds[0]))
+    key_base = f"lshcyc{cycles}-{_sf_key(sf_dir)}"
+    outs = []
+    for c in range(cycles):
+        index = persist_gate_index(spark, index_df, f"{key_base}-e{c}")
+        seg_lo, seg_hi = bounds[c], bounds[c + 1]
+        src = stream_docs(spark, sf_dir).filter(
+            (F.col("doc_id") > seg_lo) & (F.col("doc_id") <= seg_hi)
+        )
+        arr = src.select(
+            F.col("doc_id"), hashed_shingles(tokens_col("text"), 3).alias("sh")
+        )
+        banded = probe_gate_index(
+            banded_keys(
+                _signatures_from_shingles(arr, "doc_id", 16), "doc_id", 16, 4
+            ),
+            index,
+        )
+        gated = banded.groupBy("key").applyInPandasWithState(
+            _lsh_bucket_group,
+            LSH_GATE_OUTPUT,
+            LSH_GATE_STATE,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+        outs.append(run_bounded(spark, gated, "append", f"lsh_cycle_{c}"))
+        totals = [
+            op["numRowsTotal"]
+            for p in LAST_BOUNDED_QUERY.recentProgress
+            for op in p.get("stateOperators", [])
+            if op.get("numRowsTotal") is not None
+        ]
+        GATE_CYCLE_STATE_ROWS.append(totals[-1] if totals else 0)
+        # the DRAIN: fold the just-streamed interval into the index;
+        # the next cycle's run starts from a fresh checkpoint (state
+        # emptied) with the folded index carrying the coverage
+        seg_index = lsh_gate_index(
+            batch.filter(
+                (F.col("doc_id") > seg_lo) & (F.col("doc_id") <= seg_hi)
+            )
+        )
+        index_df = merge_gate_index(index, seg_index)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.groupBy("doc_id").agg(F.min("anchor").alias("dup_of")).select(
+        "doc_id", "dup_of", F.col("dup_of").isNotNull().alias("is_dup")
+    )
+
+
 def streaming_lsh_near_dup(
     spark: SparkSession, sf_dir: str, drained: bool = False
 ) -> DataFrame:
