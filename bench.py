@@ -299,6 +299,10 @@ HEADLINE = [
     "multimodal_dup_report",
     # round-10c: the audio modality of the dedup ladder
     "audio_near_dup",
+    # round-11: the video modality (per-frame DC-image dHash + band
+    # LSH + temporal offset alignment), and the drain-cycle gate
+    "video_near_dup",
+    "streaming_lsh_gate_cycle",
 ]
 
 
@@ -345,6 +349,7 @@ def main() -> None:
         ensure_image_store,
         ensure_media,
         ensure_prev_snapshot,
+        ensure_video_store,
         ensure_warc_files,
     )
 
@@ -355,6 +360,7 @@ def main() -> None:
     ensure_prev_snapshot(spark, sf_dir)
     ensure_image_store(spark, sf_dir)
     ensure_audio_store(spark, sf_dir)
+    ensure_video_store(spark, sf_dir)
 
     times: dict[str, float] = {}
     for name in headline:

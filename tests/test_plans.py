@@ -768,6 +768,7 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "image_dup_clusters": 2,  # r10 CC supersteps sit behind checkpoint scans like near_dup_clusters (measured 0)
     "multimodal_dup_report": 13,  # r10 three channels composed: digest window + text pair stage (minhash_lsh_pairs' 5) + image pair stage + three spine joins (measured 12)
     "audio_near_dup": 2,  # r10 decode once (checkpoint barrier), band-keyed pair join, distinct (measured 1 — the image_near_dup shape)
+    "video_near_dup": 2,  # r11 decode once, band-keyed frame-pair join, then ONE (a_id,b_id) co-partition carries distinct + both alignment aggs (measured 1)
     "bpe_vocab_sequence_pack": 2,  # r10 Arrow encoder feeds the shard exchange directly, no join (measured 1)
     "global_shuffle_order": 4,  # r9 bucketed global rank: bucket agg + tiny-dim window + rank window (measured 3)
     "corpus_diff": 2,  # r9 full-outer digest join; prev side bucketed, only the current side exchanges (measured 1)
