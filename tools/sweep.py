@@ -34,11 +34,41 @@ TABLES = [
 ]
 
 
+def _tee_stderr() -> list:
+    """Mirror fd 2 through a pipe so the sweep can assert its OWN log
+    is CodeGenerator-clean at exit (round 11, verdict-r10 minor #2: a
+    janino compile failure means Spark silently abandons whole-stage
+    codegen for that stage — a multi-× slowdown on a hot path at scale
+    that only ever surfaces as one ERROR line in the noise).  The JVM
+    writes to fd 2 directly, so a Python-level redirect can't see it;
+    dup2-ing the fd through a pump thread captures it while still
+    forwarding every byte to the real stderr."""
+    import os
+    import threading
+
+    real = os.dup(2)
+    r, w = os.pipe()
+    os.dup2(w, 2)
+    os.close(w)
+    buf: list = []
+
+    def pump() -> None:
+        with os.fdopen(r, "rb", 0) as rf:
+            for chunk in iter(lambda: rf.read(65536), b""):
+                buf.append(chunk)
+                os.write(real, chunk)
+
+    threading.Thread(target=pump, daemon=True).start()
+    return buf
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("sf_dir")
     ap.add_argument("--only", nargs="*", default=None)
     args = ap.parse_args()
+
+    stderr_buf = _tee_stderr()  # BEFORE the JVM launches
 
     from pyspark.sql import SparkSession
 
@@ -93,7 +123,17 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — sweep must report, not die
             bad.append((name, f"error {exc!r}"))
             print(f"{name:34s} ERROR {exc!r}")
-    print(f"\nswept {len(names)} entries, {len(bad)} mismatches")
+    # the log gate: any CodeGenerator compile failure during the sweep
+    # is a finding, exactly like a value mismatch — fallbacks must not
+    # creep in silently (results are unaffected, throughput is)
+    log_text = b"".join(stderr_buf).decode("utf-8", errors="replace")
+    n_codegen = log_text.count("ERROR CodeGenerator")
+    if n_codegen:
+        bad.append(("<log>", f"{n_codegen} CodeGenerator compile failure(s)"))
+    print(
+        f"\nswept {len(names)} entries, {len(bad)} mismatches "
+        f"(codegen errors: {n_codegen})"
+    )
     for name, why in bad:
         print(f"  {name}: {why[:300]}")
     return 1 if bad else 0
