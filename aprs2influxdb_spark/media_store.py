@@ -258,17 +258,40 @@ DOMAIN_DIM_STAMP = "2026-01-15"  # freshness stamp baked into this dim rev
 # doc_id so the DuckDB oracle can re-derive it without reading files —
 # ~1/17 of current docs are NEW (absent from prev), ~1/13 of the rest
 # CHANGED (prev text = text minus its last word), and ~1/23 of current
-# ids key a prev-only doc at id+PREV_GONE_BASE (REMOVED since).
+# ids key a prev-only doc at id + prev_gone_base_for(max_id) (REMOVED
+# since).
 PREV_ADD_MOD = 17
 PREV_CHG_MOD = 13
 PREV_GONE_MOD = 23
-PREV_GONE_BASE = 10_000_000
 PREV_SNAPSHOT_BUCKETS = 32
+PREV_SNAPSHOT_REV = 2  # r11: gone-id base DERIVED from the corpus
+
+
+def prev_gone_base_for(max_doc_id: int) -> int:
+    """Gone-id offset DERIVED from the corpus (round 11, verdict-r10
+    item 6 — the r10 assert was a stopgap): the smallest power of ten
+    strictly above max(doc_id), so synthetic prev-only ids can never
+    collide with real ids AT ANY SCALE, and the offset stays
+    eyeball-recognizable in diffs (a gone row is a real id with one
+    leading digit added).  Mirrored in the oracles via
+    :data:`PREV_GONE_BASE_SQL` — ``10 ** len(str(m))`` here equals
+    ``power(10, length(m::VARCHAR))`` there, exactly, for any BIGINT
+    (powers of ten through 1e15 are exact doubles)."""
+    return 10 ** len(str(max(int(max_doc_id), 0)))
+
+
+#: DuckDB twin of :func:`prev_gone_base_for` over the documents view.
+PREV_GONE_BASE_SQL = (
+    "(SELECT CAST(power(10, length(CAST(max(doc_id) AS VARCHAR))) AS BIGINT) "
+    "FROM documents)"
+)
 
 
 def prev_snapshot_path(sf_dir: str) -> str:
     return os.path.join(
-        _cache_root(), f"v{MEDIA_VERSION}-{_sf_key(sf_dir)}", "prev_snapshot"
+        _cache_root(),
+        f"v{MEDIA_VERSION}-{_sf_key(sf_dir)}",
+        f"prev_snapshot{PREV_SNAPSHOT_REV}",
     )
 
 
@@ -288,24 +311,21 @@ def ensure_prev_snapshot(spark: SparkSession, sf_dir: str) -> str:
     from aprs2influxdb_spark.functions.hashing import portable_hash64
 
     final = prev_snapshot_path(sf_dir)
-    name = "prev_snapshot_" + _sf_key(sf_dir).replace(".", "_").replace("-", "_")
+    name = (
+        f"prev_snapshot{PREV_SNAPSHOT_REV}_"
+        + _sf_key(sf_dir).replace(".", "_").replace("-", "_")
+    )
     if not os.path.exists(os.path.join(final, "_SUCCESS")):
         from aprs2influxdb_spark.storage import write_bucketed
 
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
             "doc_id", "text"
         )
-        # the synthetic prev-only ids live at doc_id + PREV_GONE_BASE: a
-        # corpus whose real ids reach the base would silently collide
-        # 'removed' rows with current docs (and oracle parity would mask
-        # it, both sharing the closed form) — fail loudly instead
+        # the synthetic prev-only ids live at doc_id + gone_base, with
+        # the base DERIVED from the corpus max so no scale can collide
+        # 'removed' rows with current docs (prev_gone_base_for)
         mx = docs.agg(F.max("doc_id")).first()[0]
-        if mx is not None and mx >= PREV_GONE_BASE:
-            raise ValueError(
-                f"prev-snapshot gone-id base {PREV_GONE_BASE} collides with "
-                f"corpus max doc_id {mx}; raise PREV_GONE_BASE (and its "
-                f"oracle mirror) past the id range"
-            )
+        gone_base = prev_gone_base_for(mx if mx is not None else 0)
 
         def h(salt):
             return portable_hash64(
@@ -321,7 +341,7 @@ def ensure_prev_snapshot(spark: SparkSession, sf_dir: str) -> str:
             "doc_id", F.md5(prev_text).alias("text_md5")
         )
         gone = docs.filter(F.pmod(h("gone_"), F.lit(PREV_GONE_MOD)) == 0).select(
-            (F.col("doc_id") + PREV_GONE_BASE).alias("doc_id"),
+            (F.col("doc_id") + gone_base).alias("doc_id"),
             F.md5(F.concat(F.lit("gone:"), F.col("doc_id").cast("string"))).alias(
                 "text_md5"
             ),

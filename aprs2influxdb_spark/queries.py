@@ -8100,7 +8100,7 @@ def _corpus_diff_sql() -> str:
     from aprs2influxdb_spark.media_store import (
         PREV_ADD_MOD,
         PREV_CHG_MOD,
-        PREV_GONE_BASE,
+        PREV_GONE_BASE_SQL,
         PREV_GONE_MOD,
     )
 
@@ -8119,7 +8119,7 @@ WITH cur AS (
   FROM documents
   WHERE ({h_add}) % {PREV_ADD_MOD} <> 0
   UNION ALL
-  SELECT doc_id + {PREV_GONE_BASE} AS doc_id,
+  SELECT doc_id + {PREV_GONE_BASE_SQL} AS doc_id,
          md5('gone:' || doc_id::VARCHAR) AS d
   FROM documents WHERE ({h_gone}) % {PREV_GONE_MOD} = 0
 ), j AS (
@@ -8244,7 +8244,7 @@ def _incremental_corpus_update_sql() -> str:
     from aprs2influxdb_spark.media_store import (
         PREV_ADD_MOD,
         PREV_CHG_MOD,
-        PREV_GONE_BASE,
+        PREV_GONE_BASE_SQL,
         PREV_GONE_MOD,
     )
 
@@ -8276,7 +8276,7 @@ WITH {_TOKH_CTE}, sigs AS (
   FROM documents
   WHERE ({h_add}) % {PREV_ADD_MOD} <> 0
   UNION ALL
-  SELECT doc_id + {PREV_GONE_BASE} AS doc_id,
+  SELECT doc_id + {PREV_GONE_BASE_SQL} AS doc_id,
          md5('gone:' || doc_id::VARCHAR) AS d
   FROM documents WHERE ({h_gone}) % {PREV_GONE_MOD} = 0
 ), diff AS (

@@ -257,8 +257,8 @@ class TestCorpusDiff:
         from aprs2influxdb_spark.media_store import (
             PREV_ADD_MOD,
             PREV_CHG_MOD,
-            PREV_GONE_BASE,
             PREV_GONE_MOD,
+            prev_gone_base_for,
         )
         from aprs2influxdb_spark.queries import _t, registry
 
@@ -274,7 +274,9 @@ class TestCorpusDiff:
             and _h64(f"chg_{i}") % PREV_CHG_MOD == 0
         }
         removed = {
-            i + PREV_GONE_BASE for i in ids if _h64(f"gone_{i}") % PREV_GONE_MOD == 0
+            i + prev_gone_base_for(max(ids))
+            for i in ids
+            if _h64(f"gone_{i}") % PREV_GONE_MOD == 0
         }
         assert {i for i, s in rows.items() if s == "added"} == added
         assert {i for i, s in rows.items() if s == "changed"} == changed
