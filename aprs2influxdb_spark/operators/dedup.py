@@ -104,15 +104,20 @@ def minhash_signatures(
     return _signatures_from_shingles(arr, id_col, num_hashes)
 
 
-def _signatures_from_shingles(arr: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+def _signatures_from_shingles(
+    arr: DataFrame, id_col: str, num_hashes: int, carry: tuple = ()
+) -> DataFrame:
     """(id, sig) from an (id, sh shingle-hash-array) frame — the
     signature math of :func:`minhash_signatures`, factored out so
     :func:`minhash_lsh_pairs` can derive signatures AND verification
-    sets from ONE checkpointed shingle index."""
+    sets from ONE checkpointed shingle index.  ``carry`` names extra
+    input columns to pass through unchanged (the soak's ingest gate
+    keeps the raw payload beside the signature)."""
     from aprs2influxdb_spark.functions.hashing import minhash_coeffs
 
     hashed = arr.select(
         F.col(id_col),
+        *carry,
         F.transform(F.col("sh"), lambda s: F.pmod(s, F.lit(MINHASH_P))).alias("hs"),
     )
     sig = F.array(
@@ -124,7 +129,7 @@ def _signatures_from_shingles(arr: DataFrame, id_col: str, num_hashes: int) -> D
             for a, b in minhash_coeffs(num_hashes)
         ]
     )
-    return hashed.select(F.col(id_col), sig.alias("sig"))
+    return hashed.select(F.col(id_col), *carry, sig.alias("sig"))
 
 
 def _lsh_index(
@@ -150,13 +155,13 @@ def _lsh_index(
 
 
 def banded_keys(
-    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int, carry: tuple = ()
 ) -> DataFrame:
     """Exploded ``(id, band, key)`` band-bucket keys from an
     ``(id, sig)`` frame — pure stateless expressions (factored out of
     :func:`_lsh_index` so the streaming ingest gate can band a
-    signature STREAM with the exact same keys the batch index
-    uses)."""
+    signature STREAM with the exact same keys the batch index uses).
+    ``carry`` columns pass through beside the keys."""
     rows_per_band = num_hashes // bands
     band_key = [
         (b, F.md5(F.concat_ws("_", F.lit(b), *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])))
@@ -164,8 +169,9 @@ def banded_keys(
     ]
     return sigs.select(
         F.col(id_col),
+        *carry,
         F.explode(F.array(*[F.struct(F.lit(b).alias("band"), k.alias("key")) for b, k in band_key])).alias("bk"),
-    ).select(id_col, "bk.band", "bk.key")
+    ).select(id_col, *carry, "bk.band", "bk.key")
 
 
 def lsh_rescreen_pairs(

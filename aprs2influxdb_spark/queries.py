@@ -10364,21 +10364,203 @@ FROM best WHERE score >= {VID_MIN_ALIGNED} * 1000
 """
 
 
+def q_video_dup_clusters(spark, sf):
+    """Connected components over the VIDEO near-dup pair graph (round
+    11 — the keep-one step for the fourth modality, the exact video
+    twin of ``image_dup_clusters``): every clip mapped to its
+    cluster's canonical (minimum) doc_id, singletons their own id.
+    Rides the temporally-aligned pair stage (never all-pairs) and the
+    pointer-jumping CC operator; the oracle replays the components
+    through a recursive CTE over the identical pair list."""
+    from aprs2influxdb_spark.operators.graph import connected_components
+
+    pairs = q_video_near_dup(spark, sf)
+    labels = connected_components(
+        _t(spark, sf, "documents").select("doc_id"),
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")),
+        id_col="doc_id",
+        max_iter=15,
+    )
+    return labels.select("doc_id", F.col("component_id").alias("cluster_id"))
+
+
+def _video_dup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_video_near_dup_sql()}),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL
+  SELECT b_id AS src, a_id AS dst FROM pairs
+),
+reach(vid, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.vid
+)
+SELECT vid AS doc_id, min(label) AS cluster_id FROM reach GROUP BY vid
+"""
+
+
+def q_streaming_video_near_dup(spark, sf, drained: bool = False):
+    """The VIDEO near-dup gate AT INGEST (round 11): arriving clips
+    decode their frames' DC images + dHashes on the stream (stateless
+    ``mapInPandas``), band into the 4×28-bit keys PER FRAME, and pass
+    through the same keyed-state bucket gate as every other modality
+    — a clip is flagged with the smallest earlier clip sharing ANY
+    band bucket of ANY frame.  This is deliberately the frame-level
+    CANDIDATE gate: temporal-offset alignment (the stage that rejects
+    unaligned bag-of-frames matches) is the batch ``video_near_dup``
+    pass's verification job, exactly as exact-Jaccard verification is
+    deferred by the text gate.  ``drained=True`` persists the
+    pre-median clips' bucket aggregate as the bucketed gate index;
+    state holds only buckets touched post-drain."""
+    from aprs2influxdb_spark.media_store import ensure_video_store
+    from aprs2influxdb_spark.streaming.bounded import (
+        LSH_GATE_OUTPUT,
+        LSH_GATE_STATE,
+        _lsh_bucket_group,
+        run_bounded,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    path = ensure_video_store(spark, sf)
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(path)
+    fn, out_schema = _video_dhash_mapper()
+
+    def bands_of(frame):
+        hashed = frame.mapInPandas(fn, out_schema)
+        return hashed.select(
+            "doc_id",
+            "dhash_h",
+            "dhash_v",
+            F.explode(F.expr("array(0, 1, 2, 3)")).alias("band"),
+        ).select(
+            "doc_id",
+            "band",
+            F.concat_ws(
+                "_",
+                "band",
+                F.expr(
+                    "CASE WHEN band < 2 THEN shiftright(dhash_h, band * 28) & 268435455 "
+                    "ELSE shiftright(dhash_v, (band - 2) * 28) & 268435455 END"
+                ),
+            ).alias("key"),
+        )
+
+    if drained:
+        from aprs2influxdb_spark.media_store import VIDEO_VERSION, _sf_key
+        from aprs2influxdb_spark.streaming.bounded import (
+            persist_gate_index,
+            probe_gate_index,
+        )
+
+        batch = spark.read.parquet(path)
+        lo, hi = batch.agg(F.min("doc_id"), F.max("doc_id")).first()
+        split = (int(lo) + int(hi)) // 2
+        index = persist_gate_index(
+            spark,
+            bands_of(batch.filter(F.col("doc_id") <= split))
+            .groupBy("key")
+            .agg(
+                F.min("doc_id").alias("p_first"),
+                F.max("doc_id").alias("p_last"),
+            ),
+            f"vid{VIDEO_VERSION}-{_sf_key(sf)}",
+        )
+        src = src.filter(F.col("doc_id") > split)
+    banded = bands_of(src)
+    if drained:
+        banded = probe_gate_index(banded, index)
+    gated = banded.groupBy("key").applyInPandasWithState(
+        _lsh_bucket_group,
+        LSH_GATE_OUTPUT,
+        LSH_GATE_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    sunk = run_bounded(spark, gated, "append", "stream_video_gate")
+    return sunk.groupBy("doc_id").agg(F.min("anchor").alias("dup_of")).select(
+        "doc_id", "dup_of", F.col("dup_of").isNotNull().alias("is_dup")
+    )
+
+
+def _streaming_video_near_dup_sql(post_drain_only: bool = False) -> str:
+    """Oracle: the closed-form per-frame dHash bands, reduced per-CLIP
+    to the smallest earlier clip sharing any band bucket of any
+    frame."""
+    from aprs2influxdb_spark.media_store import (
+        VID_BUMP_MOD,
+        VID_CLASS_MIN,
+        VID_CLASS_TARGET,
+        VID_FRAMES,
+        VID_MAX_SHIFT,
+    )
+
+    def luma(i: str) -> str:
+        return (
+            f"((((doc_id % nc) % 199) * (({i}) + 3)"
+            f" + ((doc_id % nc) % 193) * (({i}) * ({i}) + 1)"
+            f" + ((doc_id % nc) % 191) * ((({i}) * ({i}) * ({i})) % 97)"
+            f" + (k + (doc_id // nc) % {VID_MAX_SHIFT + 1} + 1)"
+            f" * ((({i}) * ({i}) * 31 + ({i}) * 17) % 113)) % 181"
+            f" + CASE WHEN ((({i}) * 7 + doc_id // nc) % {VID_BUMP_MOD}) = 0"
+            f" THEN 40 ELSE 0 END)"
+        )
+
+    lh, rh = luma("(j // 7) * 8 + (j % 7)"), luma("(j // 7) * 8 + (j % 7) + 1")
+    lv, rv = luma("(j % 7) * 8 + (j // 7)"), luma("(j % 7) * 8 + (j // 7) + 8")
+    tail = (
+        "WHERE doc_id > (SELECT (min(doc_id) + max(doc_id)) // 2 FROM documents)"
+        if post_drain_only
+        else ""
+    )
+    return f"""
+WITH k0 AS (
+  SELECT greatest({VID_CLASS_MIN}, count(*) // {VID_CLASS_TARGET}) AS nc FROM documents
+), f AS (
+  SELECT doc_id, nc, unnest(range(0, {VID_FRAMES})) AS k FROM documents, k0
+), h AS (
+  SELECT doc_id, k,
+    CAST(list_sum(list_transform(range(0, 56), j ->
+      CASE WHEN {lh} > {rh} THEN 1::BIGINT << j ELSE 0::BIGINT END)) AS BIGINT) AS dhash_h,
+    CAST(list_sum(list_transform(range(0, 56), j ->
+      CASE WHEN {lv} > {rv} THEN 1::BIGINT << j ELSE 0::BIGINT END)) AS BIGINT) AS dhash_v
+  FROM f
+), b AS (
+  SELECT doc_id, k, dhash_h, dhash_v, unnest(range(0, 4)) AS band FROM h
+), kb AS (
+  SELECT doc_id, band,
+         CASE WHEN band < 2 THEN (dhash_h >> (band * 28)) & 268435455
+              ELSE (dhash_v >> ((band - 2) * 28)) & 268435455 END AS bkey
+  FROM b
+), anch AS (
+  SELECT l.doc_id, min(r.doc_id) AS dup_of
+  FROM kb l LEFT JOIN kb r
+    ON l.band = r.band AND l.bkey = r.bkey AND r.doc_id < l.doc_id
+  GROUP BY l.doc_id
+)
+SELECT doc_id, dup_of, dup_of IS NOT NULL AS is_dup FROM anch {tail}
+"""
+
+
 def q_multimodal_dup_report(spark, sf):
     """The CROSS-MODAL duplication verdict table (round 10 capstone of
-    'dedup meets multimodal'): per document, three independent
-    duplicate channels — exact text (another doc shares the 16-byte
-    digest), near text (the doc participates in a verified
-    MinHash-LSH pair), near image (its persisted PNG participates in
-    a verified Hamming pair) — and the any-channel flag a multimodal
-    curation pass keys its keep/drop on.  A text-identical pair with
-    different images (or vice versa) is exactly what this table
-    exists to surface.
+    'dedup meets multimodal'; round 11 completes it across ALL FOUR
+    blob modalities): per document, five independent duplicate
+    channels — exact text (another doc shares the 16-byte digest),
+    near text (a verified MinHash-LSH pair), near image (its
+    persisted PNG in a verified Hamming pair), near audio (its WAV's
+    acoustic fingerprint in a verified pair), near video (its clip in
+    a temporally-aligned pair) — and the any-channel flag a
+    multimodal curation pass keys its keep/drop on.  A text-identical
+    pair with different images (or vice versa) is exactly what this
+    table exists to surface.
 
-    Plan: three already-scale-shaped channels (digest hash-aggregate;
-    the band-keyed text pair stage; the band-keyed image pair stage)
-    left-joined onto the doc spine on doc_id — no new shuffle shapes,
-    every channel's discipline inherited from its standalone entry."""
+    Plan: five already-scale-shaped channels (digest hash-aggregate;
+    four band-keyed pair stages) left-joined onto the doc spine on
+    doc_id — no new shuffle shapes, every channel's discipline
+    inherited from its standalone entry."""
     from aprs2influxdb_spark.operators import dedup as dd_
 
     docs = _t(spark, sf, "documents")
@@ -10396,39 +10578,50 @@ def q_multimodal_dup_report(spark, sf):
         .distinct()
         .withColumn("text_near_dup", F.lit(1).cast("long"))
     )
-    ip = q_image_near_dup(spark, sf)
-    image_near = (
-        ip.select(F.col("a_id").alias("doc_id"))
-        .unionByName(ip.select(F.col("b_id").alias("doc_id")))
-        .distinct()
-        .withColumn("image_near_dup", F.lit(1).cast("long"))
+    def _pair_channel(pairs, col):
+        return (
+            pairs.select(F.col("a_id").alias("doc_id"))
+            .unionByName(pairs.select(F.col("b_id").alias("doc_id")))
+            .distinct()
+            .withColumn(col, F.lit(1).cast("long"))
+        )
+
+    image_near = _pair_channel(q_image_near_dup(spark, sf), "image_near_dup")
+    audio_near = _pair_channel(q_audio_near_dup(spark, sf), "audio_near_dup")
+    video_near = _pair_channel(
+        q_video_near_dup(spark, sf).select("a_id", "b_id"), "video_near_dup"
     )
-    return (
+    flags = [
+        "text_exact_dup",
+        "text_near_dup",
+        "image_near_dup",
+        "audio_near_dup",
+        "video_near_dup",
+    ]
+    out = (
         docs.select("doc_id")
         .join(exact, "doc_id", "left")
         .join(text_near, "doc_id", "left")
         .join(image_near, "doc_id", "left")
+        .join(audio_near, "doc_id", "left")
+        .join(video_near, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce("text_exact_dup", F.lit(0)).cast("long").alias("text_exact_dup"),
-            F.coalesce("text_near_dup", F.lit(0)).cast("long").alias("text_near_dup"),
-            F.coalesce("image_near_dup", F.lit(0)).cast("long").alias("image_near_dup"),
-        )
-        .withColumn(
-            "any_dup",
-            (
-                (F.col("text_exact_dup") == 1)
-                | (F.col("text_near_dup") == 1)
-                | (F.col("image_near_dup") == 1)
-            ).cast("long"),
+            *[F.coalesce(c, F.lit(0)).cast("long").alias(c) for c in flags],
         )
     )
+    cond = F.col(flags[0]) == 1
+    for c in flags[1:]:
+        cond = cond | (F.col(c) == 1)
+    return out.withColumn("any_dup", cond.cast("long"))
 
 
 def _multimodal_dup_report_sql() -> str:
     return f"""
 WITH tp AS ({_minhash_lsh_sql()}),
 ip AS ({_image_near_dup_sql()}),
+ap AS ({_audio_near_dup_sql()}),
+vp AS ({_video_near_dup_sql()}),
 exact AS (
   SELECT doc_id FROM (
     SELECT doc_id, count(*) OVER (PARTITION BY md5(text)) AS n FROM documents
@@ -10441,17 +10634,30 @@ exact AS (
   SELECT DISTINCT doc_id FROM (
     SELECT a_id AS doc_id FROM ip UNION ALL SELECT b_id AS doc_id FROM ip
   )
+), aun AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT a_id AS doc_id FROM ap UNION ALL SELECT b_id AS doc_id FROM ap
+  )
+), vin AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT a_id AS doc_id FROM vp UNION ALL SELECT b_id AS doc_id FROM vp
+  )
 )
 SELECT d.doc_id,
        CAST(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS text_exact_dup,
        CAST(CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS text_near_dup,
        CAST(CASE WHEN i.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS image_near_dup,
+       CAST(CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS audio_near_dup,
+       CAST(CASE WHEN v.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS video_near_dup,
        CAST(CASE WHEN e.doc_id IS NOT NULL OR t.doc_id IS NOT NULL
-                  OR i.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS any_dup
+                  OR i.doc_id IS NOT NULL OR a.doc_id IS NOT NULL
+                  OR v.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS any_dup
 FROM documents d
 LEFT JOIN exact e USING (doc_id)
 LEFT JOIN tn t USING (doc_id)
 LEFT JOIN imn i USING (doc_id)
+LEFT JOIN aun a USING (doc_id)
+LEFT JOIN vin v USING (doc_id)
 """
 
 
@@ -15963,6 +16169,15 @@ def registry() -> dict[str, tuple]:
         ),
         "audio_near_dup": (q_audio_near_dup, _audio_near_dup_sql()),
         "video_near_dup": (q_video_near_dup, _video_near_dup_sql()),
+        "video_dup_clusters": (q_video_dup_clusters, _video_dup_clusters_sql()),
+        "streaming_video_near_dup": (
+            q_streaming_video_near_dup,
+            _streaming_video_near_dup_sql(),
+        ),
+        "streaming_video_gate_drained": (
+            lambda spark, sf: q_streaming_video_near_dup(spark, sf, drained=True),
+            _streaming_video_near_dup_sql(post_drain_only=True),
+        ),
         "streaming_image_gate_drained": (
             lambda spark, sf: q_streaming_image_near_dup(spark, sf, drained=True),
             _streaming_image_near_dup_sql(post_drain_only=True),

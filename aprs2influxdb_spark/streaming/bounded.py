@@ -868,15 +868,14 @@ def _lsh_bucket_group(
         # index covers but the stream never revisits hold nothing).
         anchor = min(p_first, first)
         state.update((anchor, int(pdf["doc_id"].iloc[-1])))
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].astype("int64"),
-                "band": pdf["band"].astype("int64"),
-                "anchor": pd.array(
-                    [anchor] * len(pdf), dtype="Int64"
-                ),
-            }
-        )
+        out = {
+            "doc_id": pdf["doc_id"].astype("int64"),
+            "band": pdf["band"].astype("int64"),
+        }
+        if "raw" in pdf.columns:  # payload pass-through (the soak gate)
+            out["raw"] = pdf["raw"]
+        out["anchor"] = pd.array([anchor] * len(pdf), dtype="Int64")
+        yield pd.DataFrame(out)
         return
     doc_ids: list[int] = []
     bands: list[int] = []
@@ -892,13 +891,14 @@ def _lsh_bucket_group(
     # anchor mixes long and None: a plain list would materialize as
     # float64/object and anchors above 2^53 would lose precision on the
     # Arrow cast — pandas nullable Int64 keeps the long exact
-    yield pd.DataFrame(
-        {
-            "doc_id": pd.array(doc_ids, dtype="int64"),
-            "band": pd.array(bands, dtype="int64"),
-            "anchor": pd.array(anchors, dtype="Int64"),
-        }
-    )
+    out = {
+        "doc_id": pd.array(doc_ids, dtype="int64"),
+        "band": pd.array(bands, dtype="int64"),
+    }
+    if "raw" in pdf.columns:  # aligned: itertuples walked this order
+        out["raw"] = list(pdf["raw"])
+    out["anchor"] = pd.array(anchors, dtype="Int64")
+    yield pd.DataFrame(out)
 
 
 def lsh_gate_index(

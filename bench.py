@@ -300,9 +300,16 @@ HEADLINE = [
     # round-10c: the audio modality of the dedup ladder
     "audio_near_dup",
     # round-11: the video modality (per-frame DC-image dHash + band
-    # LSH + temporal offset alignment), and the drain-cycle gate
+    # LSH + temporal offset alignment, its clusters, its ingest gate
+    # + drained form), the drain-cycle gate, and the embedding-space
+    # SRP gate + drained form
     "video_near_dup",
+    "video_dup_clusters",
+    "streaming_video_near_dup",
+    "streaming_video_gate_drained",
     "streaming_lsh_gate_cycle",
+    "streaming_srp_gate",
+    "streaming_srp_gate_drained",
 ]
 
 

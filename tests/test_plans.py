@@ -766,7 +766,8 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "image_near_dup": 2,  # r10 decode once (checkpoint barrier), band-keyed pair join, distinct (measured 1)
     "incremental_corpus_update": 7,  # r10 diff status join + key-bucketed probe join + hit distinct + verdict join (measured 6; prod probes the persisted bucketed lsh_bands)
     "image_dup_clusters": 2,  # r10 CC supersteps sit behind checkpoint scans like near_dup_clusters (measured 0)
-    "multimodal_dup_report": 13,  # r10 three channels composed: digest window + text pair stage (minhash_lsh_pairs' 5) + image pair stage + three spine joins (measured 12)
+    "multimodal_dup_report": 19,  # r11 five channels composed: digest window + text pair stage (minhash_lsh_pairs' 5) + image/audio/video pair stages + five spine joins (measured 18)
+    "video_dup_clusters": 2,  # r11 CC supersteps sit behind checkpoint scans like image_dup_clusters (measured 0)
     "audio_near_dup": 2,  # r10 decode once (checkpoint barrier), band-keyed pair join, distinct (measured 1 — the image_near_dup shape)
     "video_near_dup": 2,  # r11 decode once, band-keyed frame-pair join, then ONE (a_id,b_id) co-partition carries distinct + both alignment aggs (measured 1)
     "bpe_vocab_sequence_pack": 2,  # r10 Arrow encoder feeds the shard exchange directly, no join (measured 1)

@@ -340,3 +340,91 @@ class TestSrpGate:
         ]
         assert state_rows and state_rows[-1] == touched, (state_rows, touched)
         assert state_rows[-1] < banded.select("key").distinct().count()
+
+
+class TestVideoGateAndClusters:
+    """Round 11 completions of the video family: the frame-level
+    ingest gate (candidate screen; alignment is the batch pass's
+    verification job), its drained state bound, and the keep-one
+    clusters."""
+
+    def test_drained_state_is_post_drain_buckets_only(self, spark, sf_dir):
+        from aprs2influxdb_spark.media_store import ensure_video_store
+        from aprs2influxdb_spark.queries import (
+            _video_dhash_mapper,
+            q_streaming_video_near_dup,
+        )
+        from aprs2influxdb_spark.streaming import bounded
+
+        rows = q_streaming_video_near_dup(spark, sf_dir, drained=True).collect()
+        assert rows
+        store = spark.read.parquet(ensure_video_store(spark, sf_dir))
+        lo, hi = store.agg(F.min("doc_id"), F.max("doc_id")).first()
+        split = (int(lo) + int(hi)) // 2
+        assert all(r["doc_id"] > split for r in rows)
+        fn, out_schema = _video_dhash_mapper()
+        hashed = store.mapInPandas(fn, out_schema)
+        bands = hashed.select(
+            "doc_id",
+            F.explode(F.expr("array(0, 1, 2, 3)")).alias("band"),
+            "dhash_h",
+            "dhash_v",
+        ).select(
+            "doc_id",
+            F.concat_ws(
+                "_",
+                "band",
+                F.expr(
+                    "CASE WHEN band < 2 THEN shiftright(dhash_h, band * 28) & 268435455 "
+                    "ELSE shiftright(dhash_v, (band - 2) * 28) & 268435455 END"
+                ),
+            ).alias("key"),
+        )
+        touched = (
+            bands.filter(F.col("doc_id") > split).select("key").distinct().count()
+        )
+        state_rows = [
+            op["numRowsTotal"]
+            for p in bounded.LAST_BOUNDED_QUERY.recentProgress
+            for op in p.get("stateOperators", [])
+            if op.get("numRowsTotal") is not None
+        ]
+        assert state_rows and state_rows[-1] == touched, (state_rows, touched)
+        assert state_rows[-1] < bands.select("key").distinct().count()
+
+    def test_gate_is_superset_of_aligned_pairs(self, spark, sf_dir):
+        """The frame-level gate is the CANDIDATE stage: every clip the
+        batch pass pairs (after temporal alignment) must have been
+        flagged by the gate — the deferred-verification contract the
+        text gate shares with minhash_lsh_pairs."""
+        from aprs2influxdb_spark.queries import (
+            q_streaming_video_near_dup,
+            q_video_near_dup,
+        )
+
+        flagged = {
+            r["doc_id"]
+            for r in q_streaming_video_near_dup(spark, sf_dir).collect()
+            if r["is_dup"]
+        }
+        for p in q_video_near_dup(spark, sf_dir).collect():
+            assert p["b_id"] in flagged, p
+
+    def test_clusters_cover_pairs_and_singletons(self, spark, sf_dir):
+        from aprs2influxdb_spark.queries import (
+            q_video_dup_clusters,
+            q_video_near_dup,
+        )
+
+        labels = {
+            r["doc_id"]: r["cluster_id"]
+            for r in q_video_dup_clusters(spark, sf_dir).collect()
+        }
+        n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        assert len(labels) == n
+        pairs = q_video_near_dup(spark, sf_dir).collect()
+        assert pairs
+        for p in pairs:
+            assert labels[p["a_id"]] == labels[p["b_id"]], p
+        for d, c in labels.items():
+            assert c <= d  # canonical min-id labels
