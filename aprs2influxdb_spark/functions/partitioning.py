@@ -90,6 +90,27 @@ def spread_for_grouped_compute(df: DataFrame, *keys: str) -> DataFrame:
     return df.repartition(par, *[F.col(k) for k in keys])
 
 
+def spread_stream_for_compute(df: DataFrame) -> DataFrame:
+    """Streaming twin of :func:`spread_for_compute` (round 11): round-
+    robin the NARROW projection feeding a per-row-expensive stream
+    stage (MinHash signatures, SRP projections, codec decodes) to the
+    cluster's core count.  A file-source micro-batch inherits the same
+    byte-based split model as a batch scan, so a single-file table
+    (one row group) arrives as ONE partition and the signature stage
+    of every ingest gate ran serially (measured: the LSH gate spent
+    ~2.5 s of its 3.9 s in the one-core signature stage at sf0.1).
+
+    Unconditional, unlike the batch helper: a stream's per-batch
+    partitioning is not statable from the driver (``inputFiles``/
+    ``rdd`` are batch-only).  The exchange this adds carries only the
+    projected columns — O(micro-batch bytes) — and on a real cluster
+    ``defaultParallelism`` is the cluster core count, so the shuffle
+    is the cheap proxy move that lets the expensive stage use every
+    core (guide §2.3 "shuffle keys and metadata instead of payloads").
+    Call it on the narrowest projection the stage needs."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def spread_for_compute(df: DataFrame) -> DataFrame:
     """Repartition ``df`` to ``defaultParallelism`` IF its current plan
     yields fewer partitions — call on the narrow projection feeding a

@@ -25,7 +25,10 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aprs2influxdb_spark.functions.counts import corpus_count
-from aprs2influxdb_spark.functions.partitioning import spread_for_compute
+from aprs2influxdb_spark.functions.partitioning import (
+    spread_for_compute,
+    spread_stream_for_compute,
+)
 from aprs2influxdb_spark.functions.rounding import rhu, rhu_sql
 from aprs2influxdb_spark.functions.hashing import (
     MINHASH_P,
@@ -2565,7 +2568,7 @@ def q_streaming_png_features(spark, sf):
     from aprs2influxdb_spark.streaming.bounded import run_bounded, stream_docs
 
     fn, out_schema = _png_roundtrip_mapper()
-    est = stream_docs(spark, sf).select("doc_id").mapInPandas(fn, out_schema)
+    est = spread_stream_for_compute(stream_docs(spark, sf).select("doc_id")).mapInPandas(fn, out_schema)
     return run_bounded(spark, est, "append", "stream_png_features")
 
 
@@ -6123,7 +6126,7 @@ def q_multimodal_jpeg_decode(spark, sf):
     roundtrip before emitting the luma-mean feature the oracle
     recomputes.  One ``mapInPandas`` pass; the blob never shuffles."""
     fn, out_schema = _jpeg_roundtrip_mapper()
-    return _t(spark, sf, "documents").select("doc_id").mapInPandas(fn, out_schema)
+    return spread_for_compute(_t(spark, sf, "documents").select("doc_id")).mapInPandas(fn, out_schema)
 
 
 SQL_MULTIMODAL_JPEG_DECODE = """
@@ -6241,7 +6244,7 @@ def q_multimodal_jpeg_color(spark, sf):
     roundtrip before emitting per-channel means.  One ``mapInPandas``
     pass; blobs never shuffle."""
     fn, out_schema = _jpeg_color_mapper()
-    return _t(spark, sf, "documents").select("doc_id").mapInPandas(fn, out_schema)
+    return spread_for_compute(_t(spark, sf, "documents").select("doc_id")).mapInPandas(fn, out_schema)
 
 
 def _jpeg_color_sql() -> str:
@@ -6390,7 +6393,7 @@ def q_multimodal_jpeg_progressive(spark, sf):
     per-channel means.  One ``mapInPandas`` pass; blobs never
     shuffle — at 100 TB this is embarrassingly parallel codec CPU."""
     fn, out_schema = _jpeg_progressive_mapper()
-    return _t(spark, sf, "documents").select("doc_id").mapInPandas(fn, out_schema)
+    return spread_for_compute(_t(spark, sf, "documents").select("doc_id")).mapInPandas(fn, out_schema)
 
 
 def _jpeg_progressive_sql() -> str:
@@ -6435,7 +6438,7 @@ def q_streaming_jpeg_features(spark, sf):
     from aprs2influxdb_spark.streaming.bounded import run_bounded, stream_docs
 
     fn, out_schema = _jpeg_roundtrip_mapper()
-    est = stream_docs(spark, sf).select("doc_id").mapInPandas(fn, out_schema)
+    est = spread_stream_for_compute(stream_docs(spark, sf).select("doc_id")).mapInPandas(fn, out_schema)
     return run_bounded(spark, est, "append", "stream_jpeg_features")
 
 
@@ -6499,7 +6502,7 @@ def q_multimodal_wav_features(spark, sf):
     that the oracle recomputes from the same closed form.  One
     ``mapInPandas`` pass; the blob never shuffles."""
     fn, out_schema = _wav_roundtrip_mapper()
-    return _t(spark, sf, "documents").select("doc_id").mapInPandas(fn, out_schema)
+    return spread_for_compute(_t(spark, sf, "documents").select("doc_id")).mapInPandas(fn, out_schema)
 
 
 SQL_MULTIMODAL_WAV_FEATURES = """
@@ -6597,7 +6600,7 @@ def q_multimodal_audio_g711(spark, sf):
     (validated over the full int16 domain in tests/test_multimodal).
     One ``mapInPandas`` pass; blobs never shuffle."""
     fn, out_schema = _g711_mapper()
-    return _t(spark, sf, "documents").select("doc_id").mapInPandas(fn, out_schema)
+    return spread_for_compute(_t(spark, sf, "documents").select("doc_id")).mapInPandas(fn, out_schema)
 
 
 SQL_MULTIMODAL_AUDIO_G711 = """
@@ -6716,7 +6719,7 @@ def q_multimodal_audio_adpcm(spark, sf):
     clamped predictor/index — all integer arithmetic, so hash-exact.
     One ``mapInPandas`` pass; blobs never shuffle."""
     fn, out_schema = _adpcm_mapper()
-    return _t(spark, sf, "documents").select("doc_id").mapInPandas(fn, out_schema)
+    return spread_for_compute(_t(spark, sf, "documents").select("doc_id")).mapInPandas(fn, out_schema)
 
 
 def _adpcm_sql() -> str:
@@ -6858,7 +6861,7 @@ def q_multimodal_mp4_meta(spark, sf):
     omits (empty mdat, documented stub boundary); everything
     metadata-driven is real parsed bytes.  One ``mapInPandas`` pass."""
     fn, out_schema = _mp4_meta_mapper()
-    return _t(spark, sf, "documents").select("doc_id").mapInPandas(fn, out_schema)
+    return spread_for_compute(_t(spark, sf, "documents").select("doc_id")).mapInPandas(fn, out_schema)
 
 
 def _mp4_meta_sql() -> str:
@@ -6915,7 +6918,7 @@ def q_multimodal_frames_mp4(spark, sf):
                     rows.append((d, i, i * 1000))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "ts_ms"])
 
-    return _t(spark, sf, "documents").select("doc_id").mapInPandas(_frames, out_schema)
+    return spread_for_compute(_t(spark, sf, "documents").select("doc_id")).mapInPandas(_frames, out_schema)
 
 
 def _mp4_frames_sql() -> str:
@@ -7212,7 +7215,7 @@ def q_html_extract(spark, sf):
     the embarrassingly parallel per-page map every pipeline starts
     with."""
     fn, out_schema = _html_extract_mapper()
-    return _t(spark, sf, "documents").select("doc_id", "text").mapInPandas(
+    return spread_for_compute(_t(spark, sf, "documents").select("doc_id", "text")).mapInPandas(
         fn, out_schema
     )
 
@@ -7226,7 +7229,7 @@ def q_streaming_html_extract(spark, sf):
     from aprs2influxdb_spark.streaming.bounded import run_bounded, stream_docs
 
     fn, out_schema = _html_extract_mapper()
-    est = stream_docs(spark, sf).select("doc_id", "text").mapInPandas(fn, out_schema)
+    est = spread_stream_for_compute(stream_docs(spark, sf).select("doc_id", "text")).mapInPandas(fn, out_schema)
     return run_bounded(spark, est, "append", "stream_html_extract")
 
 
@@ -9584,7 +9587,7 @@ def q_streaming_wav_features(spark, sf):
     from aprs2influxdb_spark.streaming.bounded import run_bounded, stream_docs
 
     fn, out_schema = _wav_roundtrip_mapper()
-    est = stream_docs(spark, sf).select("doc_id").mapInPandas(fn, out_schema)
+    est = spread_stream_for_compute(stream_docs(spark, sf).select("doc_id")).mapInPandas(fn, out_schema)
     return run_bounded(spark, est, "append", "stream_wav_features")
 
 
@@ -9602,7 +9605,7 @@ def q_multimodal_png_decode(spark, sf):
     shuffled (encode and decode happen inside the same task); scale
     shape identical to ``multimodal_features``."""
     fn, out_schema = _png_roundtrip_mapper()
-    return _t(spark, sf, "documents").select("doc_id").mapInPandas(fn, out_schema)
+    return spread_for_compute(_t(spark, sf, "documents").select("doc_id")).mapInPandas(fn, out_schema)
 
 
 SQL_MULTIMODAL_PNG_DECODE = """

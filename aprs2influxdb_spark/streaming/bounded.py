@@ -55,6 +55,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from aprs2influxdb_spark.functions.partitioning import spread_stream_for_compute
 from aprs2influxdb_spark.functions.rounding import rhu
 from aprs2influxdb_spark.queries import normalize_ts
 
@@ -838,7 +839,13 @@ def _lsh_bucket_group(
         if existed:
             state.update((first, last))
         return
-    pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
+    # per-group cost IS the gate's hot path (measured round 11: ~19k
+    # buckets per 5k-doc batch, so every microsecond here is ×4/doc):
+    # skip the concat for the 1-chunk common case and the sort when the
+    # batch already arrives doc_id-ascending
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    if not pdf["doc_id"].is_monotonic_increasing:
+        pdf = pdf.sort_values("doc_id")
     # drained-index coverage (round 10, verdict-r9 weak #2): when the
     # input carries p_first/p_last columns (the stream-static join
     # against the persisted gate index), they are constant per bucket —
@@ -877,27 +884,30 @@ def _lsh_bucket_group(
         out["anchor"] = pd.array([anchor] * len(pdf), dtype="Int64")
         yield pd.DataFrame(out)
         return
-    doc_ids: list[int] = []
-    bands: list[int] = []
-    anchors: list[int | None] = []
-    for row in pdf.itertuples():
-        d = int(row.doc_id)
-        doc_ids.append(d)
-        bands.append(int(row.band))
-        anchors.append(first if first < d else None)
-        first = min(first, d)
-        last = d
-    state.update((first, last))
+    # vectorized anchor rule (round 11 — the itertuples loop was the
+    # other per-group hot spot).  With the batch sorted ascending the
+    # running min collapses: row 0 anchors to the pre-batch ``first``;
+    # every later row anchors to m = min(first, d₀).  ``first < d`` /
+    # ``m < d`` keeps the strict-inequality semantics of the loop
+    # (equal ids never anchor to themselves).
+    doc_ids = pdf["doc_id"].to_numpy()
+    d0 = int(doc_ids[0])
+    m = first if first < d0 else d0
     # anchor mixes long and None: a plain list would materialize as
     # float64/object and anchors above 2^53 would lose precision on the
     # Arrow cast — pandas nullable Int64 keeps the long exact
+    anchors = pd.array([m] * len(doc_ids), dtype="Int64")
+    anchors[doc_ids <= m] = None
+    # row 0 is covered by the same mask: first < d₀ ⇒ m = first and
+    # d₀ > m ⇒ anchors to first; first ≥ d₀ ⇒ m = d₀ ⇒ masked to None.
+    state.update((m, int(doc_ids[-1])))
     out = {
-        "doc_id": pd.array(doc_ids, dtype="int64"),
-        "band": pd.array(bands, dtype="int64"),
+        "doc_id": pdf["doc_id"].astype("int64"),
+        "band": pdf["band"].astype("int64"),
     }
-    if "raw" in pdf.columns:  # aligned: itertuples walked this order
+    if "raw" in pdf.columns:  # aligned: the arrays walk pdf's order
         out["raw"] = list(pdf["raw"])
-    out["anchor"] = pd.array(anchors, dtype="Int64")
+    out["anchor"] = anchors
     yield pd.DataFrame(out)
 
 
@@ -1085,7 +1095,8 @@ def streaming_lsh_gate_cycle(
         src = stream_docs(spark, sf_dir).filter(
             (F.col("doc_id") > seg_lo) & (F.col("doc_id") <= seg_hi)
         )
-        arr = src.select(
+        # same serial-signature fix as streaming_lsh_near_dup
+        arr = spread_stream_for_compute(src.select("doc_id", "text")).select(
             F.col("doc_id"), hashed_shingles(tokens_col("text"), 3).alias("sh")
         )
         banded = probe_gate_index(
@@ -1181,7 +1192,10 @@ def streaming_lsh_near_dup(
             f"lsh-{_sf_key(sf_dir)}",
         )
         src = src.filter(F.col("doc_id") > split)
-    arr = src.select(
+    # spread the narrow (doc_id, text) BEFORE the shingle/signature
+    # expressions: a single-file micro-batch is ONE partition, so the
+    # 16-hash MinHash stage ran serially (see spread_stream_for_compute)
+    arr = spread_stream_for_compute(src.select("doc_id", "text")).select(
         F.col("doc_id"), hashed_shingles(tokens_col("text"), 3).alias("sh")
     )
     banded = banded_keys(
@@ -1274,7 +1288,11 @@ def streaming_srp_near_dup(
             f"srp-{_sf_key(sf_dir)}",
         )
         src = src.filter(F.col("vec_id") > split)
-    banded = _srp_gate_banded(src, np_)
+    # spread the narrow (vec_id, embedding) before the SRP projections
+    # (single-file micro-batch = one partition; see the LSH gate note)
+    banded = _srp_gate_banded(
+        spread_stream_for_compute(src.select("vec_id", "embedding")), np_
+    )
     if drained:
         banded = probe_gate_index(banded, index)
     gated = banded.groupBy("key").applyInPandasWithState(
