@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from aprs2influxdb_spark.functions.counts import corpus_count
 from aprs2influxdb_spark.functions.partitioning import (
     spread_for_compute,
+    spread_for_grouped_compute,
     spread_stream_for_compute,
 )
 from aprs2influxdb_spark.functions.rounding import rhu, rhu_sql
@@ -13807,6 +13808,14 @@ def ewma_segmented(ev: "DataFrame", L: int = 512) -> "DataFrame":
     only by L·(summary-row width) ≈ L²·k — effectively unbounded."""
     a, b = 0.3, 0.7
     w_key = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # explicit key-repartition to core count BEFORE the window: the
+    # byte-small events shuffle otherwise AQE-coalesces to 1-2
+    # partitions and every per-segment fold below runs serially (the
+    # spread_for_grouped_compute rationale; the window and the
+    # groupBy reuse this exchange, so no shuffle is added)
+    ev = spread_for_grouped_compute(
+        ev.select("user_id", "event_id", "ts", "value"), "user_id"
+    )
     pos = ev.select(
         "user_id", "event_id", "value", F.row_number().over(w_key).alias("p")
     ).withColumn("s", F.expr(f"CAST((p - 1) DIV {L} AS BIGINT)"))
@@ -13955,6 +13964,14 @@ def holt_linear_segmented(ev: "DataFrame", L: int = 512) -> "DataFrame":
         return l_new, b_new
 
     w_key = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # explicit key-repartition to core count BEFORE the window: the
+    # byte-small events shuffle otherwise AQE-coalesces to 1-2
+    # partitions and every per-segment fold below runs serially (the
+    # spread_for_grouped_compute rationale; the window and the
+    # groupBy reuse this exchange, so no shuffle is added)
+    ev = spread_for_grouped_compute(
+        ev.select("user_id", "event_id", "ts", "value"), "user_id"
+    )
     pos = ev.select(
         "user_id", "event_id", "value", F.row_number().over(w_key).alias("p")
     ).withColumn("s", F.expr(f"CAST((p - 1) DIV {L} AS BIGINT)"))
@@ -14268,6 +14285,14 @@ def holt_winters_segmented(
     A = _hw_carry_matrix(L, a, bta, g_)
 
     w_key = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # explicit key-repartition to core count BEFORE the window: the
+    # byte-small events shuffle otherwise AQE-coalesces to 1-2
+    # partitions and every per-segment fold below runs serially (the
+    # spread_for_grouped_compute rationale; the window and the
+    # groupBy reuse this exchange, so no shuffle is added)
+    ev = spread_for_grouped_compute(
+        ev.select("user_id", "event_id", "ts", "value"), "user_id"
+    )
     pos = ev.select(
         "user_id", "event_id", "value", F.row_number().over(w_key).alias("p")
     ).withColumn("s", F.expr(f"CAST((p - 1) DIV {L} AS BIGINT)"))

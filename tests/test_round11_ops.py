@@ -428,3 +428,85 @@ class TestVideoGateAndClusters:
             assert labels[p["a_id"]] == labels[p["b_id"]], p
         for d, c in labels.items():
             assert c <= d  # canonical min-id labels
+
+
+class TestLshBucketGroupVectorized:
+    """Round-11 optimization pin: the gate's per-bucket state function
+    was rewritten from a per-row itertuples loop to the closed-form
+    vectorized anchor rule (sorted batch ⇒ the running min collapses
+    to min(first, d₀)).  This test replays randomized multi-batch
+    sequences through the rewritten function and checks every emitted
+    anchor and the final state against the straightforward per-row
+    reference loop — including duplicate doc_ids within a bucket,
+    multi-chunk input, unsorted arrival order within a batch, and
+    int64 ids above 2^53 (the Arrow-precision edge the nullable Int64
+    output dtype exists for)."""
+
+    class _FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists = True
+            self._v = tuple(v)
+
+    @staticmethod
+    def _reference(batches, first, last):
+        """The pre-rewrite per-row loop, verbatim semantics."""
+        anchors = []
+        for batch in batches:
+            rows = sorted(batch, key=lambda d: d)
+            if rows and rows[0] <= last:
+                raise ValueError("out of order")
+            for d in rows:
+                anchors.append(first if first < d else None)
+                first = min(first, d)
+                last = d
+        return anchors, (first, last)
+
+    def test_matches_reference_loop(self):
+        import random
+
+        import pandas as pd
+
+        from aprs2influxdb_spark.streaming.bounded import (
+            _LSH_GATE_EMPTY,
+            _lsh_bucket_group,
+        )
+
+        rng = random.Random(11)
+        big = 1 << 55  # above 2^53: float64 would corrupt these
+        for trial in range(50):
+            lo = rng.choice([0, 10, big])
+            seq, cur = [], lo
+            for _ in range(rng.randint(1, 4)):  # batches
+                n = rng.randint(1, 6)
+                ids = []
+                for _ in range(n):
+                    cur += rng.randint(1, 3)
+                    ids.append(cur)
+                    if rng.random() < 0.3:  # duplicate id in the bucket
+                        ids.append(cur)
+                rng.shuffle(ids)  # unsorted within-batch arrival
+                seq.append(ids)
+            state = self._FakeState()
+            got = []
+            for ids in seq:
+                k = rng.randint(1, 2)  # sometimes split into 2 chunks
+                chunks = [
+                    pd.DataFrame({"doc_id": part, "band": [0] * len(part)})
+                    for part in (ids[: len(ids) // k or 1], ids[len(ids) // k or 1:])
+                    if part
+                ]
+                for out in _lsh_bucket_group(("k",), iter(chunks), state):
+                    got.extend(
+                        None if pd.isna(a) else int(a) for a in out["anchor"]
+                    )
+            want, (wf, wl) = self._reference(seq, _LSH_GATE_EMPTY, -1)
+            assert got == want, f"trial {trial}: {got} != {want}"
+            assert state._v == (wf, wl), f"trial {trial}: state {state._v}"
