@@ -819,7 +819,16 @@ def media_table(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
     """The blob side table, column-pruned at the scan: pass only the
     columns the entry parses so parquet skips the other blobs'
     column chunks entirely."""
-    df = spark.read.parquet(ensure_media(spark, sf_dir))
+    # memoize the lazy base-read handle per (session, store path) —
+    # the queries._t round-11 discipline: ~85 ms of driver round trips
+    # per spark.read.parquet, identical immutable inputs, plan-only
+    # cache (every action still scans the files)
+    path = ensure_media(spark, sf_dir)
+    cache = spark.__dict__.setdefault("_aprs2_table_plan_cache", {})
+    df = cache.get(("media", path))
+    if df is None:
+        df = spark.read.parquet(path)
+        cache[("media", path)] = df
     return df.select("doc_id", *cols) if cols else df
 
 

@@ -54,6 +54,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # rejected, and swallowing a failure here would silently reintroduce
     # the host-timezone dependence this pin exists to prevent.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Memoize the LAZY DataFrame handle per (session, sf_dir, table) —
+    # round 11: each spark.read.parquet costs ~85 ms of driver py4j +
+    # footer/schema round trips, and the bench's ~160 builders issue
+    # ~480 of them per run, all for identical immutable inputs.  This
+    # caches the unresolved PLAN only: every action still scans the
+    # parquet files (nothing about results or data is memoized), which
+    # is exactly the contract the bench requires.  Keyed on the session
+    # object itself (not id()) so a new session never sees a stale
+    # handle; the test corpus is immutable for a session's lifetime.
+    cache = spark.__dict__.setdefault("_aprs2_table_plan_cache", {})
+    df = cache.get((sf_dir, name))
+    if df is not None:
+        return df
     if name == "events":
         # events.ts is parquet INT64 TIMESTAMP(NANOS): Spark rejects it
         # unless read as raw long; truncate ns -> us with exact integer
@@ -63,8 +76,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
-        return normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    cache[(sf_dir, name)] = df
+    return df
+
+
+def _store_t(spark: SparkSession, path: str) -> DataFrame:
+    """Memoized lazy read of a persisted store — the ``_t`` plan-cache
+    discipline applied to the media/blob stores (plan handle only;
+    every action still scans the files)."""
+    cache = spark.__dict__.setdefault("_aprs2_table_plan_cache", {})
+    df = cache.get(("store", path))
+    if df is None:
+        df = spark.read.parquet(path)
+        cache[("store", path)] = df
+    return df
 
 
 def normalize_ts(df: DataFrame) -> DataFrame:
@@ -7980,7 +8008,7 @@ def q_domain_blocklist_join(spark, sf):
     has); a blocked host's docs are dropped."""
     from aprs2influxdb_spark.media_store import ensure_domain_dim
 
-    dim = spark.read.parquet(ensure_domain_dim(spark, sf))
+    dim = _store_t(spark, ensure_domain_dim(spark, sf))
     u = _url_norm_cols("url")
     docs = (
         _t(spark, sf, "documents")
@@ -8042,7 +8070,7 @@ def q_streaming_domain_blocklist_join(spark, sf):
     from aprs2influxdb_spark.media_store import ensure_domain_dim
     from aprs2influxdb_spark.streaming.bounded import run_bounded, stream_docs
 
-    dim = spark.read.parquet(ensure_domain_dim(spark, sf))
+    dim = _store_t(spark, ensure_domain_dim(spark, sf))
     u = _url_norm_cols("url")
     docs = (
         stream_docs(spark, sf)
@@ -9703,7 +9731,7 @@ def q_image_near_dup(spark, sf):
 
     fn, out_schema = _image_dhash_mapper()
     hashed = (
-        spark.read.parquet(ensure_image_store(spark, sf))
+        _store_t(spark, ensure_image_store(spark, sf))
         .mapInPandas(fn, out_schema)
         .localCheckpoint()  # decode once; both pair sides reuse it
     )
@@ -10018,7 +10046,7 @@ def q_audio_near_dup(spark, sf):
 
     fn, out_schema = _audio_fp_mapper()
     hashed = (
-        spark.read.parquet(ensure_audio_store(spark, sf))
+        _store_t(spark, ensure_audio_store(spark, sf))
         .mapInPandas(fn, out_schema)
         .localCheckpoint()  # decode once; both pair sides reuse it
     )
@@ -10236,7 +10264,7 @@ def q_video_near_dup(spark, sf):
 
     fn, out_schema = _video_dhash_mapper()
     hashed = (
-        spark.read.parquet(ensure_video_store(spark, sf))
+        _store_t(spark, ensure_video_store(spark, sf))
         .mapInPandas(fn, out_schema)
         .localCheckpoint()  # decode once; both pair sides reuse it
     )
