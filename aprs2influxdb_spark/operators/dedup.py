@@ -1137,6 +1137,14 @@ def exact_substring_spans(
         spread_for_compute(docs.select(id_col, text_col))
         .select(F.col(id_col), F.explode(anchors).alias("s"))
         .select(id_col, F.col("s.pos").alias("pos"), F.col("s.gh").alias("gh"))
+        # lazy checkpoint: the anchor projection (an O(k) hash per token
+        # position — the operator's dominant CPU) feeds BOTH the
+        # repeated-anchor aggregate and the coverage join; their gh
+        # exchanges differ (partial-agg vs raw), so exchange reuse can't
+        # dedupe it and without the barrier every anchor hashes twice
+        # (round 11, measured 1.68 → 1.34 s at sf0.1; the
+        # edit_distance_pairs/ngram_jaccard shared-subtree discipline)
+        .localCheckpoint(eager=False)
     )
     rep = (
         grams.groupBy("gh").agg(F.count("*").alias("cnt"))

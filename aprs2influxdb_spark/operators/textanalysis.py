@@ -698,9 +698,18 @@ def bm25_topk(
         docs.sparkSession.createDataFrame(qrows, ["query_id", "term"])
     )
     toks = tokens_col(text_col)
+    # the query-term filter sits BELOW the (doc, term) aggregation, on
+    # the exploded rows themselves (round 11, guide §2.3 "project/filter
+    # before the exchange"): only occurrences of the |query vocabulary|
+    # terms reach the tf exchange, instead of every distinct (doc, term)
+    # pair of the corpus.  dl is computed from the full token array
+    # BEFORE the filter, and df/idf count matching posting rows only in
+    # either formulation, so every output value is unchanged.
+    qterms = sorted({t for _, t in qrows})
     tf = (
         _spread_docs(docs, id_col, text_col)
         .select(F.col(id_col), F.size(toks).alias("dl"), F.explode(toks).alias("term"))
+        .filter(F.col("term").isin(qterms))
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"), F.min("dl").alias("dl"))
     )
@@ -709,9 +718,10 @@ def bm25_topk(
         F.sum(F.size(toks)).alias("total_len"),
     )
     # df over DISTINCT query terms (a term shared by two queries must
-    # not double-count); tf is already distinct per (doc, term), so
-    # the posting-row count IS the document frequency
-    posting = tf.join(F.broadcast(qdf.select("term").distinct()), "term")
+    # not double-count); tf is already distinct per (doc, term) and
+    # already restricted to the query vocabulary, so the posting-row
+    # count IS the document frequency
+    posting = tf
     dfreq = posting.groupBy("term").agg(F.count("*").alias("df"))
     matched = posting.join(qdf, "term")
     avgdl = F.col("total_len").cast("double") / F.col("n_docs")
