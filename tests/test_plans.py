@@ -305,8 +305,10 @@ class TestJoinStrategy:
         from aprs2influxdb_spark.queries import q_psi_drift
 
         assert audit(q_psi_drift(spark, sf_dir)).shuffles <= 3
-        # bloom: eval bitset words broadcast; training shingles fan out
-        # k probe rows then aggregate per (doc, shingle) and per doc
+        # bloom: eval bitset densified to ONE 2048-slot array row,
+        # cross-broadcast to the training side; every per-hash probe
+        # is a row-local element_at bit test, so the only probe-side
+        # exchange left is the per-doc aggregate
         from aprs2influxdb_spark.queries import q_bloom_decontaminate
 
         bd = audit(q_bloom_decontaminate(spark, sf_dir))
