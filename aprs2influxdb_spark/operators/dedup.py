@@ -1213,24 +1213,36 @@ def exact_substring_dedup(
         .agg(F.collect_list(F.struct(F.col("start"), F.col("len"))).alias("cuts"))
     )
     out = base.join(cuts, id_col, "left")
-    cuts_arr = F.coalesce(
-        F.col("cuts"),
-        F.expr("CAST(array() AS array<struct<start:bigint,len:bigint>>)"),
-    )
     idxs = F.sequence(F.lit(1), F.size(toks))
     kept = F.filter(
         idxs,
         lambda i: ~F.exists(
-            cuts_arr, lambda c: (i >= c["start"]) & (i < c["start"] + c["len"])
+            F.col("cuts"), lambda c: (i >= c["start"]) & (i < c["start"] + c["len"])
         ),
     )
+    # The O(tokens · cuts) rebuild runs ONLY for documents that have
+    # cuts (round 11: spans are sparse — at sf0.1, 433 span rows over
+    # 5000 docs — yet the sequence/filter/exists/transform/array_join
+    # chain ran for EVERY row and was ~70% of the entry's exec time).
+    # For a cut-free doc the rebuild is the identity: split on a
+    # single space re-joined with a single space preserves every run
+    # of spaces (empty tokens round-trip), so clean_text is exactly
+    # ``lower(text)`` and n_removed is 0.  CASE WHEN evaluates its
+    # branches lazily in codegen, so cut-free rows never touch the
+    # array chain.
+    no_cuts = F.col("cuts").isNull()
     return out.select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_tokens"),
-        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
-        F.array_join(F.transform(kept, lambda i: F.get(toks, i - 1)), " ").alias(
-            "clean_text"
-        ),
+        F.when(no_cuts, F.lit(0))
+        .otherwise(F.size(toks) - F.size(kept))
+        .cast("long")
+        .alias("n_removed"),
+        F.when(no_cuts, F.lower(F.col(text_col)))
+        .otherwise(
+            F.array_join(F.transform(kept, lambda i: F.get(toks, i - 1)), " ")
+        )
+        .alias("clean_text"),
     )
 
 
