@@ -9857,14 +9857,13 @@ def q_streaming_image_near_dup(spark, sf, drained: bool = False):
     and state holds only buckets touched post-drain."""
     from aprs2influxdb_spark.media_store import ensure_image_store
     from aprs2influxdb_spark.streaming.bounded import (
-        LSH_GATE_OUTPUT,
-        LSH_GATE_STATE,
-        _lsh_bucket_group,
+        gate_shards_for,
         run_bounded,
+        sharded_bucket_gate,
     )
-    from pyspark.sql.streaming.state import GroupStateTimeout
 
     path = ensure_image_store(spark, sf)
+    n_imgs = _store_t(spark, path).count()
     schema = spark.read.parquet(path).schema
     src = spark.readStream.schema(schema).parquet(path)
     fn, out_schema = _image_dhash_mapper()
@@ -9897,16 +9896,11 @@ def q_streaming_image_near_dup(spark, sf, drained: bool = False):
             f"img{IMAGE_VERSION}-{_sf_key(sf)}",
         )
         src = src.filter(F.col("doc_id") > split)
+        n_imgs = max(1, n_imgs // 2)  # the post-drain window
     banded = bands_of(src)
     if drained:
         banded = probe_gate_index(banded, index)
-    gated = banded.groupBy("key").applyInPandasWithState(
-        _lsh_bucket_group,
-        LSH_GATE_OUTPUT,
-        LSH_GATE_STATE,
-        "append",
-        GroupStateTimeout.NoTimeout,
-    )
+    gated = sharded_bucket_gate(banded, gate_shards_for(spark, 4 * n_imgs))
     sunk = run_bounded(spark, gated, "append", "stream_image_gate")
     return sunk.groupBy("doc_id").agg(F.min("anchor").alias("dup_of")).select(
         "doc_id", "dup_of", F.col("dup_of").isNotNull().alias("is_dup")
@@ -10467,16 +10461,15 @@ def q_streaming_video_near_dup(spark, sf, drained: bool = False):
     deferred by the text gate.  ``drained=True`` persists the
     pre-median clips' bucket aggregate as the bucketed gate index;
     state holds only buckets touched post-drain."""
-    from aprs2influxdb_spark.media_store import ensure_video_store
+    from aprs2influxdb_spark.media_store import VID_FRAMES, ensure_video_store
     from aprs2influxdb_spark.streaming.bounded import (
-        LSH_GATE_OUTPUT,
-        LSH_GATE_STATE,
-        _lsh_bucket_group,
+        gate_shards_for,
         run_bounded,
+        sharded_bucket_gate,
     )
-    from pyspark.sql.streaming.state import GroupStateTimeout
 
     path = ensure_video_store(spark, sf)
+    n_clips = _store_t(spark, path).count()
     schema = spark.read.parquet(path).schema
     src = spark.readStream.schema(schema).parquet(path)
     fn, out_schema = _video_dhash_mapper()
@@ -10522,15 +10515,12 @@ def q_streaming_video_near_dup(spark, sf, drained: bool = False):
             f"vid{VIDEO_VERSION}-{_sf_key(sf)}",
         )
         src = src.filter(F.col("doc_id") > split)
+        n_clips = max(1, n_clips // 2)  # the post-drain window
     banded = bands_of(src)
     if drained:
         banded = probe_gate_index(banded, index)
-    gated = banded.groupBy("key").applyInPandasWithState(
-        _lsh_bucket_group,
-        LSH_GATE_OUTPUT,
-        LSH_GATE_STATE,
-        "append",
-        GroupStateTimeout.NoTimeout,
+    gated = sharded_bucket_gate(
+        banded, gate_shards_for(spark, 4 * VID_FRAMES * n_clips)
     )
     sunk = run_bounded(spark, gated, "append", "stream_video_gate")
     return sunk.groupBy("doc_id").agg(F.min("anchor").alias("dup_of")).select(

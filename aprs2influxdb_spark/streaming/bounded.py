@@ -911,6 +911,219 @@ def _lsh_bucket_group(
     yield pd.DataFrame(out)
 
 
+#: one state row per SHARD of the bucket-key space, holding the packed
+#: (first, last) pairs of every bucket the shard has seen — the round-12
+#: answer to the measured ``applyInPandasWithState`` dispatch floor
+#: (~140 µs of serializer cost per GROUP per batch, × ~19k–80k bucket
+#: groups on the text/video gates = the gate family's dominant cost).
+#: The per-bucket STATE DISCIPLINE is unchanged — still exactly one
+#: (first_doc, last_doc) long pair per band bucket, same anchor rule,
+#: same ordered-ingest contract — only the state-store KEYING is
+#: coarsened so a batch pays the Python dispatch once per ~48 buckets
+#: instead of once per bucket.
+LSH_GATE_SHARD_STATE = StructType(
+    [
+        StructField("keys", ArrayType(StringType())),
+        StructField("firsts", ArrayType(LongType())),
+        StructField("lasts", ArrayType(LongType())),
+    ]
+)
+
+#: target bucket pairs per shard row.  Small enough that a state row
+#: stays a few KB (re-serialized whole on every touch), large enough
+#: that the per-group dispatch cost amortizes away.  Measured on the
+#: sf0.1 text gate (warm addBatch, ms): per_shard 16 → 1392, 48 → 1181,
+#: 128 → 1110, 320+ → flat (the 2×cores shard floor takes over) — 128
+#: is past the knee while a full row stays ~6 KB.
+GATE_BUCKETS_PER_SHARD = 128
+
+#: shard count of the most recent ``sharded_bucket_gate`` plan — the
+#: state-bound tests recompute their expected touched-shard counts
+#: with it (the keying is deterministic: pmod(xxhash64(key), n)).
+LAST_GATE_SHARDS = 0
+
+
+def gate_shards_for(spark: SparkSession, n_buckets_est: int) -> int:
+    """Scale-adaptive shard count for the bucket gate: enough shards
+    that each holds ~``GATE_BUCKETS_PER_SHARD`` buckets of the streamed
+    window (state rows stay small no matter how big the window), never
+    fewer than 2× the cluster's core count (so the state stage keeps
+    every core busy on small windows).  Derived from the window
+    estimate at plan time — NOT a constant tuned to local[32]."""
+    par = spark.sparkContext.defaultParallelism
+    return max(2 * par, -(-int(n_buckets_est) // GATE_BUCKETS_PER_SHARD))
+
+
+def _lsh_shard_group(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Shard-packed twin of :func:`_lsh_bucket_group`: one state row
+    per shard of the bucket-key space, value = the packed
+    (key → (first, last)) pairs of the shard's buckets.  Emits exactly
+    the rows the per-bucket function would (pinned by a randomized
+    replay test against it), enforces the same per-bucket
+    ordered-ingest contract, and handles the drained form's
+    ``p_first``/``p_last`` index columns per bucket."""
+    import numpy as np
+
+    if state.exists:
+        keys0, firsts0, lasts0 = state.get
+        buckets = dict(zip(keys0, zip(firsts0, lasts0)))
+    else:
+        buckets = {}
+    chunks = list(pdfs)
+    if not chunks:
+        if state.exists:
+            state.update((keys0, firsts0, lasts0))
+        return
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    pdf = pdf.sort_values(["key", "doc_id"], kind="stable", ignore_index=True)
+    keys = pdf["key"].to_numpy()
+    doc_ids = pdf["doc_id"].to_numpy()
+    starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+    lengths = np.diff(np.r_[starts, len(keys)])
+    has_p = "p_first" in pdf.columns
+    if has_p:
+        p_firsts, p_lasts = pdf["p_first"], pdf["p_last"]
+    # per-bucket pass: the Python loop runs once per UNIQUE bucket in
+    # the shard's batch slice (~GATE_BUCKETS_PER_SHARD), not per row —
+    # anchors themselves are computed vectorized below
+    m_per_bucket = np.empty(len(starts), dtype=np.int64)
+    for i, s in enumerate(starts):
+        k = keys[s]
+        first, last = buckets.get(k, (_LSH_GATE_EMPTY, -1))
+        if has_p:
+            pf = p_firsts.iloc[s]
+            if pd.notna(pf):
+                # drained-index coverage: constant per bucket; the
+                # persisted witness extends the ordered-ingest contract
+                # and the persisted min floors the anchor (ordered
+                # ingest means no future arrival can lower it)
+                pl = int(p_lasts.iloc[s])
+                if pl > last:
+                    last = pl
+                pf = int(pf)
+                if pf < first:
+                    first = pf
+        d0 = int(doc_ids[s])
+        if d0 <= last:
+            raise ValueError(
+                f"LSH: out-of-order arrival in bucket {k!r} — batch min "
+                f"doc_id {d0} ≤ last seen {last}"
+            )
+        m = first if first < d0 else d0
+        m_per_bucket[i] = m
+        buckets[k] = (m, int(doc_ids[s + lengths[i] - 1]))
+    m_row = np.repeat(m_per_bucket, lengths)
+    # nullable Int64 keeps >2^53 anchors exact through the Arrow cast
+    anchors = pd.array(m_row, dtype="Int64")
+    anchors[doc_ids <= m_row] = None
+    state.update(
+        (
+            list(buckets.keys()),
+            [v[0] for v in buckets.values()],
+            [v[1] for v in buckets.values()],
+        )
+    )
+    out = {
+        "doc_id": pdf["doc_id"].astype("int64"),
+        "band": pdf["band"].astype("int64"),
+    }
+    if "raw" in pdf.columns:  # payload pass-through (the soak gate)
+        out["raw"] = pdf["raw"]
+    out["anchor"] = anchors
+    yield pd.DataFrame(out)
+
+
+def sharded_bucket_gate(banded: DataFrame, n_shards: int) -> DataFrame:
+    """Apply the band-bucket near-dup gate with SHARDED state keying:
+    deterministic ``pmod(xxhash64(key), n_shards)`` shard ids, one
+    state row per shard packing its buckets' (first, last) pairs.
+    Same emitted rows, same per-bucket discipline and contract as
+    ``groupBy("key").applyInPandasWithState(_lsh_bucket_group, …)`` —
+    but the per-batch Python dispatch count drops from one per bucket
+    to one per touched shard (guide §4: shrink the number of state
+    groups, not just the work per group)."""
+    global LAST_GATE_SHARDS
+    LAST_GATE_SHARDS = n_shards
+    sharded = banded.withColumn(
+        "shard", F.pmod(F.xxhash64("key"), F.lit(n_shards))
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        _lsh_shard_group,
+        LSH_GATE_OUTPUT,
+        LSH_GATE_SHARD_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def lsh_banded_docs(
+    spark: SparkSession,
+    sf_dir: str,
+    streaming: bool = False,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Memoized LAZY ``(doc_id, band, key)`` banding of the documents
+    table (batch) or stream — the ``_t`` plan-handle discipline applied
+    to the gate family's signature tree: building the 16-hash MinHash +
+    banding expressions costs ~0.4 s of driver py4j per call, and
+    ``streaming_lsh_gate_cycle`` built it SEVEN times per run (measured
+    round 12: 3.2 s of its 9.4 s warm total was pure expression
+    construction).  This caches the unresolved plan only — every action
+    still scans the parquet inputs — and consumers derive their
+    segment/epoch variants with cheap ``doc_id`` filters, which Catalyst
+    pushes back below the banding projections."""
+    from aprs2influxdb_spark.functions.hashing import hashed_shingles
+    from aprs2influxdb_spark.functions.partitioning import spread_for_compute
+    from aprs2influxdb_spark.operators.dedup import (
+        _signatures_from_shingles,
+        banded_keys,
+        tokens_col,
+    )
+
+    cache = spark.__dict__.setdefault("_aprs2_table_plan_cache", {})
+    k = ("lsh_banded", sf_dir, streaming, num_hashes, bands)
+    df = cache.get(k)
+    if df is not None:
+        return df
+    if streaming:
+        # spread the narrow (doc_id, text) BEFORE the signature
+        # expressions: a single-file micro-batch is ONE partition, so
+        # the 16-hash stage would run serially
+        src = spread_stream_for_compute(
+            stream_docs(spark, sf_dir).select("doc_id", "text")
+        )
+    else:
+        src = spread_for_compute(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                "doc_id", "text"
+            )
+        )
+    arr = src.select(
+        F.col("doc_id"), hashed_shingles(tokens_col("text"), 3).alias("sh")
+    )
+    df = banded_keys(
+        _signatures_from_shingles(arr, "doc_id", num_hashes),
+        "doc_id",
+        num_hashes,
+        bands,
+    )
+    cache[k] = df
+    return df
+
+
+def bucket_index_of(banded: DataFrame) -> DataFrame:
+    """``(key, p_first, p_last)`` bucket aggregate of an
+    already-banded frame — the drain target, factored out of
+    :func:`lsh_gate_index` so callers holding a memoized banded handle
+    skip rebuilding the signature tree."""
+    return banded.groupBy("key").agg(
+        F.min("doc_id").alias("p_first"), F.max("doc_id").alias("p_last")
+    )
+
+
 def lsh_gate_index(
     docs: DataFrame, num_hashes: int = 16, bands: int = 4
 ) -> DataFrame:
@@ -925,13 +1138,17 @@ def lsh_gate_index(
     the index is one 40-byte row per distinct bucket of the drained
     corpus, i.e. O(corpus), NOT broadcast-sized at 100 TB."""
     from aprs2influxdb_spark.functions.hashing import hashed_shingles
+    from aprs2influxdb_spark.functions.partitioning import spread_for_compute
     from aprs2influxdb_spark.operators.dedup import (
         _signatures_from_shingles,
         banded_keys,
         tokens_col,
     )
 
-    arr = docs.select(
+    # spread the narrow projection before the 16-hash stage: the index
+    # build over a byte-small corpus segment otherwise hashes serially
+    # (same fix as the stream side; no-op when the scan is already wide)
+    arr = spread_for_compute(docs.select("doc_id", "text")).select(
         F.col("doc_id"), hashed_shingles(tokens_col("text"), 3).alias("sh")
     )
     banded = banded_keys(
@@ -940,9 +1157,7 @@ def lsh_gate_index(
         num_hashes,
         bands,
     )
-    return banded.groupBy("key").agg(
-        F.min("doc_id").alias("p_first"), F.max("doc_id").alias("p_last")
-    )
+    return bucket_index_of(banded)
 
 
 GATE_INDEX_BUCKETS = 16
@@ -1069,48 +1284,42 @@ def streaming_lsh_gate_cycle(
     not batch-readable; production folds from the drained interval's
     persisted bronze arrivals, which is what ``lsh_gate_index`` over
     the interval computes."""
-    from aprs2influxdb_spark.functions.hashing import hashed_shingles
     from aprs2influxdb_spark.media_store import _sf_key
-    from aprs2influxdb_spark.operators.dedup import (
-        _signatures_from_shingles,
-        banded_keys,
-        tokens_col,
-    )
 
     batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
     lo, hi = batch.agg(F.min("doc_id"), F.max("doc_id")).first()
     lo, hi = int(lo), int(hi)
+    n_docs = batch.count()
     # oracle mirrors bounds[0]; note lo + (hi-lo)//2 == (lo+hi)//2, so
     # cycles=1 degenerates to streaming_lsh_near_dup(drained=True)
     bounds = [
         lo + ((hi - lo) * c) // (cycles + 1) for c in range(1, cycles + 1)
     ] + [hi]
     GATE_CYCLE_STATE_ROWS.clear()
-    index_df = lsh_gate_index(batch.filter(F.col("doc_id") <= bounds[0]))
+    # ONE banding expression tree per side (memoized handles); every
+    # epoch/segment variant is a doc_id filter Catalyst pushes back
+    # below the banding — the previous per-cycle rebuilds were 3.2 s of
+    # driver py4j (round 12, guide §5 "the driver")
+    banded_batch = lsh_banded_docs(spark, sf_dir)
+    banded_stream = lsh_banded_docs(spark, sf_dir, streaming=True)
+    index_df = bucket_index_of(
+        banded_batch.filter(F.col("doc_id") <= bounds[0])
+    )
     key_base = f"lshcyc{cycles}-{_sf_key(sf_dir)}"
     outs = []
     for c in range(cycles):
         index = persist_gate_index(spark, index_df, f"{key_base}-e{c}")
         seg_lo, seg_hi = bounds[c], bounds[c + 1]
-        src = stream_docs(spark, sf_dir).filter(
-            (F.col("doc_id") > seg_lo) & (F.col("doc_id") <= seg_hi)
-        )
-        # same serial-signature fix as streaming_lsh_near_dup
-        arr = spread_stream_for_compute(src.select("doc_id", "text")).select(
-            F.col("doc_id"), hashed_shingles(tokens_col("text"), 3).alias("sh")
-        )
         banded = probe_gate_index(
-            banded_keys(
-                _signatures_from_shingles(arr, "doc_id", 16), "doc_id", 16, 4
+            banded_stream.filter(
+                (F.col("doc_id") > seg_lo) & (F.col("doc_id") <= seg_hi)
             ),
             index,
         )
-        gated = banded.groupBy("key").applyInPandasWithState(
-            _lsh_bucket_group,
-            LSH_GATE_OUTPUT,
-            LSH_GATE_STATE,
-            "append",
-            GroupStateTimeout.NoTimeout,
+        # shard estimate: one interval's worth of band buckets — the
+        # window the drain discipline bounds state to
+        gated = sharded_bucket_gate(
+            banded, gate_shards_for(spark, 4 * max(1, n_docs // (cycles + 1)))
         )
         outs.append(run_bounded(spark, gated, "append", f"lsh_cycle_{c}"))
         totals = [
@@ -1123,8 +1332,8 @@ def streaming_lsh_gate_cycle(
         # the DRAIN: fold the just-streamed interval into the index;
         # the next cycle's run starts from a fresh checkpoint (state
         # emptied) with the folded index carrying the coverage
-        seg_index = lsh_gate_index(
-            batch.filter(
+        seg_index = bucket_index_of(
+            banded_batch.filter(
                 (F.col("doc_id") > seg_lo) & (F.col("doc_id") <= seg_hi)
             )
         )
@@ -1172,14 +1381,11 @@ def streaming_lsh_near_dup(
     cycle — while the anchor rule stays exactly the batch oracle's
     (ordered ingest means a drained bucket's min can never be lowered
     by a later arrival)."""
-    from aprs2influxdb_spark.functions.hashing import hashed_shingles
-    from aprs2influxdb_spark.operators.dedup import (
-        _signatures_from_shingles,
-        banded_keys,
-        tokens_col,
-    )
-
-    src = stream_docs(spark, sf_dir)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    # memoized banding handle — the signature tree is built once per
+    # session, and the stream spreads the narrow (doc_id, text) before
+    # the 16-hash stage (see lsh_banded_docs)
+    banded = lsh_banded_docs(spark, sf_dir, streaming=True)
     if drained:
         from aprs2influxdb_spark.media_store import _sf_key
 
@@ -1188,28 +1394,16 @@ def streaming_lsh_near_dup(
         split = (int(lo) + int(hi)) // 2  # oracle mirrors this closed form
         index = persist_gate_index(
             spark,
-            lsh_gate_index(batch.filter(F.col("doc_id") <= split)),
+            bucket_index_of(
+                lsh_banded_docs(spark, sf_dir).filter(F.col("doc_id") <= split)
+            ),
             f"lsh-{_sf_key(sf_dir)}",
         )
-        src = src.filter(F.col("doc_id") > split)
-    # spread the narrow (doc_id, text) BEFORE the shingle/signature
-    # expressions: a single-file micro-batch is ONE partition, so the
-    # 16-hash MinHash stage ran serially (see spread_stream_for_compute)
-    arr = spread_stream_for_compute(src.select("doc_id", "text")).select(
-        F.col("doc_id"), hashed_shingles(tokens_col("text"), 3).alias("sh")
-    )
-    banded = banded_keys(
-        _signatures_from_shingles(arr, "doc_id", 16), "doc_id", 16, 4
-    )
-    if drained:
-        banded = probe_gate_index(banded, index)
-    gated = banded.groupBy("key").applyInPandasWithState(
-        _lsh_bucket_group,
-        LSH_GATE_OUTPUT,
-        LSH_GATE_STATE,
-        "append",
-        GroupStateTimeout.NoTimeout,
-    )
+        banded = probe_gate_index(
+            banded.filter(F.col("doc_id") > split), index
+        )
+        n_docs = max(1, n_docs // 2)  # the post-drain window
+    gated = sharded_bucket_gate(banded, gate_shards_for(spark, 4 * n_docs))
     sunk = run_bounded(spark, gated, "append", "stream_lsh_gate")
     return sunk.groupBy("doc_id").agg(F.min("anchor").alias("dup_of")).select(
         "doc_id", "dup_of", F.col("dup_of").isNotNull().alias("is_dup")
@@ -1275,11 +1469,13 @@ def streaming_srp_near_dup(
     from aprs2influxdb_spark.operators.similarity import srp_planes_for
 
     batch = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    np_ = srp_planes_for(batch.count(), target_bucket_size=8)
+    n_vecs = batch.count()
+    np_ = srp_planes_for(n_vecs, target_bucket_size=8)
     src = stream_embeddings(spark, sf_dir)
     if drained:
         lo, hi = batch.agg(F.min("vec_id"), F.max("vec_id")).first()
         split = (int(lo) + int(hi)) // 2  # oracle mirrors this closed form
+        n_vecs = max(1, n_vecs // 2)  # the post-drain window
         index = persist_gate_index(
             spark,
             _srp_gate_banded(batch.filter(F.col("vec_id") <= split), np_)
@@ -1295,12 +1491,8 @@ def streaming_srp_near_dup(
     )
     if drained:
         banded = probe_gate_index(banded, index)
-    gated = banded.groupBy("key").applyInPandasWithState(
-        _lsh_bucket_group,
-        LSH_GATE_OUTPUT,
-        LSH_GATE_STATE,
-        "append",
-        GroupStateTimeout.NoTimeout,
+    gated = sharded_bucket_gate(
+        banded, gate_shards_for(spark, SRP_GATE_BANDS * n_vecs)
     )
     sunk = run_bounded(spark, gated, "append", "stream_srp_gate")
     return (

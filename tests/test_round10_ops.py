@@ -223,8 +223,15 @@ class TestLshGateDrainedState:
             16,
             4,
         )
+        # round 12: sharded state keying — one state row per
+        # pmod(xxhash64(key), LAST_GATE_SHARDS) shard packing its
+        # buckets' (first, last) pairs; the bound is the distinct
+        # shards of the buckets touched post-drain
         touched = (
-            banded.filter(F.col("doc_id") > 3).select("key").distinct().count()
+            banded.filter(F.col("doc_id") > 3)
+            .select(F.pmod(F.xxhash64("key"), F.lit(bounded.LAST_GATE_SHARDS)))
+            .distinct()
+            .count()
         )
         all_buckets = banded.select("key").distinct().count()
         state_rows = [
@@ -386,8 +393,13 @@ class TestImageGateDrainedState:
         bands = _image_bands(store.mapInPandas(fn, out_schema)).select(
             "doc_id", F.concat_ws("_", "band", "bkey").alias("key")
         )
+        # round 12: sharded state keying — expected rows are the
+        # distinct shards of the buckets touched post-drain
         touched = (
-            bands.filter(F.col("doc_id") > split).select("key").distinct().count()
+            bands.filter(F.col("doc_id") > split)
+            .select(F.pmod(F.xxhash64("key"), F.lit(bounded.LAST_GATE_SHARDS)))
+            .distinct()
+            .count()
         )
         state_rows = [
             op["numRowsTotal"]

@@ -103,13 +103,17 @@ class TestLshGateCycle:
         for d in out:
             assert out[d]["dup_of"] == expect.get(d), (d, out[d], expect.get(d))
         # state RESETS at every drain: each cycle's final state-store
-        # row count is that interval's OWN touched-bucket count, not a
-        # running total
+        # row count is that interval's OWN touched-SHARD count (round
+        # 12: state keying is sharded — one row per
+        # pmod(xxhash64(key), LAST_GATE_SHARDS) shard packing its
+        # buckets' pairs — so the bound is distinct shards of the
+        # buckets the interval touched), not a running total
+        n_shards = bounded.LAST_GATE_SHARDS
         per_cycle = [
             banded.filter(
                 (F.col("doc_id") > lo) & (F.col("doc_id") <= hi)
             )
-            .select("key")
+            .select(F.pmod(F.xxhash64("key"), F.lit(n_shards)))
             .distinct()
             .count()
             for lo, hi in [(2, 5), (5, 8), (8, 11)]
@@ -329,7 +333,17 @@ class TestSrpGate:
         assert all(r["vec_id"] > split for r in rows)
         np_ = srp_planes_for(emb.count(), target_bucket_size=8)
         banded = bounded._srp_gate_banded(emb, np_)
+        # round 12: state keying is SHARDED — one state row per
+        # pmod(xxhash64(key), LAST_GATE_SHARDS) shard packing its
+        # buckets' (first, last) pairs — so the post-drain bound is the
+        # distinct shards of the buckets actually touched
         touched = (
+            banded.filter(F.col("doc_id") > split)
+            .select(F.pmod(F.xxhash64("key"), F.lit(bounded.LAST_GATE_SHARDS)))
+            .distinct()
+            .count()
+        )
+        touched_buckets = (
             banded.filter(F.col("doc_id") > split).select("key").distinct().count()
         )
         state_rows = [
@@ -339,6 +353,9 @@ class TestSrpGate:
             if op.get("numRowsTotal") is not None
         ]
         assert state_rows and state_rows[-1] == touched, (state_rows, touched)
+        # packed, never inflated: at most one row per touched bucket,
+        # and still strictly below the whole corpus's bucket count
+        assert state_rows[-1] <= touched_buckets
         assert state_rows[-1] < banded.select("key").distinct().count()
 
 
@@ -380,8 +397,13 @@ class TestVideoGateAndClusters:
                 ),
             ).alias("key"),
         )
+        # round 12: sharded state keying — expected rows are the
+        # distinct shards of the buckets touched post-drain
         touched = (
-            bands.filter(F.col("doc_id") > split).select("key").distinct().count()
+            bands.filter(F.col("doc_id") > split)
+            .select(F.pmod(F.xxhash64("key"), F.lit(bounded.LAST_GATE_SHARDS)))
+            .distinct()
+            .count()
         )
         state_rows = [
             op["numRowsTotal"]
@@ -390,6 +412,9 @@ class TestVideoGateAndClusters:
             if op.get("numRowsTotal") is not None
         ]
         assert state_rows and state_rows[-1] == touched, (state_rows, touched)
+        assert state_rows[-1] <= (
+            bands.filter(F.col("doc_id") > split).select("key").distinct().count()
+        )
         assert state_rows[-1] < bands.select("key").distinct().count()
 
     def test_gate_is_superset_of_aligned_pairs(self, spark, sf_dir):
