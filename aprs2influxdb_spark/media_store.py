@@ -318,6 +318,8 @@ def ensure_prev_snapshot(spark: SparkSession, sf_dir: str) -> str:
     if not os.path.exists(os.path.join(final, "_SUCCESS")):
         from aprs2influxdb_spark.storage import write_bucketed
 
+        _invalidate_path(spark, final)  # rebuild drops stale plan handles
+
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
             "doc_id", "text"
         )
@@ -390,6 +392,10 @@ def ensure_domain_dim(spark: SparkSession, sf_dir: str) -> str:
     final = domain_dim_path(sf_dir)
     if os.path.exists(os.path.join(final, "_SUCCESS")):
         return final
+    # about to (re)build: drop any stale plan handle cached for this
+    # path in THIS session (ADVICE r11 — the plan cache pins schema +
+    # file listing at first read and must not survive a rebuild)
+    _invalidate_path(spark, final)
     from pyspark.sql import functions as F
 
     from aprs2influxdb_spark.functions.hashing import portable_hash64
@@ -520,6 +526,10 @@ def ensure_image_store(spark: SparkSession, sf_dir: str) -> str:
     final = image_store_path(sf_dir)
     if os.path.exists(os.path.join(final, "_SUCCESS")):
         return final
+    # about to (re)build: drop any stale plan handle cached for this
+    # path in THIS session (ADVICE r11 — the plan cache pins schema +
+    # file listing at first read and must not survive a rebuild)
+    _invalidate_path(spark, final)
     from pyspark.sql.types import BinaryType, LongType, StructField, StructType
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
@@ -608,6 +618,10 @@ def ensure_audio_store(spark: SparkSession, sf_dir: str) -> str:
     final = audio_store_path(sf_dir)
     if os.path.exists(os.path.join(final, "_SUCCESS")):
         return final
+    # about to (re)build: drop any stale plan handle cached for this
+    # path in THIS session (ADVICE r11 — the plan cache pins schema +
+    # file listing at first read and must not survive a rebuild)
+    _invalidate_path(spark, final)
     from pyspark.sql.types import BinaryType, LongType, StructField, StructType
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
@@ -740,6 +754,10 @@ def ensure_video_store(spark: SparkSession, sf_dir: str) -> str:
     final = video_store_path(sf_dir)
     if os.path.exists(os.path.join(final, "_SUCCESS")):
         return final
+    # about to (re)build: drop any stale plan handle cached for this
+    # path in THIS session (ADVICE r11 — the plan cache pins schema +
+    # file listing at first read and must not survive a rebuild)
+    _invalidate_path(spark, final)
     from pyspark.sql.types import BinaryType, LongType, StructField, StructType
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
@@ -793,6 +811,10 @@ def ensure_media(spark: SparkSession, sf_dir: str) -> str:
     final = media_path(sf_dir)
     if os.path.exists(os.path.join(final, "_SUCCESS")):
         return final
+    # about to (re)build: drop any stale plan handle cached for this
+    # path in THIS session (ADVICE r11 — the plan cache pins schema +
+    # file listing at first read and must not survive a rebuild)
+    _invalidate_path(spark, final)
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
         "doc_id", "text"
     )
@@ -815,20 +837,26 @@ def ensure_media(spark: SparkSession, sf_dir: str) -> str:
     return final
 
 
+def _invalidate_path(spark: SparkSession, path: str) -> None:
+    from aprs2influxdb_spark.functions.plancache import invalidate_path
+
+    invalidate_path(spark, path)
+
+
 def media_table(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
     """The blob side table, column-pruned at the scan: pass only the
     columns the entry parses so parquet skips the other blobs'
     column chunks entirely."""
     # memoize the lazy base-read handle per (session, store path) —
-    # the queries._t round-11 discipline: ~85 ms of driver round trips
-    # per spark.read.parquet, identical immutable inputs, plan-only
-    # cache (every action still scans the files)
+    # the queries._t round-11 discipline, now via the shared
+    # functions.plancache helper (plan-only cache; every action still
+    # scans the files)
+    from aprs2influxdb_spark.functions.plancache import table_plan
+
     path = ensure_media(spark, sf_dir)
-    cache = spark.__dict__.setdefault("_aprs2_table_plan_cache", {})
-    df = cache.get(("media", path))
-    if df is None:
-        df = spark.read.parquet(path)
-        cache[("media", path)] = df
+    df = table_plan(
+        spark, ("media", path), lambda: spark.read.parquet(path)
+    )
     return df.select("doc_id", *cols) if cols else df
 
 
@@ -872,6 +900,10 @@ def _ensure_member_files(spark: SparkSession, sf_dir: str, final: str, synth) ->
     via the driver; temp-dir + rename for crash safety."""
     if os.path.exists(os.path.join(final, "_SUCCESS")):
         return final
+    # about to (re)build: drop any stale plan handle cached for this
+    # path in THIS session (ADVICE r11 — the plan cache pins schema +
+    # file listing at first read and must not survive a rebuild)
+    _invalidate_path(spark, final)
     from pyspark.sql import functions as F
     from pyspark.sql.types import IntegerType, StructField, StructType
 

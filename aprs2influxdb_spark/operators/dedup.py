@@ -1143,9 +1143,14 @@ def exact_substring_spans(
         # exchanges differ (partial-agg vs raw), so exchange reuse can't
         # dedupe it and without the barrier every anchor hashes twice
         # (round 11, measured 1.68 → 1.34 s at sf0.1; the
-        # edit_distance_pairs/ngram_jaccard shared-subtree discipline)
-        .localCheckpoint(eager=False)
+        # edit_distance_pairs/ngram_jaccard shared-subtree discipline).
+        # Reliable when a checkpoint dir is configured: the grams frame
+        # is O(corpus tokens) — the one barrier whose executor-loss
+        # blast radius at 100 TB justifies the replicated write path.
     )
+    from aprs2influxdb_spark.storage import reliable_checkpoint
+
+    grams = reliable_checkpoint(grams, eager=False)
     rep = (
         grams.groupBy("gh").agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= 2)
@@ -1229,8 +1234,11 @@ def exact_substring_dedup(
     # of spaces (empty tokens round-trip), so clean_text is exactly
     # ``lower(text)`` and n_removed is 0.  CASE WHEN evaluates its
     # branches lazily in codegen, so cut-free rows never touch the
-    # array chain.
-    no_cuts = F.col("cuts").isNull()
+    # array chain.  The text IS NOT NULL guard (ADVICE r11) keeps the
+    # null-text behavior of the slow path: size(split(null)) is null,
+    # so n_removed/clean_text stay NULL for a null-text doc instead of
+    # the fast path's 0/lower(null).
+    no_cuts = F.col("cuts").isNull() & F.col(text_col).isNotNull()
     return out.select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_tokens"),

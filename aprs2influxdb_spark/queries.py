@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aprs2influxdb_spark.functions.counts import corpus_count
+from aprs2influxdb_spark.functions.plancache import table_plan
 from aprs2influxdb_spark.functions.partitioning import (
     spread_for_compute,
     spread_for_grouped_compute,
@@ -56,6 +57,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # ONCE per session (round 11): the set() is a ~1 ms py4j round trip
     # and _t is called ~1000× per bench run; a runtime conf survives for
     # the session's lifetime, so re-pinning on every call bought nothing.
+    # INVARIANT (ADVICE r11): no in-repo code may set session.timeZone
+    # to anything but UTC after this pin — the only other setter is
+    # streaming.bounded.stream_events, which also pins UTC; a future
+    # site that must change it mid-session has to clear
+    # ``_aprs2_tz_pinned`` so the next _t call re-pins.
     if not spark.__dict__.get("_aprs2_tz_pinned"):
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.__dict__["_aprs2_tz_pinned"] = True
@@ -63,41 +69,33 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # round 11: each spark.read.parquet costs ~85 ms of driver py4j +
     # footer/schema round trips, and the bench's ~160 builders issue
     # ~480 of them per run, all for identical immutable inputs.  This
-    # caches the unresolved PLAN only: every action still scans the
-    # parquet files (nothing about results or data is memoized), which
-    # is exactly the contract the bench requires.  Keyed on the session
-    # object itself (not id()) so a new session never sees a stale
-    # handle; the test corpus is immutable for a session's lifetime.
-    cache = spark.__dict__.setdefault("_aprs2_table_plan_cache", {})
-    df = cache.get((sf_dir, name))
-    if df is not None:
-        return df
-    if name == "events":
-        # events.ts is parquet INT64 TIMESTAMP(NANOS): Spark rejects it
-        # unless read as raw long; truncate ns -> us with exact integer
-        # division (`div`, not `/` — double math loses sub-us bits at
-        # 1.7e18 ns), matching DuckDB's silent ns -> us truncation.
-        try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:
-            pass
-        df = normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
-    else:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    cache[(sf_dir, name)] = df
-    return df
+    # caches the unresolved PLAN only (see functions.plancache): every
+    # action still scans the parquet files, which is exactly the
+    # contract the bench requires.
+    def _build() -> DataFrame:
+        if name == "events":
+            # events.ts is parquet INT64 TIMESTAMP(NANOS): Spark
+            # rejects it unless read as raw long; truncate ns -> us
+            # with exact integer division (`div`, not `/` — double math
+            # loses sub-us bits at 1.7e18 ns), matching DuckDB's silent
+            # ns -> us truncation.
+            try:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            except Exception:
+                pass
+            return normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+    return table_plan(spark, (sf_dir, name), _build)
 
 
 def _store_t(spark: SparkSession, path: str) -> DataFrame:
     """Memoized lazy read of a persisted store — the ``_t`` plan-cache
     discipline applied to the media/blob stores (plan handle only;
     every action still scans the files)."""
-    cache = spark.__dict__.setdefault("_aprs2_table_plan_cache", {})
-    df = cache.get(("store", path))
-    if df is None:
-        df = spark.read.parquet(path)
-        cache[("store", path)] = df
-    return df
+    return table_plan(
+        spark, ("store", path), lambda: spark.read.parquet(path)
+    )
 
 
 def normalize_ts(df: DataFrame) -> DataFrame:
@@ -5595,7 +5593,13 @@ def _curate_pipeline(docs, checkpoint_surv: bool = False):
         .select("doc_id", "text", "pred_lang", "quality_score", "n_dups")
     )
     if checkpoint_surv:
-        surv = surv.localCheckpoint(eager=False)
+        # reliable when a checkpoint dir is configured (the survivors
+        # frame is O(corpus) at scale — an executor loss should
+        # recompute from disk, not abort the job); localCheckpoint
+        # locally, so plans and bench behavior are unchanged here
+        from aprs2influxdb_spark.storage import reliable_checkpoint
+
+        surv = reliable_checkpoint(surv, eager=False)
     return _curate_tail(surv)
 
 
@@ -9863,7 +9867,7 @@ def q_streaming_image_near_dup(spark, sf, drained: bool = False):
     )
 
     path = ensure_image_store(spark, sf)
-    n_imgs = _store_t(spark, path).count()
+    n_imgs = corpus_count(_store_t(spark, path))
     schema = spark.read.parquet(path).schema
     src = spark.readStream.schema(schema).parquet(path)
     fn, out_schema = _image_dhash_mapper()
@@ -10469,7 +10473,7 @@ def q_streaming_video_near_dup(spark, sf, drained: bool = False):
     )
 
     path = ensure_video_store(spark, sf)
-    n_clips = _store_t(spark, path).count()
+    n_clips = corpus_count(_store_t(spark, path))
     schema = spark.read.parquet(path).schema
     src = spark.readStream.schema(schema).parquet(path)
     fn, out_schema = _video_dhash_mapper()

@@ -25,6 +25,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def reliable_checkpoint(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Plan-truncating checkpoint that is fault-tolerant WHEN the
+    deployment configured a checkpoint dir (``spark.sparkContext.
+    setCheckpointDir``): ``checkpoint()`` writes the blocks to that
+    (replicated/remote) dir, so an executor loss recomputes-from-disk
+    instead of killing the job.  With no dir configured — the local
+    bench/test default — falls back to ``localCheckpoint``, whose
+    blocks live only in executor storage (fine locally; the documented
+    reliability surface at 100 TB, round-12 verdict-r11 item 6).  Use
+    for the BIG within-run reuse barriers (the exact-substring grams
+    frame, curation survivors) whose loss would otherwise abort a
+    multi-hour job; the tiny dimension-sized barriers keep plain
+    localCheckpoint."""
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isDefined():
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def write_packets(packets: DataFrame, path: str, files_per_partition: int = 4) -> None:
     """Write the canonical packet table partitioned for pruning.
 

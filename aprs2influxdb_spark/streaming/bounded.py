@@ -57,6 +57,7 @@ from pyspark.sql.types import (
 
 from aprs2influxdb_spark.functions.partitioning import spread_stream_for_compute
 from aprs2influxdb_spark.functions.rounding import rhu
+from aprs2influxdb_spark.functions.counts import corpus_count
 from aprs2influxdb_spark.queries import normalize_ts
 
 
@@ -845,7 +846,10 @@ def _lsh_bucket_group(
     # batch already arrives doc_id-ascending
     pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
     if not pdf["doc_id"].is_monotonic_increasing:
-        pdf = pdf.sort_values("doc_id")
+        # ignore_index: the output dict below mixes index-carrying
+        # Series with positional arrays — a shuffled index must not
+        # survive the sort (ADVICE r11)
+        pdf = pdf.sort_values("doc_id", ignore_index=True)
     # drained-index coverage (round 10, verdict-r9 weak #2): when the
     # input carries p_first/p_last columns (the stream-static join
     # against the persisted gate index), they are constant per bucket —
@@ -1077,41 +1081,40 @@ def lsh_banded_docs(
     pushes back below the banding projections."""
     from aprs2influxdb_spark.functions.hashing import hashed_shingles
     from aprs2influxdb_spark.functions.partitioning import spread_for_compute
+    from aprs2influxdb_spark.functions.plancache import table_plan
     from aprs2influxdb_spark.operators.dedup import (
         _signatures_from_shingles,
         banded_keys,
         tokens_col,
     )
 
-    cache = spark.__dict__.setdefault("_aprs2_table_plan_cache", {})
-    k = ("lsh_banded", sf_dir, streaming, num_hashes, bands)
-    df = cache.get(k)
-    if df is not None:
-        return df
-    if streaming:
-        # spread the narrow (doc_id, text) BEFORE the signature
-        # expressions: a single-file micro-batch is ONE partition, so
-        # the 16-hash stage would run serially
-        src = spread_stream_for_compute(
-            stream_docs(spark, sf_dir).select("doc_id", "text")
-        )
-    else:
-        src = spread_for_compute(
-            spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-                "doc_id", "text"
+    def _build() -> DataFrame:
+        if streaming:
+            # spread the narrow (doc_id, text) BEFORE the signature
+            # expressions: a single-file micro-batch is ONE partition,
+            # so the 16-hash stage would run serially
+            src = spread_stream_for_compute(
+                stream_docs(spark, sf_dir).select("doc_id", "text")
             )
+        else:
+            src = spread_for_compute(
+                spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                    "doc_id", "text"
+                )
+            )
+        arr = src.select(
+            F.col("doc_id"), hashed_shingles(tokens_col("text"), 3).alias("sh")
         )
-    arr = src.select(
-        F.col("doc_id"), hashed_shingles(tokens_col("text"), 3).alias("sh")
+        return banded_keys(
+            _signatures_from_shingles(arr, "doc_id", num_hashes),
+            "doc_id",
+            num_hashes,
+            bands,
+        )
+
+    return table_plan(
+        spark, ("lsh_banded", sf_dir, streaming, num_hashes, bands), _build
     )
-    df = banded_keys(
-        _signatures_from_shingles(arr, "doc_id", num_hashes),
-        "doc_id",
-        num_hashes,
-        bands,
-    )
-    cache[k] = df
-    return df
 
 
 def bucket_index_of(banded: DataFrame) -> DataFrame:
@@ -1289,7 +1292,7 @@ def streaming_lsh_gate_cycle(
     batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
     lo, hi = batch.agg(F.min("doc_id"), F.max("doc_id")).first()
     lo, hi = int(lo), int(hi)
-    n_docs = batch.count()
+    n_docs = corpus_count(batch)
     # oracle mirrors bounds[0]; note lo + (hi-lo)//2 == (lo+hi)//2, so
     # cycles=1 degenerates to streaming_lsh_near_dup(drained=True)
     bounds = [
@@ -1381,7 +1384,7 @@ def streaming_lsh_near_dup(
     cycle — while the anchor rule stays exactly the batch oracle's
     (ordered ingest means a drained bucket's min can never be lowered
     by a later arrival)."""
-    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_docs = corpus_count(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     # memoized banding handle — the signature tree is built once per
     # session, and the stream spreads the narrow (doc_id, text) before
     # the 16-hash stage (see lsh_banded_docs)
@@ -1469,7 +1472,7 @@ def streaming_srp_near_dup(
     from aprs2influxdb_spark.operators.similarity import srp_planes_for
 
     batch = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    n_vecs = batch.count()
+    n_vecs = corpus_count(batch)
     np_ = srp_planes_for(n_vecs, target_bucket_size=8)
     src = stream_embeddings(spark, sf_dir)
     if drained:

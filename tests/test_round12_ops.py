@@ -172,3 +172,44 @@ class TestShardGroupMatchesPerBucketReference:
         st = _FakeState((["k"], [3], [5]))
         assert list(_lsh_shard_group((0,), iter([]), st)) == []
         assert st._v == (["k"], [3], [5])
+
+
+class TestReliableCheckpoint:
+    """Round-12 verdict item 6: the big within-run reuse barriers (the
+    exact-substring grams frame, curation survivors) use a reliable
+    ``checkpoint()`` when the session has a checkpoint dir configured,
+    and fall back to ``localCheckpoint`` (unchanged plans) when not —
+    results identical under either mechanism."""
+
+    def test_grams_dedup_identical_with_either_mechanism(
+        self, spark, sf_dir, tmp_path
+    ):
+        from aprs2influxdb_spark.queries import registry
+
+        builder, _ = registry()["exact_substring_dedup"]
+        base = {
+            (r["doc_id"], r["n_removed"], r["clean_text"])
+            for r in builder(spark, sf_dir).collect()
+        }
+        assert base
+        sc = spark.sparkContext
+        assert not sc._jsc.sc().getCheckpointDir().isDefined()
+        sc.setCheckpointDir(str(tmp_path / "ckpt"))
+        try:
+            with_dir = {
+                (r["doc_id"], r["n_removed"], r["clean_text"])
+                for r in builder(spark, sf_dir).collect()
+            }
+            assert with_dir == base
+            # the reliable path actually wrote checkpoint blocks
+            import os
+
+            assert any(os.scandir(str(tmp_path / "ckpt")))
+        finally:
+            # clear the dir so later tests in the shared session keep
+            # the localCheckpoint default (the setter only accepts a
+            # path, so reset the underlying Option directly)
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+                sc._jvm.scala.Option.apply(None)
+            )
+            assert not sc._jsc.sc().getCheckpointDir().isDefined()
