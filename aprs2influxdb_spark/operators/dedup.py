@@ -80,6 +80,22 @@ def fingerprint_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "do
     )
 
 
+
+def shingle_col(spark, text_col: str = "text", n: int = 3):
+    """Memoized unresolved hashed-shingles Column for ``text_col`` —
+    the expression-level plan-cache discipline (see
+    ``_signatures_from_shingles``): the nested Horner/transform tree
+    costs ~0.15 s of driver py4j per build and is identical for every
+    shingle consumer in a session."""
+    from aprs2influxdb_spark.functions.plancache import table_plan
+
+    return table_plan(
+        spark,
+        ("expr", "shingles", text_col, n),
+        lambda: hashed_shingles(tokens_col(text_col), n),
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 16, shingle_n: int = 3,
@@ -99,7 +115,8 @@ def minhash_signatures(
       aliases alone, so the staging survives optimization.
     """
     arr = _spread_docs(docs, id_col, text_col).select(
-        F.col(id_col), hashed_shingles(tokens_col(text_col), shingle_n).alias("sh")
+        F.col(id_col),
+        shingle_col(docs.sparkSession, text_col, shingle_n).alias("sh"),
     )
     return _signatures_from_shingles(arr, id_col, num_hashes)
 
@@ -114,21 +131,33 @@ def _signatures_from_shingles(
     input columns to pass through unchanged (the soak's ingest gate
     keeps the raw payload beside the signature)."""
     from aprs2influxdb_spark.functions.hashing import minhash_coeffs
+    from aprs2influxdb_spark.functions.plancache import table_plan
 
-    hashed = arr.select(
-        F.col(id_col),
-        *carry,
-        F.transform(F.col("sh"), lambda s: F.pmod(s, F.lit(MINHASH_P))).alias("hs"),
+    # The 16-permutation expression tree costs ~0.45 s of driver py4j
+    # to BUILD (round 12, cProfile of soft_dedup_weights) and is
+    # identical for every consumer — memoize the unresolved Column per
+    # (session, num_hashes); it resolves against column names fresh in
+    # every plan (the _t plan-handle discipline at expression level).
+    spark = arr.sparkSession
+    hs = table_plan(
+        spark,
+        ("expr", "minhash_hs"),
+        lambda: F.transform(F.col("sh"), lambda s: F.pmod(s, F.lit(MINHASH_P))),
     )
-    sig = F.array(
-        *[
-            F.coalesce(
-                F.array_min(F.transform(F.col("hs"), lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_P)))),
-                F.lit(MINHASH_P),
-            )
-            for a, b in minhash_coeffs(num_hashes)
-        ]
-    )
+    hashed = arr.select(F.col(id_col), *carry, hs.alias("hs"))
+
+    def _sig():
+        return F.array(
+            *[
+                F.coalesce(
+                    F.array_min(F.transform(F.col("hs"), lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_P)))),
+                    F.lit(MINHASH_P),
+                )
+                for a, b in minhash_coeffs(num_hashes)
+            ]
+        )
+
+    sig = table_plan(spark, ("expr", "minhash_sig", num_hashes), _sig)
     return hashed.select(F.col(id_col), *carry, sig.alias("sig"))
 
 
@@ -145,7 +174,8 @@ def _lsh_index(
     incremental pipeline these two tables ARE the saved dedup state
     (see :func:`lsh_rescreen_pairs`)."""
     arr = _spread_docs(docs, id_col, text_col).select(
-        F.col(id_col), hashed_shingles(tokens_col(text_col), shingle_n).alias("sh")
+        F.col(id_col),
+        shingle_col(docs.sparkSession, text_col, shingle_n).alias("sh"),
     ).localCheckpoint(eager=False)
     sigs = _signatures_from_shingles(arr, id_col, num_hashes)
     banded = banded_keys(sigs, id_col, num_hashes, bands).localCheckpoint(
@@ -162,16 +192,25 @@ def banded_keys(
     :func:`_lsh_index` so the streaming ingest gate can band a
     signature STREAM with the exact same keys the batch index uses).
     ``carry`` columns pass through beside the keys."""
-    rows_per_band = num_hashes // bands
-    band_key = [
-        (b, F.md5(F.concat_ws("_", F.lit(b), *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])))
-        for b in range(bands)
-    ]
-    return sigs.select(
-        F.col(id_col),
-        *carry,
-        F.explode(F.array(*[F.struct(F.lit(b).alias("band"), k.alias("key")) for b, k in band_key])).alias("bk"),
-    ).select(id_col, *carry, "bk.band", "bk.key")
+    from aprs2influxdb_spark.functions.plancache import table_plan
+
+    def _bk():
+        rows_per_band = num_hashes // bands
+        band_key = [
+            (b, F.md5(F.concat_ws("_", F.lit(b), *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])))
+            for b in range(bands)
+        ]
+        return F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), k.alias("key")) for b, k in band_key])
+        )
+
+    # memoized unresolved Column — see _signatures_from_shingles
+    bk = table_plan(
+        sigs.sparkSession, ("expr", "banded_bk", num_hashes, bands), _bk
+    )
+    return sigs.select(F.col(id_col), *carry, bk.alias("bk")).select(
+        id_col, *carry, "bk.band", "bk.key"
+    )
 
 
 def lsh_rescreen_pairs(
