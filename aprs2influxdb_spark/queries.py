@@ -3741,13 +3741,26 @@ def q_contamination_report(spark, sf):
     Scale shape: three already-audited operator plans joined on
     doc_id (each left join is a shuffle on the 8-byte key; the
     evidence frames are sparse subsets of the corpus); no new
-    pairwise stage is introduced."""
+    pairwise stage is introduced.
+
+    The lex channel reads the verified PAIR graph directly (round 12,
+    guide §1.1 "don't compute what you throw away"): membership of a
+    cluster of size ≥ 2 is exactly degree ≥ 1 in the pair graph —
+    components are maximal, so every vertex of a multi-vertex
+    component has an incident edge and vice versa — which makes the
+    whole iterative connected-components stage (the only eager,
+    multi-round part of this entry; measured ~4 s of its ~5.6 s at
+    sf0.1) unnecessary for a boolean the report collapses to anyway.
+    The oracle still derives the flag from the recursive-CTE clusters;
+    values are pinned identical."""
     docs = _t(spark, sf, "documents")
     dec = dd.decontaminate(docs).select("doc_id", "n_overlap")
-    clus = dd.near_dup_clusters(docs)
-    sizes = clus.groupBy("cluster_id").agg(F.count("*").alias("cs"))
-    lex = clus.join(sizes, "cluster_id").select(
-        "doc_id", (F.col("cs") >= 2).cast("long").alias("lex_dup")
+    pairs = dd.minhash_lsh_pairs(docs)
+    lex = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("lex_dup", F.lit(1).cast("long"))
     )
     sem = sim.semantic_dedup(_t(spark, sf, "embeddings"), threshold=0.35).select(
         F.col("vec_id").alias("doc_id"),
@@ -4076,83 +4089,73 @@ def q_mmr_rerank(spark, sf):
         F.col("vec_id").alias("doc_id"),
         F.col("embedding").cast("array<double>").alias("v"),
     )
-    nrm = F.sqrt(
-        F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    wq = Window.partitionBy("query_id")
     pool = (
         cand.join(emb, "doc_id")
-        .withColumn(
-            "rel",
+        .selectExpr(
+            "query_id",
+            "doc_id",
+            "v",
             # nullif + coalesce: an all-zero pool (0/0 = NaN) must
             # degrade identically on both engines (NaN floors to 0 in
             # Spark but NULLs in DuckDB)
-            F.coalesce(
-                F.floor(
-                    F.col("bm25") / F.nullif(F.max("bm25").over(wq), F.lit(0.0))
-                    * 1e6 + 0.5
-                ).cast("long"),
-                F.lit(0).cast("long"),
-            ),
+            "COALESCE(CAST(FLOOR(bm25 / nullif("
+            "max(bm25) OVER (PARTITION BY query_id), CAST(0.0 AS DOUBLE))"
+            " * 1.0E6 + 0.5D) AS BIGINT), CAST(0 AS BIGINT)) AS rel",
+            "SQRT(aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"
+            " AS nrm",
         )
-        .withColumn("nrm", nrm)
         .groupBy("query_id")
         .agg(
-            F.array_sort(
-                F.collect_list(F.struct("doc_id", "rel", "v", "nrm"))
+            F.expr(
+                "array_sort(collect_list(struct(doc_id, rel, v, nrm)))"
             ).alias("arr")
         )
     )
 
-    def _cos_micro(x, s):
-        dot = F.aggregate(
-            F.zip_with(x["v"], s["v"], lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, y: acc + y,
+    # The greedy rounds are built as SQL STRINGS handed to Catalyst in
+    # ONE ``F.expr`` per column (round 12, guide §5 "the driver" /
+    # verdict-r11 #5): the Column-API formulation issued a py4j round
+    # trip per operator node — the round-r pick tree holds r-1 cosine
+    # subtrees of ~15 nodes each, ~1.4 s of pure driver build per call
+    # (measured warm; 44% of the entry) — while the parsed-string form
+    # is O(MMR_K) round trips for the IDENTICAL expression tree.  Every
+    # literal is spelled with its exact Column-API type (0.0 DOUBLE,
+    # 1.0E6 DOUBLE, BIGINT zeros) so the analyzed plan, and therefore
+    # every value, is unchanged (oracle-pinned at three scales).
+    def _cos_sql(x: str, s: str) -> str:
+        dot = (
+            f"aggregate(zip_with({x}.v, {s}.v, (a, b) -> a * b), "
+            f"CAST(0.0 AS DOUBLE), (acc, y) -> acc + y)"
         )
         # zero-norm vectors count as orthogonal (penalty 0) on BOTH
         # engines — unguarded 0/0 is NaN->0 in Spark but NULL in DuckDB
-        return F.coalesce(
-            F.floor(
-                dot / F.nullif(x["nrm"] * s["nrm"], F.lit(0.0)) * 1e6 + 0.5
-            ).cast("long"),
-            F.lit(0).cast("long"),
+        return (
+            f"COALESCE(CAST(FLOOR({dot} / nullif({x}.nrm * {s}.nrm, "
+            f"CAST(0.0 AS DOUBLE)) * 1.0E6 + 0.5D) AS BIGINT), "
+            f"CAST(0 AS BIGINT))"
         )
-
-    def _pick(arr, selected):
-        def mmr(x):
-            if not selected:
-                pen = F.lit(0).cast("long")
-            elif len(selected) == 1:
-                pen = _cos_micro(x, selected[0])
-            else:
-                pen = F.greatest(*[_cos_micro(x, s) for s in selected])
-            return F.lit(7) * x["rel"] - F.lit(3) * pen
-
-        scored = F.transform(
-            arr,
-            lambda x: F.struct(
-                mmr(x).alias("m"),
-                (-x["doc_id"]).alias("nd"),  # max(-id) == min(id) on m-ties
-                x["doc_id"].alias("doc_id"),
-                x["rel"].alias("rel"),
-                x["v"].alias("v"),
-                x["nrm"].alias("nrm"),
-            ),
-        )
-        return F.array_max(scored)
 
     df = pool
-    sel = []
     for r in range(1, MMR_K + 1):
-        df = df.withColumn(f"s{r}", _pick(F.col("arr"), sel))
-        df = df.withColumn(
-            "arr", F.filter(F.col("arr"), lambda x: x["doc_id"] != F.col(f"s{r}.doc_id"))
+        sims = [_cos_sql("x", f"s{j}") for j in range(1, r)]
+        if not sims:
+            pen = "CAST(0 AS BIGINT)"
+        elif len(sims) == 1:
+            pen = sims[0]
+        else:
+            pen = f"greatest({', '.join(sims)})"
+        pick = (
+            "array_max(transform(arr, x -> named_struct("
+            f"'m', 7 * x.rel - 3 * ({pen}), "
+            "'nd', -x.doc_id, "  # max(-id) == min(id) on m-ties
+            "'doc_id', x.doc_id, 'rel', x.rel, 'v', x.v, 'nrm', x.nrm)))"
         )
-        sel.append(F.col(f"s{r}"))
-    picks = F.filter(
-        F.array(*[F.col(f"s{r}") for r in range(1, MMR_K + 1)]),
-        lambda s: s["doc_id"].isNotNull(),
+        df = df.withColumn(f"s{r}", F.expr(pick)).withColumn(
+            "arr", F.expr(f"filter(arr, x -> x.doc_id != s{r}.doc_id)")
+        )
+    picks = F.expr(
+        f"filter(array({', '.join(f's{r}' for r in range(1, MMR_K + 1))}), "
+        "s -> s.doc_id IS NOT NULL)"
     )
     return df.select(
         "query_id", F.posexplode(picks).alias("pos", "s")

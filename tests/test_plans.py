@@ -788,7 +788,12 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "nation_trade": 3,
     "near_dup_clusters": 2,
     "soft_dedup_weights": 5,  # measured 3 + 2 headroom
-    "contamination_report": 10,  # measured 8 + 2 headroom
+    # round 12: the lex channel reads the verified pair graph directly
+    # (degree >= 1 == cluster size >= 2), so the LSH pair pipeline is
+    # now IN-plan (visible shuffles 8 -> 12) while the eager
+    # connected-components rounds it replaced (~4 hidden shuffles x
+    # N rounds, run as jobs during the builder call) are gone entirely
+    "contamination_report": 13,  # measured 12 + 1 headroom
     "deadman_alerts": 5,  # measured 3 + 2 headroom
     "mmr_rerank": 10,  # measured 8 + 2 headroom
     "session_components": 2,
