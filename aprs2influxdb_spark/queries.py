@@ -4297,7 +4297,15 @@ def q_ts_similarity(spark, sf):
 def hourly_profiles(spark, sf):
     """24-dim per-user hourly mean-value profile vectors (snapshot-
     rounded to 6dp so both engines assemble bit-identical vectors);
-    shared by the cosine and DTW series-similarity operators."""
+    shared by the cosine and DTW series-similarity operators.
+
+    Assembled as an (hour → mean) map + one 24-slot ``transform``
+    lookup instead of a 24-column ``pivot`` (round 12): the pivot plan
+    cost ~0.85 s of Catalyst analysis at every ``localCheckpoint`` the
+    four DTW/cosine consumers take, vs ~0.45 s for this shape — same
+    single (user, hour) + (user) aggregation pair, same values (absent
+    hours zero; ``try_element_at`` keeps missing keys NULL-not-throw
+    under ANSI)."""
     prof = (
         _t(spark, sf, "events")
         .groupBy("user_id", F.hour("ts").alias("h"))
@@ -4305,12 +4313,12 @@ def hourly_profiles(spark, sf):
     )
     return (
         prof.groupBy("user_id")
-        .pivot("h", list(range(24)))
-        .agg(F.first("v"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("h", "v"))).alias("m"))
         .select(
             "user_id",
-            F.array(
-                *[F.coalesce(F.col(str(h)), F.lit(0.0)) for h in range(24)]
+            F.expr(
+                "transform(sequence(0, 23), h -> "
+                "coalesce(try_element_at(m, h), CAST(0.0 AS DOUBLE)))"
             ).alias("profile"),
         )
     )
